@@ -1,0 +1,132 @@
+package graft.dsl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's expression/matcher DSL (its "expression IR"), re-expressed
+  * as config → Spark `Column` compilation.
+  *
+  * Semantics follow /root/reference/src/MEDS_transforms/parser.py:
+  *  - matcher_to_expr (parser.py:85-147): conjunction of per-column tests —
+  *    equality, {present: bool} null test, {regex: pat} unanchored search.
+  *  - cfg_to_expr (parser.py:358-619): column refs, "f-string" interpolation,
+  *    literals, regex group extraction, coalescing lists, and conditional
+  *    (when/then) expressions.
+  *
+  * Every compiled expression also reports the set of input columns it needs,
+  * used by stages for input validation — and it is exactly what lets Catalyst
+  * prune the parquet scan to only those columns at 100 TB.
+  */
+object Dsl {
+  import Cfg._
+
+  /** Polars-parity edge case: `regexp_extract` in Spark returns "" when the
+    * pattern does not match; Polars' `str.extract` returns null. Null is the
+    * contract (parser.py doctest: extract "([ac]).*" over ["a","b","c"] →
+    * ['a', None, 'c']).
+    */
+  def extractOrNull(c: Column, pattern: String, groupIdx: Int): Column =
+    when(c.rlike(pattern), regexp_extract(c, pattern, groupIdx))
+
+  /** Interpolation pattern for "bar//{foo}" strings (parser.py:622). */
+  private val InterpRegex = """\{([^{}]+)\}""".r
+
+  def isInterpolated(s: String): Boolean = InterpRegex.findFirstIn(s).isDefined
+
+  /** `pl.format`-equivalent: literal segments concatenated with column refs,
+    * null-propagating (concat in Spark is null-intolerant, matching Polars).
+    */
+  def interpolate(s: String): (Column, Set[String]) = {
+    val cols = InterpRegex.findAllMatchIn(s).map(_.group(1)).toSeq
+    val segments = InterpRegex.pattern.split(s, -1) // literal parts around the {...}s
+    val parts = new scala.collection.mutable.ArrayBuffer[Column]
+    for (i <- segments.indices) {
+      if (segments(i).nonEmpty) parts += lit(segments(i))
+      if (i < cols.length) parts += col(cols(i)).cast("string")
+    }
+    val e = if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+    (e, cols.toSet)
+  }
+
+  // ---- matchers ---------------------------------------------------------
+
+  /** Validate a matcher config: a map of column → (scalar | {present: bool}
+    * | {regex: str}).
+    */
+  def isMatcher(cfg: Cfg): Boolean = cfg match {
+    case M(m) =>
+      m.values.forall {
+        case M(v) =>
+          v.size == 1 && (v.get("regex").exists(_.isInstanceOf[S]) ||
+            v.get("present").exists(_.isInstanceOf[B]))
+        case _: L | _: M => false
+        case _ => true
+      }
+    case _ => false
+  }
+
+  /** matcher → boolean Column (conjunction; empty matcher matches all). */
+  def matcherToExpr(cfg: Cfg): (Column, Set[String]) = cfg match {
+    case M(m) =>
+      val exprs = m.map {
+        case (k, M(v)) if v.contains("present") =>
+          if (v("present") == B(true)) col(k).isNotNull else col(k).isNull
+        case (k, M(v)) => col(k).rlike(v("regex").asInstanceOf[S].v)
+        case (k, S(s)) => col(k) === lit(s)
+        case (k, I(i)) => col(k) === lit(i)
+        case (k, D(d)) => col(k) === lit(d)
+        case (k, B(b)) => col(k) === lit(b)
+        case (k, Null) => col(k).isNull
+        case (k, v) => throw new IllegalArgumentException(s"bad matcher value for $k: $v")
+      }.toSeq
+      (exprs.reduceOption(_ && _).getOrElse(lit(true)), m.keySet.toSet)
+    case other => throw new IllegalArgumentException(s"Matcher must be a map. Got $other")
+  }
+
+  // ---- column expressions ----------------------------------------------
+
+  private def litOf(c: Cfg): Column = c match {
+    case S(s) => lit(s)
+    case I(i) => lit(i)
+    case D(d) => lit(d)
+    case B(b) => lit(b)
+    case L(xs) => array(xs.map(litOf): _*)
+    case Null => lit(null)
+    case m: M => throw new IllegalArgumentException(s"cannot make a literal of a map: $m")
+  }
+
+  private val exprTypeKeys = Set("col", "str", "literal", "extract")
+
+  /** cfg_to_expr: compile any column-expression config to a Column plus the
+    * set of input columns it reads.
+    */
+  def colExpr(cfg: Cfg): (Column, Set[String]) = cfg match {
+    case S(s) if isInterpolated(s) => interpolate(s)
+    case S(s) => (col(s), Set(s))
+    case L(xs) => // coalescing list: first non-null
+      val compiled = xs.map(colExpr)
+      (coalesce(compiled.map(_._1): _*), compiled.flatMap(_._2).toSet)
+    case M(m) if m.keySet == Set("output", "matcher") =>
+      val (cond, mcols) = matcherToExpr(m("matcher"))
+      val (out, ocols) = colExpr(m("output"))
+      (when(cond, out), mcols ++ ocols)
+    case M(m) if m.size == 1 && exprTypeKeys.contains(m.head._1) =>
+      m.head match {
+        case ("col", S(s)) => (col(s), Set(s))
+        case ("str", S(s)) => interpolate(s)
+        case ("literal", v) => (litOf(v), Set.empty)
+        case ("extract", M(e)) =>
+          val from = e("from").asInstanceOf[S].v
+          val pat = e("regex").asInstanceOf[S].v
+          val gi = e.get("group_index").map(_.asInstanceOf[I].v.toInt).getOrElse(1)
+          (extractOrNull(col(from), pat, gi), Set(from))
+        case (k, v) => throw new IllegalArgumentException(s"bad col expr {$k: $v}")
+      }
+    case M(m) if m.size == 1 && isMatcher(m.head._2) =>
+      // simple-form conditional: {outputExpr: matcher}
+      val (cond, mcols) = matcherToExpr(m.head._2)
+      val (out, ocols) = colExpr(S(m.head._1))
+      (when(cond, out), mcols ++ ocols)
+    case other => throw new IllegalArgumentException(s"bad column expression config: $other")
+  }
+}

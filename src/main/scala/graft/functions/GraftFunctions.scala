@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level helper functions shared across operators. All are composed
+  * from codegen'd `org.apache.spark.sql.functions` builtins — no UDFs — so
+  * every operator stays inside whole-stage codegen.
+  */
+object GraftFunctions {
+
+  /** Deterministic, engine-portable 56-bit hash of a string: the first 14 hex
+    * digits of md5, as a non-negative Long. Used by MinHash/SimHash/LSH so
+    * that results are reproducible across engines (the same value is
+    * computable in any SQL dialect with md5 + hex→int conversion).
+    */
+  def portableHash56(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 14), 16, 10).cast(LongType)
+
+  /** Mersenne prime 2^31-1; universal-hash family h(x) = (a*x + b) mod P over
+    * the 56-bit portable hash reduced mod P (keeps a*x within Long range).
+    */
+  val HashPrime: Long = 2147483647L
+
+  def universalHash(h: Column, a: Long, b: Long): Column =
+    (lit(a) * (h % HashPrime) + lit(b)) % HashPrime
+
+  /** Deterministic (a_i, b_i) parameter streams for the universal-hash family
+    * — LCG-generated from a fixed seed so both the engine and any oracle can
+    * reproduce them.
+    */
+  def hashParams(n: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    var s = seed
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); (s >>> 33) % (HashPrime - 1) }
+    Seq.fill(n)((next() + 1, next()))
+  }
+
+  /** Whitespace tokenization with Polars/DuckDB-compatible edge semantics:
+    * empty or all-whitespace text → empty array (Spark's split would give
+    * [""]).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Word n-gram shingles as space-joined strings: one entry per window of
+    * `n` consecutive tokens. Documents shorter than n words → empty array.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Dot product of two float-array columns via the codegen'd higher-order
+    * functions (zip_with + aggregate) — no UDF, stays in WholeStageCodegen.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Right-bisect (numpy searchsorted side="right"): number of endpoints
+    * <= value. Reference: bin_numeric_values.py:185.
+    */
+  def searchSortedRight(endpoints: Column, value: Column): Column =
+    size(filter(endpoints, e => e <= value))
+
+  /** Polars `shrink_dtype` analog (reducer.py:217, fit_vocabulary_indices
+    * .py:195): cast integer columns to the narrowest integral type that holds
+    * their observed min/max. Requires one extra aggregation pass, so it is
+    * applied only to small reduced metadata outputs, never the event table.
+    */
+  def shrinkIntColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val present = columns.filter(df.columns.contains)
+    if (present.isEmpty) return df
+    val aggs = present.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    present.foldLeft(df) { (d, c) =>
+      val lo = Option(row.getAs[Any](s"min_$c")).map(_.toString.toLong).getOrElse(0L)
+      val hi = Option(row.getAs[Any](s"max_$c")).map(_.toString.toLong).getOrElse(0L)
+      val t: DataType =
+        if (lo >= Byte.MinValue && hi <= Byte.MaxValue) ByteType
+        else if (lo >= Short.MinValue && hi <= Short.MaxValue) ShortType
+        else if (lo >= Int.MinValue && hi <= Int.MaxValue) IntegerType
+        else LongType
+      d.withColumn(c, col(c).cast(t))
+    }
+  }
+}

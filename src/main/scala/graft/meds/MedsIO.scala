@@ -1,0 +1,67 @@
+package graft.meds
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A MEDS dataset: the event-data table plus its two metadata side tables.
+  *
+  * Mirrors the reference's on-disk layout (sharded parquet under data/,
+  * metadata/codes.parquet, metadata/subject_splits.parquet — see
+  * /root/reference/src/MEDS_transforms/mapreduce/stage.py:64-168) but as live
+  * DataFrames: the whole shard set is one DataFrame with `split`/`shard`
+  * provenance columns so per-shard outputs remain reproducible.
+  */
+final case class MedsData(
+    data: DataFrame,
+    codes: DataFrame,
+    splits: DataFrame
+) {
+  def withData(d: DataFrame): MedsData = copy(data = d)
+  def withCodes(c: DataFrame): MedsData = copy(codes = c)
+}
+
+object MedsIO {
+  import MedsSchema._
+
+  /** Read a MEDS dataset root (sharded parquet under data/ + metadata/).
+    *
+    * The shard identity is recovered from the file path (`split/shardIdx`),
+    * replacing the reference's shard_iterator (shard_iteration.py:70-316):
+    * under Spark the directory scan + partition pruning does the enumeration
+    * and `trainOnly` becomes a filter Catalyst pushes into the scan.
+    */
+  def read(spark: SparkSession, root: String): MedsData = {
+    val data = spark.read.parquet(s"$root/data")
+      .withColumn(Shard, regexp_extract(input_file_name(), """data/(.+)\.parquet""", 1))
+      .withColumn(Split, regexp_extract(col(Shard), """^([^/]+)/""", 1))
+    val codes = spark.read.parquet(s"$root/metadata/codes.parquet")
+    val splits =
+      try spark.read.parquet(s"$root/metadata/subject_splits.parquet")
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], splitsSchema) }
+    MedsData(data, codes, splits)
+  }
+
+  /** Write a MEDS dataset root. Data is written partitioned by shard columns
+    * (split dirs) and sorted within partitions by (subject_id, time) — the
+    * MEDS invariant that every window/agg operator relies on, and what makes
+    * subject-disjoint per-shard reductions correct at 100 TB.
+    */
+  def write(meds: MedsData, root: String): Unit = {
+    val withSplit =
+      if (meds.data.columns.contains(Split)) meds.data
+      else meds.data.withColumn(Split, lit(TrainSplit))
+    withSplit
+      .repartition(col(Split), col(SubjectId))
+      .sortWithinPartitions(SubjectId, Time)
+      .write.mode("overwrite").partitionBy(Split).parquet(s"$root/data")
+    meds.codes.write.mode("overwrite").parquet(s"$root/metadata/codes.parquet")
+    meds.splits.write.mode("overwrite").parquet(s"$root/metadata/subject_splits.parquet")
+  }
+
+  /** Attach the engine-wide stable-order row index (monotonic within the
+    * input order of each file split; globally ordered across partitions).
+    */
+  def withRowIdx(df: DataFrame): DataFrame =
+    df.withColumn(RowIdx, monotonically_increasing_id())
+}

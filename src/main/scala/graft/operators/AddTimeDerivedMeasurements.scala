@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.meds.MedsSchema._
+
+/** `add_time_derived_measurements` (reference:
+  * /root/reference/src/MEDS_transforms/stages/add_time_derived_measurements/…).
+  *
+  * Generates new event rows (age / time-of-day / timeline tokens) and splices
+  * them into each (subject, time) block — new rows first within the block
+  * (add_time_derived_measurements.py:19-171). The reference's diagonal
+  * concat + maintain_order sort becomes `unionByName(allowMissingColumns)`
+  * plus an explicit (subject, time, precedence, row_idx) sort.
+  *
+  * All three generators are pure window/aggregate compositions partitioned by
+  * subject — at 100 TB they reuse the subject hash partitioning and the sort
+  * within partitions that the MEDS layout already guarantees.
+  */
+object AddTimeDerivedMeasurements {
+
+  /** Seconds per unit (reference utils.py:10-74 expresses these in μs). */
+  val SecondsPerUnit: Map[String, Double] = Map(
+    "seconds" -> 1.0,
+    "minutes" -> 60.0,
+    "hours" -> 3600.0,
+    "days" -> 86400.0,
+    "weeks" -> 7 * 86400.0,
+    "years" -> 365.25 * 86400.0
+  )
+
+  private def deltaIn(later: Column, earlier: Column, unit: String): Column =
+    (unix_micros(later) - unix_micros(earlier)) / lit(SecondsPerUnit(unit) * 1e6)
+
+  /** `unique_events` (reference utils.py:77-133): distinct non-null
+    * (subject, time) pairs.
+    */
+  def uniqueEvents(data: DataFrame): DataFrame =
+    data.filter(col(Time).isNotNull).select(SubjectId, Time).dropDuplicates(SubjectId, Time)
+
+  /** `age_fntr` (reference age.py:145-180): for each unique event, emit an
+    * age row = (time − DOB) in `ageUnit`, DOB taken from rows whose code
+    * matches `dobCodePattern`; only strictly positive ages are kept.
+    */
+  def ageEvents(data: DataFrame, dobCodePattern: String, ageCode: String = "AGE",
+      ageUnit: String = "years"): DataFrame = {
+    val dob = data.filter(col(Code).rlike(dobCodePattern) && col(Time).isNotNull)
+      .groupBy(SubjectId).agg(min(col(Time)).as("__dob"))
+    uniqueEvents(data)
+      .join(dob, Seq(SubjectId), "inner")
+      .withColumn(NumericValue, deltaIn(col(Time), col("__dob"), ageUnit).cast("float"))
+      .filter(col(NumericValue) > 0)
+      .select(col(SubjectId), col(Time), lit(ageCode).as(Code), col(NumericValue))
+  }
+
+  /** `time_of_day_fntr` (reference time_of_day.py:100-129): bucket the event
+    * hour into [a, b) ranges given by `endpoints` (strictly increasing,
+    * within 0..24) and emit a `TIME_OF_DAY//[a,b)` code row per unique event.
+    */
+  def timeOfDayEvents(data: DataFrame, endpoints: Seq[Int] = Seq(6, 12, 18)): DataFrame = {
+    require(endpoints == endpoints.sorted && endpoints.forall(e => e >= 0 && e <= 24),
+      s"endpoints must be sorted within [0,24]: $endpoints")
+    val bounds = (0 +: endpoints) :+ 24
+    val h = hour(col(Time))
+    val codeCol = bounds.sliding(2).toSeq.foldRight(lit(null).cast("string")) {
+      case (Seq(a, b), acc) =>
+        when(h >= a && h < b, lit(f"TIME_OF_DAY//[$a%02d,$b%02d)")).otherwise(acc)
+    }
+    uniqueEvents(data)
+      .select(col(SubjectId), col(Time), codeCol.as(Code),
+        lit(null).cast("float").as(NumericValue))
+  }
+
+  /** `timeline_tokens_fntr` (reference timeline_tokens.py:219-288): per
+    * subject emit TIMELINE//START at min(time), TIMELINE//END at max(time),
+    * and a TIMELINE//DELTA//<unit> row per unique event carrying the gap to
+    * the previous event (null for the first).
+    */
+  def timelineTokenEvents(data: DataFrame, unit: String = "days",
+      emitStart: Boolean = true, emitEnd: Boolean = true,
+      emitDeltas: Boolean = true): DataFrame = {
+    val ev = uniqueEvents(data)
+    val w = Window.partitionBy(SubjectId).orderBy(Time)
+    val parts = Seq.newBuilder[DataFrame]
+    if (emitStart)
+      parts += ev.groupBy(SubjectId).agg(min(col(Time)).as(Time))
+        .select(col(SubjectId), col(Time), lit("TIMELINE//START").as(Code),
+          lit(null).cast("float").as(NumericValue))
+    if (emitDeltas)
+      parts += ev.withColumn("__prev", lag(col(Time), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col(SubjectId), col(Time), lit(s"TIMELINE//DELTA//$unit").as(Code),
+          deltaIn(col(Time), col("__prev"), unit).cast("float").as(NumericValue))
+    if (emitEnd)
+      parts += ev.groupBy(SubjectId).agg(max(col(Time)).as(Time))
+        .select(col(SubjectId), col(Time), lit("TIMELINE//END").as(Code),
+          lit(null).cast("float").as(NumericValue))
+    parts.result().reduce(_ unionByName _)
+  }
+
+  /** Splice generated rows into the data: new rows first within each
+    * (subject, time) block, stable within source order
+    * (add_new_events_fntr, add_time_derived_measurements.py:19-171).
+    */
+  def splice(data: DataFrame, newEvents: DataFrame): DataFrame = {
+    val withIdx =
+      if (data.columns.contains(RowIdx)) data
+      else data.withColumn(RowIdx, monotonically_increasing_id())
+    val tagged = withIdx.withColumn(BlockIdx, lit(1))
+    val newTagged = newEvents
+      .withColumn(RowIdx, monotonically_increasing_id())
+      .withColumn(BlockIdx, lit(0))
+    tagged.unionByName(newTagged, allowMissingColumns = true)
+      .orderBy(col(SubjectId), col(Time).asc_nulls_first, col(BlockIdx), col(RowIdx))
+      .drop(BlockIdx, RowIdx)
+  }
+}

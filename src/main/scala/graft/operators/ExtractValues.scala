@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dsl.{Cfg, Dsl}
+import graft.meds.MedsSchema._
+
+/** `extract_values` (reference:
+  * /root/reference/src/MEDS_transforms/stages/extract_values/extract_values.py:106-139).
+  *
+  * Adds columns computed by the expression DSL from a config of
+  * {output_column: column_expression}, validating that every input column the
+  * expressions need exists, then force-casting MEDS mandatory columns
+  * (numeric_value → float32 etc., type table extract_values.py:16-23).
+  */
+object ExtractValues {
+  def apply(data: DataFrame, exprs: Seq[(String, Cfg)]): DataFrame = {
+    val compiled = exprs.map { case (out, cfg) =>
+      val (c, needed) = Dsl.colExpr(cfg)
+      val missing = needed -- data.columns.toSet
+      require(missing.isEmpty,
+        s"extract_values: missing input columns $missing for output $out")
+      out -> c
+    }
+    val withCols = compiled.foldLeft(data) { case (df, (out, c)) =>
+      val cast = mandatoryTypes.get(out).map(t => c.cast(t)).getOrElse(c)
+      df.withColumn(out, cast)
+    }
+    withCols
+  }
+}
+
+/** `bin_numeric_values` (reference:
+  * /root/reference/src/MEDS_transforms/stages/bin_numeric_values/bin_numeric_values.py:213-390,393-780).
+  *
+  * Left-joins per-code bin endpoints (from the metadata quantile struct
+  * and/or config-supplied custom bins, custom winning), computes
+  * bin index = right-bisect(endpoints, value) via the codegen'd higher-order
+  * `filter` function, rewrites `code` with a `{code}//{bin_name}` template
+  * where bin names are `_(left,right]`-style labels keyed by endpoints, and
+  * optionally nulls the binned values out.
+  */
+object BinNumericValues {
+  import graft.functions.GraftFunctions.searchSortedRight
+
+  /** @param customBins  code → sorted endpoints, overriding metadata quantiles
+    * @param dropNumeric if true, binned rows get numeric_value = null
+    */
+  def apply(
+      data: DataFrame,
+      codes: DataFrame,
+      quantileFields: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      customBins: Map[String, Seq[Double]] = Map.empty,
+      dropNumeric: Boolean = false): DataFrame = {
+    val fromQuantiles =
+      if (codes.columns.contains(ValuesQuantiles))
+        codes.select(col(Code),
+          array(quantileFields.map(q =>
+            col(ValuesQuantiles).getField(s"values/quantile/$q").cast("double")): _*)
+            .as("__endpoints_meta"))
+      else codes.select(col(Code), lit(null).cast("array<double>").as("__endpoints_meta"))
+    val custom =
+      if (customBins.isEmpty) fromQuantiles.withColumn("__endpoints_custom", lit(null).cast("array<double>"))
+      else {
+        val cb = customBins.toSeq.foldRight(lit(null).cast("array<double>")) {
+          case ((code, eps), acc) =>
+            when(col(Code) === code, array(eps.map(lit(_)): _*)).otherwise(acc)
+        }
+        fromQuantiles.withColumn("__endpoints_custom", cb)
+      }
+    val meta = custom
+      .withColumn("__endpoints", coalesce(col("__endpoints_custom"), col("__endpoints_meta")))
+      .select(Code, "__endpoints")
+
+    val joined = data.join(broadcast(meta), Seq(Code), "left")
+    val binnable = col("__endpoints").isNotNull && col(NumericValue).isNotNull &&
+      !isnan(col(NumericValue))
+    val binIdx = searchSortedRight(col("__endpoints"), col(NumericValue))
+    // bin bounds: left = endpoints[i-1] (or -inf), right = endpoints[i] (or inf)
+    val left = when(binIdx === 0, lit("-inf"))
+      .otherwise(element_at(col("__endpoints"), binIdx).cast("string"))
+    val right = when(binIdx === size(col("__endpoints")), lit("inf"))
+      .otherwise(element_at(col("__endpoints"), binIdx + 1).cast("string"))
+    val newCode = when(binnable,
+      concat(col(Code), lit("//"), binIdx.cast("string"), lit("//"), left, lit("//"), right))
+      .otherwise(col(Code))
+    val out = joined
+      .withColumn(Code, newCode)
+      .withColumn(NumericValue,
+        if (dropNumeric) when(!binnable, col(NumericValue)) else col(NumericValue))
+    out.drop("__endpoints", "__endpoints_meta", "__endpoints_custom")
+  }
+}

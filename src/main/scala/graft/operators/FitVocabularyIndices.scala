@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.meds.MedsSchema._
+import graft.functions.GraftFunctions
+
+/** `fit_vocabulary_indices` (reference:
+  * /root/reference/src/MEDS_transforms/stages/fit_vocabulary_indices/fit_vocabulary_indices.py:108-196).
+  *
+  * Assigns a 1-based lexicographic `code/vocab_index` over the unique
+  * (code + modifiers) rows of the code-metadata table, nulls first; index 0
+  * is reserved for UNK. Validates key uniqueness first
+  * (fit_vocabulary_indices.py:98-105).
+  *
+  * Scale note: this is a global total order, which in general forces a single
+  * partition. That is the correct trade here — the vocabulary is the *code
+  * metadata* table (thousands–millions of rows), never the 100 TB event
+  * table, so a one-partition window is cheap and exact. The reference's
+  * double-arg_sort trick (lines 188-195) is just `row_number` over the sort.
+  */
+object FitVocabularyIndices {
+
+  def apply(codes: DataFrame, codeModifiers: Seq[String] = Nil): DataFrame = {
+    val keys = Code +: codeModifiers
+    val dup = codes.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+    if (!dup.isEmpty)
+      throw new IllegalArgumentException(
+        s"Duplicate (${keys.mkString(", ")}) keys in code metadata; cannot fit vocabulary")
+    val w = Window.orderBy(keys.map(k => col(k).asc_nulls_first): _*)
+    val indexed = codes.withColumn(VocabIndex, row_number().over(w).cast("long"))
+    GraftFunctions.shrinkIntColumns(indexed, Seq(VocabIndex))
+  }
+}

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants are shuffle-conscious: exact dedup is a single hash
+  * aggregation; the near-dup family (MinHash-LSH / SimHash / n-gram Jaccard)
+  * follows the inverted-index / banding pattern — candidate generation via an
+  * equi-join on a short key (shingle, band signature, simhash band) so the
+  * quadratic all-pairs comparison never materializes; only candidates within
+  * a bucket are compared exactly. Every hash is the engine-portable
+  * md5-derived 56-bit value so results are deterministic and reproducible
+  * across engines.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per distinct normalized text. One
+    * hash shuffle on the md5 of the text (not the text itself — 16 bytes per
+    * row over the wire instead of document bodies).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Normalized fingerprint dedup: lowercase + whitespace-collapse before
+    * hashing, so trivially-reformatted copies collapse too.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fingerprint"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle) exploded. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle")).distinct()
+
+  /** N-gram Jaccard near-dup pairs via the inverted-index join: candidate
+    * pairs share at least one shingle; Jaccard is computed from shared /
+    * distinct counts. Emits (id_a < id_b, jaccard) above `threshold`.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.toDF("id_a", "shingle")
+    val b = sh.toDF("id_b", "shingle")
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signatures: numPerms universal hashes over the shingle set,
+    * min per (doc, perm). Row-explosion is bounded: |shingles| × numPerms
+    * intermediate rows, all reduced map-side by the min aggregate.
+    */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 32, seed: Long = 42L): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+      .withColumn("h", portableHash56(col("shingle")))
+    val params = hashParams(numPerms, seed)
+    val perms = params.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("perm"), universalHash(col("h"), a, b).as("hv"))
+    }
+    sh.select(col(idCol), explode(array(perms: _*)).as("p"))
+      .groupBy(col(idCol), col("p.perm").as("perm"))
+      .agg(min(col("p.hv")).as("minhash"))
+  }
+
+  /** MinHash-LSH near-dup pairs: band the signature (numPerms = bands ×
+    * rowsPerBand), bucket-join on (band, band signature), then estimate
+    * Jaccard as the fraction of matching minhashes among candidates.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand, seed).cache()
+    val banded = sigs
+      .withColumn("band", (col("perm") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("perm"), col("minhash"))))))
+        .as("band_sig"))
+    val cand = banded.toDF("id_a", "band", "band_sig")
+      .join(banded.toDF("id_b", "band", "band_sig"), Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val est = cand
+      .join(sigs.toDF("id_a", "perm", "mh_a"), Seq("id_a"))
+      .join(sigs.toDF("id_b", "perm", "mh_b"), Seq("id_b", "perm"))
+      .groupBy("id_a", "id_b")
+      .agg(avg(when(col("mh_a") === col("mh_b"), 1.0).otherwise(0.0)).as("est_jaccard"))
+    est.filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash values: per-bit weighted majority over shingle hashes (bits of
+    * the portable hash), packed into a `numBits`-bit long.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numBits: Int = 32): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+      .withColumn("h", portableHash56(col("shingle")))
+    val bitSums = (0 until numBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$b")
+    }
+    sh.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until numBits).map(b =>
+          when(col(s"bit_$b") > 0, lit(1L) * pow(lit(2.0), lit(b)).cast("long"))
+            .otherwise(0L)).reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the simhash into `bands` bit-groups; pairs
+    * sharing any band are candidates; keep those within `maxHamming`.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numBits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol, n, numBits)
+    val bandBits = numBits / bands
+    val mask = (1L << bandBits) - 1
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("simhash"), i * bandBits).bitwiseAND(mask).as("key"))): _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.band"), col("b.key"))
+    val cand = banded.toDF("id_a", "sh_a", "band", "key")
+      .join(banded.toDF("id_b", "sh_b", "band", "key"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a coarse partition column
+    * (cluster/label/bucket) so the cross join stays within blocks. For
+    * unblocked data pass a constant column (exact but quadratic) or an LSH
+    * bucket from `Similarity.signBucket`.
+    */
+  def embeddingPairs(
+      embs: DataFrame, idCol: String, vecCol: String, blockCol: Column,
+      threshold: Double = 0.95): DataFrame = {
+    val e = embs.select(col(idCol), col(vecCol), blockCol.as("__block"))
+    val a = e.toDF("id_a", "vec_a", "__block")
+    val b = e.toDF("id_b", "vec_b", "__block")
+    a.join(b, Seq("__block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract operators.
+  *
+  * The Spark-side plumbing (schema, batching, partition sizing) is real; the
+  * codec itself is STUBBED with a deterministic fake — this container has no
+  * image/audio libraries, and in production the `decodeStub` body is the only
+  * thing to replace (e.g. with a JNI codec or a `mapInPandas`-equivalent
+  * Arrow batch UDF on the Python side).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime_type", StringType, nullable = true)))
+
+  /** Wrap a text corpus as a binary media table (UTF-8 payload) — the shape
+    * real ingestion produces (id, bytes, mime).
+    */
+  def asMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      lit("text/plain").as("mime_type"))
+
+  /** Payload metadata: byte length + content digest. Pure expressions; at
+    * scale this is the cheap first pass that lets later stages partition by
+    * size and dedup by digest without ever decoding.
+    */
+  def payloadMetadata(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("mime_type"),
+      octet_length(col("payload")).as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"))
+
+  /** STUB decode: deterministic fake "image" properties derived from the
+    * payload bytes. Replace the three expressions with a real codec call;
+    * the output schema and the per-row batch shape are the production
+    * contract.
+    */
+  def decodeStub(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      (octet_length(col("payload")) % 640 + 1).as("width"),
+      (octet_length(col("payload")) * 7 % 480 + 1).as("height"),
+      (crc32(col("payload")) % 256).cast("int").as("mean_intensity"))
+
+  /** STUB frame sampling: emit `n` evenly-spaced frame indices with a
+    * deterministic per-frame digest — the row-explosion plumbing (one row per
+    * sampled frame, repartitionable downstream) is the real part.
+    */
+  def sampleFramesStub(media: DataFrame, n: Int): DataFrame =
+    media.select(col("media_id"), col("payload"),
+      explode(sequence(lit(0), lit(n - 1))).as("frame_idx"))
+      .select(
+        col("media_id"), col("frame_idx"),
+        sha2(concat(col("payload"), col("frame_idx").cast("string").cast("binary")), 256)
+          .as("frame_digest"))
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (one scan, map-side top-k via
+  * window-free aggregation when k is small). Scale paths: sign-LSH bucketing
+  * (axis-sign bits → equi-join on bucket) and IVF (coarse centroids →
+  * probe-cell search), both of which turn the O(N·Q) scan into a bucket join.
+  */
+object Similarity {
+
+  /** Brute-force cosine scores of every row against one query vector
+    * (driver-provided literal — broadcast by construction).
+    */
+  def bruteForceScores(embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float]): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    embs.select(col(idCol), cosine(col(vecCol).cast("array<double>"), q).as("cos"))
+  }
+
+  /** Exact top-k by cosine against a query vector. Ties broken by id for
+    * determinism. `orderBy + limit k` compiles to TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge on the driver, no global sort.
+    */
+  def topK(embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame =
+    bruteForceScores(embs, idCol, vecCol, query)
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** Sign-LSH bucket id: one bit per selected dimension (sign of the
+    * coordinate), packed into a long. Deterministic and engine-portable.
+    * With `planes` axis-aligned hyperplanes the expected bucket occupancy is
+    * N / 2^planes; candidates are then re-ranked exactly within the bucket.
+    */
+  def signBucket(vec: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex.map { case (d, i) =>
+      when(element_at(vec, d + 1) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: only candidates in the query's bucket are scored.
+    * Recall < 1 by construction; bucket dims trade recall for cost.
+    */
+  def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, dims: Seq[Int] = 0 until 8): DataFrame = {
+    val qBucket = dims.zipWithIndex.map { case (d, i) =>
+      if (query(d) >= 0) 1L << i else 0L
+    }.sum
+    bruteForceScores(
+      embs.filter(signBucket(col(vecCol), dims) === qBucket), idCol, vecCol, query)
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF coarse centroids: mean vector per partition key (e.g. a cluster
+    * label or LSH bucket). Element-wise mean via posexplode + groupBy — a
+    * single shuffle of (key, dim, value) triples.
+    */
+  def centroids(embs: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    embs.select(col(keyCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(keyCol, "dim").agg(avg("v").as("mean_v"))
+      .groupBy(keyCol)
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_v")))).as("pairs"))
+      .select(col(keyCol), transform(col("pairs"), p => p.getField("mean_v")).as("centroid"))
+
+  /** IVF search: rank cells by centroid distance to the query, search the
+    * nearest `nProbe` cells exactly. The probed fraction bounds the scan.
+    */
+  def ivfTopK(embs: DataFrame, idCol: String, keyCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val cents = centroids(embs, keyCol, vecCol)
+    val probeCells = cents
+      .withColumn("qcos", cosine(col("centroid"), q))
+      .orderBy(col("qcos").desc).limit(nProbe)
+      .select(keyCol)
+    bruteForceScores(
+      embs.join(broadcast(probeCells), Seq(keyCol), "left_semi"), idCol, vecCol, query)
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs k-NN join within blocks (each left row gets its k nearest
+    * right rows sharing the block key). Window-ranked, shuffle bounded by
+    * block sizes.
+    */
+  def knnJoin(left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, k: Int): DataFrame = {
+    val l = left.select(col(blockCol), col(idCol).as("id_l"), col(vecCol).as("vec_l"))
+    val r = right.select(col(blockCol), col(idCol).as("id_r"), col(vecCol).as("vec_r"))
+    val w = Window.partitionBy("id_l").orderBy(col("cos").desc, col("id_r"))
+    l.join(r, Seq(blockCol))
+      .filter(col("id_l") =!= col("id_r"))
+      .withColumn("cos", cosine(col("vec_l"), col("vec_r")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_l"), col("id_r"), col("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, document fingerprinting. All
+  * pure column expressions (no UDFs) — a single scan over the corpus computes
+  * every signal, and Catalyst prunes the scan to the text column only.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (empty text → 0). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphanumeric runs and single non-space symbols
+    * each count as one token — a cheap, deterministic proxy for a real
+    * byte-pair tokenizer's length.
+    */
+  def subwordCount(text: Column): Column = {
+    val pieces = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(pieces)
+  }
+
+  /** Quality signals: lengths, word stats, punctuation/alpha/digit/space
+    * ratios, stopword fraction — the usual pre-training heuristics.
+    */
+  def qualitySignals(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val words = tokens(t)
+    val nWords = size(words)
+    val countMatches = (pat: String) => size(regexp_extract_all(t, lit(pat), lit(0)))
+    val nStop = size(filter(words, w => array_contains(
+      array(stopwords.map(lit(_)): _*), lower(w))))
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      when(nWords > 0, (nChars - nWords + 1).cast("double") / nWords).as("mean_word_len"),
+      (countMatches("[\\p{Punct}]").cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
+      (countMatches("[A-Za-z]").cast("double") / greatest(nChars, lit(1))).as("alpha_ratio"),
+      (countMatches("[0-9]").cast("double") / greatest(nChars, lit(1))).as("digit_ratio"),
+      when(nWords > 0, nStop.cast("double") / nWords).otherwise(0.0).as("stopword_ratio"))
+  }
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Language-ID marker words: tiny per-language stopword lists; the language
+    * with the highest marker hit-count wins (ties → lexicographic first).
+    * An n-gram/stopword heuristic in the fastText tradition, kept
+    * deterministic and expression-only.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, markers) =>
+      val pat = markers.mkString("\\b(", "|", ")\\b")
+      lang -> size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+    }
+
+  /** Predicted language + per-language scores. `unknown` when no marker hits. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scores = langScores(col(textCol))
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pred = scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight makes the FIRST (lexicographically smallest) max win
+    val predFirst = scores.foldLeft(lit("unknown")) { case (acc, (lang, s)) =>
+      when(acc === "unknown" && s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    docs.select(
+      (col(idCol) +: scores.map { case (l, s) => s.as(s"score_$l") } :+
+        predFirst.as("lang_pred")): _*)
+  }
+
+  /** Normalized-content fingerprint (lowercase, collapse whitespace, md5). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
