@@ -1,0 +1,766 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.meds.MedsSchema._
+import graft.dsl.Cfg
+import graft.operators._
+import graft.ops._
+import graft.functions.GraftFunctions
+import graft.streaming.EventStream
+
+/** The correctness/benchmark query surface: one entry per operator from
+  * SURVEY.md §2 plus the large-scale training-data ops, each paired with an
+  * ANSI-SQL oracle that DuckDB evaluates over the same parquet tables.
+  *
+  * Oracle-parity conventions (the driver hash-compares values):
+  *  - the `events` table plays the MEDS event shard (user_id → subject_id,
+  *    ts → time, event_type → code, value → numeric_value);
+  *  - aggregated floats are rounded (3-4 dp) on BOTH sides so summation-order
+  *    ulps can't flip a hash;
+  *  - counts/ranks are cast to BIGINT on both sides;
+  *  - every query ends in a deterministic ORDER BY;
+  *  - hashes are md5-based so they are engine-portable by construction.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  final case class Gate(query: Q, oracle: Option[String])
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // the synthetic testdata stores timestamps as TIMESTAMP(NANOS), which
+    // Spark only reads under this legacy conf (as raw nanos longs)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events table with `ts` restored to a microsecond timestamp (the parquet
+    * stores nanos; integral `div` keeps exactness — a double division would
+    * lose precision above 2^53).
+    */
+  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** events table viewed as a MEDS event shard; `__row_idx` (the engine's
+    * stable-order bookkeeping column) is the natural event_id here.
+    */
+  private def medsEvents(s: SparkSession, dir: String): DataFrame =
+    eventsTable(s, dir).select(
+      col("user_id").as(SubjectId),
+      col("ts").as(Time),
+      col("event_type").as(Code),
+      col("value").as(NumericValue),
+      col("event_id"),
+      col("props"))
+      .withColumn(RowIdx, col("event_id"))
+
+  private val r3 = (c: Column) => round(c, 3)
+  private val r4 = (c: Column) => round(c, 4)
+
+  // =====================================================================
+  // TPC-H-style relational queries (scan / agg / join benchmarks)
+  // =====================================================================
+
+  private val q1Pricing: Gate = Gate(
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r3(sum("l_quantity")).as("sum_qty"),
+        r3(sum("l_extendedprice")).as("sum_base_price"),
+        // exact scaled-integer sum: order-independent, no rounding boundary
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000))
+          .cast(LongType).as("sum_disc_price_e4"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r3(avg("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),3) AS sum_qty,
+      | round(sum(l_extendedprice),3) AS sum_base_price,
+      | CAST(sum(round(l_extendedprice*(1-l_discount)*10000)) AS BIGINT) AS sum_disc_price_e4,
+      | round(avg(l_quantity),4) AS avg_qty,
+      | round(avg(l_extendedprice),3) AS avg_price,
+      | count(*) AS count_order
+      |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+
+  private val q3Segment: Gate = Gate(
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000))
+          .cast(LongType).as("revenue_e4"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+      | CAST(sum(round(l_extendedprice*(1-l_discount)*10000)) AS BIGINT) AS revenue_e4,
+      | count(*) AS n_rows
+      |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      |JOIN customer ON o_custkey=c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val q5Nation: Gate = Gate(
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val su = table(s, dir, "supplier")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000))
+          .cast(LongType).as("revenue_e4"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name,
+      | CAST(sum(round(l_extendedprice*(1-l_discount)*10000)) AS BIGINT) AS revenue_e4,
+      | count(*) AS n_rows
+      |FROM lineitem
+      |JOIN orders ON l_orderkey=o_orderkey
+      |JOIN supplier ON l_suppkey=s_suppkey
+      |JOIN customer ON o_custkey=c_custkey AND c_nationkey=s_nationkey
+      |JOIN nation ON s_nationkey=n_nationkey
+      |JOIN region ON n_regionkey=r_regionkey
+      |GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+
+  // =====================================================================
+  // MEDS stage operators over the events table (SURVEY §2.4)
+  // =====================================================================
+
+  private val aggCodeMetadata: Gate = Gate(
+    (s, dir) => {
+      val ev = medsEvents(s, dir)
+      val m = AggregateCodeMetadata.compute(ev,
+        Seq(CodeNSubjects, CodeNOccurrences, ValuesNSubjects, ValuesNOccurrences,
+          ValuesNInts, ValuesSum, ValuesSumSqd, ValuesMin, ValuesMax))
+        // exact scaled-integer sum-of-squares: rounding a double sum of 1e-4
+        // multiples can land exactly on any decimal-rounding boundary
+        .join(ev.groupBy(Code).agg(
+          sum(round(col(NumericValue) * col(NumericValue) * 10000))
+            .cast(LongType).as("values_sum_sqd_e4")), Seq(Code))
+      m.select(col(Code).as("code"),
+        col(CodeNSubjects).as("n_subjects"),
+        col(CodeNOccurrences).as("n_occurrences"),
+        col(ValuesNSubjects).as("values_n_subjects"),
+        col(ValuesNOccurrences).as("values_n_occurrences"),
+        col(ValuesNInts).as("values_n_ints"),
+        r3(col(ValuesSum)).as("values_sum"),
+        col("values_sum_sqd_e4"),
+        col(ValuesMin).as("values_min"),
+        col(ValuesMax).as("values_max"))
+        .orderBy("code")
+    },
+    Some("""SELECT event_type AS code,
+      | count(DISTINCT user_id) AS n_subjects,
+      | count(*) AS n_occurrences,
+      | count(DISTINCT CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN user_id END) AS values_n_subjects,
+      | count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_n_occurrences,
+      | count(CASE WHEN value IS NOT NULL AND NOT isnan(value) AND round(value)=value THEN value END) AS values_n_ints,
+      | round(coalesce(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END),0),3) AS values_sum,
+      | CAST(sum(round(value*value*10000)) AS BIGINT) AS values_sum_sqd_e4,
+      | min(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_min,
+      | max(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_max
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val aggCodeQuantiles: Gate = Gate(
+    (s, dir) => {
+      val ev = medsEvents(s, dir)
+      val q = AggregateCodeMetadata.compute(ev, Seq(ValuesQuantiles), Seq(0.25, 0.5, 0.75))
+      q.select(col(Code).as("code"),
+        r4(col(ValuesQuantiles).getField("values/quantile/0.25")).as("p25"),
+        r4(col(ValuesQuantiles).getField("values/quantile/0.5")).as("p50"),
+        r4(col(ValuesQuantiles).getField("values/quantile/0.75")).as("p75"))
+        .orderBy("code")
+    },
+    Some("""SELECT event_type AS code,
+      | round(quantile_cont(value, 0.25),4) AS p25,
+      | round(quantile_cont(value, 0.5),4) AS p50,
+      | round(quantile_cont(value, 0.75),4) AS p75
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val fitVocab: Gate = Gate(
+    (s, dir) => {
+      val codes = medsEvents(s, dir).select(Code).distinct()
+      FitVocabularyIndices(codes)
+        .select(col(Code).as("code"), col(VocabIndex).cast(LongType).as("vocab_index"))
+        .orderBy("code")
+    },
+    Some("""SELECT event_type AS code,
+      | CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS vocab_index
+      |FROM (SELECT DISTINCT event_type FROM events) ORDER BY 1""".stripMargin))
+
+  private val filterSubjects: Gate = Gate(
+    (s, dir) => FilterSubjects(medsEvents(s, dir), Some(60), Some(50))
+      .select(col("event_id"), col(SubjectId), col(Time), col(Code), col(NumericValue))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, user_id AS subject_id, ts AS time, event_type AS code, value AS numeric_value
+      |FROM events
+      |WHERE user_id IN (
+      |  SELECT user_id FROM events GROUP BY user_id
+      |  HAVING count(ts) >= 60 AND count(DISTINCT ts) >= 50)
+      |ORDER BY event_id""".stripMargin))
+
+  private val filterMeasurements: Gate = Gate(
+    (s, dir) => {
+      val ev = medsEvents(s, dir)
+      val codes = AggregateCodeMetadata.compute(ev, Seq(CodeNSubjects, CodeNOccurrences))
+      FilterMeasurements(ev, codes, Some(100), Some(2000))
+        .select(col("event_id"), col(SubjectId), col(Code), col(NumericValue))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id AS subject_id, event_type AS code, value AS numeric_value
+      |FROM events
+      |WHERE event_type IN (
+      |  SELECT event_type FROM events GROUP BY event_type
+      |  HAVING count(DISTINCT user_id) >= 100 AND count(*) >= 2000)
+      |ORDER BY event_id""".stripMargin))
+
+  private val occludeOutliers: Gate = Gate(
+    (s, dir) => {
+      val ev = medsEvents(s, dir)
+      val codes = AggregateCodeMetadata.compute(ev,
+        Seq(ValuesNOccurrences, ValuesSum, ValuesSumSqd))
+      OccludeOutliers(ev, codes, stddevCutoff = 1.0)
+        .select(col("event_id"), col(Code).as("code"), col(NumericValue),
+          col(IsInlier).as("is_inlier"))
+        .orderBy("event_id")
+    },
+    Some("""WITH m AS (
+      |  SELECT event_type,
+      |   sum(value)/count(value) AS mu,
+      |   sqrt(sum(value*value)/count(value) - (sum(value)/count(value))^2) AS sd
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type AS code,
+      | CASE WHEN abs(e.value - m.mu) <= 1.0*m.sd THEN e.value END AS numeric_value,
+      | CASE WHEN e.value IS NOT NULL THEN coalesce(abs(e.value - m.mu) <= 1.0*m.sd, FALSE) END AS is_inlier
+      |FROM events e LEFT JOIN m USING(event_type) ORDER BY e.event_id""".stripMargin))
+
+  private val normalization: Gate = Gate(
+    (s, dir) => {
+      val ev = medsEvents(s, dir)
+      val codes = AggregateCodeMetadata.compute(ev,
+        Seq(ValuesNOccurrences, ValuesSum, ValuesSumSqd))
+      val vocab = FitVocabularyIndices(codes)
+      Normalization(ev, vocab, valueType = DoubleType)
+        .select(col("event_id"), col(Code).cast(LongType).as("code"),
+          r4(col(NumericValue)).as(NumericValue))
+        .orderBy("event_id")
+    },
+    Some("""WITH m AS (
+      |  SELECT event_type,
+      |   sum(value)/count(value) AS mu,
+      |   sqrt(sum(value*value)/count(value) - (sum(value)/count(value))^2) AS sd
+      |  FROM events GROUP BY 1),
+      |v AS (
+      |  SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS vocab
+      |  FROM (SELECT DISTINCT event_type FROM events))
+      |SELECT e.event_id, v.vocab AS code, round((e.value - m.mu)/m.sd, 4) AS numeric_value
+      |FROM events e JOIN m USING(event_type) JOIN v USING(event_type)
+      |ORDER BY e.event_id""".stripMargin))
+
+  private val reorderMeasurements: Gate = Gate(
+    (s, dir) => {
+      val pats = Seq("^signup$", "^login", "^purchase$")
+      val df = medsEvents(s, dir)
+        .withColumn("order_idx", ReorderMeasurements.orderIndex(pats))
+      val w = Window.orderBy(col(SubjectId), col(Time).asc_nulls_first,
+        col("order_idx"), col("event_id"))
+      df.select(col("event_id"), col("order_idx").cast(LongType).as("order_idx"),
+        row_number().over(w).cast(LongType).as("out_pos"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, CAST(order_idx AS BIGINT) AS order_idx,
+      | CAST(row_number() OVER (ORDER BY user_id, ts, order_idx, event_id) AS BIGINT) AS out_pos
+      |FROM (
+      |  SELECT *, CASE WHEN regexp_matches(event_type, '^signup$') THEN 0
+      |    WHEN regexp_matches(event_type, '^login') THEN 1
+      |    WHEN regexp_matches(event_type, '^purchase$') THEN 2 ELSE 3 END AS order_idx
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin))
+
+  private val timeOfDay: Gate = Gate(
+    (s, dir) => AddTimeDerivedMeasurements
+      .timeOfDayEvents(medsEvents(s, dir), Seq(6, 12, 18))
+      .select(col(SubjectId), col(Time), col(Code))
+      .orderBy(SubjectId, Time),
+    Some("""SELECT DISTINCT user_id AS subject_id, ts AS time,
+      | CASE WHEN hour(ts) < 6 THEN 'TIME_OF_DAY//[00,06)'
+      |  WHEN hour(ts) < 12 THEN 'TIME_OF_DAY//[06,12)'
+      |  WHEN hour(ts) < 18 THEN 'TIME_OF_DAY//[12,18)'
+      |  ELSE 'TIME_OF_DAY//[18,24)' END AS code
+      |FROM events WHERE ts IS NOT NULL ORDER BY 1,2""".stripMargin))
+
+  private val ageQuery: Gate = Gate(
+    (s, dir) => AddTimeDerivedMeasurements
+      .ageEvents(medsEvents(s, dir), "^signup$", ageUnit = "days", valueType = DoubleType)
+      .select(col(SubjectId), col(Time), col(Code), r4(col(NumericValue)).as(NumericValue))
+      .orderBy(SubjectId, Time),
+    Some("""WITH dob AS (
+      |  SELECT user_id, min(ts) AS dob FROM events
+      |  WHERE regexp_matches(event_type, '^signup$') AND ts IS NOT NULL GROUP BY 1),
+      |ev AS (SELECT DISTINCT user_id, ts FROM events WHERE ts IS NOT NULL)
+      |SELECT ev.user_id AS subject_id, ev.ts AS time, 'AGE' AS code,
+      | round((epoch_us(ev.ts) - epoch_us(dob.dob))/86400000000.0, 4) AS numeric_value
+      |FROM ev JOIN dob USING(user_id)
+      |WHERE (epoch_us(ev.ts) - epoch_us(dob.dob))/86400000000.0 > 0
+      |ORDER BY 1,2""".stripMargin))
+
+  private val timelineTokens: Gate = Gate(
+    (s, dir) => AddTimeDerivedMeasurements
+      .timelineTokenEvents(medsEvents(s, dir), unit = "days", valueType = DoubleType)
+      .select(col(SubjectId), col(Time), col(Code), r4(col(NumericValue)).as(NumericValue))
+      .orderBy(SubjectId, Time, Code),
+    Some("""WITH ev AS (SELECT DISTINCT user_id, ts FROM events WHERE ts IS NOT NULL)
+      |SELECT user_id AS subject_id, ts AS time, code, numeric_value FROM (
+      | SELECT user_id, min(ts) AS ts, 'TIMELINE//START' AS code,
+      |   CAST(NULL AS DOUBLE) AS numeric_value FROM ev GROUP BY user_id
+      | UNION ALL
+      | SELECT user_id, ts, 'TIMELINE//DELTA//days' AS code,
+      |   round((epoch_us(ts) - epoch_us(prev))/86400000000.0, 4) AS numeric_value
+      | FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM ev)
+      | WHERE prev IS NOT NULL
+      | UNION ALL
+      | SELECT user_id, max(ts) AS ts, 'TIMELINE//END' AS code,
+      |   CAST(NULL AS DOUBLE) AS numeric_value FROM ev GROUP BY user_id
+      |) ORDER BY 1,2,3""".stripMargin))
+
+  private val extractValues: Gate = Gate(
+    (s, dir) => {
+      val cfgs = Seq(
+        "k_value" -> Cfg.map("extract" -> Cfg.map(
+          "from" -> Cfg("props"), "regex" -> Cfg("\"k\": (\\d+)"))),
+        "evt_code" -> Cfg("EVT//{code}"),
+        "big_flag" -> Cfg.map(
+          "output" -> Cfg.map("literal" -> Cfg("big")),
+          "matcher" -> Cfg.map("code" -> Cfg("purchase"))))
+      ExtractValues(medsEvents(s, dir), cfgs)
+        .select(col("event_id"), col("k_value").cast(LongType).as("k_value"),
+          col("evt_code"), col("big_flag"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+      | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_value,
+      | 'EVT//' || event_type AS evt_code,
+      | CASE WHEN event_type = 'purchase' THEN 'big' END AS big_flag
+      |FROM events ORDER BY event_id""".stripMargin))
+
+  private val binNumericValues: Gate = Gate(
+    (s, dir) => {
+      val ev = medsEvents(s, dir)
+      val meta = ev.groupBy(Code).agg(
+        array(percentile(col(NumericValue), lit(0.25)),
+          percentile(col(NumericValue), lit(0.5)),
+          percentile(col(NumericValue), lit(0.75))).as("__endpoints"))
+      val joined = ev.join(broadcast(meta), Seq(Code))
+      val bin = GraftFunctions.searchSortedRight(col("__endpoints"), col(NumericValue))
+      joined.select(col("event_id"),
+        when(col(NumericValue).isNotNull,
+          concat(col(Code), lit("//"), bin.cast(LongType))).otherwise(col(Code)).as("code"),
+        when(col(NumericValue).isNotNull, bin.cast(LongType)).as("bin"))
+        .orderBy("event_id")
+    },
+    Some("""WITH m AS (
+      |  SELECT event_type, quantile_cont(value,0.25) AS q1,
+      |   quantile_cont(value,0.5) AS q2, quantile_cont(value,0.75) AS q3
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT e.event_id, e.event_type, e.value,
+      |   CAST((CASE WHEN m.q1 <= e.value THEN 1 ELSE 0 END) +
+      |        (CASE WHEN m.q2 <= e.value THEN 1 ELSE 0 END) +
+      |        (CASE WHEN m.q3 <= e.value THEN 1 ELSE 0 END) AS BIGINT) AS bin
+      |  FROM events e JOIN m USING(event_type))
+      |SELECT event_id,
+      | CASE WHEN value IS NOT NULL THEN event_type || '//' || bin ELSE event_type END AS code,
+      | CASE WHEN value IS NOT NULL THEN bin END AS bin
+      |FROM b ORDER BY event_id""".stripMargin))
+
+  private val matchReviseQuery: Gate = Gate(
+    (s, dir) => {
+      val blocks = Seq(
+        MatchRevise.Block(Cfg.map("code" -> Cfg("click")),
+          df => df.withColumn(NumericValue, col(NumericValue) * 2)),
+        MatchRevise.Block(Cfg.map("code" -> Cfg("view")),
+          df => df.withColumn(NumericValue, col(NumericValue) + 1)))
+      val out = MatchRevise(medsEvents(s, dir), blocks, keepOrderCols = true)
+      val w = Window.orderBy(col(SubjectId), col(Time).asc_nulls_first,
+        col(BlockIdx), col(RowIdx))
+      out.select(col("event_id"), r4(col(NumericValue)).as(NumericValue),
+        col(BlockIdx).cast(LongType).as("block"),
+        row_number().over(w).cast(LongType).as("out_pos"))
+        .orderBy("event_id")
+    },
+    Some("""WITH t AS (
+      |  SELECT event_id, user_id, ts,
+      |   CASE WHEN event_type='click' THEN 0 WHEN event_type='view' THEN 1 ELSE 2 END AS block,
+      |   CASE WHEN event_type='click' THEN value*2
+      |    WHEN event_type='view' THEN value+1 ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, round(v,4) AS numeric_value, CAST(block AS BIGINT) AS block,
+      | CAST(row_number() OVER (ORDER BY user_id, ts, block, event_id) AS BIGINT) AS out_pos
+      |FROM t ORDER BY event_id""".stripMargin))
+
+  private val reshardSummary: Gate = Gate(
+    (s, dir) => {
+      val ev = medsEvents(s, dir)
+      val splitsDf = ev.select(SubjectId).distinct()
+        .withColumn(Split,
+          when(pmod(col(SubjectId), lit(10)) < 8, TrainSplit)
+            .when(pmod(col(SubjectId), lit(10)) === 8, TuningSplit)
+            .otherwise(HeldOutSplit))
+      val resharded = ReshardToSplit(ev, splitsDf, nShards = 4)
+      resharded.groupBy(Split, Shard)
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col(SubjectId)).as("n_subjects"))
+        .orderBy(Split, Shard)
+    },
+    Some("""SELECT
+      | CASE WHEN user_id % 10 < 8 THEN 'train'
+      |  WHEN user_id % 10 = 8 THEN 'tuning' ELSE 'held_out' END AS split,
+      | CAST(user_id % 4 AS INT) AS shard,
+      | count(*) AS n_rows, count(DISTINCT user_id) AS n_subjects
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+
+  private val eventsHourly: Gate = Gate(
+    (s, dir) => EventStream.windowedAgg(eventsTable(s, dir), "1 hour")
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        r3(col("sum_value")).as("sum_value"))
+      .orderBy("window_start", "event_type"),
+    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+      | count(*) AS n_events, round(sum(value),3) AS sum_value
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+
+  // =====================================================================
+  // Training-data ops: dedup / similarity / text / multimodal
+  // =====================================================================
+
+  private val dedupExact: Gate = Gate(
+    (s, dir) => Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy("text_hash"),
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  private val docFingerprint: Gate = Gate(
+    (s, dir) => Dedup.fingerprint(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val textTokens: Gate = Gate(
+    (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+      | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |   ELSE len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) END AS BIGINT) AS n_subwords
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val textQuality: Gate = Gate(
+    (s, dir) => TextAnalysis.qualitySignals(table(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"),
+        col("n_words").cast(LongType).as("n_words"),
+        r4(col("mean_word_len")).as("mean_word_len"),
+        r4(col("punct_ratio")).as("punct_ratio"),
+        r4(col("alpha_ratio")).as("alpha_ratio"),
+        r4(col("digit_ratio")).as("digit_ratio"),
+        r4(col("stopword_ratio")).as("stopword_ratio"))
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (
+      |  SELECT doc_id, text, length(text) AS n_chars,
+      |   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |     ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      | CAST(len(words) AS BIGINT) AS n_words,
+      | round(CASE WHEN len(words) > 0
+      |   THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)/len(words) END, 4) AS mean_word_len,
+      | round(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)/greatest(n_chars,1), 4) AS punct_ratio,
+      | round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)/greatest(n_chars,1), 4) AS alpha_ratio,
+      | round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)/greatest(n_chars,1), 4) AS digit_ratio,
+      | round(CASE WHEN len(words) > 0
+      |   THEN CAST(len(list_filter(words, w -> list_contains(${sqlStopwords}, lower(w)))) AS DOUBLE)/len(words)
+      |   ELSE 0.0 END, 4) AS stopword_ratio
+      |FROM t ORDER BY doc_id""".stripMargin))
+
+  private def sqlStopwords: String =
+    TextAnalysis.DefaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val langId: Gate = Gate(
+    (s, dir) => TextAnalysis.languageId(table(s, dir, "documents"), "doc_id", "text")
+      .select((col("doc_id") +:
+        TextAnalysis.LangMarkers.map { case (l, _) => col(s"score_$l").cast(LongType).as(s"score_$l") } :+
+        col("lang_pred")): _*)
+      .orderBy("doc_id"),
+    Some {
+      val scoreExprs = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        val pat = ms.mkString("\\b(", "|", ")\\b")
+        s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT) AS score_$l"
+      }.mkString(",\n ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"score_$l").mkString(",")})"
+      val predCase = langs.map(l => s"WHEN $best > 0 AND score_$l = $best THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      s"""WITH t AS (SELECT doc_id,
+         | $scoreExprs
+         |FROM documents)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         | $predCase AS lang_pred
+         |FROM t ORDER BY doc_id""".stripMargin
+    })
+
+  private val ngramJaccard: Gate = Gate(
+    (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+      |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM sh a JOIN sh b USING(shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+      |SELECT id_a, id_b, round(CAST(shared AS DOUBLE)/(sa.n+sb.n-shared), 4) AS jaccard
+      |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.4
+      |ORDER BY 1,2""".stripMargin))
+
+  private val minhashLsh: Gate = Gate(
+    (s, dir) => Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("id_a", "id_b"),
+    Some {
+      val params = GraftFunctions.hashParams(32)
+      val permValues = params.zipWithIndex
+        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+         |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
+         |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS h FROM sh),
+         |perms(perm, a, b) AS (VALUES $permValues),
+         |sigs AS (
+         |  SELECT doc_id, perm, min((a*(h % 2147483647) + b) % 2147483647) AS minhash
+         |  FROM hashed CROSS JOIN perms GROUP BY 1,2),
+         |banded AS (
+         |  SELECT doc_id, CAST(perm/4 AS INT) AS band,
+         |   md5(string_agg(perm::VARCHAR || ':' || minhash::VARCHAR, ','
+         |     ORDER BY perm::VARCHAR || ':' || minhash::VARCHAR)) AS band_sig
+         |  FROM sigs GROUP BY 1,2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band=b.band AND a.band_sig=b.band_sig
+         |  WHERE a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |   avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) AS est_jaccard
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = cand.id_a
+         |  JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.perm = sa.perm
+         |  GROUP BY 1,2)
+         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+         |ORDER BY 1,2""".stripMargin
+    })
+
+  private val simhashValues: Gate = Gate(
+    (s, dir) => Dedup.simhash(table(s, dir, "documents"), "doc_id", "text",
+      n = 3, numBits = 32)
+      .orderBy("doc_id"),
+    Some {
+      val bitTerms = (0 until 32).map(b =>
+        s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+         |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
+         |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS h FROM sh)
+         |SELECT doc_id, $bitTerms AS simhash
+         |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  private val simhashPairs: Gate = Gate(
+    (s, dir) => Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
+      n = 3, numBits = 32, bands = 4, maxHamming = 6)
+      .orderBy("id_a", "id_b"),
+    None) // band-blocked hamming pairs; verified rows-only + by SimHashSpec
+
+  private val embedDupPairs: Gate = Gate(
+    (s, dir) => Dedup.embeddingPairs(
+      table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+      "vec_id", "embedding", col("label"), threshold = 0.3)
+      .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      | round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+      |ORDER BY 1,2""".stripMargin))
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+    table(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+
+  private val simTopK: Gate = Gate(
+    (s, dir) => Similarity.topK(
+      table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+      "vec_id", "embedding", queryVec(s, dir), k = 20)
+      .select(col("vec_id"), r4(col("cos")).as("cos")),
+    Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
+      |FROM embeddings, q
+      |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+      |LIMIT 20""".stripMargin))
+
+  private val simLshTopK: Gate = Gate(
+    (s, dir) => Similarity.lshTopK(
+      table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+      "vec_id", "embedding", queryVec(s, dir), k = 10, dims = 0 until 8)
+      .select(col("vec_id"), r4(col("cos")).as("cos")),
+    Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |b AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+      |   (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) +
+      |   (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) +
+      |   (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+      |   AS bucket
+      |  FROM embeddings),
+      |qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0)
+      |SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 4) AS cos
+      |FROM b, q, qb WHERE b.bucket = qb.qbucket
+      |ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id
+      |LIMIT 10""".stripMargin))
+
+  private val simIvfTopK: Gate = Gate(
+    (s, dir) => Similarity.ivfTopK(
+      table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+      "vec_id", "label", "embedding", queryVec(s, dir), k = 10, nProbe = 2)
+      .select(col("vec_id"), r4(col("cos")).as("cos")),
+    None) // IVF probe-cell search; recall vs brute force checked in SimilaritySpec
+
+  private val knnJoin: Gate = Gate(
+    (s, dir) => Similarity.knnJoin(
+      table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+      table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+      "vec_id", "embedding", "label", k = 3)
+      .select(col("id_l"), col("id_r"), r4(col("cos")).as("cos"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy("id_l", "rank"),
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT id_l, id_r, round(cos, 4) AS cos, rank FROM (
+      | SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+      |  list_cosine_similarity(a.v, b.v) AS cos,
+      |  CAST(row_number() OVER (PARTITION BY a.vec_id
+      |    ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS BIGINT) AS rank
+      | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+      |WHERE rank <= 3 ORDER BY id_l, rank""".stripMargin))
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
+
+  private val multimodalMeta: Gate = Gate(
+    (s, dir) => Multimodal.payloadMetadata(media(s, dir))
+      .select(col("media_id"), col("mime_type"),
+        col("n_bytes").cast(LongType).as("n_bytes"), col("sha256"))
+      .orderBy("media_id"),
+    Some("""SELECT doc_id AS media_id, 'text/plain' AS mime_type,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | sha256(text) AS sha256
+      |FROM documents ORDER BY media_id""".stripMargin))
+
+  private val multimodalDecode: Gate = Gate(
+    (s, dir) => Multimodal.decodeStub(media(s, dir))
+      .select(col("media_id"), col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        col("mean_intensity").cast(LongType).as("mean_intensity"))
+      .orderBy("media_id"),
+    Some("""SELECT doc_id AS media_id,
+      | CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+      | CAST(octet_length(encode(text)) * 7 % 480 + 1 AS BIGINT) AS height,
+      | CAST(('0x' || substr(sha256(text),1,6))::BIGINT % 256 AS BIGINT) AS mean_intensity
+      |FROM documents ORDER BY media_id""".stripMargin))
+
+  private val multimodalFrames: Gate = Gate(
+    (s, dir) => Multimodal.sampleFramesStub(media(s, dir), n = 4)
+      .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+        col("frame_digest"))
+      .orderBy("media_id", "frame_idx"),
+    Some("""SELECT doc_id AS media_id, CAST(f.i AS BIGINT) AS frame_idx,
+      | sha256(text || f.i::VARCHAR) AS frame_digest
+      |FROM documents, (SELECT unnest(range(0,4)) AS i) f
+      |ORDER BY media_id, frame_idx""".stripMargin))
+
+  // =====================================================================
+
+  val gates: Seq[(String, Gate)] = Seq(
+    "q1_pricing" -> q1Pricing,
+    "q3_segment_revenue" -> q3Segment,
+    "q5_nation_revenue" -> q5Nation,
+    "agg_code_metadata" -> aggCodeMetadata,
+    "agg_code_quantiles" -> aggCodeQuantiles,
+    "fit_vocab_indices" -> fitVocab,
+    "filter_subjects" -> filterSubjects,
+    "filter_measurements" -> filterMeasurements,
+    "occlude_outliers" -> occludeOutliers,
+    "normalization" -> normalization,
+    "reorder_measurements" -> reorderMeasurements,
+    "time_of_day" -> timeOfDay,
+    "age" -> ageQuery,
+    "timeline_tokens" -> timelineTokens,
+    "extract_values" -> extractValues,
+    "bin_numeric_values" -> binNumericValues,
+    "match_revise" -> matchReviseQuery,
+    "reshard_to_split" -> reshardSummary,
+    "events_hourly" -> eventsHourly,
+    "dedup_exact" -> dedupExact,
+    "doc_fingerprint" -> docFingerprint,
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "lang_id" -> langId,
+    "ngram_jaccard" -> ngramJaccard,
+    "minhash_lsh" -> minhashLsh,
+    "simhash_values" -> simhashValues,
+    "simhash_pairs" -> simhashPairs,
+    "embed_dup_pairs" -> embedDupPairs,
+    "sim_topk" -> simTopK,
+    "sim_lsh_topk" -> simLshTopK,
+    "sim_ivf_topk" -> simIvfTopK,
+    "knn_join" -> knnJoin,
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_decode" -> multimodalDecode,
+    "multimodal_frames" -> multimodalFrames
+  )
+
+  def queries: Map[String, Q] = gates.map { case (n, g) => n -> g.query }.toMap
+  def oracleSql: Map[String, String] =
+    gates.collect { case (n, Gate(_, Some(sql))) => n -> sql }.toMap
+}

@@ -44,12 +44,13 @@ object AddTimeDerivedMeasurements {
     * matches `dobCodePattern`; only strictly positive ages are kept.
     */
   def ageEvents(data: DataFrame, dobCodePattern: String, ageCode: String = "AGE",
-      ageUnit: String = "years"): DataFrame = {
+      ageUnit: String = "years",
+      valueType: org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.FloatType): DataFrame = {
     val dob = data.filter(col(Code).rlike(dobCodePattern) && col(Time).isNotNull)
       .groupBy(SubjectId).agg(min(col(Time)).as("__dob"))
     uniqueEvents(data)
       .join(dob, Seq(SubjectId), "inner")
-      .withColumn(NumericValue, deltaIn(col(Time), col("__dob"), ageUnit).cast("float"))
+      .withColumn(NumericValue, deltaIn(col(Time), col("__dob"), ageUnit).cast(valueType))
       .filter(col(NumericValue) > 0)
       .select(col(SubjectId), col(Time), lit(ageCode).as(Code), col(NumericValue))
   }
@@ -79,23 +80,24 @@ object AddTimeDerivedMeasurements {
     */
   def timelineTokenEvents(data: DataFrame, unit: String = "days",
       emitStart: Boolean = true, emitEnd: Boolean = true,
-      emitDeltas: Boolean = true): DataFrame = {
+      emitDeltas: Boolean = true,
+      valueType: org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.FloatType): DataFrame = {
     val ev = uniqueEvents(data)
     val w = Window.partitionBy(SubjectId).orderBy(Time)
     val parts = Seq.newBuilder[DataFrame]
     if (emitStart)
       parts += ev.groupBy(SubjectId).agg(min(col(Time)).as(Time))
         .select(col(SubjectId), col(Time), lit("TIMELINE//START").as(Code),
-          lit(null).cast("float").as(NumericValue))
+          lit(null).cast(valueType).as(NumericValue))
     if (emitDeltas)
       parts += ev.withColumn("__prev", lag(col(Time), 1).over(w))
         .filter(col("__prev").isNotNull)
         .select(col(SubjectId), col(Time), lit(s"TIMELINE//DELTA//$unit").as(Code),
-          deltaIn(col(Time), col("__prev"), unit).cast("float").as(NumericValue))
+          deltaIn(col(Time), col("__prev"), unit).cast(valueType).as(NumericValue))
     if (emitEnd)
       parts += ev.groupBy(SubjectId).agg(max(col(Time)).as(Time))
         .select(col(SubjectId), col(Time), lit("TIMELINE//END").as(Code),
-          lit(null).cast("float").as(NumericValue))
+          lit(null).cast(valueType).as(NumericValue))
     parts.result().reduce(_ unionByName _)
   }
 

@@ -23,7 +23,8 @@ object MatchRevise {
 
   final case class Block(matcher: Cfg, transform: DataFrame => DataFrame)
 
-  def apply(data: DataFrame, blocks: Seq[Block], multi: Boolean = false): DataFrame = {
+  def apply(data: DataFrame, blocks: Seq[Block], multi: Boolean = false,
+      keepOrderCols: Boolean = false): DataFrame = {
     val withIdx =
       if (data.columns.contains(RowIdx)) data
       else data.withColumn(RowIdx, monotonically_increasing_id())
@@ -38,9 +39,9 @@ object MatchRevise {
     val anyMatch = matchers.map(m => coalesce(m, lit(false))).reduce(_ || _)
     val remainder = withIdx.filter(!anyMatch).withColumn(BlockIdx, lit(blocks.length))
 
-    (parts :+ remainder)
+    val sorted = (parts :+ remainder)
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .orderBy(col(SubjectId), col(Time).asc_nulls_first, col(BlockIdx), col(RowIdx))
-      .drop(BlockIdx, RowIdx)
+    if (keepOrderCols) sorted else sorted.drop(BlockIdx, RowIdx)
   }
 }

@@ -16,7 +16,8 @@ import graft.meds.MedsSchema._
   * not an execution accident).
   */
 object Normalization {
-  def apply(data: DataFrame, codes: DataFrame, codeModifiers: Seq[String] = Nil): DataFrame = {
+  def apply(data: DataFrame, codes: DataFrame, codeModifiers: Seq[String] = Nil,
+      valueType: org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.FloatType): DataFrame = {
     val keys = Code +: codeModifiers
     val hasPre = codes.columns.contains(ValuesMean) && codes.columns.contains(ValuesStd)
     val meta = {
@@ -35,7 +36,7 @@ object Normalization {
     withIdx.join(broadcast(meta), cond, "inner")
       .select((keep.map(withIdx(_)) :+
         meta("__vocab").as(Code) :+
-        ((withIdx(NumericValue) - meta("__mean")) / meta("__std")).cast("float").as(NumericValue)): _*)
+        ((withIdx(NumericValue) - meta("__mean")) / meta("__std")).cast(valueType).as(NumericValue)): _*)
       .orderBy(col(RowIdx))
       .drop(RowIdx)
   }
@@ -51,10 +52,15 @@ object Normalization {
   * tiebreaker.
   */
 object ReorderMeasurements {
+  /** Order index of a code: position of the first matching pattern, else N. */
+  def orderIndex(orderedCodePatterns: Seq[String]): org.apache.spark.sql.Column =
+    orderedCodePatterns.zipWithIndex
+      .foldRight(lit(orderedCodePatterns.length)) { case ((pat, i), acc) =>
+        when(col(Code).rlike(pat), lit(i)).otherwise(acc)
+      }
+
   def apply(data: DataFrame, orderedCodePatterns: Seq[String]): DataFrame = {
-    val n = orderedCodePatterns.length
-    val orderIdx = orderedCodePatterns.zipWithIndex
-      .foldRight(lit(n)) { case ((pat, i), acc) => when(col(Code).rlike(pat), lit(i)).otherwise(acc) }
+    val orderIdx = orderIndex(orderedCodePatterns)
     val withIdx =
       if (data.columns.contains(RowIdx)) data
       else data.withColumn(RowIdx, monotonically_increasing_id())

@@ -50,7 +50,9 @@ object Multimodal {
       col("media_id"),
       (octet_length(col("payload")) % 640 + 1).as("width"),
       (octet_length(col("payload")) * 7 % 480 + 1).as("height"),
-      (crc32(col("payload")) % 256).cast("int").as("mean_intensity"))
+      // engine-portable deterministic fake intensity (sha2 prefix mod 256)
+      (conv(substring(sha2(col("payload"), 256), 1, 6), 16, 10) % 256)
+        .cast("int").as("mean_intensity"))
 
   /** STUB frame sampling: emit `n` evenly-spaced frame indices with a
     * deterministic per-frame digest — the row-explosion plumbing (one row per

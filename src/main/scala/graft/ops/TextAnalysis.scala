@@ -36,11 +36,12 @@ object TextAnalysis {
     val countMatches = (pat: String) => size(regexp_extract_all(t, lit(pat), lit(0)))
     val nStop = size(filter(words, w => array_contains(
       array(stopwords.map(lit(_)): _*), lower(w))))
+    val sumWordLen = aggregate(transform(words, w => length(w)), lit(0), (acc, x) => acc + x)
     docs.select(
       col(idCol),
       nChars.as("n_chars"),
       nWords.as("n_words"),
-      when(nWords > 0, (nChars - nWords + 1).cast("double") / nWords).as("mean_word_len"),
+      when(nWords > 0, sumWordLen.cast("double") / nWords).as("mean_word_len"),
       (countMatches("[\\p{Punct}]").cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
       (countMatches("[A-Za-z]").cast("double") / greatest(nChars, lit(1))).as("alpha_ratio"),
       (countMatches("[0-9]").cast("double") / greatest(nChars, lit(1))).as("digit_ratio"),
@@ -71,12 +72,9 @@ object TextAnalysis {
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val scores = langScores(col(textCol))
     val best = scores.map(_._2).reduce(greatest(_, _))
-    val pred = scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+    // ties → lexicographically-first language wins (LangMarkers is sorted)
+    val predFirst = scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    // foldRight makes the FIRST (lexicographically smallest) max win
-    val predFirst = scores.foldLeft(lit("unknown")) { case (acc, (lang, s)) =>
-      when(acc === "unknown" && s === best && best > 0, lit(lang)).otherwise(acc)
     }
     docs.select(
       (col(idCol) +: scores.map { case (l, s) => s.as(s"score_$l") } :+
