@@ -31,8 +31,10 @@ object MedsIO {
     * and `trainOnly` becomes a filter Catalyst pushes into the scan.
     */
   def read(spark: SparkSession, root: String): MedsData = {
-    val data = spark.read.parquet(s"$root/data")
-      .withColumn(Shard, regexp_extract(input_file_name(), """data/(.+)\.parquet""", 1))
+    val data = spark.read
+      .option("recursiveFileLookup", "true") // shards live in split subdirs
+      .parquet(s"$root/data")
+      .withColumn(Shard, regexp_extract(input_file_name(), """.*/data/(.+)\.parquet""", 1))
       .withColumn(Split, regexp_extract(col(Shard), """^([^/]+)/""", 1))
     val codes = spark.read.parquet(s"$root/metadata/codes.parquet")
     val splits =

@@ -76,10 +76,13 @@ object OccludeOutliers {
     val hasPre = codes.columns.contains(ValuesMean) && codes.columns.contains(ValuesStd)
     val stats =
       if (hasPre) codes.select((keys.map(col) :+ col(ValuesMean).as("__mean") :+ col(ValuesStd).as("__std")): _*)
-      else codes.select((keys.map(col) :+
-        (col(ValuesSum) / col(ValuesNOccurrences)).as("__mean") :+
-        sqrt(col(ValuesSumSqd) / col(ValuesNOccurrences) -
-          pow(col(ValuesSum) / col(ValuesNOccurrences), 2)).as("__std")): _*)
+      else {
+        // try_divide: codes with zero present values have nothing to occlude;
+        // ANSI mode (Spark 4 default) would otherwise throw DIVIDE_BY_ZERO
+        val mean = try_divide(col(ValuesSum), col(ValuesNOccurrences))
+        codes.select((keys.map(col) :+ mean.as("__mean") :+
+          sqrt(try_divide(col(ValuesSumSqd), col(ValuesNOccurrences)) - pow(mean, 2)).as("__std")): _*)
+      }
     val joined = data.join(broadcast(stats), keys, "left")
     val inlier = abs(col(NumericValue) - col("__mean")) <= lit(stddevCutoff) * col("__std")
     joined

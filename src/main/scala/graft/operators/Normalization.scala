@@ -20,23 +20,28 @@ object Normalization {
       valueType: org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.FloatType): DataFrame = {
     val keys = Code +: codeModifiers
     val hasPre = codes.columns.contains(ValuesMean) && codes.columns.contains(ValuesStd)
-    val meta = {
-      val base = codes.select((keys.map(codes(_)) :+ codes(VocabIndex).as("__vocab") :+
-        (if (hasPre) codes(ValuesMean) else (codes(ValuesSum) / codes(ValuesNOccurrences))).as("__mean") :+
-        (if (hasPre) codes(ValuesStd)
-         else sqrt(codes(ValuesSumSqd) / codes(ValuesNOccurrences) -
-           pow(codes(ValuesSum) / codes(ValuesNOccurrences), 2))).as("__std")): _*)
-      base
-    }
+    // try_divide: ANSI-safe for codes with zero present values
+    val derivedMean = try_divide(codes(ValuesSum), codes(ValuesNOccurrences))
+    val meta = codes.select((keys.map(codes(_)) :+ codes(VocabIndex).as("__vocab") :+
+      (if (hasPre) codes(ValuesMean) else derivedMean).as("__mean") :+
+      (if (hasPre) codes(ValuesStd)
+       else sqrt(try_divide(codes(ValuesSumSqd), codes(ValuesNOccurrences)) -
+         pow(derivedMean, 2))).as("__std")): _*)
     val withIdx =
       if (data.columns.contains(RowIdx)) data
       else data.withColumn(RowIdx, monotonically_increasing_id())
-    val cond = keys.map(k => withIdx(k) <=> meta(k)).reduce(_ && _)
+    // explicit aliases: when codes derive from the same scan as data (the
+    // usual pipeline), unaliased refs collapse to one attribute (self-join
+    // lineage) and the join condition degenerates
+    val d = withIdx.alias("__norm_d")
+    val m = meta.alias("__norm_m")
+    val cond = keys.map(k => col(s"__norm_d.$k") <=> col(s"__norm_m.$k")).reduce(_ && _)
     val keep = withIdx.columns.filterNot(keys.contains).filterNot(_ == NumericValue)
-    withIdx.join(broadcast(meta), cond, "inner")
-      .select((keep.map(withIdx(_)) :+
-        meta("__vocab").as(Code) :+
-        ((withIdx(NumericValue) - meta("__mean")) / meta("__std")).cast(valueType).as(NumericValue)): _*)
+    d.join(broadcast(m), cond, "inner")
+      .select((keep.map(c => col(s"__norm_d.$c")) :+
+        col("__norm_m.__vocab").as(Code) :+
+        ((col(s"__norm_d.$NumericValue") - col("__norm_m.__mean")) / col("__norm_m.__std"))
+          .cast(valueType).as(NumericValue)): _*)
       .orderBy(col(RowIdx))
       .drop(RowIdx)
   }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.meds.{MedsIO, MedsSchema}
+import graft.meds.MedsSchema._
+import graft.operators._
+
+/** Golden parity against the reference's own shipped example dataset
+  * (/root/reference/example/data — the `simple_static_MEDS` fixture used by
+  * its stage scenarios; see FIXTURES.md §4-5). Expectations below are the
+  * reference's published golden outputs (e.g. filter_subjects/examples/
+  * out_data.yaml keeps exactly subjects 239684, 1195293, 1500733).
+  */
+class GoldenSpec extends SparkSpec {
+
+  private val root = "/root/reference/example/data"
+  private lazy val meds = MedsIO.read(spark, root)
+
+  test("reads the MEDS layout with shard/split provenance") {
+    assert(meds.data.count() == 62)
+    val shards = meds.data.select(Shard).distinct().collect().map(_.getString(0)).toSet
+    assert(shards == Set("train/0", "train/1", "tuning/0", "held_out/0"))
+    assert(meds.splits.count() == 6)
+    assert(meds.codes.columns.contains("description"))
+  }
+
+  test("filter_subjects golden: min_events_per_subject=5 keeps 3 subjects, 41 rows") {
+    val out = FilterSubjects(meds.data, minEventsPerSubject = Some(5))
+    val kept = out.select(SubjectId).distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(239684L, 1195293L, 1500733L))
+    assert(out.count() == 41)
+  }
+
+  test("aggregate_code_metadata over the example data matches hand-checked stats") {
+    val m = AggregateCodeMetadata.compute(meds.data,
+      Seq(CodeNSubjects, CodeNOccurrences, ValuesNOccurrences))
+      .collect().map(r => r.getAs[String](Code) ->
+        (r.getAs[Long](CodeNSubjects), r.getAs[Long](CodeNOccurrences))).toMap
+    assert(m("DOB") == (6L, 6L)) // every subject has one birth row
+    assert(m("EYE_COLOR//BROWN")._1 + m("EYE_COLOR//BLUE")._1 + m("EYE_COLOR//HAZEL")._1 == 6L)
+  }
+
+  test("train-only metadata stage sees only train-split subjects") {
+    val trainData = Pipeline.trainOnly(graft.meds.MedsData(meds.data.drop(Split), meds.codes, meds.splits)).data
+    assert(trainData.select(SubjectId).distinct().count() == 4)
+  }
+
+  test("end-to-end pipeline: agg → fit vocab → normalize on example data") {
+    val out = Pipeline.run(spark, meds, Seq(
+      Pipeline.MetadataStage("agg", m =>
+        AggregateCodeMetadata(m.data, m.codes,
+          Seq(CodeNOccurrences, ValuesNOccurrences, ValuesSum, ValuesSumSqd))),
+      Pipeline.MetadataStage("vocab", m => FitVocabularyIndices(m.codes)),
+      Pipeline.DataStage("normalize", m =>
+        Normalization(MedsIO.withRowIdx(m.data), m.codes, valueType = DoubleType))))
+    // vocabulary fitted on train only; normalization inner-join keeps rows
+    // whose codes exist in train metadata
+    assert(out.codes.columns.contains(VocabIndex))
+    assert(out.data.count() > 0)
+    assert(out.data.schema(Code).dataType != org.apache.spark.sql.types.StringType)
+  }
+
+  test("MedsIO write/read roundtrip preserves data and layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("meds_rt").toString
+    val sorted = meds.data
+    MedsIO.write(graft.meds.MedsData(sorted, meds.codes, meds.splits), tmp)
+    val back = MedsIO.read(spark, tmp)
+    assert(back.data.count() == 62)
+    assert(back.codes.count() == meds.codes.count())
+    // per-subject event content survives
+    val before = meds.data.groupBy(SubjectId).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = back.data.groupBy(SubjectId).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == after)
+  }
+}

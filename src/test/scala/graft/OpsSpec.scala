@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.functions.GraftFunctions
+
+/** Dedup / similarity / text / multimodal operator behavior. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup
+    (3L, "completely different words about spark engines and data pipelines here"),
+    (4L, "THE  quick   brown fox jumps over the lazy dog again and again today") // fmt-variant
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val dupGroup = out.filter(col("n_copies") > 1).collect()
+    assert(dupGroup.length == 1)
+    assert(dupGroup(0).getAs[Long]("keep_id") == 0L)
+    assert(dupGroup(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("fingerprint collapses case/whitespace variants") {
+    val fp = Dedup.fingerprint(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(4L)) // normalized variant collapses
+    assert(fp(0L) != fp(3L))
+  }
+
+  test("ngram jaccard finds the planted near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup → jaccard 1
+    assert(pairs.contains((0L, 2L))) // one-word change → high jaccard
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH finds near-dups without all-pairs comparison") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash of identical docs is identical; est_jaccard of exact dup is 1.0") {
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .head().getAs[Double]("est_jaccard")
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) <= 8)
+    assert(hamming(sh(0L), sh(3L)) > 8)
+  }
+
+  test("embedding near-dup pairs within blocks above threshold") {
+    val embs = Seq(
+      (0L, Array(1.0, 0.0, 0.0), 0),
+      (1L, Array(0.999, 0.04, 0.0), 0), // near dup of 0
+      (2L, Array(0.0, 1.0, 0.0), 0),
+      (3L, Array(1.0, 0.0, 0.0), 1) // same vector, different block → not compared
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingPairs(embs, "vec_id", "embedding", col("label"), 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embsDf = {
+    val rng = new scala.util.Random(7)
+    (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+  }
+
+  test("topK returns exact k nearest by cosine") {
+    val q = Seq.fill(16)(0.1f)
+    val brute = Similarity.bruteForceScores(embsDf, "vec_id", "embedding", q)
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val topk = Similarity.topK(embsDf, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(topk == brute)
+  }
+
+  test("IVF with all cells probed equals brute force") {
+    val q = Seq.fill(16)(0.25f)
+    val ivf = Similarity.ivfTopK(embsDf, "vec_id", "label", "embedding", q, k = 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topK(embsDf, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf == brute)
+  }
+
+  test("IVF nProbe=1 is a subset of one cell; recall is reasonable") {
+    val q = Seq.fill(16)(0.25f)
+    val ivf = Similarity.ivfTopK(embsDf, "vec_id", "label", "embedding", q, k = 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.topK(embsDf, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.intersect(brute).size >= 4) // probing half the cells → partial recall
+  }
+
+  test("LSH bucket search returns only same-bucket candidates, exact within") {
+    val q = Seq.fill(16)(0.3f)
+    val got = Similarity.lshTopK(embsDf, "vec_id", "embedding", q, k = 5, dims = 0 until 4)
+    val bucketed = embsDf.withColumn("b",
+      Similarity.signBucket(col("embedding"), 0 until 4)).filter(col("b") === 15)
+    assert(got.count() <= 5)
+    val gotIds = got.collect().map(_.getLong(0)).toSet
+    val allowed = bucketed.collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(gotIds.subsetOf(allowed))
+  }
+
+  test("knnJoin gives each row k ranked neighbors within its block") {
+    val out = Similarity.knnJoin(embsDf, embsDf, "vec_id", "embedding", "label", k = 3)
+    assert(out.filter(col("id_l") === 0).count() == 3)
+    val ranks = out.filter(col("id_l") === 0).orderBy("rank")
+      .collect().map(r => r.getAs[Double]("cos"))
+    assert(ranks.sameElements(ranks.sorted.reverse)) // descending similarity
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count: empty and whitespace-only are 0") {
+    val d = Seq((0L, "a b  c"), (1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 3, 1L -> 0, 2L -> 0, 3L -> 1))
+  }
+
+  test("subword count splits alnum runs and symbols") {
+    val d = Seq((0L, "hello, world! x2")).toDF("doc_id", "text")
+    // tokens: hello , world ! x2 → 5
+    assert(d.select(TextAnalysis.subwordCount(col("text"))).head().getInt(0) == 5)
+  }
+
+  test("quality signals compute ratios") {
+    val d = Seq((0L, "The cat, the hat.")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualitySignals(d, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_chars") == 17)
+    assert(r.getAs[Int]("n_words") == 4)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-9) // The, the
+  }
+
+  test("language id picks max-marker language, unknown when none") {
+    val d = Seq(
+      (0L, "der hund und die katze ist nicht da"),
+      (1L, "the cat and the dog is here"),
+      (2L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(got == Map(0L -> "de", 1L -> "en", 2L -> "unknown"))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media plumbing: payload bytes, digests, stub decode, frame explosion") {
+    val docs = Seq((0L, "hello"), (1L, "worlds")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val meta = Multimodal.payloadMetadata(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_bytes")).toMap
+    assert(meta == Map(0L -> 5, 1L -> 6))
+    val dec = Multimodal.decodeStub(media).orderBy("media_id").head()
+    assert(dec.getAs[Number]("width").intValue() == 6) // 5 % 640 + 1
+    val frames = Multimodal.sampleFramesStub(media, 3)
+    assert(frames.count() == 6)
+    assert(frames.select("frame_digest").distinct().count() == 6) // per-frame digest differs
+  }
+}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("portable hash is stable and 56-bit bounded") {
+    val d = Seq("a", "b", "a").toDF("s")
+    val hs = d.select(GraftFunctions.portableHash56(col("s"))).collect().map(_.getLong(0))
+    assert(hs(0) == hs(2) && hs(0) != hs(1))
+    assert(hs.forall(h => h >= 0 && h < (1L << 56)))
+  }
+
+  test("word shingles produce n-gram windows") {
+    val d = Seq("a b c d").toDF("t")
+    val sh = d.select(GraftFunctions.wordShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(GraftFunctions.wordShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("cosine/dot on array columns") {
+    val d = Seq((Array(1.0, 0.0), Array(0.0, 1.0))).toDF("a", "b")
+    assert(d.select(GraftFunctions.dot(col("a"), col("b"))).head().getDouble(0) == 0.0)
+    assert(d.select(GraftFunctions.cosine(col("a"), col("a"))).head().getDouble(0) == 1.0)
+  }
+
+  test("searchSortedRight = numpy side=right bisect") {
+    val d = Seq((Array(1.0, 3.0, 5.0), 3.0), (Array(1.0, 3.0, 5.0), 0.5),
+      (Array(1.0, 3.0, 5.0), 9.0)).toDF("eps", "v")
+    val got = d.select(GraftFunctions.searchSortedRight(col("eps"), col("v")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 0, 3)) // 3.0 equals endpoint → upper side
+  }
+}
