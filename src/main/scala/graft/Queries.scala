@@ -568,9 +568,8 @@ object Queries {
          |  SELECT doc_id, perm, min((a*(h % 2147483647) + b) % 2147483647) AS minhash
          |  FROM hashed CROSS JOIN perms GROUP BY 1,2),
          |banded AS (
-         |  SELECT doc_id, CAST(perm/4 AS INT) AS band,
-         |   md5(string_agg(perm::VARCHAR || ':' || minhash::VARCHAR, ','
-         |     ORDER BY perm::VARCHAR || ':' || minhash::VARCHAR)) AS band_sig
+         |  SELECT doc_id, CAST(floor(perm/4) AS INT) AS band,
+         |   md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
          |  FROM sigs GROUP BY 1,2),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

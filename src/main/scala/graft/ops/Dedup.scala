@@ -61,49 +61,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: numPerms universal hashes over the shingle set,
-    * min per (doc, perm). Row-explosion is bounded: |shingles| × numPerms
-    * intermediate rows, all reduced map-side by the min aggregate.
+  /** MinHash signatures in wide form: one row per doc, one `mh_i` column per
+    * permutation. Computed as numPerms parallel `min` aggregates over the
+    * shingle table — no row explosion (the naive layout shuffles
+    * |shingles| × numPerms rows; this shuffles |docs| rows of numPerms
+    * columns, all partials combined map-side).
     */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 32, seed: Long = 42L): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
       .withColumn("h", portableHash56(col("shingle")))
-    val params = hashParams(numPerms, seed)
-    val perms = params.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("perm"), universalHash(col("h"), a, b).as("hv"))
+    val mins = hashParams(numPerms, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(universalHash(col("h"), a, b)).as(s"mh_$i")
     }
-    sh.select(col(idCol), explode(array(perms: _*)).as("p"))
-      .groupBy(col(idCol), col("p.perm").as("perm"))
-      .agg(min(col("p.hv")).as("minhash"))
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash-LSH near-dup pairs: band the signature (numPerms = bands ×
     * rowsPerBand), bucket-join on (band, band signature), then estimate
     * Jaccard as the fraction of matching minhashes among candidates.
+    * Candidate generation explodes only (doc, band) — `bands` rows per doc —
+    * and the Jaccard estimate is pure column arithmetic on two wide rows.
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand, seed).cache()
-    val banded = sigs
-      .withColumn("band", (col("perm") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("perm"), col("minhash"))))))
-        .as("band_sig"))
+    val numPerms = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numPerms, seed).cache()
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_sig"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.band_sig").as("band_sig"))
     val cand = banded.toDF("id_a", "band", "band_sig")
       .join(banded.toDF("id_b", "band", "band_sig"), Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val est = cand
-      .join(sigs.toDF("id_a", "perm", "mh_a"), Seq("id_a"))
-      .join(sigs.toDF("id_b", "perm", "mh_b"), Seq("id_b", "perm"))
-      .groupBy("id_a", "id_b")
-      .agg(avg(when(col("mh_a") === col("mh_b"), 1.0).otherwise(0.0)).as("est_jaccard"))
-    est.filter(col("est_jaccard") >= threshold)
+    val sigsA = sigs.toDF(("id_a" +: (0 until numPerms).map(i => s"a_$i")): _*)
+    val sigsB = sigs.toDF(("id_b" +: (0 until numPerms).map(i => s"b_$i")): _*)
+    val matches = (0 until numPerms)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigsA, Seq("id_a")).join(sigsB, Seq("id_b"))
+      .withColumn("est_jaccard", matches.cast("double") / numPerms)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** SimHash values: per-bit weighted majority over shingle hashes (bits of
