@@ -184,7 +184,10 @@ object Queries {
   private val aggCodeQuantiles: Gate = Gate(
     (s, dir) => {
       val ev = medsEvents(s, dir)
-      val q = AggregateCodeMetadata.compute(ev, Seq(ValuesQuantiles), Seq(0.25, 0.5, 0.75))
+      // linear mode mirrors DuckDB quantile_cont; the reference-parity
+      // "nearest" mode is exercised by GoldenSpec against golden outputs
+      val q = AggregateCodeMetadata.compute(ev, Seq(ValuesQuantiles), Seq(0.25, 0.5, 0.75),
+        quantileMode = "linear")
       q.select(col(Code).as("code"),
         r4(col(ValuesQuantiles).getField("values/quantile/0.25")).as("p25"),
         r4(col(ValuesQuantiles).getField("values/quantile/0.5")).as("p50"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.meds.MedsSchema._
 import graft.functions.GraftFunctions
@@ -52,32 +53,105 @@ object AggregateCodeMetadata {
     case ValuesMin => min(presentVal).as(ValuesMin)
     case ValuesMax => max(presentVal).as(ValuesMax)
     case ValuesQuantiles =>
-      // exact percentile (Catalyst TypedImperativeAggregate), linear interp
-      struct(quantiles.map(q =>
-        percentile(presentVal, lit(q)).as(s"values/quantile/$q")): _*).as(ValuesQuantiles)
+      // exact percentile (Catalyst TypedImperativeAggregate), LINEAR interp;
+      // the reference's Polars default is "nearest" — see nearestQuantiles
+      when(count(presentVal) > 0,
+        struct(quantiles.map(q =>
+          percentile(presentVal, lit(q)).as(s"values/quantile/$q")): _*))
+        .as(ValuesQuantiles)
     case other => throw new IllegalArgumentException(s"unknown aggregation $other")
+  }
+
+  /** Polars-"nearest" quantiles (the reference's interpolation: value at
+    * index round(q·(n−1)), half away from zero) as a scalable
+    * order-statistics pass: rank present values within each key group, pick
+    * the target rank — no per-group value collection, so group size is
+    * unbounded. One shuffle on the grouping keys.
+    *
+    * `overAll = true` computes the all-codes row (keys all null). That is a
+    * single-partition sort by construction; it exists only for the
+    * `do_summarize_over_all_codes` contract.
+    */
+  def nearestQuantiles(
+      data: DataFrame,
+      quantiles: Seq[Double],
+      codeModifiers: Seq[String] = Nil,
+      overAll: Boolean = false): DataFrame = {
+    val keys = if (overAll) Nil else Code +: codeModifiers
+    val present = data.filter(valPresent)
+      .select((keys.map(col) :+ col(NumericValue).cast("double").as("__v")): _*)
+    val wOrder = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val ranked = present
+      .withColumn("__rn", row_number().over(wOrder))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val qCols = quantiles.map { q =>
+      val target = floor(lit(q) * (col("__n") - 1) + 0.5) + 1
+      max(when(col("__rn") === target, col("__v"))).as(s"values/quantile/$q")
+    }
+    val aggs = qCols :+ count(lit(1)).as("__n_present")
+    val grouped =
+      if (keys.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
+      else ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val out = grouped.withColumn(ValuesQuantiles,
+      when(col("__n_present") > 0,
+        struct(quantiles.map(q => col(s"`values/quantile/$q`")): _*)))
+    val keyCols: Seq[Column] =
+      if (overAll) (Code +: codeModifiers).map(k => lit(null).cast("string").as(k))
+      else keys.map(col)
+    out.select((keyCols :+ col(ValuesQuantiles)): _*)
   }
 
   /** Compute grouped metadata. `codeModifiers` extend the grouping key.
     * `summarizeOverAllCodes` adds the all-codes summary row (code = null),
     * reference lines 517-535 — expressed as GROUPING SETS ((code, mods), ())
     * so Spark computes both in one pass over the data.
+    *
+    * `quantileMode` "nearest" (the reference's Polars default) routes the
+    * quantile aggregation through [[nearestQuantiles]]; "linear" uses the
+    * built-in exact percentile.
     */
   def compute(
       data: DataFrame,
       aggregations: Seq[String] = AllAggregations,
       quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
       codeModifiers: Seq[String] = Nil,
-      summarizeOverAllCodes: Boolean = false): DataFrame = {
+      summarizeOverAllCodes: Boolean = false,
+      quantileMode: String = "nearest"): DataFrame = {
     val keys = Code +: codeModifiers
-    val aggs = aggregations.map(aggExpr(_, quantiles))
-    if (summarizeOverAllCodes) {
-      val keyCols = keys.map(col)
-      data.groupingSets(Seq(keyCols, Seq.empty[Column]), keyCols: _*)
-        .agg(aggs.head, aggs.tail: _*)
-    } else {
-      data.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val wantsNearestQ =
+      aggregations.contains(ValuesQuantiles) && quantileMode == "nearest"
+    val aggNames = if (wantsNearestQ) aggregations.filterNot(_ == ValuesQuantiles)
+      else aggregations
+    val aggs = aggNames.map(aggExpr(_, quantiles)) match {
+      case Nil => Seq(count(lit(1)).as("__placeholder"))
+      case as => as
     }
+    val base =
+      if (summarizeOverAllCodes) {
+        val keyCols = keys.map(col)
+        data.groupingSets(Seq(keyCols, Seq.empty[Column]), keyCols: _*)
+          .agg(aggs.head, aggs.tail: _*)
+      } else {
+        data.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    val withQ =
+      if (!wantsNearestQ) base
+      else {
+        val perCode = nearestQuantiles(data, quantiles, codeModifiers)
+        val qDf =
+          if (summarizeOverAllCodes)
+            perCode.unionByName(nearestQuantiles(data, quantiles, codeModifiers, overAll = true))
+          else perCode
+        // aliased null-safe join: both sides derive from the same scan
+        val b = base.alias("__acm_b")
+        val q = qDf.alias("__acm_q")
+        val cond = keys.map(k => col(s"__acm_b.$k") <=> col(s"__acm_q.$k")).reduce(_ && _)
+        b.join(broadcast(q), cond, "left")
+          .select((base.columns.map(c => col(s"__acm_b.$c")) :+
+            col(s"__acm_q.$ValuesQuantiles")): _*)
+      }
+    withQ.drop("__placeholder")
   }
 
   /** `join_and_replace` (mapreduce/stage.py:507-543): merge newly reduced

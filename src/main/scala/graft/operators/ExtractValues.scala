@@ -43,15 +43,25 @@ object ExtractValues {
 object BinNumericValues {
   import graft.functions.GraftFunctions.searchSortedRight
 
+  /** Available `codeFormat` fields, mirroring BIN_NAME_FMT_EXPRS
+    * (bin_numeric_values.py:150-205): {code} original code, {bin} bin index,
+    * {left}/{right} bin bounds as strings with -inf/inf fill.
+    */
+  private val FormatField = """\{(code|bin|left|right)\}""".r
+
   /** @param customBins  code → sorted endpoints, overriding metadata quantiles
     * @param dropNumeric if true, binned rows get numeric_value = null
+    * @param codeFormat  bin-name template over {code},{bin},{left},{right},
+    *                    e.g. the reference doctest's
+    *                    "{code}//value_[{left},{right})"
     */
   def apply(
       data: DataFrame,
       codes: DataFrame,
       quantileFields: Seq[Double] = Seq(0.25, 0.5, 0.75),
       customBins: Map[String, Seq[Double]] = Map.empty,
-      dropNumeric: Boolean = false): DataFrame = {
+      dropNumeric: Boolean = false,
+      codeFormat: String = "{code}//{bin}//{left}//{right}"): DataFrame = {
     val fromQuantiles =
       if (codes.columns.contains(ValuesQuantiles))
         codes.select(col(Code),
@@ -81,9 +91,17 @@ object BinNumericValues {
       .otherwise(element_at(col("__endpoints"), binIdx).cast("string"))
     val right = when(binIdx === size(col("__endpoints")), lit("inf"))
       .otherwise(element_at(col("__endpoints"), binIdx + 1).cast("string"))
-    val newCode = when(binnable,
-      concat(col(Code), lit("//"), binIdx.cast("string"), lit("//"), left, lit("//"), right))
-      .otherwise(col(Code))
+    val fieldExprs = Map[String, org.apache.spark.sql.Column](
+      "code" -> col(Code), "bin" -> binIdx.cast("string"),
+      "left" -> left, "right" -> right)
+    val segments = FormatField.pattern.split(codeFormat, -1)
+    val fields = FormatField.findAllMatchIn(codeFormat).map(_.group(1)).toSeq
+    val parts = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]
+    for (i <- segments.indices) {
+      if (segments(i).nonEmpty) parts += lit(segments(i))
+      if (i < fields.length) parts += fieldExprs(fields(i))
+    }
+    val newCode = when(binnable, concat(parts.toSeq: _*)).otherwise(col(Code))
     val out = joined
       .withColumn(Code, newCode)
       .withColumn(NumericValue,

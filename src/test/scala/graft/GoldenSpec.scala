@@ -61,6 +61,40 @@ class GoldenSpec extends SparkSpec {
     assert(out.data.schema(Code).dataType != org.apache.spark.sql.types.StringType)
   }
 
+  test("aggregate_code_metadata golden: on_raw_static_data (train-only, all-codes row, nearest quantiles)") {
+    // reference: stages/aggregate_code_metadata/examples/on_raw_static_data/
+    // {cfg,out_metadata}.yaml — all 10 aggregations + do_summarize_over_all_codes
+    val trainData = Pipeline.trainOnly(meds).data
+    val m = AggregateCodeMetadata.compute(trainData,
+      AggregateCodeMetadata.AllAggregations, Seq(0.25, 0.5, 0.75),
+      summarizeOverAllCodes = true, quantileMode = "nearest")
+      .collect().map(r => Option(r.getAs[String](Code)).getOrElse("__ALL__") -> r).toMap
+
+    val hr = m("HR")
+    assert(hr.getAs[Long](CodeNOccurrences) == 12)
+    assert(hr.getAs[Long](CodeNSubjects) == 4)
+    assert(hr.getAs[Long](ValuesNInts) == 2)
+    assert(math.abs(hr.getAs[Double](ValuesSum) - 1360.5) < 1e-2)
+    assert(math.abs(hr.getAs[Double](ValuesSumSqd) - 158538.77) < 1.0)
+    val hrQ = hr.getAs[org.apache.spark.sql.Row](ValuesQuantiles)
+    assert(math.abs(hrQ.getDouble(0) - 107.5) < 1e-3) // Polars "nearest" values
+    assert(math.abs(hrQ.getDouble(1) - 112.5) < 1e-3)
+    assert(math.abs(hrQ.getDouble(2) - 113.4) < 1e-3)
+
+    val all = m("__ALL__") // do_summarize_over_all_codes row (code = null)
+    assert(all.getAs[Long](CodeNOccurrences) == 44)
+    assert(all.getAs[Long](CodeNSubjects) == 4)
+    assert(all.getAs[Long](ValuesNOccurrences) == 28)
+    assert(math.abs(all.getAs[Double](ValuesSum) - 3198.8389) < 1e-2)
+    val allQ = all.getAs[org.apache.spark.sql.Row](ValuesQuantiles)
+    assert(math.abs(allQ.getDouble(0) - 99.9) < 1e-3)
+    assert(math.abs(allQ.getDouble(1) - 105.1) < 1e-3)
+    assert(math.abs(allQ.getDouble(2) - 113.4) < 1e-3)
+
+    // codes with no numeric values → null quantile struct, not struct of nulls
+    assert(m("ADMISSION//CARDIAC").getAs[Any](ValuesQuantiles) == null)
+  }
+
   test("MedsIO write/read roundtrip preserves data and layout") {
     val tmp = java.nio.file.Files.createTempDirectory("meds_rt").toString
     val sorted = meds.data

@@ -53,14 +53,17 @@ class AggregateCodeMetadataSpec extends SparkSpec {
     assert(merged("STATIC").getAs[String]("description") == null)
   }
 
-  test("quantiles match exact linear interpolation") {
+  test("quantile modes: linear interpolates, nearest picks round(q*(n-1))") {
     val d = medsDf((1L, "2020-01-01 00:00:00", "X", 1.0),
       (1L, "2020-01-01 00:01:00", "X", 2.0),
       (1L, "2020-01-01 00:02:00", "X", 3.0),
       (1L, "2020-01-01 00:03:00", "X", 10.0))
-    val q = AggregateCodeMetadata.compute(d, Seq(ValuesQuantiles), Seq(0.5))
-      .select(col(ValuesQuantiles).getField("values/quantile/0.5")).head().getDouble(0)
-    assert(q == 2.5)
+    def median(mode: String) =
+      AggregateCodeMetadata.compute(d, Seq(ValuesQuantiles), Seq(0.5), quantileMode = mode)
+        .select(col(ValuesQuantiles).getField("values/quantile/0.5")).head().getDouble(0)
+    assert(median("linear") == 2.5)
+    // Polars "nearest": idx = round(0.5*3) = 2 (half away from zero) → 3.0
+    assert(median("nearest") == 3.0)
   }
 
   test("shrink dtype narrows count columns") {
@@ -204,6 +207,14 @@ class BinNumericValuesSpec extends SparkSpec {
       .select(Code, NumericValue).collect()
       .map(r => r.getString(0) -> Option(r.getAs[Any](NumericValue))).toSeq
     assert(out.map(_._1) == Seq("X//0//-inf//5.0", "X//1//5.0//inf", "X//1//5.0//inf", "X"))
+  }
+
+  test("codeFormat template renders {code}/{bin}/{left}/{right} fields") {
+    val d = medsDf((1L, "2020-01-01 00:00:00", "lab//A", 1.5))
+    val codes = spark.createDataFrame(Seq(Tuple1("lab//A"))).toDF(Code)
+    val out = BinNumericValues(d, codes, customBins = Map("lab//A" -> Seq(0.0, 1.0, 2.0)),
+      codeFormat = "{code}//value_[{left},{right})").select(Code).head().getString(0)
+    assert(out == "lab//A//value_[1.0,2.0)") // reference doctest format
   }
 
   test("custom bins override metadata quantiles; dropNumeric nulls binned values") {
