@@ -1,0 +1,184 @@
+package graft.config
+
+import org.apache.spark.sql.DataFrame
+import graft.dsl.Cfg
+import graft.dsl.Cfg._
+import graft.meds.MedsData
+import graft.meds.MedsSchema._
+import graft.operators._
+
+/** Config-driven pipeline construction, mirroring the reference's pipeline
+  * YAML surface (configs/pipeline.py:222-322, runner.py; stage entries are
+  * either a bare stage name or {name: {stage config}}, with `_base_stage`
+  * aliasing and `_match_revise` block rewriting). Configs are Cfg trees —
+  * typically parsed from JSON via `Cfg.fromJson` (YAML is a superset; the
+  * reference's pipeline files translate 1:1).
+  *
+  * A pipeline built here is a sequence of `Pipeline.Stage`s executed on one
+  * SparkSession by `Pipeline.run` — the reference's subprocess-per-stage,
+  * file-lock, disk-round-trip orchestration collapses into chained DataFrame
+  * transformations with optional checkpoints.
+  */
+object PipelineConfig {
+
+  final case class Parsed(description: Option[String], stages: Seq[Pipeline.Stage])
+
+  def fromJson(json: String): Parsed = fromCfg(Cfg.fromJson(json))
+
+  def fromCfg(cfg: Cfg): Parsed = {
+    val m = cfg.asInstanceOf[M].v
+    val desc = m.get("description").collect { case S(s) => s }
+    val stages = m("stages").asInstanceOf[L].v.map(parseStageEntry)
+    Parsed(desc, stages)
+  }
+
+  private def parseStageEntry(entry: Cfg): Pipeline.Stage = entry match {
+    case S(name) => buildStage(name, name, Cfg.map())
+    case M(m) if m.size == 1 =>
+      val (name, stageCfg) = m.head
+      val cfgMap = stageCfg match { case mm: M => mm; case Null => Cfg.map().asInstanceOf[M]
+        case other => throw new IllegalArgumentException(s"bad stage config for $name: $other") }
+      val base = cfgMap.v.get("_base_stage").collect { case S(s) => s }.getOrElse(name)
+      buildStage(name, base, M(cfgMap.v - "_base_stage"))
+    case other => throw new IllegalArgumentException(s"bad stage entry: $other")
+  }
+
+  // ---- config accessors -------------------------------------------------
+
+  private implicit class CfgOps(val c: Cfg) {
+    def obj: Map[String, Cfg] = c match { case M(m) => m; case _ => Map.empty }
+    def getInt(k: String): Option[Int] = obj.get(k).collect {
+      case I(i) => i.toInt
+      case D(d) => d.toInt
+    }
+    def getDouble(k: String): Option[Double] = obj.get(k).collect {
+      case D(d) => d
+      case I(i) => i.toDouble
+    }
+    def getStr(k: String): Option[String] = obj.get(k).collect { case S(s) => s }
+    def getBool(k: String): Option[Boolean] = obj.get(k).collect { case B(b) => b }
+    def getList(k: String): Seq[Cfg] = obj.get(k).collect { case L(xs) => xs }.getOrElse(Nil)
+    def strings(k: String): Seq[String] = getList(k).collect { case S(s) => s }
+  }
+
+  // ---- stage builders ---------------------------------------------------
+
+  /** Aggregations may be plain names or {name: values/quantiles, quantiles:
+    * [...]} entries (cfg.yaml of aggregate_code_metadata scenarios).
+    */
+  private def parseAggregations(cfg: Cfg): (Seq[String], Seq[Double]) = {
+    val entries = cfg.getList("aggregations")
+    if (entries.isEmpty) (AggregateCodeMetadata.AllAggregations, Seq(0.25, 0.5, 0.75))
+    else {
+      var quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75)
+      val names = entries.map {
+        case S(s) => s
+        case m: M =>
+          val name = m.getStr("name").getOrElse(
+            throw new IllegalArgumentException(s"aggregation entry missing name: $m"))
+          quantiles = m.getList("quantiles").collect { case D(d) => d; case I(i) => i.toDouble } match {
+            case Nil => quantiles
+            case qs => qs
+          }
+          name
+        case other => throw new IllegalArgumentException(s"bad aggregation entry: $other")
+      }
+      (names, quantiles)
+    }
+  }
+
+  def buildStage(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = baseStage match {
+    case "aggregate_code_metadata" =>
+      val (aggs, quantiles) = parseAggregations(cfg)
+      val mods = cfg.strings("code_modifiers")
+      val summarize = cfg.getBool("do_summarize_over_all_codes").getOrElse(false)
+      Pipeline.MetadataStage(name, m =>
+        AggregateCodeMetadata(m.data, m.codes, aggs, quantiles, mods, summarize))
+    case "fit_vocabulary_indices" =>
+      Pipeline.MetadataStage(name, m =>
+        FitVocabularyIndices(m.codes, cfg.strings("code_modifiers")))
+    case _ =>
+      Pipeline.DataStage(name, m => dataTransform(baseStage, cfg)(m))
+  }
+
+  /** Data-stage transformation for `baseStage` under `cfg`; `_match_revise`
+    * (compute_modes/match_revise.py) rewrites it into per-matcher blocks with
+    * block-level config overrides.
+    */
+  private def dataTransform(baseStage: String, cfg: Cfg): MedsData => DataFrame = {
+    cfg.obj.get("_match_revise") match {
+      case Some(L(blocks)) =>
+        val mode = cfg.getStr("_match_revise_mode").getOrElse("match_and_revise")
+        val parsed = blocks.map { b =>
+          val bm = b.obj
+          val matcher = M(scala.collection.immutable.ListMap(
+            bm("_matcher").obj.toSeq: _*))
+          val overrides = M(scala.collection.immutable.ListMap(
+            (cfg.obj - "_match_revise" - "_match_revise_mode" ++ (bm - "_matcher")).toSeq: _*))
+          (matcher, overrides)
+        }
+        m => {
+          val blockDefs = parsed.map { case (matcher, overrides) =>
+            MatchRevise.Block(matcher, df => dataTransform(baseStage, overrides)(m.withData(df)))
+          }
+          MatchRevise(m.data, blockDefs, multi = mode == "multi_match_and_revise")
+        }
+      case _ => simpleDataTransform(baseStage, cfg)
+    }
+  }
+
+  private def simpleDataTransform(baseStage: String, cfg: Cfg): MedsData => DataFrame =
+    baseStage match {
+      case "filter_subjects" => m =>
+        FilterSubjects(m.data,
+          cfg.getInt("min_measurements_per_subject"),
+          cfg.getInt("min_events_per_subject"))
+      case "filter_measurements" => m =>
+        FilterMeasurements(m.data, m.codes,
+          cfg.getInt("min_subjects_per_code"),
+          cfg.getInt("min_occurrences_per_code"),
+          cfg.strings("code_modifiers"))
+      case "occlude_outliers" => m =>
+        OccludeOutliers(m.data, m.codes,
+          cfg.getDouble("stddev_cutoff").getOrElse(4.5),
+          cfg.strings("code_modifiers"))
+      case "normalization" => m =>
+        Normalization(graft.meds.MedsIO.withRowIdx(m.data), m.codes,
+          cfg.strings("code_modifiers"))
+      case "reorder_measurements" => m =>
+        ReorderMeasurements(m.data, cfg.strings("ordered_code_patterns"))
+      case "extract_values" => m =>
+        ExtractValues(m.data, cfg.obj.toSeq.filterNot(_._1.startsWith("_")))
+      case "add_time_derived_measurements" => m => {
+        val generated = cfg.obj.toSeq.collect {
+          case ("age", ac) =>
+            AddTimeDerivedMeasurements.ageEvents(m.data,
+              ac.getStr("DOB_code").getOrElse("MEDS_BIRTH"),
+              ac.getStr("age_code").getOrElse("AGE"),
+              ac.getStr("age_unit").getOrElse("years"))
+          case ("time_of_day", tc) =>
+            AddTimeDerivedMeasurements.timeOfDayEvents(m.data,
+              tc.getList("endpoints").collect { case I(i) => i.toInt },
+              tc.getStr("time_of_day_code").getOrElse("TIME_OF_DAY"))
+          case ("timeline_tokens", tt) =>
+            AddTimeDerivedMeasurements.timelineTokenEvents(m.data,
+              tt.getStr("unit").getOrElse("days"))
+        }
+        require(generated.nonEmpty, "add_time_derived_measurements: no generators configured")
+        AddTimeDerivedMeasurements.splice(m.data,
+          generated.reduce(_.unionByName(_, allowMissingColumns = true)))
+      }
+      case "bin_numeric_values" => m => {
+        val custom = cfg.obj.get("custom_bins").map(_.obj.map {
+          case (code, L(eps)) => code -> eps.collect { case D(d) => d; case I(i) => i.toDouble }
+          case (code, other) => throw new IllegalArgumentException(s"bad bins for $code: $other")
+        }).getOrElse(Map.empty)
+        BinNumericValues(m.data, m.codes,
+          customBins = custom.toMap,
+          dropNumeric = cfg.getBool("drop_numeric_value").getOrElse(false),
+          codeFormat = cfg.getStr("code_format").getOrElse("{code}//{bin}//{left}//{right}"))
+      }
+      case other =>
+        throw new IllegalArgumentException(s"unknown stage: $other")
+    }
+}

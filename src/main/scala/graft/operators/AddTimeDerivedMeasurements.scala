@@ -30,8 +30,11 @@ object AddTimeDerivedMeasurements {
     "years" -> 365.25 * 86400.0
   )
 
-  private def deltaIn(later: Column, earlier: Column, unit: String): Column =
-    (unix_micros(later) - unix_micros(earlier)) / lit(SecondsPerUnit(unit) * 1e6)
+  private def deltaIn(later: Column, earlier: Column, unit: String): Column = {
+    // cast tolerates TIMESTAMP_NTZ inputs (lossless under the UTC session TZ)
+    val t = (c: Column) => unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    (t(later) - t(earlier)) / lit(SecondsPerUnit(unit) * 1e6)
+  }
 
   /** `unique_events` (reference utils.py:77-133): distinct non-null
     * (subject, time) pairs.
@@ -46,6 +49,8 @@ object AddTimeDerivedMeasurements {
   def ageEvents(data: DataFrame, dobCodePattern: String, ageCode: String = "AGE",
       ageUnit: String = "years",
       valueType: org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.FloatType): DataFrame = {
+    // regex containment, matching Polars str.contains (age.py:149-151):
+    // a literal DOB code is a degenerate pattern
     val dob = data.filter(col(Code).rlike(dobCodePattern) && col(Time).isNotNull)
       .groupBy(SubjectId).agg(min(col(Time)).as("__dob"))
     uniqueEvents(data)
@@ -59,14 +64,15 @@ object AddTimeDerivedMeasurements {
     * hour into [a, b) ranges given by `endpoints` (strictly increasing,
     * within 0..24) and emit a `TIME_OF_DAY//[a,b)` code row per unique event.
     */
-  def timeOfDayEvents(data: DataFrame, endpoints: Seq[Int] = Seq(6, 12, 18)): DataFrame = {
+  def timeOfDayEvents(data: DataFrame, endpoints: Seq[Int] = Seq(6, 12, 18),
+      codePrefix: String = "TIME_OF_DAY"): DataFrame = {
     require(endpoints == endpoints.sorted && endpoints.forall(e => e >= 0 && e <= 24),
       s"endpoints must be sorted within [0,24]: $endpoints")
-    val bounds = (0 +: endpoints) :+ 24
+    val bounds = ((0 +: endpoints) :+ 24).distinct
     val h = hour(col(Time))
     val codeCol = bounds.sliding(2).toSeq.foldRight(lit(null).cast("string")) {
       case (Seq(a, b), acc) =>
-        when(h >= a && h < b, lit(f"TIME_OF_DAY//[$a%02d,$b%02d)")).otherwise(acc)
+        when(h >= a && h < b, lit(f"$codePrefix//[$a%02d,$b%02d)")).otherwise(acc)
     }
     uniqueEvents(data)
       .select(col(SubjectId), col(Time), codeCol.as(Code),
@@ -110,7 +116,19 @@ object AddTimeDerivedMeasurements {
       if (data.columns.contains(RowIdx)) data
       else data.withColumn(RowIdx, monotonically_increasing_id())
     val tagged = withIdx.withColumn(BlockIdx, lit(1))
-    val newTagged = newEvents
+    // backfill shard/split provenance: a subject lives in exactly one shard,
+    // so generated rows inherit it via a per-subject lookup (co-partitioned
+    // with the subject-keyed layout — no extra shuffle when bucketed)
+    val provenance = Seq(Split, Shard)
+      .filter(data.columns.contains).filterNot(newEvents.columns.contains)
+    val enriched =
+      if (provenance.isEmpty) newEvents
+      else newEvents.join(
+        data.groupBy(SubjectId).agg(
+          first(col(provenance.head)).as(provenance.head),
+          provenance.tail.map(c => first(col(c)).as(c)): _*),
+        Seq(SubjectId), "left")
+    val newTagged = enriched
       .withColumn(RowIdx, monotonically_increasing_id())
       .withColumn(BlockIdx, lit(0))
     tagged.unionByName(newTagged, allowMissingColumns = true)

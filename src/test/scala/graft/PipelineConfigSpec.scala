@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.config.PipelineConfig
+import graft.meds.MedsIO
+import graft.meds.MedsSchema._
+import graft.operators.Pipeline
+
+/** Runs the reference's 7-stage end-to-end test pipeline
+  * (tests/test_pipeline.py PIPELINE_YAML, translated to JSON) against the
+  * reference example dataset through the config-driven builder.
+  */
+class PipelineConfigSpec extends SparkSpec {
+
+  private val pipelineJson =
+    """{
+      |  "description": "the reference's end-to-end test pipeline",
+      |  "stages": [
+      |    {"filter_subjects": {"min_events_per_subject": 5}},
+      |    {"add_time_derived_measurements": {
+      |       "age": {"DOB_code": "DOB", "age_code": "AGE", "age_unit": "years"},
+      |       "time_of_day": {"time_of_day_code": "TIME_OF_DAY", "endpoints": [6, 12, 18, 24]}}},
+      |    {"fit_outlier_detection": {
+      |       "_base_stage": "aggregate_code_metadata",
+      |       "aggregations": ["values/n_occurrences", "values/sum", "values/sum_sqd"]}},
+      |    {"occlude_outliers": {"stddev_cutoff": 1}},
+      |    {"fit_normalization": {
+      |       "_base_stage": "aggregate_code_metadata",
+      |       "aggregations": ["code/n_occurrences", "code/n_subjects",
+      |                        "values/n_occurrences", "values/sum", "values/sum_sqd"]}},
+      |    "fit_vocabulary_indices",
+      |    "normalization"
+      |  ]
+      |}""".stripMargin
+
+  test("reference 7-stage pipeline runs end-to-end from config") {
+    val parsed = PipelineConfig.fromJson(pipelineJson)
+    assert(parsed.stages.map(_.name) == Seq("filter_subjects",
+      "add_time_derived_measurements", "fit_outlier_detection", "occlude_outliers",
+      "fit_normalization", "fit_vocabulary_indices", "normalization"))
+
+    val meds = MedsIO.read(spark, "/root/reference/example/data")
+    val out = Pipeline.run(spark, meds, parsed.stages)
+
+    // normalization replaced string codes with integral vocab indices
+    assert(!out.data.schema(Code).dataType.typeName.contains("string"))
+    // derived AGE / TIME_OF_DAY codes made it into the fitted vocabulary
+    val vocab = out.codes.select(Code).collect().map(_.getString(0)).toSet
+    assert(vocab.contains("AGE"))
+    assert(vocab.exists(_.startsWith("TIME_OF_DAY//")))
+    // only subjects with >= 5 events survive stage 1
+    val subjects = out.data.select(SubjectId).distinct().collect().map(_.getLong(0)).toSet
+    assert(subjects.subsetOf(Set(239684L, 1195293L, 1500733L)))
+    // z-scored values are standardized: mean ~ 0 (zero-variance codes give
+    // NaN, faithful to the reference's (v-mean)/0 arithmetic — excluded)
+    val trainVals = out.data.filter(col(NumericValue).isNotNull && !isnan(col(NumericValue)))
+      .agg(avg(col(NumericValue))).head().getDouble(0)
+    assert(math.abs(trainVals) < 2.0)
+    assert(out.data.count() > 60) // original rows + derived events
+  }
+
+  test("match-revise config rewrites per-matcher blocks") {
+    val json =
+      """{"stages": [
+        |  {"extract_values": {
+        |     "_match_revise": [
+        |       {"_matcher": {"code": "HR"}, "categorical_value": {"literal": "high"}},
+        |       {"_matcher": {"code": "TEMP"}, "categorical_value": {"literal": "temp"}}
+        |     ]}}
+        |]}""".stripMargin
+    val meds = MedsIO.read(spark, "/root/reference/example/data")
+    val out = Pipeline.run(spark, meds, PipelineConfig.fromJson(json).stages)
+    val got = out.data.filter(col("categorical_value").isNotNull)
+      .select(Code, "categorical_value").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("HR" -> "high", "TEMP" -> "temp"))
+  }
+}
