@@ -450,6 +450,25 @@ object Queries {
       | count(*) AS n_events, round(sum(value),3) AS sum_value
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
 
+  private val eventsSessionize: Gate = Gate(
+    (s, dir) => graft.streaming.Sessionize.batch(eventsTable(s, dir), gapMinutes = 30)
+      .select(col("user_id"), col("session_idx").cast(LongType).as("session_idx"),
+        col("start_ts"), col("end_ts"), col("n_events"),
+        r3(col("sum_value")).as("sum_value"))
+      .orderBy("user_id", "session_idx"),
+    Some("""WITH p AS (
+      |  SELECT user_id, ts, event_id, value,
+      |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN prev IS NULL
+      |   OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS nw FROM p),
+      |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS UNBOUNDED PRECEDING) AS sidx FROM f)
+      |SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
+      | min(ts) AS start_ts, max(ts) AS end_ts,
+      | count(*) AS n_events, round(sum(value),3) AS sum_value
+      |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+
   // =====================================================================
   // Training-data ops: dedup / similarity / text / multimodal
   // =====================================================================
@@ -743,6 +762,7 @@ object Queries {
     "match_revise" -> matchReviseQuery,
     "reshard_to_split" -> reshardSummary,
     "events_hourly" -> eventsHourly,
+    "events_sessionize" -> eventsSessionize,
     "dedup_exact" -> dedupExact,
     "doc_fingerprint" -> docFingerprint,
     "text_tokens" -> textTokens,

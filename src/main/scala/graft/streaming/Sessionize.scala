@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-timeout sessionization of the event stream — the canonical stateful
+  * operator a training-data pipeline needs (grouping user activity into
+  * sessions for sequence construction).
+  *
+  * Two implementations with identical semantics:
+  *  - batch: lag + running-sum windows partitioned by user (one shuffle on
+  *    user_id, scalable — sessions never materialize per-group state);
+  *  - streaming: `flatMapGroupsWithState` keyed by user with event-time gap
+  *    state, for continuous ingestion.
+  */
+object Sessionize {
+
+  /** Batch sessionization. A session breaks when the gap to the previous
+    * event exceeds `gapMinutes`. `tieBreak` makes simultaneous events
+    * deterministic.
+    */
+  def batch(events: DataFrame, gapMinutes: Int, tieBreak: String = "event_id"): DataFrame = {
+    val ts = col("ts").cast("timestamp")
+    val order = Seq(col("ts"), col(tieBreak))
+    val w = Window.partitionBy("user_id").orderBy(order: _*)
+    val prev = lag(ts, 1).over(w)
+    val isNew = when(prev.isNull ||
+      (unix_micros(ts) - unix_micros(prev)) > gapMinutes * 60L * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(ts).as("start_ts"),
+        max(ts).as("end_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+  }
+
+  final case class Ev(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  final case class SessionState(lastTs: Long, sessionIdx: Long)
+  final case class SessionOut(user_id: Long, session_idx: Long, start_ts: Timestamp,
+      end_ts: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization: per-user state carries the last event time and
+    * running session index. Emits completed-per-batch session aggregates
+    * (append mode); a production deployment would use event-time timeout to
+    * close sessions across batches.
+    */
+  def streaming(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur: Option[SessionOut] = None
+          sorted.foreach { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            val isNew = st.lastTs == Long.MinValue || (tsMicros - st.lastTs) > gapMicros
+            if (isNew) {
+              cur.foreach(sessions += _)
+              st = SessionState(tsMicros, st.sessionIdx + 1)
+              cur = Some(SessionOut(userId, st.sessionIdx, e.ts, e.ts, 1L, e.value))
+            } else {
+              st = SessionState(tsMicros, st.sessionIdx)
+              cur = cur.map(s => s.copy(end_ts = e.ts, n_events = s.n_events + 1,
+                sum_value = s.sum_value + e.value))
+            }
+          }
+          cur.foreach(sessions += _)
+          state.update(st)
+          sessions.iterator
+      }
+  }
+}

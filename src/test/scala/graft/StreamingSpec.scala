@@ -6,6 +6,49 @@ import graft.streaming.EventStream
 /** Streaming/batch parity: the windowed aggregation produces identical
   * results through readStream (memory sink) and the batch path.
   */
+class SessionizeSpec extends SparkSpec {
+  import graft.streaming.Sessionize
+
+  test("batch sessionization splits on gap, aggregates per session") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2020-01-01 00:00:00", 0L, 1.0),
+      (1L, "2020-01-01 00:10:00", 1L, 2.0), // same session (10 min gap)
+      (1L, "2020-01-01 02:00:00", 2L, 3.0), // new session
+      (2L, "2020-01-01 00:00:00", 3L, 4.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Sessionize.batch(ev, gapMinutes = 30).orderBy("user_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 4.0)))
+  }
+
+  test("streaming flatMapGroupsWithState matches batch on a single micro-batch") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batchEvents = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val expected = Sessionize.batch(batchEvents, 30)
+      .select("user_id", "session_idx", "n_events")
+      .collect().map(_.toSeq).toSet
+
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet("/root/testdata/sf0.001")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[Sessionize.Ev]
+    val q = Sessionize.streaming(stream, 30).writeStream
+      .outputMode("append").format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .select("user_id", "session_idx", "n_events")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+}
+
 class StreamingSpec extends SparkSpec {
 
   test("streaming windowed agg equals batch windowed agg on sf0.001 events") {
