@@ -705,6 +705,32 @@ object Queries {
       | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
       |WHERE rank <= 3 ORDER BY id_l, rank""".stripMargin))
 
+  private val sampleSplit: Gate = Gate(
+    (s, dir) => Sampling.assignSplits(table(s, dir, "documents"),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id"),
+    Some("""WITH h AS (
+      |  SELECT doc_id,
+      |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000)/1000000.0 AS u
+      |  FROM documents)
+      |SELECT doc_id,
+      | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin))
+
+  private val stratifiedCap: Gate = Gate(
+    (s, dir) => Sampling.stratifiedCap(table(s, dir, "documents"),
+      "doc_id", "lang", perStratum = 50)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some("""WITH h AS (
+      |  SELECT doc_id, lang,
+      |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000)/1000000.0 AS u
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |   row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk FROM h)
+      |SELECT doc_id, lang FROM r WHERE rk <= 50 ORDER BY doc_id""".stripMargin))
+
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
 
@@ -777,6 +803,8 @@ object Queries {
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
     "knn_join" -> knnJoin,
+    "sample_split" -> sampleSplit,
+    "stratified_cap" -> stratifiedCap,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.portableHash56
+
+/** Deterministic sampling and split assignment for training-data curation.
+  *
+  * All methods key off the engine-portable md5 hash of a stable id — not
+  * `rand()` — so samples are reproducible run-to-run, engine-to-engine, and
+  * under retries/stragglers at cluster scale (a task re-execution with
+  * `rand()` silently changes the sample).
+  */
+object Sampling {
+
+  /** Uniform hash in [0, 1) derived from the id column and a seed. */
+  def unitHash(id: Column, seed: Long = 42L): Column =
+    (portableHash56(concat(id.cast("string"), lit(":"), lit(seed.toString))) % 1000000L)
+      .cast("double") / 1000000.0
+
+  /** Deterministic Bernoulli sample: keep rows whose unit hash < fraction. */
+  def sample(df: DataFrame, idCol: String, fraction: Double, seed: Long = 42L): DataFrame =
+    df.filter(unitHash(col(idCol), seed) < fraction)
+
+  /** Deterministic train/validation/test split assignment by cumulative
+    * weight ranges over the unit hash.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split weights must sum to 1")
+    val h = unitHash(col(idCol), seed)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.zip(cum).reverse.tail.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), hi)) => when(h < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Stratified cap: keep at most `perStratum` rows per stratum, selected by
+    * hash rank (deterministic). One shuffle on the stratum key.
+    */
+  def stratifiedCap(df: DataFrame, idCol: String, stratumCol: String,
+      perStratum: Int, seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(unitHash(col(idCol), seed), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= perStratum)
+      .drop("__rank")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+import graft.plans.GraftExtensions
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop
+import graft.dsl.{Cfg, Dsl}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0L until 1000L).map(i => (i, s"doc $i", (i % 7).toString))
+    .toDF("doc_id", "text", "lang")
+
+  test("bernoulli sample is deterministic and near-fraction") {
+    val a = Sampling.sample(docs, "doc_id", 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.sample(docs, "doc_id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(a == b) // reproducible under re-execution
+    assert(a.size > 200 && a.size < 400)
+  }
+
+  test("split assignment covers all rows with near-weight proportions") {
+    val out = Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900)
+    // nested sample of train is a subset: hash-based splits compose
+    val train = out.filter(col("split") === "train")
+    assert(Sampling.sample(train, "doc_id", 0.5, seed = 7).count() < train.count())
+  }
+
+  test("stratified cap keeps at most N deterministic rows per stratum") {
+    val out = Sampling.stratifiedCap(docs, "doc_id", "lang", perStratum = 10)
+    val per = out.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(per.forall(_ == 10))
+    val out2 = Sampling.stratifiedCap(docs, "doc_id", "lang", perStratum = 10)
+    assert(out.collect().map(_.getLong(0)).toSet == out2.collect().map(_.getLong(0)).toSet)
+  }
+}
+
+class GraftExtensionsSpec extends SparkSpec {
+  test("native expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_l2norm(array(3.0d, 4.0d)) AS n").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+  }
+}
+
+/** Property tests for the DSL and portable primitives (ScalaCheck's own
+  * runner — no scalatestplus bridge in the offline classpath).
+  */
+class PropertySpec extends SparkSpec {
+  import graft.functions.GraftFunctions
+
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val identGen = org.scalacheck.Gen.choose(1, 12).flatMap(n =>
+    org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.alphaChar).map(_.mkString))
+
+  test("matcher compilation never throws for arbitrary scalar matchers") {
+    check(forAll(org.scalacheck.Gen.mapOf(org.scalacheck.Gen.zip(
+      identGen, org.scalacheck.Gen.oneOf[Cfg](Cfg("x"), Cfg(1), Cfg(2.5), Cfg(true))))) { m =>
+      val cfg = Cfg.M(scala.collection.immutable.ListMap(m.toSeq: _*))
+      Dsl.isMatcher(cfg) && { Dsl.matcherToExpr(cfg); true }
+    })
+  }
+
+  test("interpolation extracts exactly the referenced columns") {
+    check(forAll(identGen, identGen) { (a, b) =>
+      val (_, cols) = Dsl.interpolate(s"pre//{$a}//mid//{$b}")
+      cols == Set(a, b)
+    })
+  }
+
+  test("searchSortedRight matches Scala's right-bisect on sorted arrays") {
+    import spark.implicits._
+    // drive Spark once over a batch of generated cases (one job, not 50)
+    val rng = new scala.util.Random(3)
+    val cases = (0 until 60).map { _ =>
+      (Array.fill(8)(rng.nextDouble() * 200 - 100).sorted, rng.nextDouble() * 240 - 120)
+    }
+    val got = cases.toDF("eps", "v")
+      .select(GraftFunctions.searchSortedRight(col("eps"), col("v")))
+      .collect().map(_.getInt(0)).toSeq
+    val expected = cases.map { case (eps, v) => eps.count(_ <= v) }
+    assert(got == expected)
+  }
+}
