@@ -66,4 +66,48 @@ object MedsIO {
     */
   def withRowIdx(df: DataFrame): DataFrame =
     df.withColumn(RowIdx, monotonically_increasing_id())
+
+  /** metadata/dataset.json (reference configs/dataset.py:17-53). */
+  def writeDatasetMetadata(root: String, name: String, version: String,
+      extra: Map[String, String] = Map.empty): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("dataset_name", name)
+    node.put("dataset_version", version)
+    extra.foreach { case (k, v) => node.put(k, v) }
+    val p = java.nio.file.Paths.get(root, "metadata")
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.writeString(p.resolve("dataset.json"),
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+  }
+
+  def readDatasetMetadata(root: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(root, "metadata", "dataset.json")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(p))
+    val it = node.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+    b.result()
+  }
+
+  /** `.shards.json` — the {split/shardIdx → subject ids} map the reference's
+    * resharding emits (reshard_to_split.py:232-261). Computed from the
+    * resharded data itself so it is layout-truthful.
+    */
+  def writeShardsJson(resharded: DataFrame, root: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    resharded.select(Split, Shard, SubjectId).distinct()
+      .collect()
+      .groupBy(r => s"${r.getString(0)}/${r.get(1)}")
+      .toSeq.sortBy(_._1)
+      .foreach { case (key, rows) =>
+        val arr = node.putArray(key)
+        rows.map(_.getLong(2)).sorted.foreach(arr.add)
+      }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(root, ".shards.json"),
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+  }
 }

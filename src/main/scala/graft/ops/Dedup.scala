@@ -164,7 +164,8 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numBits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol, n, numBits)
+    // cache: the per-doc simhash table is tiny and consumed by both join sides
+    val sh = simhash(docs, idCol, textCol, n, numBits).cache()
     val bandBits = numBits / bands
     val mask = (1L << bandBits) - 1
     val banded = sh.select(col(idCol), col("simhash"),
@@ -179,6 +180,41 @@ object Dedup {
     cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Resolve near-dup pairs into duplicate clusters: each id maps to the
+    * minimum id reachable through the pair graph (connected components via
+    * iterative min-label propagation — the standard large-graph pattern;
+    * each round is one aggregation + join, and rounds needed = graph
+    * diameter, which is tiny for dedup clusters).
+    */
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), col("u.id") === col("l.id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    labels
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a coarse partition column

@@ -95,6 +95,18 @@ class GoldenSpec extends SparkSpec {
     assert(m("ADMISSION//CARDIAC").getAs[Any](ValuesQuantiles) == null)
   }
 
+  test("dataset.json and .shards.json round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("meds_meta").toString
+    MedsIO.writeDatasetMetadata(tmp, "example", "1.0", Map("etl" -> "graft"))
+    assert(MedsIO.readDatasetMetadata(tmp) ==
+      Map("dataset_name" -> "example", "dataset_version" -> "1.0", "etl" -> "graft"))
+    val resharded = ReshardToSplit(meds.data.drop(Split, Shard), meds.splits, nShards = 2)
+    MedsIO.writeShardsJson(resharded, tmp)
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(tmp, ".shards.json"))
+    assert(json.contains("train/0") || json.contains("train/1"))
+    assert(json.contains("239684"))
+  }
+
   test("MedsIO write/read roundtrip preserves data and layout") {
     val tmp = java.nio.file.Files.createTempDirectory("meds_rt").toString
     val sorted = meds.data

@@ -63,6 +63,15 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(3L)) > 8)
   }
 
+  test("resolveClusters: transitive pairs collapse to min-id components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3,8,9} chain through 3-9; {5,6} separate
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("embedding near-dup pairs within blocks above threshold") {
     val embs = Seq(
       (0L, Array(1.0, 0.0, 0.0), 0),
