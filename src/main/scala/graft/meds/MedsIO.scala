@@ -67,6 +67,20 @@ object MedsIO {
   def withRowIdx(df: DataFrame): DataFrame =
     df.withColumn(RowIdx, monotonically_increasing_id())
 
+  /** Bucketed event-table write: hash-bucket by subject_id and sort within
+    * buckets by (subject_id, time). This is the cluster-scale layout: every
+    * per-subject window (timeline tokens, filters, sessionization) and every
+    * subject-keyed join on two so-bucketed tables runs WITHOUT a shuffle —
+    * Spark matches the bucket spec to the operator's required distribution.
+    * See GoldenSpec("bucketed layout") for the plan-level proof.
+    */
+  def writeBucketed(data: DataFrame, tableName: String, numBuckets: Int): Unit =
+    data.write.mode("overwrite")
+      .bucketBy(numBuckets, SubjectId)
+      .sortBy(SubjectId, Time)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** metadata/dataset.json (reference configs/dataset.py:17-53). */
   def writeDatasetMetadata(root: String, name: String, version: String,
       extra: Map[String, String] = Map.empty): Unit = {

@@ -95,6 +95,27 @@ class GoldenSpec extends SparkSpec {
     assert(m("ADMISSION//CARDIAC").getAs[Any](ValuesQuantiles) == null)
   }
 
+  test("bucketed layout: subject-keyed join and aggregation plan without shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    MedsIO.writeBucketed(meds.data.drop(Shard, Split), "meds_bucketed_a", 4)
+    MedsIO.writeBucketed(meds.data.drop(Shard, Split), "meds_bucketed_b", 4)
+    val a = spark.table("meds_bucketed_a")
+    val b = spark.table("meds_bucketed_b").groupBy(SubjectId).count()
+    val joined = a.join(b, Seq(SubjectId))
+    joined.collect() // force final (AQE) plan
+    val plan = joined.queryExecution.executedPlan
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeExec => 1; case _ => 0 }
+      self + p.children.map(shuffles).sum +
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            shuffles(a.executedPlan)
+          case _ => 0
+        })
+    }
+    assert(shuffles(plan) == 0, s"expected shuffle-free bucketed join:\n$plan")
+  }
+
   test("dataset.json and .shards.json round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("meds_meta").toString
     MedsIO.writeDatasetMetadata(tmp, "example", "1.0", Map("etl" -> "graft"))
