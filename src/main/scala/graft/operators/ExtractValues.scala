@@ -22,11 +22,14 @@ object ExtractValues {
         s"extract_values: missing input columns $missing for output $out")
       out -> c
     }
-    val withCols = compiled.foldLeft(data) { case (df, (out, c)) =>
-      val cast = mandatoryTypes.get(out).map(t => c.cast(t)).getOrElse(c)
-      df.withColumn(out, cast)
+    // one withColumns call: every expression is evaluated against the INPUT
+    // frame (Polars with_columns parallel-assignment semantics) — a
+    // sequential fold would let an output column shadow an input of a later
+    // expression
+    val castCompiled = compiled.map { case (out, c) =>
+      out -> mandatoryTypes.get(out).map(t => c.cast(t)).getOrElse(c)
     }
-    withCols
+    data.withColumns(castCompiled.toMap)
   }
 }
 

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loader for the reference's golden-scenario fixture format: YAML files
+  * whose top-level entries are `relative/path: |2-` blocks of CSV with
+  * "MM/DD/YYYY, HH:MM:SS" timestamps (stages/examples.py:875-922). Only the
+  * CSV-block subset of YAML is parsed — exactly what the fixtures use.
+  */
+object GoldenScenario {
+
+  private val KeyLine = """^([^\s:][^:]*):\s*\|.*$""".r
+
+  /** Parse a blocks file into {relative path (sans .parquet) → CSV text}. */
+  def parseBlocks(path: String): Map[String, String] = {
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, StringBuilder]
+    var current: Option[StringBuilder] = None
+    lines.foreach {
+      case KeyLine(key) =>
+        val sb = new StringBuilder
+        out(key.trim.stripSuffix(".parquet")) = sb
+        current = Some(sb)
+      case l if l.startsWith("  ") && current.isDefined =>
+        current.get.append(l.drop(2)).append("\n")
+      case l if l.trim.isEmpty => ()
+      case _ => current = None
+    }
+    out.map { case (k, v) => k -> v.toString }.toMap
+  }
+
+  /** Materialize one CSV block as a typed MEDS-ish DataFrame. */
+  def csvDf(spark: SparkSession, csv: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("header", "true").option("quote", "\"")
+      .csv(csv.split("\n").toSeq.toDS())
+    raw.columns.foldLeft(raw) { (df, c) =>
+      c match {
+        case "subject_id" => df.withColumn(c, col(c).cast(LongType))
+        case "time" => df.withColumn(c, to_timestamp(col(c), "MM/dd/yyyy, HH:mm:ss"))
+        case "numeric_value" => df.withColumn(c, col(c).cast(FloatType))
+        case n if n.endsWith("n_occurrences") || n.endsWith("n_subjects") =>
+          df.withColumn(c, col(c).cast(LongType))
+        case _ => df
+      }
+    }
+  }
+
+  /** Load the data shards of an in.yaml/out_data.yaml as one DataFrame with
+    * a `shard` column, preserving per-shard row order via `__row_idx`.
+    */
+  def shardedData(spark: SparkSession, blocksFile: String): DataFrame = {
+    val blocks = parseBlocks(blocksFile).filter(_._1.startsWith("data/"))
+    blocks.map { case (path, csv) =>
+      csvDf(spark, csv)
+        .withColumn("shard", lit(path.stripPrefix("data/")))
+        .withColumn(graft.meds.MedsSchema.RowIdx, monotonically_increasing_id())
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  def metadataTable(spark: SparkSession, blocksFile: String, name: String): Option[DataFrame] =
+    parseBlocks(blocksFile).get(s"metadata/$name").map(csvDf(spark, _))
+
+  /** Row-order-sensitive per-shard comparison with the reference tolerances
+    * (rel 1e-3, abs 1e-5 on floats).
+    */
+  def assertShardsEqual(actual: DataFrame, expectedFile: String, spark: SparkSession,
+      compareCols: Seq[String]): Unit = {
+    val expectedBlocks = parseBlocks(expectedFile).filter(_._1.startsWith("data/"))
+    val actualRows = actual.collect() // already in stage output order
+    expectedBlocks.foreach { case (path, csv) =>
+      val shard = path.stripPrefix("data/")
+      val exp = csvDf(spark, csv).collect()
+      val act = actualRows.filter(_.getAs[String]("shard") == shard)
+      assert(act.length == exp.length,
+        s"shard $shard: expected ${exp.length} rows, got ${act.length}")
+      exp.zip(act).zipWithIndex.foreach { case ((e, a), i) =>
+        compareCols.foreach { c =>
+          val ev = if (e.schema.fieldNames.contains(c)) e.getAs[Any](c) else null
+          val av = a.getAs[Any](c)
+          (ev, av) match {
+            case (null, null) => ()
+            case (x: Float, y: Float) =>
+              assert(math.abs(x - y) <= 1e-5 + 1e-3 * math.abs(x),
+                s"shard $shard row $i col $c: expected $x got $y")
+            case (x, y) =>
+              assert(x == y, s"shard $shard row $i col $c: expected $x got $y")
+          }
+        }
+      }
+    }
+  }
+}

@@ -97,6 +97,16 @@ class GoldenSpec extends SparkSpec {
 
   test("bucketed layout: subject-keyed join and aggregation plan without shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    Seq("meds_bucketed_a", "meds_bucketed_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator.asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     MedsIO.writeBucketed(meds.data.drop(Shard, Split), "meds_bucketed_a", 4)
     MedsIO.writeBucketed(meds.data.drop(Shard, Split), "meds_bucketed_b", 4)
     val a = spark.table("meds_bucketed_a")
