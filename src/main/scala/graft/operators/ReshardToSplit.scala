@@ -21,13 +21,41 @@ import graft.meds.MedsSchema._
   */
 object ReshardToSplit {
 
-  /** Deterministic subject → shard assignment. `byHash` uses a portable
-    * stable hash (reproducible across engines and runs); the reference's
-    * seeded-permutation semantics are matched in distribution, not bit-for-bit
-    * (its RNG is numpy-specific).
+  /** Deterministic subject → shard assignment: portable stable modulo hash
+    * (reproducible across engines and runs, no driver-side state).
     */
   def assignShards(splits: DataFrame, nShards: Int): DataFrame =
     splits.withColumn(Shard, pmod(col(SubjectId), lit(nShards)).cast("int"))
+
+  /** Reference-style assignment (`shard_subjects`, reshard_to_split.py:25-195):
+    * per split, seeded-RNG permutation of the collected subject ids, then
+    * near-equal contiguous chunks (numpy array_split semantics: the first
+    * `n mod k` shards get one extra subject). The subject list is
+    * metadata-scale — the reference collects it too — so the driver-side
+    * permutation is not a scale hazard; semantics match the reference in
+    * structure (its numpy RNG stream is not reproducible outside numpy).
+    */
+  def assignShardsSeeded(splits: DataFrame, nShards: Int, seed: Long = 0L): DataFrame = {
+    val rows = splits.select(Split, SubjectId).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val assigned = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (split, members) =>
+      val rng = new scala.util.Random(seed ^ split.hashCode.toLong)
+      val perm = rng.shuffle(members.map(_._2).sorted.toSeq)
+      val n = perm.length
+      val base = n / nShards
+      val extra = n % nShards
+      var idx = 0
+      (0 until nShards).flatMap { s =>
+        val len = base + (if (s < extra) 1 else 0)
+        val chunk = perm.slice(idx, idx + len)
+        idx += len
+        chunk.map(subj => (subj, split, s))
+      }
+    }
+    val spark = splits.sparkSession
+    import spark.implicits._
+    assigned.toDF(SubjectId, Split, Shard)
+  }
 
   def apply(data: DataFrame, splits: DataFrame, nShards: Int): DataFrame = {
     val assignment = assignShards(splits, nShards)

@@ -299,6 +299,21 @@ class ExtractValuesSpec extends SparkSpec {
 }
 
 class ReshardSpec extends SparkSpec {
+  test("seeded assignment: per-split permutation chunks of near-equal size") {
+    val splits = spark.createDataFrame(
+      (1L to 10L).map(i => (i, if (i <= 7) "train" else "tuning")))
+      .toDF("subject_id", "split")
+    val a = ReshardToSplit.assignShardsSeeded(splits, nShards = 3, seed = 5)
+    val sizes = a.groupBy("split", "shard").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // 7 train subjects over 3 shards → 3,2,2; 3 tuning → 1,1,1
+    assert(sizes(("train", 0)) == 3 && sizes(("train", 1)) == 2 && sizes(("train", 2)) == 2)
+    assert(Seq(0, 1, 2).forall(s => sizes(("tuning", s)) == 1))
+    // deterministic under the same seed
+    val b = ReshardToSplit.assignShardsSeeded(splits, nShards = 3, seed = 5)
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+  }
+
   test("subjects are assigned deterministically and data joins splits") {
     val d = medsDf(
       (1L, "2020-01-01 00:00:00", "HR", 1.0),
