@@ -46,6 +46,11 @@ object GraftFunctions {
 
   /** Word n-gram shingles as space-joined strings: one entry per window of
     * `n` consecutive tokens. Documents shorter than n words → empty array.
+    *
+    * NOTE: array-returning form for composition/tests only. The `slice`
+    * inside the per-element lambda re-evaluates the token array per window
+    * (O(words²) tokenization per doc) — bulk operators use the linear
+    * row-based [[graft.ops.Dedup.positionalShingles]] instead.
     */
   def wordShingles(text: Column, n: Int): Column = {
     val w = tokens(text)

@@ -43,13 +43,12 @@ object Dedup {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, w: Int = 4): DataFrame = {
-    // posexplode + sliding-window min, NOT nested array HOFs: a
+    // row-based sliding-window min, NOT nested array HOFs: a
     // transform-over-slice formulation re-evaluates the inner hash array per
     // window element (O(m²) md5 calls per doc — measured 35× slower). This
     // form hashes each shingle once and takes a rows-frame min; it is also
     // the scalable shape (no per-doc arrays held in memory).
-    val sh = docs.select(col(idCol),
-      posexplode(wordShingles(col(textCol), n)).as(Seq("pos", "shingle")))
+    val sh = positionalShingles(docs, idCol, textCol, n)
       .withColumn("h", portableHash56(col("shingle")))
     val byDoc = Window.partitionBy(idCol)
     val sliding = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
@@ -61,9 +60,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Word n-gram shingles with their start position, one row per shingle:
+    * posexplode the token array once, then assemble each shingle from window
+    * `lead`s — tokenization happens exactly once per document (the
+    * array-lambda formulation re-tokenizes per window, O(words²) per doc).
+    */
+  def positionalShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "__w0")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val withLeads = (1 until n).foldLeft(words) { (df, k) =>
+      df.withColumn(s"__w$k", lead(col("__w0"), k).over(w))
+    }
+    withLeads
+      .filter(col(s"__w${n - 1}").isNotNull) // windows that run past the end
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", (0 until n).map(k => col(s"__w$k")): _*).as("shingle"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle) exploded. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle")).distinct()
+    positionalShingles(docs, idCol, textCol, n).select(col(idCol), col("shingle")).distinct()
 
   /** N-gram Jaccard near-dup pairs via the inverted-index join: candidate
     * pairs share at least one shingle; Jaccard is computed from shared /
