@@ -100,5 +100,9 @@ object VectorExpressions {
 
   def l2norm(a: Column): Column = GraftSqlBridge.column(L2Norm(expr(a)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Zero-norm vectors have undefined cosine → null (try_divide keeps ANSI
+    * mode from throwing DIVIDE_BY_ZERO on degenerate rows).
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.try_divide(dot(a, b), l2norm(a) * l2norm(b))
 }

@@ -43,6 +43,10 @@ object GoldenScenario {
         case "numeric_value" => df.withColumn(c, col(c).cast(FloatType))
         case n if n.endsWith("n_occurrences") || n.endsWith("n_subjects") =>
           df.withColumn(c, col(c).cast(LongType))
+        case n if n.endsWith("sum") || n.endsWith("sum_sqd") =>
+          df.withColumn(c, col(c).cast(DoubleType))
+        case n if n.contains("is_inlier") =>
+          df.withColumn(c, col(c).cast(BooleanType))
         case _ => df
       }
     }

@@ -34,6 +34,16 @@ class GoldenScenarioSpec extends SparkSpec {
       Seq("subject_id", "time", "code", "numeric_value"))
   }
 
+  test("occlude_outliers/on_raw_static_data golden scenario") {
+    val dir = s"$stagesRoot/occlude_outliers/examples/on_raw_static_data"
+    val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
+    val codes = GoldenScenario.metadataTable(spark, s"$dir/in.yaml", "codes").get
+    val out = OccludeOutliers(data, codes, stddevCutoff = 1.0)
+      .orderBy(col(Shard), col(RowIdx))
+    GoldenScenario.assertShardsEqual(out, s"$dir/out_data.yaml", spark,
+      Seq("subject_id", "time", "code", "numeric_value", "numeric_value/is_inlier"))
+  }
+
   test("extract_values golden scenario (multi-match-revise + DSL extraction)") {
     val dir = s"$stagesRoot/extract_values/examples"
     val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")

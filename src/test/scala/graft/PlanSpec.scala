@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.functions._
+import graft.meds.MedsSchema._
+import graft.operators._
+
+/** Physical-plan assertions: the properties that make operators viable at
+  * 100 TB are locked in as tests, not just claimed — metadata joins
+  * broadcast, aggregation splits partial/final, scans prune and push down,
+  * and the event table is never scanned more than necessary.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case _ => p.children.flatMap(collectNodes)
+    }
+    p +: inner
+  }
+
+  private def data = medsDf(
+    (1L, "2020-01-01 00:00:00", "HR", 10.0),
+    (2L, "2020-01-02 00:00:00", "TEMP", 20.0))
+
+  test("metadata joins are broadcast, never shuffling the event side") {
+    val codes = AggregateCodeMetadata.compute(data,
+      Seq(CodeNSubjects, CodeNOccurrences, ValuesNOccurrences, ValuesSum, ValuesSumSqd))
+    for (q <- Seq(
+      FilterMeasurements(data, codes, minOccurrencesPerCode = Some(1)),
+      OccludeOutliers(data, codes, 2.0))) {
+      val nodes = collectNodes(plan(q))
+      assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
+        s"expected a broadcast exchange:\n${plan(q)}")
+    }
+  }
+
+  test("grouped aggregation is partial+final (map-side combine)") {
+    val agg = AggregateCodeMetadata.compute(data, Seq(CodeNOccurrences, ValuesSum))
+    val hashAggs = plan(agg).toString.split("\n").count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n${plan(agg)}")
+  }
+
+  test("parquet scan prunes columns and pushes filters") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("event_type") === "click")
+      .select("event_id", "value")
+    val scan = plan(q).toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]")
+      || scan.contains("EqualTo(event_type,click)"), s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<event_id:bigint,event_type:string,value:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("per-subject windows partition by subject (no global single-partition window)") {
+    val tl = AddTimeDerivedMeasurements.timelineTokenEvents(data)
+    val s = plan(tl).toString
+    assert(!s.contains("Window [") || s.contains("windowspecdefinition(subject_id"),
+      s"window not partitioned by subject:\n$s")
+  }
+
+  test("similarity top-k compiles to TakeOrderedAndProject (no global sort)") {
+    import spark.implicits._
+    val embs = (0 until 50).map(i => (i.toLong, Array.fill(4)(i.toDouble)))
+      .toDF("vec_id", "embedding")
+    val q = graft.ops.Similarity.topK(embs, "vec_id", "embedding", Seq(1f, 0f, 0f, 0f), 5)
+    assert(plan(q).toString.contains("TakeOrderedAndProject"), s"\n${plan(q)}")
+  }
+}
