@@ -505,7 +505,8 @@ object Queries {
         r4(col("punct_ratio")).as("punct_ratio"),
         r4(col("alpha_ratio")).as("alpha_ratio"),
         r4(col("digit_ratio")).as("digit_ratio"),
-        r4(col("stopword_ratio")).as("stopword_ratio"))
+        r4(col("stopword_ratio")).as("stopword_ratio"),
+        r4(col("repetition_ratio")).as("repetition_ratio"))
       .orderBy("doc_id"),
     Some(s"""WITH t AS (
       |  SELECT doc_id, text, length(text) AS n_chars,
@@ -521,7 +522,10 @@ object Queries {
       | round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)/greatest(n_chars,1), 4) AS digit_ratio,
       | round(CASE WHEN len(words) > 0
       |   THEN CAST(len(list_filter(words, w -> list_contains(${sqlStopwords}, lower(w)))) AS DOUBLE)/len(words)
-      |   ELSE 0.0 END, 4) AS stopword_ratio
+      |   ELSE 0.0 END, 4) AS stopword_ratio,
+      | round(CASE WHEN len(words) > 0
+      |   THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)/len(words)
+      |   ELSE 0.0 END, 4) AS repetition_ratio
       |FROM t ORDER BY doc_id""".stripMargin))
 
   private def sqlStopwords: String =

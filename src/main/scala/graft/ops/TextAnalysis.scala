@@ -45,7 +45,10 @@ object TextAnalysis {
       (countMatches("[\\p{Punct}]").cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
       (countMatches("[A-Za-z]").cast("double") / greatest(nChars, lit(1))).as("alpha_ratio"),
       (countMatches("[0-9]").cast("double") / greatest(nChars, lit(1))).as("digit_ratio"),
-      when(nWords > 0, nStop.cast("double") / nWords).otherwise(0.0).as("stopword_ratio"))
+      when(nWords > 0, nStop.cast("double") / nWords).otherwise(0.0).as("stopword_ratio"),
+      // repetition: fraction of word occurrences that are repeats (Gopher-style)
+      when(nWords > 0, lit(1.0) - size(array_distinct(words)).cast("double") / nWords)
+        .otherwise(0.0).as("repetition_ratio"))
   }
 
   val DefaultStopwords: Seq[String] =
