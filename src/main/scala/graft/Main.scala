@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.config.PipelineConfig
+import graft.meds.MedsIO
+import graft.operators.Pipeline
+
+/** Pipeline CLI — the `MEDS_transform-pipeline` analog (reference
+  * runner.py:291-370): run a config-defined stage pipeline over a MEDS
+  * dataset root.
+  *
+  * {{{
+  * sbt "runMain graft.Main <pipeline.json> <inputRoot> <outputRoot>"
+  * }}}
+  *
+  * The pipeline JSON mirrors the reference's YAML surface (see
+  * config.PipelineConfig). Where the reference launches a subprocess per
+  * stage with file-lock workers and mandatory per-stage disk round-trips,
+  * this driver runs every stage on one SparkSession and writes once at the
+  * end (intermediate checkpoints available via Pipeline.run's `checkpoints`).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: graft.Main <pipeline.json> <inputRoot> <outputRoot>")
+    val Array(pipelineJson, inputRoot, outputRoot) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+
+    val parsed = PipelineConfig.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(pipelineJson)))
+    parsed.description.foreach(d => println(s"[graft] pipeline: $d"))
+    println(s"[graft] stages: ${parsed.stages.map(_.name).mkString(" -> ")}")
+
+    val input = MedsIO.read(spark, inputRoot)
+    val out = Pipeline.run(spark, input, parsed.stages)
+    MedsIO.write(out, outputRoot)
+    MedsIO.writeDatasetMetadata(outputRoot,
+      MedsIO.readDatasetMetadata(inputRoot).getOrElse("dataset_name", "dataset"),
+      "graft-" + parsed.stages.map(_.name).mkString("+"))
+    println(s"[graft] wrote ${out.data.count()} data rows, " +
+      s"${out.codes.count()} code-metadata rows to $outputRoot")
+    spark.stop()
+  }
+}
