@@ -51,6 +51,23 @@ class SessionizeSpec extends SparkSpec {
 
 class StreamingSpec extends SparkSpec {
 
+  test("streaming dedup drops repeated content within the watermark horizon") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val schema = raw.schema
+    val distinctTypes = raw.select("event_type").distinct().count()
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet("/root/testdata/sf0.001")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.streamingDedup(stream, Seq("event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      // keyed on event_type alone: exactly one survivor per type
+      assert(spark.table("dedup_out").count() == distinctTypes)
+    } finally q.stop()
+  }
+
   test("streaming windowed agg equals batch windowed agg on sf0.001 events") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
