@@ -65,19 +65,21 @@ object BinNumericValues {
       customBins: Map[String, Seq[Double]] = Map.empty,
       dropNumeric: Boolean = false,
       codeFormat: String = "{code}//{bin}//{left}//{right}"): DataFrame = {
+    // endpoints stay float32: the reference's bin-name bounds are f32 values
+    // rendered to strings ("164.68689"), and the bisect compares f32-to-f32
     val fromQuantiles =
       if (codes.columns.contains(ValuesQuantiles))
         codes.select(col(Code),
           array(quantileFields.map(q =>
-            col(ValuesQuantiles).getField(s"values/quantile/$q").cast("double")): _*)
+            col(ValuesQuantiles).getField(s"values/quantile/$q").cast("float")): _*)
             .as("__endpoints_meta"))
-      else codes.select(col(Code), lit(null).cast("array<double>").as("__endpoints_meta"))
+      else codes.select(col(Code), lit(null).cast("array<float>").as("__endpoints_meta"))
     val custom =
-      if (customBins.isEmpty) fromQuantiles.withColumn("__endpoints_custom", lit(null).cast("array<double>"))
+      if (customBins.isEmpty) fromQuantiles.withColumn("__endpoints_custom", lit(null).cast("array<float>"))
       else {
-        val cb = customBins.toSeq.foldRight(lit(null).cast("array<double>")) {
+        val cb = customBins.toSeq.foldRight(lit(null).cast("array<float>")) {
           case ((code, eps), acc) =>
-            when(col(Code) === code, array(eps.map(lit(_)): _*)).otherwise(acc)
+            when(col(Code) === code, array(eps.map(e => lit(e.toFloat)): _*)).otherwise(acc)
         }
         fromQuantiles.withColumn("__endpoints_custom", cb)
       }

@@ -44,6 +44,28 @@ class GoldenScenarioSpec extends SparkSpec {
       Seq("subject_id", "time", "code", "numeric_value", "numeric_value/is_inlier"))
   }
 
+  test("bin_numeric_values golden scenario (quantile bins, f32 bound rendering)") {
+    val dir = s"$stagesRoot/bin_numeric_values/examples"
+    val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
+    def q(a: Double, b: Double, c: Double) = struct(
+      lit(a).cast("float").as("values/quantile/0.25"),
+      lit(b).cast("float").as("values/quantile/0.5"),
+      lit(c).cast("float").as("values/quantile/0.75"))
+    // in.yaml's codes metadata is record-form YAML (nested structs); the
+    // three value-bearing codes are built directly from its values
+    import spark.implicits._
+    val codes = Seq("HEIGHT", "HR", "TEMP").toDF(Code)
+      .withColumn(ValuesQuantiles,
+        when(col(Code) === "HEIGHT", q(160.395311, 164.686884, 164.686884))
+          .when(col(Code) === "HR", q(107.5, 112.5, 113.4))
+          .otherwise(q(96.2, 99.9, 100.0)))
+    val out = BinNumericValues(data, codes,
+      codeFormat = "{code}//value_[{left},{right})")
+      .orderBy(col(Shard), col(RowIdx))
+    GoldenScenario.assertShardsEqual(out, s"$dir/out_data.yaml", spark,
+      Seq("subject_id", "time", "code", "numeric_value"))
+  }
+
   test("extract_values golden scenario (multi-match-revise + DSL extraction)") {
     val dir = s"$stagesRoot/extract_values/examples"
     val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
