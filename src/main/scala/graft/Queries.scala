@@ -254,7 +254,7 @@ object Queries {
       |  FROM events GROUP BY 1)
       |SELECT e.event_id, e.event_type AS code,
       | CASE WHEN abs(e.value - m.mu) <= 1.0*m.sd THEN e.value END AS numeric_value,
-      | CASE WHEN e.value IS NOT NULL THEN coalesce(abs(e.value - m.mu) <= 1.0*m.sd, FALSE) END AS is_inlier
+      | abs(e.value - m.mu) <= 1.0*m.sd AS is_inlier
       |FROM events e LEFT JOIN m USING(event_type) ORDER BY e.event_id""".stripMargin))
 
   private val normalization: Gate = Gate(

@@ -34,13 +34,23 @@ object MedsIO {
     val data = spark.read
       .option("recursiveFileLookup", "true") // shards live in split subdirs
       .parquet(s"$root/data")
-      .withColumn(Shard, regexp_extract(input_file_name(), """.*/data/(.+)\.parquet""", 1))
+      .withColumn(Shard,
+        // Tolerate a Hive-style layout (data/split=train/...) by stripping the
+        // partition-column prefix, so Shard is always "<split>/<file>".
+        regexp_replace(
+          regexp_extract(input_file_name(), """.*/data/(.+)\.parquet""", 1),
+          """^split=""", ""))
       .withColumn(Split, regexp_extract(col(Shard), """^([^/]+)/""", 1))
     val codes = spark.read.parquet(s"$root/metadata/codes.parquet")
+    val splitsPath = new org.apache.hadoop.fs.Path(s"$root/metadata/subject_splits.parquet")
+    val fs = splitsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Only a *missing* splits table falls back to empty; a corrupt or
+    // unreadable one must propagate (ADVICE r1: silently-empty splits made
+    // trainOnly drop every row with no error surfaced).
     val splits =
-      try spark.read.parquet(s"$root/metadata/subject_splits.parquet")
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], splitsSchema) }
+      if (fs.exists(splitsPath)) spark.read.parquet(splitsPath.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], splitsSchema)
     MedsData(data, codes, splits)
   }
 
@@ -48,6 +58,12 @@ object MedsIO {
     * (split dirs) and sorted within partitions by (subject_id, time) — the
     * MEDS invariant that every window/agg operator relies on, and what makes
     * subject-disjoint per-shard reductions correct at 100 TB.
+    *
+    * On-disk layout matches the reference (`data/<split>/<file>.parquet`,
+    * mapreduce/stage.py:64-101), NOT Hive's `data/split=<split>/`: the
+    * partitioned write is followed by a metadata-only directory rename that
+    * strips the `split=` prefix, so a graft-written root round-trips through
+    * read() with the split value intact (ADVICE r1 high).
     */
   def write(meds: MedsData, root: String): Unit = {
     val withSplit =
@@ -57,6 +73,16 @@ object MedsIO {
       .repartition(col(Split), col(SubjectId))
       .sortWithinPartitions(SubjectId, Time)
       .write.mode("overwrite").partitionBy(Split).parquet(s"$root/data")
+    // Strip Hive partition-dir prefixes: data/split=train -> data/train.
+    val dataPath = new org.apache.hadoop.fs.Path(s"$root/data")
+    val fs = dataPath.getFileSystem(
+      meds.data.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(dataPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("split="))
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dataPath, name.stripPrefix("split=")))
+    }
     meds.codes.write.mode("overwrite").parquet(s"$root/metadata/codes.parquet")
     meds.splits.write.mode("overwrite").parquet(s"$root/metadata/subject_splits.parquet")
   }

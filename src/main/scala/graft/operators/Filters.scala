@@ -84,9 +84,12 @@ object OccludeOutliers {
           sqrt(try_divide(col(ValuesSumSqd), col(ValuesNOccurrences)) - pow(mean, 2)).as("__std")): _*)
       }
     val joined = data.join(broadcast(stats), keys, "left")
+    // Raw three-valued comparison, matching occlude_outliers.py:104-109: when
+    // the code has no stats (join miss) or the value is null, is_inlier is
+    // NULL — not false — and when(is_inlier, v) still nulls the value.
     val inlier = abs(col(NumericValue) - col("__mean")) <= lit(stddevCutoff) * col("__std")
     joined
-      .withColumn(IsInlier, when(col(NumericValue).isNotNull, coalesce(inlier, lit(false))))
+      .withColumn(IsInlier, inlier)
       .withColumn(NumericValue, when(col(IsInlier), col(NumericValue)))
       .drop("__mean", "__std")
   }

@@ -151,5 +151,17 @@ class GoldenSpec extends SparkSpec {
     val after = back.data.groupBy(SubjectId).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(before == after)
+    // the split column round-trips with its VALUES intact (not "split=train"),
+    // and the on-disk layout is the reference's data/<split>/, not Hive's
+    val beforeSplits = meds.data.select(Split).distinct().collect()
+      .map(_.getString(0)).toSet
+    val afterSplits = back.data.select(Split).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(afterSplits == beforeSplits, s"splits corrupted: $afterSplits")
+    val dataDirs = new java.io.File(s"$tmp/data").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dataDirs == beforeSplits, s"expected reference layout dirs, got $dataDirs")
+    // train-only filtering over a round-tripped root still selects rows
+    assert(back.data.filter(col(Split) === "train").count() > 0)
   }
 }
