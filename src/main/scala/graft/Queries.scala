@@ -285,10 +285,12 @@ object Queries {
       val pats = Seq("^signup$", "^login", "^purchase$")
       val df = medsEvents(s, dir)
         .withColumn("order_idx", ReorderMeasurements.orderIndex(pats))
-      val w = Window.orderBy(col(SubjectId), col(Time).asc_nulls_first,
-        col("order_idx"), col("event_id"))
-      df.select(col("event_id"), col("order_idx").cast(LongType).as("order_idx"),
-        row_number().over(w).cast(LongType).as("out_pos"))
+      // scalable global position: range-partitioned row number, not a
+      // single-partition Window.orderBy
+      GraftFunctions.withGlobalRowNumber(df, "out_pos",
+        Seq(col(SubjectId), col(Time).asc_nulls_first, col("order_idx"), col("event_id")))
+        .select(col("event_id"), col("order_idx").cast(LongType).as("order_idx"),
+          col("out_pos"))
         .orderBy("event_id")
     },
     Some("""SELECT event_id, CAST(order_idx AS BIGINT) AS order_idx,
@@ -404,11 +406,11 @@ object Queries {
         MatchRevise.Block(Cfg.map("code" -> Cfg("view")),
           df => df.withColumn(NumericValue, col(NumericValue) + 1)))
       val out = MatchRevise(medsEvents(s, dir), blocks, keepOrderCols = true)
-      val w = Window.orderBy(col(SubjectId), col(Time).asc_nulls_first,
-        col(BlockIdx), col(RowIdx))
-      out.select(col("event_id"), r4(col(NumericValue)).as(NumericValue),
-        col(BlockIdx).cast(LongType).as("block"),
-        row_number().over(w).cast(LongType).as("out_pos"))
+      GraftFunctions.withGlobalRowNumber(out, "out_pos",
+        Seq(col(SubjectId), col(Time).asc_nulls_first, col(BlockIdx), col(RowIdx)))
+        .select(col("event_id"), r4(col(NumericValue)).as(NumericValue),
+          col(BlockIdx).cast(LongType).as("block"),
+          col("out_pos"))
         .orderBy("event_id")
     },
     Some("""WITH t AS (

@@ -47,16 +47,24 @@ object GraftFunctions {
   /** Word n-gram shingles as space-joined strings: one entry per window of
     * `n` consecutive tokens. Documents shorter than n words → empty array.
     *
-    * NOTE: array-returning form for composition/tests only. The `slice`
-    * inside the per-element lambda re-evaluates the token array per window
-    * (O(words²) tokenization per doc) — bulk operators use the linear
-    * row-based [[graft.ops.Dedup.positionalShingles]] instead.
+    * Linear-time construction: every reference to the token array is in
+    * ARGUMENT position (`zip_with`/`slice` operands, evaluated once per row),
+    * never inside a per-element lambda body — a `slice(tokens(text), i, n)`
+    * lambda re-tokenizes per window (O(words²) per doc; bit us in round 1).
+    * Fold step k zips the (k-1)-gram array with the tokens shifted by k-1;
+    * `concat` null-propagates past the end, and the final `filter` drops the
+    * null tail, leaving exactly size-n+1 shingles.
     */
   def wordShingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    when(size(w) < n, array().cast(ArrayType(StringType)))
-      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
+    val ws = tokens(text)
+    if (n <= 1) ws
+    else {
+      val joined = (2 to n).foldLeft(ws) { (acc, k) =>
+        zip_with(acc, slice(ws, lit(k), greatest(size(ws) - (k - 1), lit(0))),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      filter(joined, s => s.isNotNull)
+    }
   }
 
   /** Vector math on array columns: native Catalyst expressions with tight
@@ -96,6 +104,43 @@ object GraftFunctions {
       .agg(count_distinct(col(distinctCol)).as("__partial"))
       .groupBy(groupKeys.map(col): _*)
       .agg(sum(col("__partial")).as(outName))
+  }
+
+  /** Scalable global row number (1-based): the distributed equivalent of
+    * `row_number().over(Window.orderBy(sortCols))`, which funnels EVERY row
+    * through a single partition (WindowExec warns; a non-starter at 100 TB).
+    *
+    * Shape: range-partition by the sort keys (equal keys land in one
+    * partition, partitions are globally ordered), sort within partitions,
+    * read the per-partition record index out of `monotonically_increasing_id`
+    * (upper bits = partition id, lower 33 = record number in row order — so
+    * no Window exchange is needed at all), then add per-partition row-count
+    * offsets via a broadcast join. The offsets pass is a tiny count
+    * aggregation collected on the driver; the input is persisted so the
+    * range shuffle runs once across the two passes.
+    *
+    * Output values are identical to the single-partition form whenever the
+    * sort keys are unique (with ties, order among tied rows is arbitrary in
+    * both forms).
+    */
+  def withGlobalRowNumber(df: DataFrame, outCol: String, sortCols: Seq[Column]): DataFrame = {
+    val mask = (1L << 33) - 1
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
+    val spark = df.sparkSession
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
+    ranged
+      .join(broadcast(offsetsDf), shiftright(col("__mid"), 33) === col("__pid"))
+      .withColumn(outCol, col("__mid").bitwiseAND(lit(mask)) + col("__offset") + 1)
+      .drop("__mid", "__pid", "__offset")
   }
 
   /** Polars `shrink_dtype` analog (reducer.py:217, fit_vocabulary_indices

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.meds.MedsSchema._
 import graft.functions.GraftFunctions
@@ -14,11 +13,11 @@ import graft.functions.GraftFunctions
   * is reserved for UNK. Validates key uniqueness first
   * (fit_vocabulary_indices.py:98-105).
   *
-  * Scale note: this is a global total order, which in general forces a single
-  * partition. That is the correct trade here — the vocabulary is the *code
-  * metadata* table (thousands–millions of rows), never the 100 TB event
-  * table, so a one-partition window is cheap and exact. The reference's
-  * double-arg_sort trick (lines 188-195) is just `row_number` over the sort.
+  * Scale note: the global total order is computed with the range-partitioned
+  * row-number primitive (GraftFunctions.withGlobalRowNumber) — exact, and no
+  * single-partition WindowExec even if the vocabulary grows to hundreds of
+  * millions of keys. The reference's double-arg_sort trick (lines 188-195)
+  * is just `row_number` over the sort.
   */
 object FitVocabularyIndices {
 
@@ -28,8 +27,8 @@ object FitVocabularyIndices {
     if (!dup.isEmpty)
       throw new IllegalArgumentException(
         s"Duplicate (${keys.mkString(", ")}) keys in code metadata; cannot fit vocabulary")
-    val w = Window.orderBy(keys.map(k => col(k).asc_nulls_first): _*)
-    val indexed = codes.withColumn(VocabIndex, row_number().over(w).cast("long"))
+    val indexed = GraftFunctions.withGlobalRowNumber(codes, VocabIndex,
+      keys.map(k => col(k).asc_nulls_first))
     GraftFunctions.shrinkIntColumns(indexed, Seq(VocabIndex))
   }
 }

@@ -34,30 +34,47 @@ object Dedup {
     docs.select(col(idCol),
       md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fingerprint"))
 
+  /** Per-document shingle-hash arrays, assembled entirely in-row (zip_with /
+    * slice in argument position, so the token array is built once per row):
+    * tokens → word n-grams → 56-bit portable hashes. No window, no shuffle —
+    * the whole computation is one codegen'd projection, which is both the
+    * low-overhead shape at bench scale and the scalable shape (narrow
+    * transformation; parallelism = input partitions, nothing moves).
+    *
+    * `distinct` dedups shingle STRINGS within the doc before hashing (set
+    * semantics for Jaccard/MinHash/SimHash, and hash collisions keep
+    * oracle-exact counts); the positional form keeps duplicates + order
+    * (winnowing). Docs with fewer than n words are dropped, matching the
+    * exploded forms.
+    */
+  private def hashArrays(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, distinct: Boolean): DataFrame = {
+    val shingles = graft.functions.GraftFunctions.wordShingles(col(textCol), n)
+    val arr = if (distinct) array_distinct(shingles) else shingles
+    docs
+      .filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol), arr.as("__shingles"))
+      .select(col(idCol), transform(col("__shingles"), s => portableHash56(s)).as("__hs"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al.'s rolling-hash
     * sketch): hash every word n-gram, slide a window of `w` hashes, keep the
     * minimum of each window, dedup. Guarantees any shared run of ≥ w+n-1
-    * words between two documents shares a fingerprint. Computed entirely
-    * with array higher-order functions — one row per (doc, fingerprint), no
-    * per-row state.
+    * words between two documents shares a fingerprint.
+    *
+    * The sliding-window min is `array_min(slice(hs, i, w))` over the
+    * MATERIALIZED hash-array attribute — each shingle is md5-hashed exactly
+    * once (a formulation that re-derives the array inside the per-element
+    * lambda re-evaluates the hash chain per window: O(m²) md5 calls, measured
+    * 35× slower in round 1), and each window min is O(w) long comparisons.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, w: Int = 4): DataFrame = {
-    // row-based sliding-window min, NOT nested array HOFs: a
-    // transform-over-slice formulation re-evaluates the inner hash array per
-    // window element (O(m²) md5 calls per doc — measured 35× slower). This
-    // form hashes each shingle once and takes a rows-frame min; it is also
-    // the scalable shape (no per-doc arrays held in memory).
-    val sh = positionalShingles(docs, idCol, textCol, n)
-      .withColumn("h", portableHash56(col("shingle")))
-    val byDoc = Window.partitionBy(idCol)
-    val sliding = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
-    sh.withColumn("m", count(lit(1)).over(byDoc))
-      .withColumn("wmin", min(col("h")).over(sliding))
-      .filter((col("m") >= w && col("pos") <= col("m") - w) ||
-        (col("m") < w && col("pos") === 0))
-      .select(col(idCol), col("wmin").as("fingerprint"))
-      .distinct()
+    val hs = hashArrays(docs, idCol, textCol, n, distinct = false)
+    val wins = when(size(col("__hs")) < w, array(array_min(col("__hs"))))
+      .otherwise(transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
+        i => array_min(slice(col("__hs"), i, lit(w)))))
+    hs.select(col(idCol), explode(array_distinct(wins)).as("fingerprint"))
   }
 
   /** Word n-gram shingles with their start position, one row per shingle:
@@ -85,24 +102,34 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs via the inverted-index join: candidate
     * pairs share at least one shingle; Jaccard is computed from shared /
     * distinct counts. Emits (id_a < id_b, jaccard) above `threshold`.
+    *
+    * The per-doc shingle-set size rides along with each exploded shingle row
+    * (computed in-row from the array — no separate sizes aggregation or
+    * join), so the whole query is one join + one aggregation: join on the
+    * 56-bit hash (8-byte fixed-width shuffle key instead of variable
+    * strings), then count shared shingles per pair.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // join on the 56-bit shingle hash, not the shingle string: an 8-byte
-    // fixed-width shuffle key instead of variable strings. Collisions would
-    // merge shingles, but any oracle computing the same hash agrees exactly.
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .select(col(idCol), portableHash56(col("shingle")).as("shingle")).cache()
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
-    val a = sh.toDF("id_a", "shingle")
-    val b = sh.toDF("id_b", "shingle")
-    val shared = a.join(b, Seq("shingle"))
+    // hash AFTER the explode: a row-level md5 runs inside whole-stage codegen
+    // (measured ~1.5× the in-lambda interpreted form), and the cache stops
+    // the self-join from computing the shingle chain twice (~2.5× overall).
+    // The cached table is (id, n, hash) — 20 bytes/shingle, never documents.
+    val sh = docs
+      .filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol),
+        array_distinct(graft.functions.GraftFunctions.wordShingles(col(textCol), n))
+          .as("__shingles"))
+      .select(col(idCol), size(col("__shingles")).as("__n"),
+        explode(col("__shingles")).as("__s"))
+      .select(col(idCol), col("__n"), portableHash56(col("__s")).as("shingle"))
+      .cache()
+    val a = sh.toDF("id_a", "n_a", "shingle")
+    val b = sh.toDF("id_b", "n_b", "shingle")
+    a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
-      .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_shared"))
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
       .filter(col("jaccard") >= threshold)
@@ -110,20 +137,20 @@ object Dedup {
   }
 
   /** MinHash signatures in wide form: one row per doc, one `mh_i` column per
-    * permutation. Computed as numPerms parallel `min` aggregates over the
-    * shingle table — no row explosion (the naive layout shuffles
-    * |shingles| × numPerms rows; this shuffles |docs| rows of numPerms
-    * columns, all partials combined map-side).
+    * permutation, each computed as an in-row `aggregate` fold over the
+    * doc's shingle-hash array — the signature stage does zero shuffles (the
+    * exploded groupBy layout shuffles |shingles| rows; this shuffles
+    * nothing).
     */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 32, seed: Long = 42L): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .withColumn("h", portableHash56(col("shingle")))
+    val hs = hashArrays(docs, idCol, textCol, n, distinct = true)
     val mins = hashParams(numPerms, seed).zipWithIndex.map { case ((a, b), i) =>
-      min(universalHash(col("h"), a, b)).as(s"mh_$i")
+      aggregate(col("__hs"), lit(HashPrime),
+        (acc, h) => least(acc, universalHash(h, a, b))).as(s"mh_$i")
     }
-    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+    hs.select((col(idCol) +: mins): _*)
   }
 
   /** MinHash-LSH near-dup pairs: band the signature (numPerms = bands ×
@@ -160,20 +187,19 @@ object Dedup {
   }
 
   /** SimHash values: per-bit weighted majority over shingle hashes (bits of
-    * the portable hash), packed into a `numBits`-bit long.
+    * the portable hash), packed into a `numBits`-bit long. Each bit's
+    * majority sum is an in-row fold over the doc's hash array — the whole
+    * sketch is one shuffle-free projection.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numBits: Int = 32): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .withColumn("h", portableHash56(col("shingle")))
-    val bitSums = (0 until numBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bit_$b")
-    }
-    sh.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until numBits).map(b =>
-          when(col(s"bit_$b") > 0, lit(1L) * pow(lit(2.0), lit(b)).cast("long"))
-            .otherwise(0L)).reduce(_ + _).as("simhash"))
+    val hs = hashArrays(docs, idCol, textCol, n, distinct = true)
+    val packed = (0 until numBits).map { b =>
+      val bitSum = aggregate(col("__hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+    hs.select(col(idCol), packed.as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the simhash into `bands` bit-groups; pairs
