@@ -637,8 +637,31 @@ object Queries {
   private val simhashPairs: Gate = Gate(
     (s, dir) => Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
       n = 3, numBits = 32, bands = 4, maxHamming = 6)
+      .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
       .orderBy("id_a", "id_b"),
-    None) // band-blocked hamming pairs; verified rows-only + by SimHashSpec
+    Some {
+      val bitTerms = (0 until 32).map(b =>
+        s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+         |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
+         |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS h FROM sh),
+         |sv AS (SELECT doc_id, $bitTerms AS simhash FROM hashed GROUP BY doc_id),
+         |banded AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sv),
+         |keyed AS (SELECT doc_id, simhash, band,
+         |  (simhash >> CAST(band*8 AS INT)) & 255 AS key FROM banded),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.simhash AS sa, b.simhash AS sb
+         |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+         |ORDER BY 1,2""".stripMargin
+    })
 
   private val embedDupPairs: Gate = Gate(
     (s, dir) => Dedup.embeddingPairs(
@@ -693,7 +716,19 @@ object Queries {
       table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
       "vec_id", "label", "embedding", queryVec(s, dir), k = 10, nProbe = 2)
       .select(col("vec_id"), r4(col("cos")).as("cos")),
-    None) // IVF probe-cell search; recall vs brute force checked in SimilaritySpec
+    // per-label centroids via parallel unnest (zipped in DuckDB), probe the
+    // 2 closest cells, exact re-rank inside them — mirrors ivfTopK exactly
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |ex AS (SELECT label, unnest(range(1, len(v)+1)) AS dim, unnest(v) AS val FROM e),
+      |cm AS (SELECT label, dim, avg(val) AS mv FROM ex GROUP BY 1,2),
+      |cent AS (SELECT label, list(mv ORDER BY dim) AS centroid FROM cm GROUP BY 1),
+      |probe AS (SELECT label FROM cent, q
+      |  ORDER BY list_cosine_similarity(centroid, qv) DESC LIMIT 2)
+      |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+      |FROM e JOIN probe USING(label), q
+      |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+      |LIMIT 10""".stripMargin))
 
   private val knnJoin: Gate = Gate(
     (s, dir) => Similarity.knnJoin(
