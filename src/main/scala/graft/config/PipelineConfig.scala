@@ -150,23 +150,39 @@ object PipelineConfig {
       case "extract_values" => m =>
         ExtractValues(m.data, cfg.obj.toSeq.filterNot(_._1.startsWith("_")))
       case "add_time_derived_measurements" => m => {
-        val generated = cfg.obj.toSeq.collect {
+        // Sequential application in config-key order, each generator spliced
+        // new-rows-first over the ALREADY-augmented frame — so later
+        // generators' rows precede earlier ones' within a block, exactly the
+        // reference's per-functor prepend (add_time_derived_measurements
+        // .py:174-231). Timeline tokens place TIMELINE//END after the block.
+        var out = m.data
+        var applied = 0
+        cfg.obj.foreach {
+          case (_, Cfg.Null) => () // feature: None skips it, like the reference
           case ("age", ac) =>
-            AddTimeDerivedMeasurements.ageEvents(m.data,
-              ac.getStr("DOB_code").getOrElse("MEDS_BIRTH"),
-              ac.getStr("age_code").getOrElse("AGE"),
-              ac.getStr("age_unit").getOrElse("years"))
+            applied += 1
+            out = AddTimeDerivedMeasurements.splice(out,
+              AddTimeDerivedMeasurements.ageEvents(out,
+                ac.getStr("DOB_code").getOrElse("MEDS_BIRTH"),
+                ac.getStr("age_code").getOrElse("AGE"),
+                ac.getStr("age_unit").getOrElse("years")))
           case ("time_of_day", tc) =>
-            AddTimeDerivedMeasurements.timeOfDayEvents(m.data,
-              tc.getList("endpoints").collect { case I(i) => i.toInt },
-              tc.getStr("time_of_day_code").getOrElse("TIME_OF_DAY"))
+            applied += 1
+            out = AddTimeDerivedMeasurements.splice(out,
+              AddTimeDerivedMeasurements.timeOfDayEvents(out,
+                tc.getList("endpoints").collect { case I(i) => i.toInt },
+                tc.getStr("time_of_day_code").getOrElse("TIME_OF_DAY")))
           case ("timeline_tokens", tt) =>
-            AddTimeDerivedMeasurements.timelineTokenEvents(m.data,
-              tt.getStr("unit").getOrElse("days"))
+            applied += 1
+            out = AddTimeDerivedMeasurements.splice(out,
+              AddTimeDerivedMeasurements.timelineTokenEvents(out,
+                tt.getStr("time_unit").orElse(tt.getStr("unit")).getOrElse("days")),
+              tt.getStr("timeline_end_code").orElse(Some("TIMELINE//END")))
+          case (other, _) =>
+            throw new IllegalArgumentException(s"Unknown time-derived measurement: $other")
         }
-        require(generated.nonEmpty, "add_time_derived_measurements: no generators configured")
-        AddTimeDerivedMeasurements.splice(m.data,
-          generated.reduce(_.unionByName(_, allowMissingColumns = true)))
+        require(applied > 0, "add_time_derived_measurements: no generators configured")
+        out
       }
       case "bin_numeric_values" => m => {
         val custom = cfg.obj.get("custom_bins").map(_.obj.map {

@@ -20,20 +20,33 @@ import graft.meds.MedsSchema._
   */
 object AddTimeDerivedMeasurements {
 
-  /** Seconds per unit (reference utils.py:10-74 expresses these in μs). */
-  val SecondsPerUnit: Map[String, Double] = Map(
-    "seconds" -> 1.0,
-    "minutes" -> 60.0,
-    "hours" -> 3600.0,
-    "days" -> 86400.0,
-    "weeks" -> 7 * 86400.0,
-    "years" -> 365.25 * 86400.0
+  /** Canonical time units with their aliases and length in seconds —
+    * TIME_DURATION_UNITS verbatim (reference utils.py:10-18: a month is
+    * 30.436875 days, a year 365.2422 days).
+    */
+  val TimeDurationUnits: Seq[(String, Seq[String], Double)] = Seq(
+    ("seconds", Seq("s", "sec", "secs", "second", "seconds"), 1.0),
+    ("minutes", Seq("m", "min", "mins", "minute", "minutes"), 60.0),
+    ("hours", Seq("h", "hr", "hrs", "hour", "hours"), 3600.0),
+    ("days", Seq("d", "day", "days"), 86400.0),
+    ("weeks", Seq("w", "wk", "wks", "week", "weeks"), 7 * 86400.0),
+    ("months", Seq("mo", "mos", "month", "months"), 30.436875 * 86400.0),
+    ("years", Seq("y", "yr", "yrs", "year", "years"), 365.2422 * 86400.0)
   )
+
+  /** `normalize_time_unit` (utils.py:21-40): alias → (canonical, seconds). */
+  def normalizeTimeUnit(unit: String): (String, Double) =
+    TimeDurationUnits.collectFirst { case (c, as, s) if as.contains(unit) => (c, s) }
+      .getOrElse(throw new IllegalArgumentException(
+        s"Unknown time unit '$unit'. Valid: ${TimeDurationUnits.map(_._1).mkString(", ")}"))
+
+  val SecondsPerUnit: Map[String, Double] =
+    TimeDurationUnits.map { case (c, _, s) => c -> s }.toMap
 
   private def deltaIn(later: Column, earlier: Column, unit: String): Column = {
     // cast tolerates TIMESTAMP_NTZ inputs (lossless under the UTC session TZ)
     val t = (c: Column) => unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-    (t(later) - t(earlier)) / lit(SecondsPerUnit(unit) * 1e6)
+    (t(later) - t(earlier)) / lit(normalizeTimeUnit(unit)._2 * 1e6)
   }
 
   /** `unique_events` (reference utils.py:77-133): distinct non-null
@@ -88,6 +101,7 @@ object AddTimeDerivedMeasurements {
       emitStart: Boolean = true, emitEnd: Boolean = true,
       emitDeltas: Boolean = true,
       valueType: org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.FloatType): DataFrame = {
+    val canonicalUnit = normalizeTimeUnit(unit)._1 // "y" → TIMELINE//DELTA//years
     val ev = uniqueEvents(data)
     val w = Window.partitionBy(SubjectId).orderBy(Time)
     val parts = Seq.newBuilder[DataFrame]
@@ -98,7 +112,7 @@ object AddTimeDerivedMeasurements {
     if (emitDeltas)
       parts += ev.withColumn("__prev", lag(col(Time), 1).over(w))
         .filter(col("__prev").isNotNull)
-        .select(col(SubjectId), col(Time), lit(s"TIMELINE//DELTA//$unit").as(Code),
+        .select(col(SubjectId), col(Time), lit(s"TIMELINE//DELTA//$canonicalUnit").as(Code),
           deltaIn(col(Time), col("__prev"), unit).cast(valueType).as(NumericValue))
     if (emitEnd)
       parts += ev.groupBy(SubjectId).agg(max(col(Time)).as(Time))
@@ -108,10 +122,12 @@ object AddTimeDerivedMeasurements {
   }
 
   /** Splice generated rows into the data: new rows first within each
-    * (subject, time) block, stable within source order
+    * (subject, time) block, stable within source order; codes matching
+    * `newCodeLastRegex` (e.g. TIMELINE//END) go AFTER the data rows instead
     * (add_new_events_fntr, add_time_derived_measurements.py:19-171).
     */
-  def splice(data: DataFrame, newEvents: DataFrame): DataFrame = {
+  def splice(data: DataFrame, newEvents: DataFrame,
+      newCodeLastRegex: Option[String] = None): DataFrame = {
     val withIdx =
       if (data.columns.contains(RowIdx)) data
       else data.withColumn(RowIdx, monotonically_increasing_id())
@@ -130,9 +146,44 @@ object AddTimeDerivedMeasurements {
         Seq(SubjectId), "left")
     val newTagged = enriched
       .withColumn(RowIdx, monotonically_increasing_id())
-      .withColumn(BlockIdx, lit(0))
+      .withColumn(BlockIdx, newCodeLastRegex match {
+        case Some(pat) => when(col(Code).rlike(pat), lit(2)).otherwise(lit(0))
+        case None => lit(0)
+      })
     tagged.unionByName(newTagged, allowMissingColumns = true)
       .orderBy(col(SubjectId), col(Time).asc_nulls_first, col(BlockIdx), col(RowIdx))
       .drop(BlockIdx, RowIdx)
+  }
+
+  /** Full stage dispatcher mirroring add_time_derived_measurements.py:174-231:
+    * each configured generator is applied SEQUENTIALLY (so later generators'
+    * rows land before earlier ones' within a block, exactly like the
+    * reference's per-functor prepend), with timeline tokens spliced under a
+    * TIMELINE//END-last rule.
+    */
+  final case class AgeCfg(dobCodePattern: String = "MEDS_BIRTH",
+      ageCode: String = "AGE", ageUnit: String = "years")
+  final case class TimeOfDayCfg(endpoints: Seq[Int] = Seq(6, 12, 18),
+      codePrefix: String = "TIME_OF_DAY")
+  final case class TimelineCfg(timeUnit: String = "days",
+      endCodeLastRegex: Option[String] = Some("TIMELINE//END"))
+
+  def apply(data: DataFrame,
+      age: Option[AgeCfg] = None,
+      timeOfDay: Option[TimeOfDayCfg] = None,
+      timelineTokens: Option[TimelineCfg] = None,
+      valueType: org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.FloatType): DataFrame = {
+    var out = data
+    age.foreach { c =>
+      out = splice(out, ageEvents(out, c.dobCodePattern, c.ageCode, c.ageUnit, valueType))
+    }
+    timeOfDay.foreach { c =>
+      out = splice(out, timeOfDayEvents(out, c.endpoints, c.codePrefix))
+    }
+    timelineTokens.foreach { c =>
+      out = splice(out, timelineTokenEvents(out, c.timeUnit, valueType = valueType),
+        c.endCodeLastRegex)
+    }
+    out
   }
 }

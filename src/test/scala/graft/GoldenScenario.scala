@@ -67,6 +67,55 @@ object GoldenScenario {
   def metadataTable(spark: SparkSession, blocksFile: String, name: String): Option[DataFrame] =
     parseBlocks(blocksFile).get(s"metadata/$name").map(csvDf(spark, _))
 
+  /** Row-order-INsensitive metadata comparison (the reference compares
+    * metadata frames unordered, examples.py:1033-1035): sort both sides by
+    * the first column, compare the expected file's columns with the
+    * reference tolerances.
+    */
+  def assertMetadataEquals(actual: DataFrame, expectedFile: String,
+      spark: SparkSession): Unit = {
+    val csv = parseBlocks(expectedFile)("metadata/codes")
+    val exp = csvDf(spark, csv)
+    val cols = exp.columns.toSeq
+    cols.foreach(c => assert(actual.columns.contains(c), s"missing output column $c"))
+    def sorted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.sortBy(r => Option(r.get(0)).map(_.toString).getOrElse(""))
+    val ea = sorted(exp.select(cols.map(col): _*).collect())
+    val aa = sorted(actual.select(cols.map(col): _*).collect())
+    assert(aa.length == ea.length,
+      s"expected ${ea.length} metadata rows, got ${aa.length}: " +
+        s"expected codes ${ea.map(_.get(0)).mkString(",")} vs ${aa.map(_.get(0)).mkString(",")}")
+    def asNum(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case l: Long => Some(l.toDouble)
+      case i: Int => Some(i.toDouble)
+      case s: Short => Some(s.toDouble)
+      case b: Byte => Some(b.toDouble)
+      case _ => None
+    }
+    ea.zip(aa).foreach { case (e, a) =>
+      cols.zipWithIndex.foreach { case (c, i) =>
+        (e.get(i), a.get(i)) match {
+          case (null, null) => ()
+          case (ev, av) => (asNum(ev), asNum(av)) match {
+            case (Some(x), Some(y)) =>
+              assert(math.abs(x - y) <= 1e-5 + 1e-3 * math.abs(x),
+                s"code ${e.get(0)} col $c: expected $x got $y")
+            case _ => assert(ev == av, s"code ${e.get(0)} col $c: expected $ev got $av")
+          }
+        }
+      }
+    }
+  }
+
+  /** TIMESTAMP vs TIMESTAMP_NTZ values both render as the same instant under
+    * the UTC session TZ — normalize for comparison. */
+  private def norm(v: Any): Any = v match {
+    case t: java.sql.Timestamp => t.toLocalDateTime
+    case x => x
+  }
+
   /** Row-order-sensitive per-shard comparison with the reference tolerances
     * (rel 1e-3, abs 1e-5 on floats).
     */
@@ -84,7 +133,7 @@ object GoldenScenario {
         compareCols.foreach { c =>
           val ev = if (e.schema.fieldNames.contains(c)) e.getAs[Any](c) else null
           val av = a.getAs[Any](c)
-          (ev, av) match {
+          (norm(ev), norm(av)) match {
             case (null, null) => ()
             case (x: Float, y: Float) =>
               assert(math.abs(x - y) <= 1e-5 + 1e-3 * math.abs(x),

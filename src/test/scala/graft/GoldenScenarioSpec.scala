@@ -99,4 +99,102 @@ class GoldenScenarioSpec extends SparkSpec {
     GoldenScenario.assertShardsEqual(out, s"$dir/out_data.yaml", spark,
       Seq("subject_id", "time", "code", "numeric_value", "text_value"))
   }
+
+  /** The canonical `simple_static_MEDS` dataset (mapreduce/stage.py:64-168,
+    * the default input the reference's scenario harness injects) as shipped
+    * CSV — the custom_bins_fp scenario embeds it verbatim. NOTE: the older
+    * /root/reference/example/data tree is a DIFFERENT fixture (code `DOB`
+    * instead of `MEDS_BIRTH`).
+    */
+  private def simpleStaticData = GoldenScenario.shardedData(spark,
+    s"$stagesRoot/bin_numeric_values/examples/custom_bins_fp/in.yaml")
+
+  test("add_time_derived_measurements/on_raw_static_data golden scenario " +
+      "(sequential splice order, TIMELINE//END last, y→years unit)") {
+    val dir = s"$stagesRoot/add_time_derived_measurements/examples/on_raw_static_data"
+    import AddTimeDerivedMeasurements._
+    val out = AddTimeDerivedMeasurements(simpleStaticData,
+      age = Some(AgeCfg("MEDS_BIRTH", "AGE", "years")),
+      timeOfDay = Some(TimeOfDayCfg(Seq(6, 12, 18, 24))),
+      timelineTokens = Some(TimelineCfg("y")))
+    GoldenScenario.assertShardsEqual(out, s"$dir/out_data.yaml", spark,
+      Seq("subject_id", "time", "code", "numeric_value"))
+  }
+
+  test("filter_subjects golden scenario (row-order parity, all shards)") {
+    val dir = s"$stagesRoot/filter_subjects/examples"
+    val out = FilterSubjects(simpleStaticData, minEventsPerSubject = Some(5))
+      .orderBy(col(Shard), col(RowIdx))
+    GoldenScenario.assertShardsEqual(out, s"$dir/out_data.yaml", spark,
+      Seq("subject_id", "time", "code", "numeric_value"))
+  }
+
+  test("filter_measurements/match_revise golden scenario (per-block stage cfg)") {
+    val dir = s"$stagesRoot/filter_measurements/examples/match_revise"
+    val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
+    val codes = GoldenScenario.metadataTable(spark, s"$dir/in.yaml", "codes").get
+    val blocks = Seq(
+      MatchRevise.Block(Cfg.fromJson("""{"time": {"present": false}}"""), identity),
+      MatchRevise.Block(Cfg.fromJson(
+        """{"code": {"regex": "MEDS_DEATH.*|MEDS_BIRTH.*|.*ADMISSION.*|.*DISCHARGE.*"}}"""),
+        identity),
+      MatchRevise.Block(Cfg.fromJson("""{"time": {"present": true}}"""),
+        df => FilterMeasurements(df, codes, minOccurrencesPerCode = Some(10))))
+    val out = MatchRevise(data, blocks)
+    GoldenScenario.assertShardsEqual(out, s"$dir/out_data.yaml", spark,
+      Seq("subject_id", "time", "code", "numeric_value"))
+  }
+
+  test("bin_numeric_values/custom_bins_fp golden scenario (custom bins override quantiles)") {
+    val dir = s"$stagesRoot/bin_numeric_values/examples/custom_bins_fp"
+    val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
+    def q(a: Double, b: Double, c: Double) = struct(
+      lit(a).cast("float").as("values/quantile/0.25"),
+      lit(b).cast("float").as("values/quantile/0.5"),
+      lit(c).cast("float").as("values/quantile/0.75"))
+    import spark.implicits._
+    val codes = Seq("HEIGHT", "HR", "TEMP").toDF(Code)
+      .withColumn(ValuesQuantiles,
+        when(col(Code) === "HEIGHT", q(160.395311, 164.686884, 164.686884))
+          .when(col(Code) === "HR", q(107.5, 112.5, 113.4))
+          .otherwise(q(96.2, 99.9, 100.0)))
+    val out = BinNumericValues(data, codes,
+      customBins = Map("HEIGHT" -> Seq(160.0, 165.0)),
+      codeFormat = "{code}//value_[{left},{right})")
+      .orderBy(col(Shard), col(RowIdx))
+    GoldenScenario.assertShardsEqual(out, s"$dir/out_data.yaml", spark,
+      Seq("subject_id", "time", "code", "numeric_value"))
+  }
+
+  test("aggregate_code_metadata/in_example_pipeline/fit_outlier_detection golden scenario") {
+    val dir = s"$stagesRoot/aggregate_code_metadata/examples/in_example_pipeline/fit_outlier_detection"
+    val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
+      .filter(col(Shard).startsWith("train/")) // metadata stages are train-only
+    val prior = GoldenScenario.metadataTable(spark, s"$dir/in.yaml", "codes").get
+    val agg = AggregateCodeMetadata.compute(data,
+      Seq(ValuesNOccurrences, ValuesSum, ValuesSumSqd))
+    val merged = AggregateCodeMetadata.joinAndReplace(agg, prior, Seq(Code))
+    GoldenScenario.assertMetadataEquals(merged, s"$dir/out_metadata.yaml", spark)
+  }
+
+  test("aggregate_code_metadata/in_example_pipeline/fit_normalization golden scenario") {
+    val dir = s"$stagesRoot/aggregate_code_metadata/examples/in_example_pipeline/fit_normalization"
+    val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
+      .filter(col(Shard).startsWith("train/"))
+    val prior = GoldenScenario.metadataTable(spark, s"$dir/in.yaml", "codes").get
+    val agg = AggregateCodeMetadata.compute(data,
+      Seq(CodeNOccurrences, CodeNSubjects, ValuesNOccurrences, ValuesSum, ValuesSumSqd))
+    val merged = AggregateCodeMetadata.joinAndReplace(agg, prior, Seq(Code))
+    GoldenScenario.assertMetadataEquals(merged, s"$dir/out_metadata.yaml", spark)
+  }
+
+  test("occlude_outliers/in_example_pipeline golden scenario (stats from prior agg stage)") {
+    val dir = s"$stagesRoot/occlude_outliers/examples/in_example_pipeline"
+    val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
+    val codes = GoldenScenario.metadataTable(spark, s"$dir/in.yaml", "codes").get
+    val out = OccludeOutliers(data, codes, stddevCutoff = 1.0)
+      .orderBy(col(Shard), col(RowIdx))
+    GoldenScenario.assertShardsEqual(out, s"$dir/out_data.yaml", spark,
+      Seq("subject_id", "time", "code", "numeric_value", "numeric_value/is_inlier"))
+  }
 }
