@@ -46,6 +46,8 @@ object Sessionize {
   final case class SessionState(lastTs: Long, sessionIdx: Long)
   final case class SessionOut(user_id: Long, session_idx: Long, start_ts: Timestamp,
       end_ts: Timestamp, n_events: Long, sum_value: Double)
+  final case class OpenSession(sessionIdx: Long, startMs: Long, endMs: Long,
+      n: Long, sum: Double)
 
   /** Streaming sessionization: per-user state carries the last event time and
     * running session index. Emits completed-per-batch session aggregates
@@ -79,6 +81,61 @@ object Sessionize {
           cur.foreach(sessions += _)
           state.update(st)
           sessions.iterator
+      }
+  }
+
+  /** Watermark-closed streaming sessionization — the production shape: state
+    * holds at most the one OPEN session per user; sessions broken by an
+    * in-batch gap emit immediately, and the open session emits via EVENT-TIME
+    * TIMEOUT once the watermark passes `end + gap`, so every session closes
+    * exactly once even when its user goes quiet across micro-batches, and
+    * state for idle users is evicted (bounded state at any key cardinality —
+    * the property the NoTimeout variant above lacks).
+    *
+    * `watermarkDelay` is the late-data tolerance (independent of the session
+    * gap). Events later than the watermark may be dropped by the engine.
+    * Session indices restart after an eviction; only (start,end,n,sum)
+    * identity is contractual.
+    */
+  def streamingWithTimeout(events: Dataset[Ev], gapMinutes: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    def emit(userId: Long, s: OpenSession): SessionOut =
+      SessionOut(userId, s.sessionIdx, new Timestamp(s.startMs), new Timestamp(s.endMs),
+        s.n, s.sum)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, evs, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val closed = emit(userId, state.get)
+            state.remove()
+            Iterator(closed)
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val done = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  done += emit(userId, s)
+                  Some(OpenSession(s.sessionIdx + 1, t, t, 1, e.value))
+                case None =>
+                  Some(OpenSession(1, t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            done.iterator
+          }
       }
   }
 }

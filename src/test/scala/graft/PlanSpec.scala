@@ -73,4 +73,17 @@ class PlanSpec extends SparkSpec {
     val q = graft.ops.Similarity.topK(embs, "vec_id", "embedding", Seq(1f, 0f, 0f, 0f), 5)
     assert(plan(q).toString.contains("TakeOrderedAndProject"), s"\n${plan(q)}")
   }
+
+  test("sketch stages (minhash signatures, simhash, winnow) are shuffle-free") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "b c d e f g")).toDF("doc_id", "text")
+    for (q <- Seq(
+      graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, numPerms = 8),
+      graft.ops.Dedup.simhash(docs, "doc_id", "text", n = 3, numBits = 16),
+      graft.ops.Dedup.winnowFingerprints(docs, "doc_id", "text", n = 3, w = 4))) {
+      val shuffles = collectNodes(plan(q)).count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles == 0,
+        s"sketch stage should be a pure per-row projection, found $shuffles shuffles:\n${plan(q)}")
+    }
+  }
 }

@@ -47,6 +47,35 @@ class SessionizeSpec extends SparkSpec {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("watermark-timeout sessionization closes idle sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Sessionize.Ev]
+    val q = Sessionize.streamingWithTimeout(input.toDS(), gapMinutes = 30,
+      watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_timeout").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData(Sessionize.Ev(1L, ts("2020-01-01 10:00:00"), 0L, 1.0),
+        Sessionize.Ev(1L, ts("2020-01-01 10:05:00"), 1L, 2.0))
+      q.processAllAvailable()
+      // session open, nothing emitted, state held for user 1
+      assert(spark.table("sess_timeout").count() == 0)
+      // a different user's much-later event advances the watermark past
+      // user 1's end + gap (10:35); the timeout then fires on the next batch
+      input.addData(Sessionize.Ev(2L, ts("2020-01-01 12:00:00"), 2L, 5.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Ev(2L, ts("2020-01-01 12:05:00"), 3L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_timeout")
+        .select("user_id", "session_idx", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      // user 1's idle session emitted exactly once via event-time timeout;
+      // user 2's session is still open (12:05 within the gap of 12:00)
+      assert(rows == Set((1L, 1L, 2L, 3.0)))
+    } finally q.stop()
+  }
 }
 
 class StreamingSpec extends SparkSpec {
