@@ -38,26 +38,44 @@ object Pipeline {
     m.withData(d)
   }
 
+  /** A checkpointed stage output is complete when its data write finished —
+    * the `_SUCCESS` marker Spark commits atomically at the end of the job,
+    * the engine-level analog of the reference's `.logs/<stage>.done` files
+    * (runner.py:352-356). */
+  def isComplete(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/data/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Run stages sequentially; `checkpoints` maps stage name → dir to persist
     * (and re-read — cutting lineage) after that stage, providing the
     * reference's resumability boundaries without its per-stage mandatory
-    * disk round-trip.
+    * disk round-trip. With `resume` (the reference's default behavior), a
+    * checkpointed stage whose output dir is already complete is SKIPPED and
+    * its output re-read — an interrupted pipeline re-run picks up after the
+    * last finished checkpoint.
     */
   def run(
       spark: SparkSession,
       input: MedsData,
       stages: Seq[Stage],
-      checkpoints: Map[String, String] = Map.empty): MedsData = {
+      checkpoints: Map[String, String] = Map.empty,
+      resume: Boolean = true): MedsData = {
     stages.foldLeft(input) { (m, stage) =>
-      val next = stage match {
-        case DataStage(_, f) => m.withData(f(m))
-        case MetadataStage(_, f) => m.withCodes(f(trainOnly(m)))
-      }
       checkpoints.get(stage.name) match {
-        case Some(dir) =>
-          MedsIO.write(next, dir)
+        case Some(dir) if resume && isComplete(spark, dir) =>
           MedsIO.read(spark, dir)
-        case None => next
+        case cp =>
+          val next = stage match {
+            case DataStage(_, f) => m.withData(f(m))
+            case MetadataStage(_, f) => m.withCodes(f(trainOnly(m)))
+          }
+          cp match {
+            case Some(dir) =>
+              MedsIO.write(next, dir)
+              MedsIO.read(spark, dir)
+            case None => next
+          }
       }
     }
   }

@@ -75,4 +75,24 @@ class PipelineConfigSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("HR" -> "high", "TEMP" -> "temp"))
   }
+
+  test("pipeline resume skips completed checkpointed stages (.done analog)") {
+    val meds = MedsIO.read(spark, "/root/reference/example/data")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stage = Pipeline.DataStage("fs",
+      m => graft.operators.FilterSubjects(m.data, minEventsPerSubject = Some(5)))
+    val out1 = Pipeline.run(spark, meds, Seq(stage), Map("fs" -> s"$tmp/fs"))
+    val n = out1.data.count()
+    assert(Pipeline.isComplete(spark, s"$tmp/fs"))
+    // a second run must NOT execute the stage: this one throws if it does
+    val bomb = Pipeline.DataStage("fs",
+      _ => throw new RuntimeException("stage re-executed despite completed checkpoint"))
+    val out2 = Pipeline.run(spark, meds, Seq(bomb), Map("fs" -> s"$tmp/fs"))
+    assert(out2.data.count() == n)
+    // resume=false forces re-execution
+    intercept[RuntimeException] {
+      Pipeline.run(spark, meds, Seq(bomb), Map("fs" -> s"$tmp/fs"), resume = false)
+        .data.count()
+    }
+  }
 }
