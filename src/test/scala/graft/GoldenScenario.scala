@@ -67,6 +67,93 @@ object GoldenScenario {
   def metadataTable(spark: SparkSession, blocksFile: String, name: String): Option[DataFrame] =
     parseBlocks(blocksFile).get(s"metadata/$name").map(csvDf(spark, _))
 
+  /** Parse the record-form YAML metadata block (`metadata/codes.parquet:`
+    * followed by `- code: …` entries with scalar fields, one optional level
+    * of nested struct fields, and inline string lists) used by the full-agg
+    * golden scenarios. Returns one ordered field map per record; nested
+    * structs become nested maps.
+    */
+  def parseRecordMetadata(path: String,
+      blockKey: String = "metadata/codes.parquet"): Seq[Map[String, Any]] = {
+    import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    val start = lines.indexWhere(_.trim == s"$blockKey:")
+    require(start >= 0, s"$blockKey: not found in $path")
+    val body = lines.drop(start + 1)
+      .takeWhile(l => l.trim.isEmpty || l.startsWith("  "))
+    def parseVal(raw: String): Any = {
+      val v = raw.trim
+      if (v.isEmpty || v == "null") null
+      else if (v.startsWith("\"")) v.stripPrefix("\"").stripSuffix("\"")
+      else if (v.startsWith("["))
+        v.stripPrefix("[").stripSuffix("]").split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+      else
+        try { if (v.contains(".")) v.toDouble else v.toLong }
+        catch { case _: NumberFormatException => v }
+    }
+    val records = ArrayBuffer.empty[LinkedHashMap[String, Any]]
+    var nested: Option[LinkedHashMap[String, Any]] = None
+    body.foreach {
+      case l if l.trim.isEmpty => ()
+      case l if l.startsWith("  - ") =>
+        records += LinkedHashMap.empty; nested = None
+        val Array(k, v) = l.drop(4).split(":", 2)
+        records.last += k.trim -> parseVal(v)
+      case l if l.startsWith("      ") && nested.isDefined =>
+        val Array(k, v) = l.trim.split(":", 2)
+        nested.get += k.trim -> parseVal(v)
+      case l if l.startsWith("    ") =>
+        val Array(k, v) = l.trim.split(":", 2)
+        if (v.trim.isEmpty) {
+          val m = LinkedHashMap.empty[String, Any]
+          nested = Some(m); records.last += k.trim -> m
+        } else { nested = None; records.last += k.trim -> parseVal(v) }
+      case l => throw new IllegalArgumentException(s"unparsed metadata line: $l")
+    }
+    records.map(_.toMap.map {
+      case (k, m: LinkedHashMap[_, _]) =>
+        k -> m.asInstanceOf[LinkedHashMap[String, Any]].toMap
+      case kv => kv
+    }).toSeq
+  }
+
+  /** Compare a metadata DataFrame against a record-form golden file
+    * (row-order-insensitive, keyed by `code`; reference tolerances; nested
+    * quantile structs compared field-wise; null-code = all-codes row).
+    */
+  def assertRecordMetadataEquals(actual: DataFrame, expectedFile: String): Unit = {
+    val got = actual.collect().map(r => Option(r.getAs[String]("code")) -> r).toMap
+    val expected = parseRecordMetadata(expectedFile)
+    assert(got.size == expected.size, s"${got.size} rows vs ${expected.size} expected")
+    def approx(c: String, e: Double, a: Double): Unit =
+      assert(math.abs(e - a) <= 1e-5 + 1e-3 * math.abs(e), s"$c: expected $e got $a")
+    def asD(v: Any): Double = v match {
+      case d: Double => d; case f: Float => f.toDouble; case l: Long => l.toDouble
+      case i: Int => i.toDouble; case s: Short => s.toDouble; case b: Byte => b.toDouble
+    }
+    expected.foreach { rec =>
+      val code = Option(rec("code").asInstanceOf[String])
+      val row = got(code)
+      rec.foreach {
+        case ("values/quantiles", null) =>
+          assert(row.getAs[Any]("values/quantiles") == null,
+            s"$code: expected null quantiles")
+        case ("values/quantiles", qs: Map[_, _]) =>
+          val struct = row.getAs[org.apache.spark.sql.Row]("values/quantiles")
+          qs.asInstanceOf[Map[String, Any]].foreach { case (qk, qv) =>
+            approx(s"$code.$qk", asD(qv), asD(struct.getAs[Any](qk)))
+          }
+        case ("parent_codes", null) => assert(row.getAs[Any]("parent_codes") == null)
+        case ("parent_codes", pcs: Seq[_]) =>
+          assert(row.getSeq[String](row.fieldIndex("parent_codes")) == pcs)
+        case (f, null) => assert(row.getAs[Any](f) == null, s"$code.$f: expected null")
+        case (f, s: String) => assert(row.getAs[Any](f) == s, s"$code.$f")
+        case (f, v) => approx(s"$code.$f", asD(v), asD(row.getAs[Any](f)))
+      }
+    }
+  }
+
   /** Row-order-INsensitive metadata comparison (the reference compares
     * metadata frames unordered, examples.py:1033-1035): sort both sides by
     * the first column, compare the expected file's columns with the

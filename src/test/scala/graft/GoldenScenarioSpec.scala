@@ -188,6 +188,53 @@ class GoldenScenarioSpec extends SparkSpec {
     GoldenScenario.assertMetadataEquals(merged, s"$dir/out_metadata.yaml", spark)
   }
 
+  test("add_time_derived_measurements/in_example_pipeline golden scenario (age + time_of_day)") {
+    val dir = s"$stagesRoot/add_time_derived_measurements/examples/in_example_pipeline"
+    val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
+    import AddTimeDerivedMeasurements._
+    val out = AddTimeDerivedMeasurements(data,
+      age = Some(AgeCfg("MEDS_BIRTH", "AGE", "years")),
+      timeOfDay = Some(TimeOfDayCfg(Seq(6, 12, 18, 24))))
+    GoldenScenario.assertShardsEqual(out, s"$dir/out_data.yaml", spark,
+      Seq("subject_id", "time", "code", "numeric_value"))
+  }
+
+  test("aggregate_code_metadata/with_not_split_defined_shards golden scenario " +
+      "(all 10 aggs, nearest quantiles, all-codes row, flat shard layout)") {
+    val dir = s"$stagesRoot/aggregate_code_metadata/examples/with_not_split_defined_shards"
+    val all = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
+    val prior = GoldenScenario.metadataTable(spark, s"$dir/in.yaml", "codes").get
+    // no split dirs → train-only comes from the subject_splits table via the
+    // semi-join fallback (read_and_filter_fntr over splits, read_fn.py:22-86)
+    val splits = GoldenScenario.metadataTable(spark, s"$dir/in.yaml", "subject_splits").get
+    val data = Pipeline.trainOnly(MedsData(all, prior, splits)).data
+    val computed = AggregateCodeMetadata.compute(data,
+      AggregateCodeMetadata.AllAggregations, Seq(0.25, 0.5, 0.75),
+      summarizeOverAllCodes = true, quantileMode = "nearest")
+    val merged = AggregateCodeMetadata.joinAndReplace(computed, prior, Seq(Code))
+      // real codes.parquet stores parent_codes as list[str]; the CSV fixture
+      // loads it as a scalar string — lift to the contract type for compare
+      .withColumn("parent_codes",
+        when(col("parent_codes").isNotNull, array(col("parent_codes"))))
+    GoldenScenario.assertRecordMetadataEquals(merged, s"$dir/out_metadata.yaml")
+  }
+
+  test("aggregate_code_metadata/on_raw_static_data golden scenario " +
+      "(train-only via split dirs, full agg set)") {
+    val dir = s"$stagesRoot/aggregate_code_metadata/examples/on_raw_static_data"
+    val data = simpleStaticData.filter(col(Shard).startsWith("train/"))
+    val prior = GoldenScenario.metadataTable(spark,
+      s"$stagesRoot/aggregate_code_metadata/examples/with_not_split_defined_shards/in.yaml",
+      "codes").get // the canonical metadata/codes.parquet of the default dataset
+    val computed = AggregateCodeMetadata.compute(data,
+      AggregateCodeMetadata.AllAggregations, Seq(0.25, 0.5, 0.75),
+      summarizeOverAllCodes = true, quantileMode = "nearest")
+    val merged = AggregateCodeMetadata.joinAndReplace(computed, prior, Seq(Code))
+      .withColumn("parent_codes",
+        when(col("parent_codes").isNotNull, array(col("parent_codes"))))
+    GoldenScenario.assertRecordMetadataEquals(merged, s"$dir/out_metadata.yaml")
+  }
+
   test("occlude_outliers/in_example_pipeline golden scenario (stats from prior agg stage)") {
     val dir = s"$stagesRoot/occlude_outliers/examples/in_example_pipeline"
     val data = GoldenScenario.shardedData(spark, s"$dir/in.yaml")
