@@ -85,6 +85,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** K-means-lite coarse quantizer for IVF when no natural partition key
+    * (label/cluster) exists: deterministic hash-based initial cells, then
+    * `iters` Lloyd rounds. Each round is one element-wise-mean aggregation
+    * (centroids, k·dim doubles collected to the driver — always tiny) and one
+    * per-row argmax-cosine assignment against the k centroid literals, fully
+    * codegen'd — so the 100 TB side is scanned `iters + 1` times with zero
+    * extra shuffles beyond the centroid aggregation. Returns the input plus
+    * an `__cell: int` column (0..k-1); empty cells score -inf and are never
+    * chosen. Deterministic for a given (input, k, iters).
+    */
+  def kmeansAssign(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    var assigned = embs.withColumn("__cell",
+      pmod(portableHash56(col(idCol)), lit(k)).cast("int"))
+    (0 until iters).foreach { _ =>
+      val byCell = centroids(assigned, "__cell", vecCol)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val cosCols = (0 until k).map { c =>
+        byCell.get(c) match {
+          case Some(v) => cosine(col(vecCol), array(v.map(lit): _*))
+          case None => lit(Double.NegativeInfinity)
+        }
+      }
+      val scores = array(cosCols: _*)
+      assigned = embs.withColumn("__cell",
+        (array_position(scores, array_max(scores)) - 1).cast("int"))
+    }
+    assigned
+  }
+
+  /** IVF ANN without a precomputed partition key: k-means cells + probe-cell
+    * search. `nCells` ~ sqrt(N) bounds each probed cell to ~N/nCells rows.
+    */
+  def ivfTopKKmeans(embs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nCells: Int, nProbe: Int = 2,
+      iters: Int = 2): DataFrame =
+    ivfTopK(kmeansAssign(embs, idCol, vecCol, nCells, iters),
+      idCol, "__cell", vecCol, query, k, nProbe)
+
   /** All-pairs k-NN join within blocks (each left row gets its k nearest
     * right rows sharing the block key). Window-ranked, shuffle bounded by
     * block sizes.

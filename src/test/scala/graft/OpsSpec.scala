@@ -135,6 +135,36 @@ class SimilaritySpec extends SparkSpec {
     assert(gotIds.subsetOf(allowed))
   }
 
+  test("kmeans cells: deterministic, clusters co-assigned, IVF recall") {
+    val rng = new scala.util.Random(3)
+    // 3 planted clusters around orthogonal axes, small noise
+    val pts = (0 until 60).map { i =>
+      val axis = i % 3
+      val v = Array.tabulate(8)(d =>
+        (if (d == axis) 1.0 else 0.0) + rng.nextGaussian() * 0.05)
+      (i.toLong, v, axis)
+    }
+    val df = pts.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding")
+    val a1 = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 3)
+    val a2 = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 3)
+    val cells1 = a1.select("vec_id", "__cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cells2 = a2.select("vec_id", "__cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells1 == cells2) // deterministic
+    // after Lloyd rounds, each planted cluster maps to exactly one cell
+    val byAxis = pts.groupBy(_._3).view.mapValues(_.map(p => cells1(p._1)).toSet)
+    byAxis.foreach { case (axis, cells) =>
+      assert(cells.size == 1, s"cluster $axis split across cells $cells")
+    }
+    // IVF over kmeans cells with all cells probed = brute force
+    val q = Seq.tabulate(8)(d => if (d == 0) 1f else 0f)
+    val ivf = Similarity.ivfTopKKmeans(df, "vec_id", "embedding", q,
+      k = 5, nCells = 3, nProbe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = Similarity.topK(df, "vec_id", "embedding", q, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf == brute)
+  }
+
   test("knnJoin gives each row k ranked neighbors within its block") {
     val out = Similarity.knnJoin(embsDf, embsDf, "vec_id", "embedding", "label", k = 3)
     assert(out.filter(col("id_l") === 0).count() == 3)
