@@ -54,6 +54,42 @@ object Multimodal {
       (conv(substring(sha2(col("payload"), 256), 1, 6), 16, 10) % 256)
         .cast("int").as("mean_intensity"))
 
+  final case class DecodedMedia(media_id: Long, width: Int, height: Int,
+      mean_intensity: Int)
+
+  /** The deterministic stub codec in batch form: one SHA-256 instance per
+    * PARTITION (the init-once-per-batch slot a real codec/model needs),
+    * matching [[decodeStub]] bit-for-bit on non-null payloads.
+    */
+  def stubCodec(rows: Iterator[(Long, Array[Byte])]): Iterator[DecodedMedia] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256") // per-batch init
+    rows.map { case (id, payload) =>
+      val n = if (payload == null) 0 else payload.length
+      md.reset()
+      val digest = md.digest(if (payload == null) Array.emptyByteArray else payload)
+      val prefix24 = ((digest(0) & 0xffL) << 16) | ((digest(1) & 0xffL) << 8) | (digest(2) & 0xffL)
+      DecodedMedia(id, n % 640 + 1, n * 7 % 480 + 1, (prefix24 % 256).toInt)
+    }
+  }
+
+  /** Batched decode through an injectable codec — the Scala analog of a
+    * `mapInPandas` Arrow-batch UDF: the codec sees a whole partition's
+    * (id, payload) iterator and yields decoded rows, so a production
+    * implementation amortizes codec/model initialization per batch and
+    * controls batch size via `spark.sql.files.maxPartitionBytes` /
+    * `repartition`. Output schema is the fixed production contract; the
+    * default codec is the deterministic stub (no media libs here).
+    */
+  def decodeBatched(media: DataFrame,
+      codec: Iterator[(Long, Array[Byte])] => Iterator[DecodedMedia] = stubCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(codec)
+      .toDF()
+  }
+
   /** STUB frame sampling: emit `n` evenly-spaced frame indices with a
     * deterministic per-frame digest — the row-explosion plumbing (one row per
     * sampled frame, repartitionable downstream) is the real part.

@@ -224,6 +224,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() == 6)
     assert(frames.select("frame_digest").distinct().count() == 6) // per-frame digest differs
   }
+
+  test("batched decode (mapPartitions codec) matches the expression stub bit-for-bit") {
+    val docs = (0 until 50).map(i => (i.toLong, s"payload $i " * (i + 1))).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val viaExpr = Multimodal.decodeStub(media)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).intValue(),
+        r.getAs[Number](2).intValue(), r.getAs[Number](3).intValue())).toSet
+    val viaBatch = Multimodal.decodeBatched(media.repartition(4))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(viaBatch == viaExpr)
+  }
 }
 
 class FunctionsSpec extends SparkSpec {
