@@ -47,6 +47,27 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
+  /** Continuous ingestion into a MEDS dataset root: the exactly-once parquet
+    * file sink, partitioned by split, writing under `root/data`. The sink's
+    * Hive-style `split=<v>` partition dirs are transparently handled by
+    * `MedsIO.read`'s prefix-stripping, so every batch operator can run over a
+    * root a stream is still appending to. Returns the started query;
+    * checkpointing (offsets + file manifest) makes restarts exactly-once.
+    */
+  def medsSink(events: DataFrame, root: String, checkpointDir: String,
+      split: String = "train"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val withSplit =
+      if (events.columns.contains("split")) events
+      else events.withColumn("split", lit(split))
+    withSplit.writeStream
+      .format("parquet")
+      .option("path", s"$root/data")
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("split")
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming variant: parquet-directory source, 10-minute watermark. */
   def streamingWindowedAgg(spark: SparkSession, dir: String, schema: StructType,
       windowLen: String = "1 hour"): DataFrame = {

@@ -97,6 +97,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MEDS sink: appended micro-batches read back as a MEDS root") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("meds_stream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("subject_id", "time", "code", "numeric_value")
+    val q = EventStream.medsSink(events, tmp, s"$tmp/_ckpt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((1L, ts("2020-01-01 10:00:00"), "HR", 60.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("2020-01-01 11:00:00"), "TEMP", 37.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // minimal metadata so the root is a complete MEDS dataset
+    Seq(("HR", "Heart Rate")).toDF("code", "description")
+      .write.parquet(s"$tmp/metadata/codes.parquet")
+    val meds = graft.meds.MedsIO.read(spark, tmp)
+    assert(meds.data.count() == 2)
+    assert(meds.data.select(graft.meds.MedsSchema.Split).distinct().collect()
+      .map(_.getString(0)).toSet == Set("train"))
+    assert(meds.data.filter(col("code") === "TEMP").count() == 1)
+  }
+
   test("streaming windowed agg equals batch windowed agg on sf0.001 events") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
