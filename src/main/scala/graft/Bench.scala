@@ -30,6 +30,7 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      System.gc() // keep prior queries' garbage out of this query's timing
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -21,8 +21,12 @@ import graft.operators.Pipeline
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: graft.Main <pipeline.json> <inputRoot> <outputRoot>")
-    val Array(pipelineJson, inputRoot, outputRoot) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: graft.Main <pipeline.json> <inputRoot> <outputRoot> [checkpointRoot]")
+    val Array(pipelineJson, inputRoot, outputRoot) = args.take(3)
+    // with a checkpoint root, every stage persists to <root>/<idx>_<name> and
+    // a re-run resumes after the last completed stage (runner.py .done files)
+    val checkpointRoot = args.lift(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -39,8 +43,12 @@ object Main {
     parsed.description.foreach(d => println(s"[graft] pipeline: $d"))
     println(s"[graft] stages: ${parsed.stages.map(_.name).mkString(" -> ")}")
 
+    val checkpoints = checkpointRoot.map { root =>
+      parsed.stages.zipWithIndex
+        .map { case (s, i) => s.name -> f"$root/$i%02d_${s.name}" }.toMap
+    }.getOrElse(Map.empty[String, String])
     val input = MedsIO.read(spark, inputRoot)
-    val out = Pipeline.run(spark, input, parsed.stages)
+    val out = Pipeline.run(spark, input, parsed.stages, checkpoints)
     MedsIO.write(out, outputRoot)
     MedsIO.writeDatasetMetadata(outputRoot,
       MedsIO.readDatasetMetadata(inputRoot).getOrElse("dataset_name", "dataset"),
