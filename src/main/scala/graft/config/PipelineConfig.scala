@@ -174,10 +174,15 @@ object PipelineConfig {
                 tc.getStr("time_of_day_code").getOrElse("TIME_OF_DAY")))
           case ("timeline_tokens", tt) =>
             applied += 1
+            val endCode = tt.getStr("timeline_end_code").getOrElse("TIMELINE//END")
             out = AddTimeDerivedMeasurements.splice(out,
               AddTimeDerivedMeasurements.timelineTokenEvents(out,
-                tt.getStr("time_unit").orElse(tt.getStr("unit")).getOrElse("days")),
-              tt.getStr("timeline_end_code").orElse(Some("TIMELINE//END")))
+                tt.getStr("time_unit").orElse(tt.getStr("unit")).getOrElse("days"),
+                startCode = tt.getStr("timeline_start_code").getOrElse("TIMELINE//START"),
+                endCode = endCode,
+                deltaCodeTemplate =
+                  tt.getStr("time_delta_code").getOrElse("TIMELINE//DELTA//{time_unit}")),
+              Some(endCode))
           case (other, _) =>
             throw new IllegalArgumentException(s"Unknown time-derived measurement: $other")
         }

@@ -100,23 +100,30 @@ object AddTimeDerivedMeasurements {
   def timelineTokenEvents(data: DataFrame, unit: String = "days",
       emitStart: Boolean = true, emitEnd: Boolean = true,
       emitDeltas: Boolean = true,
-      valueType: org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.FloatType): DataFrame = {
-    val canonicalUnit = normalizeTimeUnit(unit)._1 // "y" → TIMELINE//DELTA//years
+      valueType: org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.FloatType,
+      startCode: String = "TIMELINE//START",
+      endCode: String = "TIMELINE//END",
+      deltaCodeTemplate: String = "TIMELINE//DELTA//{time_unit}"): DataFrame = {
+    // token codes are configurable per the reference (timeline_tokens.py:
+    // timeline_start_code / timeline_end_code / time_delta_code with a
+    // {time_unit} slot filled with the canonical unit name, "y" → "years")
+    val canonicalUnit = normalizeTimeUnit(unit)._1
+    val deltaCode = deltaCodeTemplate.replace("{time_unit}", canonicalUnit)
     val ev = uniqueEvents(data)
     val w = Window.partitionBy(SubjectId).orderBy(Time)
     val parts = Seq.newBuilder[DataFrame]
     if (emitStart)
       parts += ev.groupBy(SubjectId).agg(min(col(Time)).as(Time))
-        .select(col(SubjectId), col(Time), lit("TIMELINE//START").as(Code),
+        .select(col(SubjectId), col(Time), lit(startCode).as(Code),
           lit(null).cast(valueType).as(NumericValue))
     if (emitDeltas)
       parts += ev.withColumn("__prev", lag(col(Time), 1).over(w))
         .filter(col("__prev").isNotNull)
-        .select(col(SubjectId), col(Time), lit(s"TIMELINE//DELTA//$canonicalUnit").as(Code),
+        .select(col(SubjectId), col(Time), lit(deltaCode).as(Code),
           deltaIn(col(Time), col("__prev"), unit).cast(valueType).as(NumericValue))
     if (emitEnd)
       parts += ev.groupBy(SubjectId).agg(max(col(Time)).as(Time))
-        .select(col(SubjectId), col(Time), lit("TIMELINE//END").as(Code),
+        .select(col(SubjectId), col(Time), lit(endCode).as(Code),
           lit(null).cast(valueType).as(NumericValue))
     parts.result().reduce(_ unionByName _)
   }

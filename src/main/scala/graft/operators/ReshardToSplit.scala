@@ -35,17 +35,33 @@ object ReshardToSplit {
     * permutation is not a scale hazard; semantics match the reference in
     * structure (its numpy RNG stream is not reproducible outside numpy).
     */
-  def assignShardsSeeded(splits: DataFrame, nShards: Int, seed: Long = 0L): DataFrame = {
+  def assignShardsSeeded(splits: DataFrame, nShards: Int, seed: Long = 0L): DataFrame =
+    assignShardsWith(splits, _ => nShards, seed)
+
+  /** Reference default sizing (`n_subjects_per_shard`, reshard_to_split
+    * .py:25-31): per split, shard count = ceil(n / maxPerShard) — shards of a
+    * consistent bounded size regardless of split cardinality.
+    */
+  def assignShardsBySize(splits: DataFrame, nSubjectsPerShard: Int,
+      seed: Long = 0L): DataFrame = {
+    require(nSubjectsPerShard > 0)
+    assignShardsWith(splits,
+      n => math.max(1, math.ceil(n.toDouble / nSubjectsPerShard).toInt), seed)
+  }
+
+  private def assignShardsWith(splits: DataFrame, shardCount: Int => Int,
+      seed: Long): DataFrame = {
     val rows = splits.select(Split, SubjectId).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val assigned = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (split, members) =>
       val rng = new scala.util.Random(seed ^ split.hashCode.toLong)
       val perm = rng.shuffle(members.map(_._2).sorted.toSeq)
       val n = perm.length
-      val base = n / nShards
-      val extra = n % nShards
+      val k = shardCount(n)
+      val base = n / k
+      val extra = n % k
       var idx = 0
-      (0 until nShards).flatMap { s =>
+      (0 until k).flatMap { s =>
         val len = base + (if (s < extra) 1 else 0)
         val chunk = perm.slice(idx, idx + len)
         idx += len
@@ -55,6 +71,27 @@ object ReshardToSplit {
     val spark = splits.sparkSession
     import spark.implicits._
     assigned.toDF(SubjectId, Split, Shard)
+  }
+
+  /** Generate IID splits from fractions when no external splits exist
+    * (shard_subjects' split_fracs_dict, reshard_to_split.py:29,85): seeded
+    * permutation of the distinct cohort, sliced at the cumulative-fraction
+    * boundaries. Fractions must sum to 1.
+    */
+  def assignSplitsByFrac(subjects: DataFrame, fracs: Seq[(String, Double)],
+      seed: Long = 1L): DataFrame = {
+    require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9, s"fractions must sum to 1: $fracs")
+    val ids = subjects.select(SubjectId).distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val rng = new scala.util.Random(seed)
+    val perm = rng.shuffle(ids)
+    val n = perm.length
+    val bounds = fracs.map(_._2).scanLeft(0.0)(_ + _).map(f => math.round(f * n).toInt)
+    val assigned = fracs.zipWithIndex.flatMap { case ((name, _), i) =>
+      perm.slice(bounds(i), bounds(i + 1)).map(id => (id, name))
+    }
+    val spark = subjects.sparkSession
+    import spark.implicits._
+    assigned.toDF(SubjectId, Split)
   }
 
   def apply(data: DataFrame, splits: DataFrame, nShards: Int): DataFrame = {

@@ -314,6 +314,37 @@ class ReshardSpec extends SparkSpec {
     assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
   }
 
+  test("n_subjects_per_shard sizing: shard count = ceil(n / size) per split") {
+    val splits = spark.createDataFrame(
+      (1L to 10L).map(i => (i, if (i <= 7) "train" else "tuning")))
+      .toDF("subject_id", "split")
+    val a = ReshardToSplit.assignShardsBySize(splits, nSubjectsPerShard = 3)
+    val counts = a.groupBy("split").agg(
+      org.apache.spark.sql.functions.countDistinct("shard").as("k"),
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("shard")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") == 3) // ceil(7/3)
+    assert(counts("tuning") == 1) // ceil(3/3)
+    // no shard exceeds the size bound
+    val maxSize = a.groupBy("split", "shard").count().collect().map(_.getLong(2)).max
+    assert(maxSize <= 3)
+  }
+
+  test("split_fracs assignment: seeded permutation sliced by fractions") {
+    val subjects = spark.createDataFrame((1L to 20L).map(Tuple1(_))).toDF("subject_id")
+    val a = ReshardToSplit.assignSplitsByFrac(subjects,
+      Seq("train" -> 0.8, "tuning" -> 0.1, "held_out" -> 0.1), seed = 1L)
+    val sizes = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("train" -> 16L, "tuning" -> 2L, "held_out" -> 2L))
+    // every subject assigned exactly once, deterministically
+    assert(a.select("subject_id").distinct().count() == 20)
+    val b = ReshardToSplit.assignSplitsByFrac(subjects,
+      Seq("train" -> 0.8, "tuning" -> 0.1, "held_out" -> 0.1), seed = 1L)
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+  }
+
   test("subjects are assigned deterministically and data joins splits") {
     val d = medsDf(
       (1L, "2020-01-01 00:00:00", "HR", 1.0),
