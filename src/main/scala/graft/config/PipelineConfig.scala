@@ -190,14 +190,25 @@ object PipelineConfig {
         out
       }
       case "bin_numeric_values" => m => {
+        // custom_bins values may be the reference's dict form (bin name →
+        // endpoint, insertion-ordered least→greatest) or a plain list
         val custom = cfg.obj.get("custom_bins").map(_.obj.map {
           case (code, L(eps)) => code -> eps.collect { case D(d) => d; case I(i) => i.toDouble }
+          case (code, m0 @ Cfg.M(_)) =>
+            code -> m0.obj.values.toSeq.collect { case D(d) => d; case I(i) => i.toDouble }
           case (code, other) => throw new IllegalArgumentException(s"bad bins for $code: $other")
         }).getOrElse(Map.empty)
+        val binWith = cfg.strings("bin_with_columns") match {
+          case Nil => Seq(graft.meds.MedsSchema.ValuesQuantiles)
+          case cols => cols
+        }
         BinNumericValues(m.data, m.codes,
+          binWithColumns = binWith,
           customBins = custom.toMap,
-          dropNumeric = cfg.getBool("drop_numeric_value").getOrElse(false),
-          codeFormat = cfg.getStr("code_format").getOrElse("{code}//{bin}//{left}//{right}"))
+          dropNumeric = cfg.getBool("do_drop_numeric_value")
+            .orElse(cfg.getBool("drop_numeric_value")).getOrElse(false),
+          codeFormat = cfg.getStr("code_with_bin_name").orElse(cfg.getStr("code_format"))
+            .getOrElse("{code}//value_[{left},{right})"))
       }
       case other =>
         throw new IllegalArgumentException(s"unknown stage: $other")

@@ -52,28 +52,42 @@ object BinNumericValues {
     */
   private val FormatField = """\{(code|bin|left|right)\}""".r
 
-  /** @param customBins  code → sorted endpoints, overriding metadata quantiles
+  /** @param binWithColumns metadata struct columns holding bin endpoints, in
+    *                    priority order — the first non-null column is used per
+    *                    code (`bin_with_columns`, default ["values/quantiles"],
+    *                    bin_numeric_values.py:403-414); struct field order
+    *                    gives the endpoints least → greatest
+    * @param customBins  code → sorted endpoints, overriding every metadata
+    *                    column
     * @param dropNumeric if true, binned rows get numeric_value = null
     * @param codeFormat  bin-name template over {code},{bin},{left},{right},
-    *                    e.g. the reference doctest's
-    *                    "{code}//value_[{left},{right})"
+    *                    e.g. the reference default "{code}//value_[{left},{right})"
     */
   def apply(
       data: DataFrame,
       codes: DataFrame,
-      quantileFields: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      binWithColumns: Seq[String] = Seq(ValuesQuantiles),
       customBins: Map[String, Seq[Double]] = Map.empty,
       dropNumeric: Boolean = false,
       codeFormat: String = "{code}//{bin}//{left}//{right}"): DataFrame = {
     // endpoints stay float32: the reference's bin-name bounds are f32 values
     // rendered to strings ("164.68689"), and the bisect compares f32-to-f32
-    val fromQuantiles =
-      if (codes.columns.contains(ValuesQuantiles))
-        codes.select(col(Code),
-          array(quantileFields.map(q =>
-            col(ValuesQuantiles).getField(s"values/quantile/$q").cast("float")): _*)
-            .as("__endpoints_meta"))
-      else codes.select(col(Code), lit(null).cast("array<float>").as("__endpoints_meta"))
+    val structCols = binWithColumns.filter(codes.columns.contains)
+    val endpointArrays = structCols.map { c =>
+      codes.schema(c).dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          when(col(c).isNotNull,
+            array(st.fieldNames.map(f => col(c).getField(f).cast("float")): _*))
+        case other => throw new IllegalArgumentException(
+          s"bin_with_columns entry $c must be a struct of endpoints, got $other")
+      }
+    }
+    val metaEndpoints = endpointArrays match {
+      case Nil => lit(null).cast("array<float>")
+      case single :: Nil => single
+      case many => coalesce(many: _*)
+    }
+    val fromQuantiles = codes.select(col(Code), metaEndpoints.as("__endpoints_meta"))
     val custom =
       if (customBins.isEmpty) fromQuantiles.withColumn("__endpoints_custom", lit(null).cast("array<float>"))
       else {

@@ -225,6 +225,23 @@ class BinNumericValuesSpec extends SparkSpec {
     assert(out.getString(0) == "X//2//2.0//inf")
     assert(out.getAs[Any](1) == null)
   }
+
+  test("bin_with_columns: first non-null struct column wins per code") {
+    val d = medsDf(
+      (1L, "2020-01-01 00:00:00", "A", 5.0),
+      (1L, "2020-01-01 00:00:00", "B", 5.0))
+    // A has both columns (priority col wins: endpoint 4 → bin 1);
+    // B only has the fallback quantiles (endpoint 6 → bin 0)
+    val codes = spark.createDataFrame(Seq(("A", true), ("B", false))).toDF(Code, "hasPri")
+      .withColumn("priority_bins",
+        when(col("hasPri"), struct(lit(4.0f).as("p"))))
+      .withColumn(ValuesQuantiles, struct(lit(6.0f).as("q")))
+    val out = BinNumericValues(d, codes,
+      binWithColumns = Seq("priority_bins", ValuesQuantiles),
+      codeFormat = "{code}//{bin}")
+      .select(Code).collect().map(_.getString(0)).toSet
+    assert(out == Set("A//1", "B//0"))
+  }
 }
 
 class TimeDerivedSpec extends SparkSpec {
