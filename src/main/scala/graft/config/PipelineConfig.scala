@@ -98,7 +98,12 @@ object PipelineConfig {
       Pipeline.MetadataStage(name, m =>
         FitVocabularyIndices(m.codes, cfg.strings("code_modifiers")))
     case _ =>
-      Pipeline.DataStage(name, m => dataTransform(baseStage, cfg)(m))
+      // a data stage may opt into train-only input via a config override
+      // (pipeline.py:430 lets config_overwrites set train_only on any stage)
+      if (cfg.getBool("train_only").getOrElse(false))
+        Pipeline.DataStage(name, m => dataTransform(baseStage, cfg)(Pipeline.trainOnly(m)))
+      else
+        Pipeline.DataStage(name, m => dataTransform(baseStage, cfg)(m))
   }
 
   /** Data-stage transformation for `baseStage` under `cfg`; `_match_revise`
@@ -192,12 +197,19 @@ object PipelineConfig {
       case "bin_numeric_values" => m => {
         // custom_bins values may be the reference's dict form (bin name →
         // endpoint, insertion-ordered least→greatest) or a plain list
-        val custom = cfg.obj.get("custom_bins").map(_.obj.map {
+        def parseBins(c: Cfg): Map[String, Seq[Double]] = c.obj.map {
           case (code, L(eps)) => code -> eps.collect { case D(d) => d; case I(i) => i.toDouble }
           case (code, m0 @ Cfg.M(_)) =>
             code -> m0.obj.values.toSeq.collect { case D(d) => d; case I(i) => i.toDouble }
           case (code, other) => throw new IllegalArgumentException(s"bad bins for $code: $other")
-        }).getOrElse(Map.empty)
+        }.toMap
+        // custom_bins_filepath: same structure from a JSON file (the
+        // reference reads YAML; this engine's config surface is JSON),
+        // inline custom_bins entries win on collision
+        val fileBins = cfg.getStr("custom_bins_filepath").map { p =>
+          parseBins(Cfg.fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+        }.getOrElse(Map.empty[String, Seq[Double]])
+        val custom = fileBins ++ cfg.obj.get("custom_bins").map(parseBins).getOrElse(Map.empty)
         val binWith = cfg.strings("bin_with_columns") match {
           case Nil => Seq(graft.meds.MedsSchema.ValuesQuantiles)
           case cols => cols

@@ -76,6 +76,15 @@ class PipelineConfigSpec extends SparkSpec {
     assert(got == Map("HR" -> "high", "TEMP" -> "temp"))
   }
 
+  test("data stage with train_only override sees only train-split rows") {
+    val json =
+      """{"stages": [{"filter_subjects": {"min_events_per_subject": 1, "train_only": true}}]}"""
+    val meds = MedsIO.read(spark, "/root/reference/example/data")
+    val out = Pipeline.run(spark, meds, PipelineConfig.fromJson(json).stages)
+    val splits = out.data.select(Split).distinct().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train"))
+  }
+
   test("pipeline resume skips completed checkpointed stages (.done analog)") {
     val meds = MedsIO.read(spark, "/root/reference/example/data")
     val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
