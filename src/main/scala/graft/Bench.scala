@@ -38,7 +38,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persisted to a file: sbt prefixes stdout with [info], which some
+    // log parsers trip over — the file carries the bare JSON line
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LATEST.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
