@@ -724,7 +724,7 @@ object Queries {
       |cm AS (SELECT label, dim, avg(val) AS mv FROM ex GROUP BY 1,2),
       |cent AS (SELECT label, list(mv ORDER BY dim) AS centroid FROM cm GROUP BY 1),
       |probe AS (SELECT label FROM cent, q
-      |  ORDER BY list_cosine_similarity(centroid, qv) DESC LIMIT 2)
+      |  ORDER BY list_cosine_similarity(centroid, qv) DESC, label LIMIT 2)
       |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos
       |FROM e JOIN probe USING(label), q
       |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id

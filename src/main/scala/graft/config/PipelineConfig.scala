@@ -29,6 +29,12 @@ object PipelineConfig {
     val m = cfg.asInstanceOf[M].v
     val desc = m.get("description").collect { case S(s) => s }
     val stages = m("stages").asInstanceOf[L].v.map(parseStageEntry)
+    // stage names key checkpoint dirs and resume lookups — duplicates would
+    // silently collapse two stages onto one checkpoint, so reject them
+    val dups = stages.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate stage names ${dups.mkString(", ")}: give repeated stages distinct " +
+        "names with _base_stage aliasing")
     Parsed(desc, stages)
   }
 
@@ -99,11 +105,15 @@ object PipelineConfig {
         FitVocabularyIndices(m.codes, cfg.strings("code_modifiers")))
     case _ =>
       // a data stage may opt into train-only input via a config override
-      // (pipeline.py:430 lets config_overwrites set train_only on any stage)
+      // (pipeline.py:430 lets config_overwrites set train_only on any stage);
+      // the key is ORCHESTRATION config — strip it so stage builders (e.g.
+      // extract_values' {out_col: expr} map, the ATDM generator dispatch)
+      // never see it as stage config
+      val stageCfg = cfg match { case M(m0) => M(m0 - "train_only"); case c => c }
       if (cfg.getBool("train_only").getOrElse(false))
-        Pipeline.DataStage(name, m => dataTransform(baseStage, cfg)(Pipeline.trainOnly(m)))
+        Pipeline.DataStage(name, m => dataTransform(baseStage, stageCfg)(Pipeline.trainOnly(m)))
       else
-        Pipeline.DataStage(name, m => dataTransform(baseStage, cfg)(m))
+        Pipeline.DataStage(name, m => dataTransform(baseStage, stageCfg)(m))
   }
 
   /** Data-stage transformation for `baseStage` under `cfg`; `_match_revise`
@@ -155,44 +165,38 @@ object PipelineConfig {
       case "extract_values" => m =>
         ExtractValues(m.data, cfg.obj.toSeq.filterNot(_._1.startsWith("_")))
       case "add_time_derived_measurements" => m => {
-        // Sequential application in config-key order, each generator spliced
-        // new-rows-first over the ALREADY-augmented frame — so later
-        // generators' rows precede earlier ones' within a block, exactly the
-        // reference's per-functor prepend (add_time_derived_measurements
-        // .py:174-231). Timeline tokens place TIMELINE//END after the block.
-        var out = m.data
-        var applied = 0
-        cfg.obj.foreach {
-          case (_, Cfg.Null) => () // feature: None skips it, like the reference
-          case ("age", ac) =>
-            applied += 1
-            out = AddTimeDerivedMeasurements.splice(out,
-              AddTimeDerivedMeasurements.ageEvents(out,
-                ac.getStr("DOB_code").getOrElse("MEDS_BIRTH"),
-                ac.getStr("age_code").getOrElse("AGE"),
-                ac.getStr("age_unit").getOrElse("years")))
-          case ("time_of_day", tc) =>
-            applied += 1
-            out = AddTimeDerivedMeasurements.splice(out,
-              AddTimeDerivedMeasurements.timeOfDayEvents(out,
-                tc.getList("endpoints").collect { case I(i) => i.toInt },
-                tc.getStr("time_of_day_code").getOrElse("TIME_OF_DAY")))
+        // Generators in config-key order through the sequential-semantics,
+        // single-sort driver (addAll): later generators' rows precede earlier
+        // ones' within a block — the reference's per-functor prepend
+        // (add_time_derived_measurements.py:174-231) — and TIMELINE//END
+        // lands after the block, all with ONE global sort.
+        import AddTimeDerivedMeasurements.Generator
+        val gens = cfg.obj.toSeq.collect {
+          case (_, Cfg.Null) => None // feature: None skips it, like the reference
+          case ("age", ac) => Some(Generator(df =>
+            AddTimeDerivedMeasurements.ageEvents(df,
+              ac.getStr("DOB_code").getOrElse("MEDS_BIRTH"),
+              ac.getStr("age_code").getOrElse("AGE"),
+              ac.getStr("age_unit").getOrElse("years"))))
+          case ("time_of_day", tc) => Some(Generator(df =>
+            AddTimeDerivedMeasurements.timeOfDayEvents(df,
+              tc.getList("endpoints").collect { case I(i) => i.toInt },
+              tc.getStr("time_of_day_code").getOrElse("TIME_OF_DAY"))))
           case ("timeline_tokens", tt) =>
-            applied += 1
             val endCode = tt.getStr("timeline_end_code").getOrElse("TIMELINE//END")
-            out = AddTimeDerivedMeasurements.splice(out,
-              AddTimeDerivedMeasurements.timelineTokenEvents(out,
+            Some(Generator(df =>
+              AddTimeDerivedMeasurements.timelineTokenEvents(df,
                 tt.getStr("time_unit").orElse(tt.getStr("unit")).getOrElse("days"),
                 startCode = tt.getStr("timeline_start_code").getOrElse("TIMELINE//START"),
                 endCode = endCode,
                 deltaCodeTemplate =
                   tt.getStr("time_delta_code").getOrElse("TIMELINE//DELTA//{time_unit}")),
-              Some(endCode))
+              Some(endCode)))
           case (other, _) =>
             throw new IllegalArgumentException(s"Unknown time-derived measurement: $other")
-        }
-        require(applied > 0, "add_time_derived_measurements: no generators configured")
-        out
+        }.flatten
+        require(gens.nonEmpty, "add_time_derived_measurements: no generators configured")
+        AddTimeDerivedMeasurements.addAll(m.data, gens)
       }
       case "bin_numeric_values" => m => {
         // custom_bins values may be the reference's dict form (bin name →

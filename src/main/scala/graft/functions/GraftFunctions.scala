@@ -115,20 +115,22 @@ object GraftFunctions {
     * read the per-partition record index out of `monotonically_increasing_id`
     * (upper bits = partition id, lower 33 = record number in row order — so
     * no Window exchange is needed at all), then add per-partition row-count
-    * offsets via a broadcast join. The offsets pass is a tiny count
-    * aggregation collected on the driver; the input is persisted so the
-    * range shuffle runs once across the two passes.
+    * offsets via a broadcast join.
     *
-    * Output values are identical to the single-partition form whenever the
-    * sort keys are unique (with ties, order among tied rows is arbitrary in
-    * both forms).
+    * The sort keys MUST form a total order (append a unique tiebreaker
+    * column otherwise): the offsets pass and the numbering pass execute the
+    * range partition independently — deterministic for a total order (range
+    * sampling is seed-fixed), but tied rows could permute between passes and
+    * duplicate/skip numbers. The input is deliberately NOT cached (both
+    * passes prune aggressively, and an engine-internal persist would leak
+    * for the session's lifetime); callers with expensive upstreams should
+    * persist explicitly around the call.
     */
   def withGlobalRowNumber(df: DataFrame, outCol: String, sortCols: Seq[Column]): DataFrame = {
     val mask = (1L << 33) - 1
     val ranged = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = ranged
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__cnt"))

@@ -65,7 +65,17 @@ object MedsIO {
     * strips the `split=` prefix, so a graft-written root round-trips through
     * read() with the split value intact (ADVICE r1 high).
     */
+  /** Marker committed LAST by write(): its presence proves data AND both
+    * metadata tables finished (data/_SUCCESS alone only covers the data job
+    * — a crash between it and the metadata writes must not look complete).
+    */
+  val CompleteMarker = "_GRAFT_COMPLETE"
+
   def write(meds: MedsData, root: String): Unit = {
+    val markerPath = new org.apache.hadoop.fs.Path(s"$root/$CompleteMarker")
+    val markerFs = markerPath.getFileSystem(
+      meds.data.sparkSession.sparkContext.hadoopConfiguration)
+    markerFs.delete(markerPath, false) // a rewrite invalidates prior completion
     val withSplit =
       if (meds.data.columns.contains(Split)) meds.data
       else meds.data.withColumn(Split, lit(TrainSplit))
@@ -85,6 +95,7 @@ object MedsIO {
     }
     meds.codes.write.mode("overwrite").parquet(s"$root/metadata/codes.parquet")
     meds.splits.write.mode("overwrite").parquet(s"$root/metadata/subject_splits.parquet")
+    markerFs.create(markerPath, true).close()
   }
 
   /** Attach the engine-wide stable-order row index (monotonic within the

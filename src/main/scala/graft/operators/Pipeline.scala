@@ -38,12 +38,13 @@ object Pipeline {
     m.withData(d)
   }
 
-  /** A checkpointed stage output is complete when its data write finished —
-    * the `_SUCCESS` marker Spark commits atomically at the end of the job,
-    * the engine-level analog of the reference's `.logs/<stage>.done` files
-    * (runner.py:352-356). */
+  /** A checkpointed stage output is complete only when MedsIO.write's own
+    * completion marker exists — committed AFTER the data job's `_SUCCESS`
+    * and both metadata tables, so a crash mid-write can never be mistaken
+    * for a finished stage. The engine-level analog of the reference's
+    * `.logs/<stage>.done` files (runner.py:352-356). */
   def isComplete(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/data/_SUCCESS")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/${MedsIO.CompleteMarker}")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 

@@ -77,7 +77,9 @@ object Similarity {
     val cents = centroids(embs, keyCol, vecCol)
     val probeCells = cents
       .withColumn("qcos", cosine(col("centroid"), q))
-      .orderBy(col("qcos").desc).limit(nProbe)
+      // key tiebreaker: a centroid-cosine tie must not make probe selection
+      // engine- or run-dependent (the oracle orders identically)
+      .orderBy(col("qcos").desc, col(keyCol)).limit(nProbe)
       .select(keyCol)
     bruteForceScores(
       embs.join(broadcast(probeCells), Seq(keyCol), "left_semi"), idCol, vecCol, query)

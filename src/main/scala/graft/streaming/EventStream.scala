@@ -30,20 +30,18 @@ object EventStream {
     * non-event-time subset would grow state without bound; this API exists for
     * exactly that, Spark 3.5+). Streaming analog of ops.Dedup.exact.
     *
-    * The hash input distinguishes nulls from absent values: each column is
-    * coalesced to a NUL-prefixed sentinel before the NUL-separated concat, so
-    * (a, null, b) and (a, b, null) hash differently (concat_ws alone skips
-    * null columns entirely).
+    * The combined hash is unambiguous: each column is md5'd SEPARATELY
+    * (fixed-width hex) before the join, so no value can smuggle a separator
+    * across column boundaries, and a null column's "NULL" sentinel cannot
+    * collide with any md5 output (hex-only). (a, null, b) vs (a, b, null)
+    * and ("a,b", "c") vs ("a", "b,c") all hash differently.
     */
-  // ASCII-safe NUL separator (a literal byte in source breaks git diffing).
-  private val Nul: String = 0.toChar.toString
-
   def streamingDedup(events: DataFrame, hashCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .withColumn("__content_hash", md5(concat_ws(Nul,
-        hashCols.map(c => coalesce(col(c).cast("string"), lit(Nul + "NULL"))): _*)))
+      .withColumn("__content_hash", md5(concat_ws(",",
+        hashCols.map(c => coalesce(md5(col(c).cast("string")), lit("NULL"))): _*)))
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
