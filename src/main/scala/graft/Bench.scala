@@ -30,10 +30,12 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      spark.catalog.clearCache() // per-query caches must not accumulate or pre-warm
       System.gc() // keep prior queries' garbage out of this query's timing
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // a failed query must be visible in the output, not read as a fast run
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

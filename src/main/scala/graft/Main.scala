@@ -53,8 +53,11 @@ object Main {
     MedsIO.writeDatasetMetadata(outputRoot,
       MedsIO.readDatasetMetadata(inputRoot).getOrElse("dataset_name", "dataset"),
       "graft-" + parsed.stages.map(_.name).mkString("+"))
-    println(s"[graft] wrote ${out.data.count()} data rows, " +
-      s"${out.codes.count()} code-metadata rows to $outputRoot")
+    // count from the just-written root (parquet footer metadata) — counting
+    // `out` would re-execute the whole un-checkpointed pipeline lineage
+    val written = MedsIO.read(spark, outputRoot)
+    println(s"[graft] wrote ${written.data.count()} data rows, " +
+      s"${written.codes.count()} code-metadata rows to $outputRoot")
     spark.stop()
   }
 }

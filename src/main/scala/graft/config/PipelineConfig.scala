@@ -128,8 +128,12 @@ object PipelineConfig {
           val bm = b.obj
           val matcher = M(scala.collection.immutable.ListMap(
             bm("_matcher").obj.toSeq: _*))
+          // train_only is orchestration config, never stage config — strip it
+          // at the block level too (the top-level strip in buildStage does
+          // not see override maps)
           val overrides = M(scala.collection.immutable.ListMap(
-            (cfg.obj - "_match_revise" - "_match_revise_mode" ++ (bm - "_matcher")).toSeq: _*))
+            (cfg.obj - "_match_revise" - "_match_revise_mode" - "train_only"
+              ++ (bm - "_matcher" - "train_only")).toSeq: _*))
           (matcher, overrides)
         }
         m => {

@@ -117,14 +117,17 @@ object GraftFunctions {
     * no Window exchange is needed at all), then add per-partition row-count
     * offsets via a broadcast join.
     *
-    * The sort keys MUST form a total order (append a unique tiebreaker
-    * column otherwise): the offsets pass and the numbering pass execute the
-    * range partition independently — deterministic for a total order (range
-    * sampling is seed-fixed), but tied rows could permute between passes and
-    * duplicate/skip numbers. The input is deliberately NOT cached (both
-    * passes prune aggressively, and an engine-internal persist would leak
-    * for the session's lifetime); callers with expensive upstreams should
-    * persist explicitly around the call.
+    * Everything is ONE query plan: the per-partition counts and their
+    * cumulative offsets are DataFrames derived from the same range exchange
+    * the numbering side reads, so Spark's exchange reuse executes the
+    * shuffle exactly once and both sides see identical partition bounds.
+    * (Two separate executions would NOT be identical: RangePartitioner's
+    * sample seed incorporates the RDD id, so re-executed range bounds can
+    * drift on large partitions — a prior collect-offsets-then-rejoin version
+    * of this helper had exactly that bug. PlanSpec asserts the
+    * ReusedExchange.) The cumulative sum over the per-partition counts is a
+    * partition-count-sized triangular self-join — at most a few thousand
+    * rows — rather than a single-partition window.
     */
   def withGlobalRowNumber(df: DataFrame, outCol: String, sortCols: Seq[Column]): DataFrame = {
     val mask = (1L << 33) - 1
@@ -134,13 +137,12 @@ object GraftFunctions {
     val counts = ranged
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__cnt"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
-    val spark = df.sparkSession
-    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
+    val offsets = counts.alias("a")
+      .join(counts.alias("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
     ranged
-      .join(broadcast(offsetsDf), shiftright(col("__mid"), 33) === col("__pid"))
+      .join(broadcast(offsets), shiftright(col("__mid"), 33) === col("__pid"))
       .withColumn(outCol, col("__mid").bitwiseAND(lit(mask)) + col("__offset") + 1)
       .drop("__mid", "__pid", "__offset")
   }

@@ -134,36 +134,11 @@ object AddTimeDerivedMeasurements {
     * (add_new_events_fntr, add_time_derived_measurements.py:19-171).
     * `newCodeLastRegex` is regex CONTAINMENT, exactly like the reference's
     * `str.contains(new_code_last_regex)` — an invalid pattern throws there
-    * too.
+    * too. Single-generator form of [[addAll]].
     */
   def splice(data: DataFrame, newEvents: DataFrame,
-      newCodeLastRegex: Option[String] = None): DataFrame = {
-    val withIdx =
-      if (data.columns.contains(RowIdx)) data
-      else data.withColumn(RowIdx, monotonically_increasing_id())
-    val tagged = withIdx.withColumn(BlockIdx, lit(1))
-    // backfill shard/split provenance: a subject lives in exactly one shard,
-    // so generated rows inherit it via a per-subject lookup (co-partitioned
-    // with the subject-keyed layout — no extra shuffle when bucketed)
-    val provenance = Seq(Split, Shard)
-      .filter(data.columns.contains).filterNot(newEvents.columns.contains)
-    val enriched =
-      if (provenance.isEmpty) newEvents
-      else newEvents.join(
-        data.groupBy(SubjectId).agg(
-          first(col(provenance.head)).as(provenance.head),
-          provenance.tail.map(c => first(col(c)).as(c)): _*),
-        Seq(SubjectId), "left")
-    val newTagged = enriched
-      .withColumn(RowIdx, monotonically_increasing_id())
-      .withColumn(BlockIdx, newCodeLastRegex match {
-        case Some(pat) => when(col(Code).rlike(pat), lit(2)).otherwise(lit(0))
-        case None => lit(0)
-      })
-    tagged.unionByName(newTagged, allowMissingColumns = true)
-      .orderBy(col(SubjectId), col(Time).asc_nulls_first, col(BlockIdx), col(RowIdx))
-      .drop(BlockIdx, RowIdx)
-  }
+      newCodeLastRegex: Option[String] = None): DataFrame =
+    addAll(data, Seq(Generator(_ => newEvents, newCodeLastRegex)))
 
   /** One configured event generator: `make` computes the new rows from the
     * (already-augmented) frame; codes matching `newCodeLastRegex` go after

@@ -29,12 +29,24 @@ object Pipeline {
 
   final case class Checkpoint(path: String)
 
+  /** Train-split restriction: the path-derived split wins where present, and
+    * rows without one (a flat data dir with no split subdirs yields an empty
+    * split string) fall back to the subject_splits table — so a legal MEDS
+    * root with no split dirs but a splits table does NOT silently filter to
+    * zero rows (read_and_filter_fntr over splits, read_fn.py:22-86).
+    */
   def trainOnly(m: MedsData): MedsData = {
-    val d =
-      if (m.data.columns.contains(Split)) m.data.filter(col(Split) === TrainSplit)
-      else m.data.join(
-        broadcast(m.splits.filter(col(Split) === TrainSplit).select(SubjectId)),
-        Seq(SubjectId), "left_semi")
+    val fromPath =
+      if (m.data.columns.contains(Split)) when(length(col(Split)) > 0, col(Split))
+      else lit(null).cast("string")
+    // defensive dedup: a duplicated subject row in the splits table must not
+    // multiply event rows through the left join
+    val tbl = m.splits.select(col(SubjectId), col(Split).as("__table_split"))
+      .dropDuplicates(SubjectId)
+    val d = m.data
+      .join(broadcast(tbl), Seq(SubjectId), "left")
+      .filter(coalesce(fromPath, col("__table_split")) === TrainSplit)
+      .drop("__table_split")
     m.withData(d)
   }
 

@@ -231,12 +231,13 @@ object Dedup {
     * each round is one aggregation + join, and rounds needed = graph
     * diameter, which is tiny for dedup clusters).
     */
-  def resolveClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+    var prevCached: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -253,10 +254,18 @@ object Dedup {
         .join(labels.alias("l"), col("u.id") === col("l.id"))
         .filter(col("u.cluster_id") =!= col("l.cluster_id"))
         .limit(1).count() > 0
+      // `changed` materialized `updated`, so the previous round's cache can go
+      prevCached.foreach(_.unpersist(false))
+      prevCached = Some(updated)
       labels = updated
       converged = !changed
       i += 1
     }
+    // silent truncation would report one true cluster as several — refuse
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters did not converge in $maxIters rounds (cluster diameter " +
+        "exceeds maxIters); raise maxIters")
+    edges.unpersist(false)
     labels
   }
 

@@ -49,10 +49,13 @@ object Sessionize {
   final case class OpenSession(sessionIdx: Long, startMs: Long, endMs: Long,
       n: Long, sum: Double)
 
-  /** Streaming sessionization: per-user state carries the last event time and
-    * running session index. Emits completed-per-batch session aggregates
-    * (append mode); a production deployment would use event-time timeout to
-    * close sessions across batches.
+  /** Streaming sessionization emitting PER-BATCH PARTIAL session aggregates
+    * (append mode): a session spanning micro-batches emits one partial row
+    * per batch, all carrying the same (user_id, session_idx) so downstream
+    * can re-aggregate; an event continuing a prior batch's session opens a
+    * continuation partial under the inherited index (it must not vanish —
+    * an earlier version dropped exactly those rows). For closed-exactly-once
+    * sessions use [[streamingWithTimeout]].
     */
   def streaming(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -74,8 +77,13 @@ object Sessionize {
               cur = Some(SessionOut(userId, st.sessionIdx, e.ts, e.ts, 1L, e.value))
             } else {
               st = SessionState(tsMicros, st.sessionIdx)
-              cur = cur.map(s => s.copy(end_ts = e.ts, n_events = s.n_events + 1,
-                sum_value = s.sum_value + e.value))
+              cur = cur match {
+                case Some(s) => Some(s.copy(end_ts = e.ts, n_events = s.n_events + 1,
+                  sum_value = s.sum_value + e.value))
+                // continuation of a session opened in a PREVIOUS batch:
+                // start a partial under the inherited session index
+                case None => Some(SessionOut(userId, st.sessionIdx, e.ts, e.ts, 1L, e.value))
+              }
             }
           }
           cur.foreach(sessions += _)
@@ -132,7 +140,12 @@ object Sessionize {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+              // clamp: flatMapGroupsWithState does NOT pre-filter late rows,
+              // and a timeout at/below the current watermark throws — a late
+              // straggler closing below the horizon times out immediately
+              // on the next batch instead of killing the query
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             done.iterator
           }

@@ -85,6 +85,24 @@ class PipelineConfigSpec extends SparkSpec {
     assert(splits == Set("train"))
   }
 
+  test("trainOnly: flat layout (empty path split) falls back to the splits table") {
+    import spark.implicits._
+    // a root with data files directly under data/ derives split = "" per row
+    val data = Seq((1L, "HR", ""), (2L, "HR", ""), (3L, "HR", ""))
+      .toDF("subject_id", "code", Split)
+    val splits = Seq((1L, "train"), (2L, "tuning"), (3L, "held_out"))
+      .toDF("subject_id", Split)
+    val m = graft.meds.MedsData(data, spark.emptyDataFrame, splits)
+    val kept = Pipeline.trainOnly(m).data.select("subject_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L)) // NOT silently empty
+    // and a path-derived split still wins over the table
+    val pathData = Seq((1L, "HR", "held_out"), (2L, "HR", "train"))
+      .toDF("subject_id", "code", Split)
+    val kept2 = Pipeline.trainOnly(graft.meds.MedsData(pathData, spark.emptyDataFrame, splits))
+      .data.select("subject_id").collect().map(_.getLong(0))
+    assert(kept2.toSeq == Seq(2L))
+  }
+
   test("pipeline resume skips completed checkpointed stages (.done analog)") {
     val meds = MedsIO.read(spark, "/root/reference/example/data")
     val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString

@@ -74,6 +74,22 @@ class PlanSpec extends SparkSpec {
     assert(plan(q).toString.contains("TakeOrderedAndProject"), s"\n${plan(q)}")
   }
 
+  test("withGlobalRowNumber reuses one range exchange for offsets and numbering") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"k$i")).toDF("id", "k")
+    val numbered = graft.functions.GraftFunctions.withGlobalRowNumber(
+      df, "pos", Seq(col("k"), col("id")))
+    numbered.collect() // force the final (AQE) plan
+    val s = numbered.queryExecution.executedPlan.toString
+    // without reuse, the two executions of the range shuffle could sample
+    // different partition bounds (seed includes the RDD id) and mis-number
+    assert(s.contains("ReusedExchange") || s.contains("TableCacheQueryStage"),
+      s"expected the range exchange to be reused:\n$s")
+    // and the numbering itself is a correct permutation of 1..n
+    val got = numbered.select("pos").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (1L to 500L))
+  }
+
   test("sketch stages (minhash signatures, simhash, winnow) are shuffle-free") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "b c d e f g")).toDF("doc_id", "text")
