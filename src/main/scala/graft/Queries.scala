@@ -615,6 +615,56 @@ object Queries {
          |ORDER BY 1,2""".stripMargin
     })
 
+  private val dedupClusters: Gate = Gate(
+    (s, dir) => Dedup.resolveClusters(
+      Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5))
+      .select(col("id").cast(LongType).as("id"),
+        col("cluster_id").cast(LongType).as("cluster_id"))
+      .orderBy("id"),
+    // the same banded-MinHash pair pipeline, then connected components as a
+    // recursive transitive closure with min-reachable-id labels — mirrors
+    // iterative min-label propagation exactly on a converged graph
+    Some {
+      val params = GraftFunctions.hashParams(32)
+      val permValues = params.zipWithIndex
+        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+         |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
+         |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS h FROM sh),
+         |perms(perm, a, b) AS (VALUES $permValues),
+         |sigs AS (
+         |  SELECT doc_id, perm, min((a*(h % 2147483647) + b) % 2147483647) AS minhash
+         |  FROM hashed CROSS JOIN perms GROUP BY 1,2),
+         |banded AS (
+         |  SELECT doc_id, CAST(floor(perm/4) AS INT) AS band,
+         |   md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
+         |  FROM sigs GROUP BY 1,2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band=b.band AND a.band_sig=b.band_sig
+         |  WHERE a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT cand.id_a, cand.id_b
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = cand.id_a
+         |  JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.perm = sa.perm
+         |  GROUP BY 1,2
+         |  HAVING avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT CAST(src AS BIGINT) AS id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY 1""".stripMargin
+    })
+
   private val simhashValues: Gate = Gate(
     (s, dir) => Dedup.simhash(table(s, dir, "documents"), "doc_id", "text",
       n = 3, numBits = 32)
@@ -857,6 +907,7 @@ object Queries {
     "lang_id" -> langId,
     "ngram_jaccard" -> ngramJaccard,
     "minhash_lsh" -> minhashLsh,
+    "dedup_clusters" -> dedupClusters,
     "simhash_values" -> simhashValues,
     "simhash_pairs" -> simhashPairs,
     "embed_dup_pairs" -> embedDupPairs,
