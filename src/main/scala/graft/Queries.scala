@@ -822,7 +822,7 @@ object Queries {
       .orderBy("doc_id"),
     Some("""WITH h AS (
       |  SELECT doc_id,
-      |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000)/1000000.0 AS u
+      |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000000)/1000000000.0 AS u
       |  FROM documents)
       |SELECT doc_id,
       | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
@@ -835,7 +835,7 @@ object Queries {
       .orderBy("doc_id"),
     Some("""WITH h AS (
       |  SELECT doc_id, lang,
-      |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000)/1000000.0 AS u
+      |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000000)/1000000000.0 AS u
       |  FROM documents),
       |r AS (SELECT doc_id, lang,
       |   row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk FROM h)

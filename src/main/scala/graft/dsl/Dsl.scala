@@ -23,10 +23,15 @@ object Dsl {
   /** Polars-parity edge case: `regexp_extract` in Spark returns "" when the
     * pattern does not match; Polars' `str.extract` returns null. Null is the
     * contract (parser.py doctest: extract "([ac]).*" over ["a","b","c"] →
-    * ['a', None, 'c']).
+    * ['a', None, 'c']). A NON-PARTICIPATING group (e.g. "a(b)?c" on "ac")
+    * also yields "" in Spark but null in Polars — the length guard maps it
+    * to null too (at the cost of conflating a genuinely empty participating
+    * match, which no reference config produces).
     */
-  def extractOrNull(c: Column, pattern: String, groupIdx: Int): Column =
-    when(c.rlike(pattern), regexp_extract(c, pattern, groupIdx))
+  def extractOrNull(c: Column, pattern: String, groupIdx: Int): Column = {
+    val extracted = regexp_extract(c, pattern, groupIdx)
+    when(c.rlike(pattern) && length(extracted) > 0, extracted)
+  }
 
   /** Interpolation pattern for "bar//{foo}" strings (parser.py:622). */
   private val InterpRegex = """\{([^{}]+)\}""".r
@@ -70,13 +75,27 @@ object Dsl {
     case M(m) =>
       val exprs = m.map {
         case (k, M(v)) if v.contains("present") =>
-          if (v("present") == B(true)) col(k).isNotNull else col(k).isNull
-        case (k, M(v)) => col(k).rlike(v("regex").asInstanceOf[S].v)
+          // parser.py:138-141 rejects non-boolean present values; a silent
+          // fallback would compile the INVERTED test
+          v("present") match {
+            case B(true) => col(k).isNotNull
+            case B(false) => col(k).isNull
+            case other => throw new IllegalArgumentException(
+              s"matcher {$k: {present: ...}} needs a boolean, got $other")
+          }
+        case (k, M(v)) => v.get("regex") match {
+          case Some(S(pat)) => col(k).rlike(pat)
+          case _ => throw new IllegalArgumentException(
+            s"bad matcher map for $k: expected {present: bool} or {regex: str}, got $v")
+        }
         case (k, S(s)) => col(k) === lit(s)
         case (k, I(i)) => col(k) === lit(i)
         case (k, D(d)) => col(k) === lit(d)
         case (k, B(b)) => col(k) === lit(b)
-        case (k, Null) => col(k).isNull
+        // reference parity (pl.col(k) == None): a null scalar compares to
+        // null for every row, i.e. matches NOTHING under filter — a null
+        // test is spelled {present: false}
+        case (k, Null) => col(k) === lit(null)
         case (k, v) => throw new IllegalArgumentException(s"bad matcher value for $k: $v")
       }.toSeq
       (exprs.reduceOption(_ && _).getOrElse(lit(true)), m.keySet.toSet)
@@ -97,6 +116,17 @@ object Dsl {
 
   private val exprTypeKeys = Set("col", "str", "literal", "extract")
 
+  /** Whether a single-entry map is a WELL-FORMED expr-type config; malformed
+    * shapes (e.g. a column literally named "extract" with a matcher value)
+    * fall through to the simple-form-conditional branch, like parser.py's
+    * ColExprType.is_valid fallback.
+    */
+  private def exprShapeOk(kv: (String, Cfg)): Boolean = kv match {
+    case ("col", S(_)) | ("str", S(_)) | ("literal", _) => true
+    case ("extract", M(e)) => e.contains("from") && e.contains("regex")
+    case _ => false
+  }
+
   /** cfg_to_expr: compile any column-expression config to a Column plus the
     * set of input columns it reads.
     */
@@ -110,7 +140,7 @@ object Dsl {
       val (cond, mcols) = matcherToExpr(m("matcher"))
       val (out, ocols) = colExpr(m("output"))
       (when(cond, out), mcols ++ ocols)
-    case M(m) if m.size == 1 && exprTypeKeys.contains(m.head._1) =>
+    case M(m) if m.size == 1 && exprTypeKeys.contains(m.head._1) && exprShapeOk(m.head) =>
       m.head match {
         case ("col", S(s)) => (col(s), Set(s))
         case ("str", S(s)) => interpolate(s)

@@ -28,11 +28,12 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Normalized fingerprint dedup: lowercase + whitespace-collapse before
-    * hashing, so trivially-reformatted copies collapse too.
+    * hashing, so trivially-reformatted copies collapse too. ONE definition of
+    * the normalization, shared with the standalone fingerprint column.
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
-      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fingerprint"))
+      graft.ops.TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
 
   /** Per-document shingle-hash arrays, assembled entirely in-row (zip_with /
     * slice in argument position, so the token array is built once per row):

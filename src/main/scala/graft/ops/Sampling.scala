@@ -14,17 +14,24 @@ import graft.functions.GraftFunctions.portableHash56
   */
 object Sampling {
 
-  /** Uniform hash in [0, 1) derived from the id column and a seed. */
+  /** Uniform hash in [0, 1) derived from the id column and a seed, quantized
+    * to 1e-9 steps — fractions below 1e-9 are not representable (a request
+    * for less rounds up to the grid). Null ids hash to null.
+    */
   def unitHash(id: Column, seed: Long = 42L): Column =
-    (portableHash56(concat(id.cast("string"), lit(":"), lit(seed.toString))) % 1000000L)
-      .cast("double") / 1000000.0
+    (portableHash56(concat(id.cast("string"), lit(":"), lit(seed.toString))) % 1000000000L)
+      .cast("double") / 1000000000.0
 
-  /** Deterministic Bernoulli sample: keep rows whose unit hash < fraction. */
+  /** Deterministic Bernoulli sample: keep rows whose unit hash < fraction.
+    * Rows with a null id are dropped (they have no stable hash).
+    */
   def sample(df: DataFrame, idCol: String, fraction: Double, seed: Long = 42L): DataFrame =
     df.filter(unitHash(col(idCol), seed) < fraction)
 
   /** Deterministic train/validation/test split assignment by cumulative
-    * weight ranges over the unit hash.
+    * weight ranges over the unit hash. Rows with a null id get a null split
+    * (they must not silently pile into the last split and contaminate a
+    * held-out set) — consistent with sample() dropping them.
     */
   def assignSplits(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
@@ -34,7 +41,7 @@ object Sampling {
     val expr = splits.zip(cum).reverse.tail.foldLeft(lit(splits.last._1)) {
       case (acc, ((name, _), hi)) => when(h < hi, name).otherwise(acc)
     }
-    df.withColumn("split", expr)
+    df.withColumn("split", when(h.isNotNull, expr))
   }
 
   /** Stratified cap: keep at most `perStratum` rows per stratum, selected by

@@ -26,11 +26,21 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = es => {
+    // a proper analysis error, not an IndexOutOfBoundsException mid-analysis
+    if (es.length != n) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map("functionName" -> name, "expectedNum" -> n.toString,
+        "actualNum" -> es.length.toString, "docroot" -> ""))
+    b(es)
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      arity("graft_dot", 2)(es => DotProduct(es(0), es(1)))),
     ("graft_l2norm", info("graft_l2norm", "graft_l2norm(a) - L2 norm of a double array"),
-      (es: Seq[Expression]) => L2Norm(es(0)))
+      arity("graft_l2norm", 1)(es => L2Norm(es(0))))
   )
 
   /** Register on an existing session (tests, REPL). */

@@ -15,6 +15,11 @@ import org.apache.spark.sql.types._
   * generate a tight primitive loop inside whole-stage codegen — preference
   * order (b) from the build guidelines: a custom `Expression` before any
   * custom physical operator, and never a UDF.
+  *
+  * Null semantics match the higher-order reference implementation
+  * (GraftFunctions.dotHof): mismatched lengths or any null element → NULL —
+  * a silently truncated or null-as-zero dot product would return a
+  * plausible-looking similarity for corrupt embeddings.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -22,16 +27,22 @@ case class DotProduct(left: Expression, right: Expression)
   override def inputTypes: Seq[GraftSqlBridge.AbstractType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // mismatch/null-element yields null
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -41,12 +52,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -54,11 +70,12 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** L2 norm — same codegen shape as DotProduct. */
+/** L2 norm — same codegen shape and null semantics as DotProduct. */
 case class L2Norm(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null element yields null
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_l2norm"
 
@@ -67,7 +84,12 @@ case class L2Norm(child: Expression) extends UnaryExpression with ImplicitCastIn
     var acc = 0.0
     var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i)
+      acc += v * v
+      i += 1
+    }
     math.sqrt(acc)
   }
 
@@ -81,10 +103,11 @@ case class L2Norm(child: Expression) extends UnaryExpression with ImplicitCastIn
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = $a.getDouble($i);
          |  $acc += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
        """.stripMargin
     })
 

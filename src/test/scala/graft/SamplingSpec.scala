@@ -32,6 +32,15 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sample(train, "doc_id", 0.5, seed = 7).count() < train.count())
   }
 
+  test("null ids: dropped by sample, null split in assignSplits (never in held-out)") {
+    import spark.implicits._
+    val d = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    assert(Sampling.sample(d, "doc_id", 1.0).count() == 2)
+    val splits = Sampling.assignSplits(d, "doc_id", Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    assert(splits(None) == null) // not silently assigned to the last split
+  }
+
   test("stratified cap keeps at most N deterministic rows per stratum") {
     val out = Sampling.stratifiedCap(docs, "doc_id", "lang", perStratum = 10)
     val per = out.groupBy("lang").count().collect().map(_.getLong(1))

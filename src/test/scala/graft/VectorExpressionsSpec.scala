@@ -31,6 +31,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(d.select(VectorExpressions.dot(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("mismatched lengths and null elements yield null (matches dotHof)") {
+    // corrupt embeddings must NOT produce a plausible truncated/zero-filled score
+    val mism = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(mism.select(VectorExpressions.dot(col("a"), col("b"))).head().isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT array(1.0d, NULL, 3.0d) AS a, array(1.0d, 2.0d, 3.0d) AS b")
+    val r = withNullElem.select(
+      VectorExpressions.dot(col("a"), col("b")).as("d"),
+      graft.functions.GraftFunctions.dotHof(col("a"), col("b")).as("hof"),
+      VectorExpressions.l2norm(col("a")).as("n")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val d = Seq((Array(3.0, 4.0), Array(-4.0, 3.0))).toDF("a", "b")
     val r = d.select(
