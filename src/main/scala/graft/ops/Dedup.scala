@@ -236,8 +236,16 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
+    edges.count() // materialize once: every round joins against this cache
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+    // labels only ever DECREASE, so the label sum is a strictly-decreasing
+    // convergence metric — one tiny aggregate per round instead of a
+    // changed-rows self-join (decimal: a 128-bit sum cannot overflow at any
+    // realistic id range × row count)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var prevCached: Option[DataFrame] = None
     var converged = false
     var i = 0
@@ -251,15 +259,12 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count() > 0
-      // `changed` materialized `updated`, so the previous round's cache can go
+      val curSum = labelSum(updated) // materializes `updated`
       prevCached.foreach(_.unpersist(false))
       prevCached = Some(updated)
       labels = updated
-      converged = !changed
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       i += 1
     }
     // silent truncation would report one true cluster as several — refuse
