@@ -21,12 +21,6 @@ import graft.operators.Pipeline
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3 || args.length == 4,
-      "usage: graft.Main <pipeline.json> <inputRoot> <outputRoot> [checkpointRoot]")
-    val Array(pipelineJson, inputRoot, outputRoot) = args.take(3)
-    // with a checkpoint root, every stage persists to <root>/<idx>_<name> and
-    // a re-run resumes after the last completed stage (runner.py .done files)
-    val checkpointRoot = args.lift(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -36,6 +30,17 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(args, spark) finally spark.stop()
+  }
+
+  /** CLI body on a caller-owned session (testable without session teardown). */
+  def run(args: Array[String], spark: SparkSession): Unit = {
+    require(args.length == 3 || args.length == 4,
+      "usage: graft.Main <pipeline.json> <inputRoot> <outputRoot> [checkpointRoot]")
+    val Array(pipelineJson, inputRoot, outputRoot) = args.take(3)
+    // with a checkpoint root, every stage persists to <root>/<idx>_<name> and
+    // a re-run resumes after the last completed stage (runner.py .done files)
+    val checkpointRoot = args.lift(3)
     graft.plans.GraftExtensions.register(spark)
 
     val parsed = PipelineConfig.fromJson(
@@ -58,6 +63,5 @@ object Main {
     val written = MedsIO.read(spark, outputRoot)
     println(s"[graft] wrote ${written.data.count()} data rows, " +
       s"${written.codes.count()} code-metadata rows to $outputRoot")
-    spark.stop()
   }
 }

@@ -85,6 +85,27 @@ class PipelineConfigSpec extends SparkSpec {
     assert(splits == Set("train"))
   }
 
+  test("CLI end-to-end: pipeline JSON over a MEDS root with checkpoints, then resume") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    val pipelineJson = s"$tmp/pipeline.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(pipelineJson),
+      """{"stages": [
+        |  {"filter_subjects": {"min_events_per_subject": 5}},
+        |  {"fit_outlier_detection": {"_base_stage": "aggregate_code_metadata",
+        |     "aggregations": ["values/n_occurrences", "values/sum", "values/sum_sqd"]}}
+        |]}""".stripMargin)
+    val args = Array(pipelineJson, "/root/reference/example/data", s"$tmp/out", s"$tmp/ckpt")
+    Main.run(args, spark)
+    assert(Pipeline.isComplete(spark, s"$tmp/out"))
+    val out = MedsIO.read(spark, s"$tmp/out")
+    assert(out.data.count() == 41) // filter_subjects golden: 3 subjects, 41 rows
+    assert(out.codes.columns.contains("values/sum"))
+    assert(Pipeline.isComplete(spark, s"$tmp/ckpt/00_filter_subjects"))
+    // second invocation resumes from the completed checkpoints and re-writes
+    Main.run(args, spark)
+    assert(MedsIO.read(spark, s"$tmp/out").data.count() == 41)
+  }
+
   test("trainOnly: flat layout (empty path split) falls back to the splits table") {
     import spark.implicits._
     // a root with data files directly under data/ derives split = "" per row
