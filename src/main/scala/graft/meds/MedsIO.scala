@@ -36,10 +36,15 @@ object MedsIO {
       .parquet(s"$root/data")
       .withColumn(Shard,
         // Tolerate a Hive-style layout (data/split=train/...) by stripping the
-        // partition-column prefix, so Shard is always "<split>/<file>".
+        // partition-column prefix, so Shard is always "<split>/<file>". A
+        // checkpointed flat root writes its empty split as Hive's default
+        // partition dir — strip that too, restoring split="" so trainOnly's
+        // splits-table fallback still applies after a round-trip.
         regexp_replace(
-          regexp_extract(input_file_name(), """.*/data/(.+)\.parquet""", 1),
-          """^split=""", ""))
+          regexp_replace(
+            regexp_extract(input_file_name(), """.*/data/(.+)\.parquet""", 1),
+            """^split=""", ""),
+          """^__HIVE_DEFAULT_PARTITION__/""", ""))
       .withColumn(Split, regexp_extract(col(Shard), """^([^/]+)/""", 1))
     val codes = spark.read.parquet(s"$root/metadata/codes.parquet")
     val splitsPath = new org.apache.hadoop.fs.Path(s"$root/metadata/subject_splits.parquet")
@@ -118,6 +123,33 @@ object MedsIO {
       .format("parquet")
       .saveAsTable(tableName)
 
+  // Hadoop FS for the small JSON side files too — java.nio paths would break
+  // the moment the root is s3://, hdfs:// etc. while parquet IO works fine
+  private def fsFor(path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    path.getFileSystem(conf)
+  }
+
+  private def writeStringFile(path: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fsFor(path).create(path, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readStringFile(path: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = fsFor(path)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
   /** metadata/dataset.json (reference configs/dataset.py:17-53). */
   def writeDatasetMetadata(root: String, name: String, version: String,
       extra: Map[String, String] = Map.empty): Unit = {
@@ -126,21 +158,19 @@ object MedsIO {
     node.put("dataset_name", name)
     node.put("dataset_version", version)
     extra.foreach { case (k, v) => node.put(k, v) }
-    val p = java.nio.file.Paths.get(root, "metadata")
-    java.nio.file.Files.createDirectories(p)
-    java.nio.file.Files.writeString(p.resolve("dataset.json"),
+    writeStringFile(new org.apache.hadoop.fs.Path(s"$root/metadata/dataset.json"),
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
   }
 
   def readDatasetMetadata(root: String): Map[String, String] = {
-    val p = java.nio.file.Paths.get(root, "metadata", "dataset.json")
-    if (!java.nio.file.Files.exists(p)) return Map.empty
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-      java.nio.file.Files.readString(p))
-    val it = node.fields()
-    val b = Map.newBuilder[String, String]
-    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
-    b.result()
+    readStringFile(new org.apache.hadoop.fs.Path(s"$root/metadata/dataset.json"))
+      .map { content =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(content)
+        val it = node.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+        b.result()
+      }.getOrElse(Map.empty)
   }
 
   /** `.shards.json` — the {split/shardIdx → subject ids} map the reference's
@@ -158,7 +188,7 @@ object MedsIO {
         val arr = node.putArray(key)
         rows.map(_.getLong(2)).sorted.foreach(arr.add)
       }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(root, ".shards.json"),
+    writeStringFile(new org.apache.hadoop.fs.Path(s"$root/.shards.json"),
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
   }
 }

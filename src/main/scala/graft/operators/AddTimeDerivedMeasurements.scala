@@ -107,6 +107,8 @@ object AddTimeDerivedMeasurements {
     // token codes are configurable per the reference (timeline_tokens.py:
     // timeline_start_code / timeline_end_code / time_delta_code with a
     // {time_unit} slot filled with the canonical unit name, "y" → "years")
+    require(emitStart || emitEnd || emitDeltas,
+      "timelineTokenEvents: at least one of start/end/deltas must be enabled")
     val canonicalUnit = normalizeTimeUnit(unit)._1
     val deltaCode = deltaCodeTemplate.replace("{time_unit}", canonicalUnit)
     val ev = uniqueEvents(data)

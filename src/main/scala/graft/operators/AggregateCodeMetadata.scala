@@ -127,31 +127,41 @@ object AggregateCodeMetadata {
       case Nil => Seq(count(lit(1)).as("__placeholder"))
       case as => as
     }
+    // __gid disambiguates a GENUINE null-code group from the all-codes
+    // grouping-sets total row — a bare null-safe key join would match each
+    // to BOTH quantile rows and duplicate output rows
+    val totalGid = (1 << keys.length) - 1
     val base =
       if (summarizeOverAllCodes) {
         val keyCols = keys.map(col)
         data.groupingSets(Seq(keyCols, Seq.empty[Column]), keyCols: _*)
-          .agg(aggs.head, aggs.tail: _*)
+          .agg((aggs :+ grouping_id().as("__gid")).head,
+            (aggs :+ grouping_id().as("__gid")).tail: _*)
       } else {
         data.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          .withColumn("__gid", lit(0))
       }
     val withQ =
       if (!wantsNearestQ) base
       else {
         val perCode = nearestQuantiles(data, quantiles, codeModifiers)
+          .withColumn("__gid", lit(0))
         val qDf =
           if (summarizeOverAllCodes)
-            perCode.unionByName(nearestQuantiles(data, quantiles, codeModifiers, overAll = true))
+            perCode.unionByName(
+              nearestQuantiles(data, quantiles, codeModifiers, overAll = true)
+                .withColumn("__gid", lit(totalGid)))
           else perCode
         // aliased null-safe join: both sides derive from the same scan
         val b = base.alias("__acm_b")
         val q = qDf.alias("__acm_q")
-        val cond = keys.map(k => col(s"__acm_b.$k") <=> col(s"__acm_q.$k")).reduce(_ && _)
+        val cond = keys.map(k => col(s"__acm_b.$k") <=> col(s"__acm_q.$k"))
+          .reduce(_ && _) && col("__acm_b.__gid") === col("__acm_q.__gid")
         b.join(broadcast(q), cond, "left")
           .select((base.columns.map(c => col(s"__acm_b.$c")) :+
             col(s"__acm_q.$ValuesQuantiles")): _*)
       }
-    withQ.drop("__placeholder")
+    withQ.drop("__placeholder", "__gid")
   }
 
   /** `join_and_replace` (mapreduce/stage.py:507-543): merge newly reduced

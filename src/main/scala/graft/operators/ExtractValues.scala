@@ -15,6 +15,9 @@ import graft.meds.MedsSchema._
   */
 object ExtractValues {
   def apply(data: DataFrame, exprs: Seq[(String, Cfg)]): DataFrame = {
+    val dupOuts = exprs.groupBy(_._1).collect { case (n, es) if es.size > 1 => n }
+    require(dupOuts.isEmpty,
+      s"extract_values: duplicate output columns ${dupOuts.mkString(", ")}")
     val compiled = exprs.map { case (out, cfg) =>
       val (c, needed) = Dsl.colExpr(cfg)
       val missing = needed -- data.columns.toSet
@@ -102,8 +105,11 @@ object BinNumericValues {
       .select(Code, "__endpoints")
 
     val joined = data.join(broadcast(meta), Seq(Code), "left")
-    val binnable = col("__endpoints").isNotNull && col(NumericValue).isNotNull &&
-      !isnan(col(NumericValue))
+    // reference do_bin checks only is_not_null (bin_numeric_values.py:
+    // do_bin) — NaN values ARE binned; searchSortedRight places NaN past
+    // every endpoint (Spark orders NaN greatest), matching numpy's
+    // searchsorted end placement
+    val binnable = col("__endpoints").isNotNull && col(NumericValue).isNotNull
     val binIdx = searchSortedRight(col("__endpoints"), col(NumericValue))
     // bin bounds: left = endpoints[i-1] (or -inf), right = endpoints[i] (or inf)
     val left = when(binIdx === 0, lit("-inf"))

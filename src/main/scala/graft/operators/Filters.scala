@@ -25,7 +25,11 @@ object FilterSubjects {
     if (minMeasurementsPerSubject.isEmpty && minEventsPerSubject.isEmpty) return data
     val stats = data.groupBy(SubjectId).agg(
       count(col(Time)).as("__n_measurements"), // count skips nulls in both engines
-      count_distinct(col(Time)).as("__n_events"))
+      // Polars n_unique counts null as ONE distinct event (doctest: times
+      // [null, null, t1, t2, t3] survive min_events=4); Spark count_distinct
+      // skips it, so add the has-null indicator
+      (count_distinct(col(Time)) +
+        max(when(col(Time).isNull, 1).otherwise(0))).as("__n_events"))
     val keep = stats.filter(
       minMeasurementsPerSubject.map(n => col("__n_measurements") >= n).getOrElse(lit(true)) &&
         minEventsPerSubject.map(n => col("__n_events") >= n).getOrElse(lit(true)))
@@ -87,7 +91,12 @@ object OccludeOutliers {
     // Raw three-valued comparison, matching occlude_outliers.py:104-109: when
     // the code has no stats (join miss) or the value is null, is_inlier is
     // NULL — not false — and when(is_inlier, v) still nulls the value.
-    val inlier = abs(col(NumericValue) - col("__mean")) <= lit(stddevCutoff) * col("__std")
+    // A NaN std (float rounding makes a near-constant code's derived variance
+    // slightly negative) must occlude EVERYTHING like the reference's IEEE
+    // comparison — Spark orders NaN greater than all values, which would
+    // instead keep everything.
+    val raw = abs(col(NumericValue) - col("__mean")) <= lit(stddevCutoff) * col("__std")
+    val inlier = when(isnan(col("__std")), lit(false)).otherwise(raw)
     joined
       .withColumn(IsInlier, inlier)
       .withColumn(NumericValue, when(col(IsInlier), col(NumericValue)))

@@ -74,21 +74,27 @@ object Pipeline {
       stages: Seq[Stage],
       checkpoints: Map[String, String] = Map.empty,
       resume: Boolean = true): MedsData = {
-    stages.foldLeft(input) { (m, stage) =>
+    // resume from the LAST complete checkpoint: stages before it must not
+    // even be CONSTRUCTED — several run eager driver jobs while building
+    // (shrink-dtype min/max, vocabulary collect), which would execute full
+    // aggregations only to be discarded by the checkpoint read
+    val lastComplete =
+      if (!resume) -1
+      else stages.lastIndexWhere(s =>
+        checkpoints.get(s.name).exists(d => isComplete(spark, d)))
+    val start =
+      if (lastComplete < 0) input
+      else MedsIO.read(spark, checkpoints(stages(lastComplete).name))
+    stages.drop(lastComplete + 1).foldLeft(start) { (m, stage) =>
+      val next = stage match {
+        case DataStage(_, f) => m.withData(f(m))
+        case MetadataStage(_, f) => m.withCodes(f(trainOnly(m)))
+      }
       checkpoints.get(stage.name) match {
-        case Some(dir) if resume && isComplete(spark, dir) =>
+        case Some(dir) =>
+          MedsIO.write(next, dir)
           MedsIO.read(spark, dir)
-        case cp =>
-          val next = stage match {
-            case DataStage(_, f) => m.withData(f(m))
-            case MetadataStage(_, f) => m.withCodes(f(trainOnly(m)))
-          }
-          cp match {
-            case Some(dir) =>
-              MedsIO.write(next, dir)
-              MedsIO.read(spark, dir)
-            case None => next
-          }
+        case None => next
       }
     }
   }

@@ -95,7 +95,9 @@ object ReshardToSplit {
   }
 
   def apply(data: DataFrame, splits: DataFrame, nShards: Int): DataFrame = {
-    val assignment = assignShards(splits, nShards)
+    // defensive dedup (as in Pipeline.trainOnly): a duplicated subject row in
+    // the splits table must not multiply event rows through the join
+    val assignment = assignShards(splits.dropDuplicates(SubjectId), nShards)
     data.drop(Split, Shard)
       .join(broadcast(assignment), Seq(SubjectId), "inner")
       .repartition(col(Split), col(Shard))
