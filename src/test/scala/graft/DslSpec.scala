@@ -77,4 +77,37 @@ class DslSpec extends SparkSpec {
     val (c, _) = Dsl.colExpr(cfg)
     assert(df.select(c).as[String].collect().toSeq == Seq("x", null, null))
   }
+
+  test("matcher validation: non-boolean present throws; bad map shape throws") {
+    intercept[IllegalArgumentException] {
+      Dsl.matcherToExpr(Cfg.fromJson("""{"foo": {"present": 1}}"""))
+    }
+    intercept[IllegalArgumentException] {
+      Dsl.matcherToExpr(Cfg.fromJson("""{"foo": {"regexp": "a"}}""")) // typo'd key
+    }
+  }
+
+  test("null scalar matcher matches nothing (pl.col == None parity)") {
+    val (m, _) = Dsl.matcherToExpr(Cfg.fromJson("""{"foo": null}"""))
+    assert(df.filter(m).count() == 0)
+    // a null TEST is spelled {present: false}
+    val withNull = Seq((null.asInstanceOf[String], 1), ("a", 2)).toDF("foo", "n")
+    val (p, _) = Dsl.matcherToExpr(Cfg.fromJson("""{"foo": {"present": false}}"""))
+    assert(withNull.filter(p).count() == 1)
+  }
+
+  test("expr-type key with matcher-shaped value falls back to simple-form conditional") {
+    // a column literally named "extract", conditional on foo == "a"
+    val d2 = df.withColumn("extract", col("bar"))
+    val (c, needed) = Dsl.colExpr(Cfg.fromJson("""{"extract": {"foo": "a"}}"""))
+    assert(needed == Set("extract", "foo"))
+    assert(d2.select(c).as[String].collect().toSeq == Seq("d", null, null))
+  }
+
+  test("non-participating regex group extracts null, not empty string") {
+    val d = Seq("ac", "abc").toDF("t")
+    val (c, _) = Dsl.colExpr(Cfg.fromJson(
+      """{"extract": {"from": "t", "regex": "a(b)?c"}}"""))
+    assert(d.select(c).as[String].collect().toSeq == Seq(null, "b"))
+  }
 }
