@@ -117,32 +117,36 @@ object GraftFunctions {
     * no Window exchange is needed at all), then add per-partition row-count
     * offsets via a broadcast join.
     *
-    * Everything is ONE query plan: the per-partition counts and their
-    * cumulative offsets are DataFrames derived from the same range exchange
-    * the numbering side reads, so Spark's exchange reuse executes the
-    * shuffle exactly once and both sides see identical partition bounds.
-    * (Two separate executions would NOT be identical: RangePartitioner's
-    * sample seed incorporates the RDD id, so re-executed range bounds can
-    * drift on large partitions — a prior collect-offsets-then-rejoin version
-    * of this helper had exactly that bug. PlanSpec asserts the
-    * ReusedExchange.) The cumulative sum over the per-partition counts is a
-    * partition-count-sized triangular self-join — at most a few thousand
-    * rows — rather than a single-partition window.
+    * The ranged-and-numbered frame is materialized ONCE via an eager
+    * localCheckpoint before the offsets pass and the numbering pass read it,
+    * because two executions of a range shuffle are NOT bit-identical:
+    * RangePartitioner's sample seed incorporates the RDD id, and AQE may
+    * coalesce each consumer's shuffle read differently — either way the
+    * partition ids baked into monotonically_increasing_id disagree between
+    * passes and rows get mis-numbered or dropped (both variants were
+    * observed at sf0.1). localCheckpoint truncates lineage to the
+    * materialized blocks (both passes read THE SAME partitions), and unlike
+    * an engine-internal cache the blocks are released by the ContextCleaner
+    * once the returned frame is garbage-collected — no session-lifetime
+    * leak. Trade-off: localCheckpoint is not fault-tolerant to executor
+    * loss mid-query (Spark recomputes from nothing); acceptable for a
+    * deterministic batch operator that simply re-runs.
     */
   def withGlobalRowNumber(df: DataFrame, outCol: String, sortCols: Seq[Column]): DataFrame = {
     val mask = (1L << 33) - 1
     val ranged = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
     val counts = ranged
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__cnt"))
-    val offsets = counts.alias("a")
-      .join(counts.alias("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__offset"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
+    val offsetsDf = df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
     ranged
-      .join(broadcast(offsets), shiftright(col("__mid"), 33) === col("__pid"))
+      .join(broadcast(offsetsDf), shiftright(col("__mid"), 33) === col("__pid"))
       .withColumn(outCol, col("__mid").bitwiseAND(lit(mask)) + col("__offset") + 1)
       .drop("__mid", "__pid", "__offset")
   }

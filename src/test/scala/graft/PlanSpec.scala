@@ -74,20 +74,20 @@ class PlanSpec extends SparkSpec {
     assert(plan(q).toString.contains("TakeOrderedAndProject"), s"\n${plan(q)}")
   }
 
-  test("withGlobalRowNumber reuses one range exchange for offsets and numbering") {
+  test("withGlobalRowNumber: single materialization, exact 1..n permutation") {
     import spark.implicits._
-    val df = (1L to 500L).map(i => (i, s"k$i")).toDF("id", "k")
+    // enough rows that range-bound sampling and AQE coalescing would expose
+    // a double-execution bug (mis-numbered or dropped rows — both observed
+    // before the localCheckpoint materialization)
+    val df = spark.range(1, 20001).select(col("id"), concat(lit("k"), col("id")).as("k"))
     val numbered = graft.functions.GraftFunctions.withGlobalRowNumber(
       df, "pos", Seq(col("k"), col("id")))
-    numbered.collect() // force the final (AQE) plan
-    val s = numbered.queryExecution.executedPlan.toString
-    // without reuse, the two executions of the range shuffle could sample
-    // different partition bounds (seed includes the RDD id) and mis-number
-    assert(s.contains("ReusedExchange") || s.contains("TableCacheQueryStage"),
-      s"expected the range exchange to be reused:\n$s")
-    // and the numbering itself is a correct permutation of 1..n
-    val got = numbered.select("pos").collect().map(_.getLong(0)).sorted
-    assert(got.toSeq == (1L to 500L))
+    val rows = numbered.select("pos", "k").collect()
+    assert(rows.length == 20000)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 20000L))
+    // and ordering agrees with the sort keys: pos 1 is the smallest key
+    val first = rows.minBy(_.getLong(0)).getString(1)
+    assert(first == "k1")
   }
 
   test("sketch stages (minhash signatures, simhash, winnow) are shuffle-free") {
