@@ -155,7 +155,8 @@ object Queries {
         // exact scaled-integer sum-of-squares: rounding a double sum of 1e-4
         // multiples can land exactly on any decimal-rounding boundary
         .join(ev.groupBy(Code).agg(
-          sum(round(col(NumericValue) * col(NumericValue) * 10000))
+          sum(round(when(AggregateCodeMetadata.valPresent,
+            col(NumericValue) * col(NumericValue) * 10000)))
             .cast(LongType).as("values_sum_sqd_e4")), Seq(Code))
       m.select(col(Code).as("code"),
         col(CodeNSubjects).as("n_subjects"),
@@ -176,7 +177,7 @@ object Queries {
       | count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_n_occurrences,
       | count(CASE WHEN value IS NOT NULL AND NOT isnan(value) AND round(value)=value THEN value END) AS values_n_ints,
       | round(coalesce(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END),0),3) AS values_sum,
-      | CAST(sum(round(value*value*10000)) AS BIGINT) AS values_sum_sqd_e4,
+      | CAST(sum(round(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value*value*10000 END)) AS BIGINT) AS values_sum_sqd_e4,
       | min(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_min,
       | max(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_max
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
@@ -294,7 +295,7 @@ object Queries {
         .orderBy("event_id")
     },
     Some("""SELECT event_id, CAST(order_idx AS BIGINT) AS order_idx,
-      | CAST(row_number() OVER (ORDER BY user_id, ts, order_idx, event_id) AS BIGINT) AS out_pos
+      | CAST(row_number() OVER (ORDER BY user_id, ts NULLS FIRST, order_idx, event_id) AS BIGINT) AS out_pos
       |FROM (
       |  SELECT *, CASE WHEN regexp_matches(event_type, '^signup$') THEN 0
       |    WHEN regexp_matches(event_type, '^login') THEN 1
@@ -420,7 +421,7 @@ object Queries {
       |    WHEN event_type='view' THEN value+1 ELSE value END AS v
       |  FROM events)
       |SELECT event_id, round(v,4) AS numeric_value, CAST(block AS BIGINT) AS block,
-      | CAST(row_number() OVER (ORDER BY user_id, ts, block, event_id) AS BIGINT) AS out_pos
+      | CAST(row_number() OVER (ORDER BY user_id, ts NULLS FIRST, block, event_id) AS BIGINT) AS out_pos
       |FROM t ORDER BY event_id""".stripMargin))
 
   private val reshardSummary: Gate = Gate(

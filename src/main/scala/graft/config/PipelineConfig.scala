@@ -184,7 +184,8 @@ object PipelineConfig {
               ac.getStr("age_unit").getOrElse("years"))))
           case ("time_of_day", tc) => Some(Generator(df =>
             AddTimeDerivedMeasurements.timeOfDayEvents(df,
-              tc.getList("endpoints").collect { case I(i) => i.toInt },
+              // accept 6.0 as well as 6 — YAML→JSON round-trips often float
+              tc.getList("endpoints").collect { case I(i) => i.toInt; case D(d) => d.toInt },
               tc.getStr("time_of_day_code").getOrElse("TIME_OF_DAY"))))
           case ("timeline_tokens", tt) =>
             val endCode = tt.getStr("timeline_end_code").getOrElse("TIMELINE//END")

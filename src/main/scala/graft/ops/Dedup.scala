@@ -125,7 +125,9 @@ object Dedup {
       .select(col(idCol), size(col("__shingles")).as("__n"),
         explode(col("__shingles")).as("__s"))
       .select(col(idCol), col("__n"), portableHash56(col("__s")).as("shingle"))
-      .cache()
+      // localCheckpoint, not cache: blocks are released by the ContextCleaner
+      // when the frame is GC'd, instead of pinning storage for the session
+      .localCheckpoint()
     val a = sh.toDF("id_a", "n_a", "shingle")
     val b = sh.toDF("id_b", "n_b", "shingle")
     a.join(b, Seq("shingle"))
@@ -165,7 +167,7 @@ object Dedup {
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val numPerms = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, idCol, textCol, n, numPerms, seed).cache()
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numPerms, seed).localCheckpoint()
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_sig"))
@@ -209,7 +211,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numBits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     // cache: the per-doc simhash table is tiny and consumed by both join sides
-    val sh = simhash(docs, idCol, textCol, n, numBits).cache()
+    val sh = simhash(docs, idCol, textCol, n, numBits).localCheckpoint()
     val bandBits = numBits / bands
     val mask = (1L << bandBits) - 1
     val banded = sh.select(col(idCol), col("simhash"),
@@ -244,7 +246,8 @@ object Dedup {
     // changed-rows self-join (decimal: a 128-bit sum cannot overflow at any
     // realistic id range × row count)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty pair graph: sum is null
     var prevSum = labelSum(labels)
     var prevCached: Option[DataFrame] = None
     var converged = false

@@ -94,11 +94,14 @@ object Multimodal {
     * deterministic per-frame digest — the row-explosion plumbing (one row per
     * sampled frame, repartitionable downstream) is the real part.
     */
-  def sampleFramesStub(media: DataFrame, n: Int): DataFrame =
+  def sampleFramesStub(media: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"sampleFramesStub: n must be positive, got $n" +
+      " (sequence(0, n-1) with n=0 would emit frames 0 and -1)")
     media.select(col("media_id"), col("payload"),
       explode(sequence(lit(0), lit(n - 1))).as("frame_idx"))
       .select(
         col("media_id"), col("frame_idx"),
         sha2(concat(col("payload"), col("frame_idx").cast("string").cast("binary")), 256)
           .as("frame_digest"))
+  }
 }

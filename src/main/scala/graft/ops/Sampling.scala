@@ -51,7 +51,11 @@ object Sampling {
       perStratum: Int, seed: Long = 42L): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(unitHash(col(idCol), seed), col(idCol))
-    df.withColumn("__rank", row_number().over(w))
+    // null ids have no stable hash: default nulls-first ordering would keep
+    // them preferentially AND nondeterministically (all sort keys equal) —
+    // drop them, consistent with sample()
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= perStratum)
       .drop("__rank")
   }

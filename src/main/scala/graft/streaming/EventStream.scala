@@ -66,16 +66,14 @@ object EventStream {
       .start()
   }
 
-  /** Streaming variant: parquet-directory source, 10-minute watermark. */
+  /** Streaming variant: parquet-directory source, 10-minute watermark —
+    * literally [[windowedAgg]] over the watermarked stream, so batch and
+    * streaming results match by construction (one shared definition, not a
+    * copy that can drift).
+    */
   def streamingWindowedAgg(spark: SparkSession, dir: String, schema: StructType,
-      windowLen: String = "1 hour"): DataFrame = {
-    val stream = spark.readStream.schema(schema).parquet(dir)
-    stream
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
-  }
+      windowLen: String = "1 hour"): DataFrame =
+    windowedAgg(
+      spark.readStream.schema(schema).parquet(dir).withWatermark("ts", "10 minutes"),
+      windowLen)
 }

@@ -70,7 +70,10 @@ object Sessionize {
           var cur: Option[SessionOut] = None
           sorted.foreach { e =>
             val tsMicros = e.ts.getTime * 1000L
-            val isNew = st.lastTs == Long.MinValue || (tsMicros - st.lastTs) > gapMicros
+            // abs: a cross-batch straggler far BEFORE the stored last event
+            // must also break the session, not silently merge into it
+            val isNew = st.lastTs == Long.MinValue ||
+              math.abs(tsMicros - st.lastTs) > gapMicros
             if (isNew) {
               cur.foreach(sessions += _)
               st = SessionState(tsMicros, st.sessionIdx + 1)
@@ -129,8 +132,17 @@ object Sessionize {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open = open match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1, sum = s.sum + e.value))
+                // in-watermark out-of-order event within the gap on EITHER
+                // side: merge, growing the session in both directions
+                case Some(s) if t >= s.startMs - gapMs && t - s.endMs <= gapMs =>
+                  Some(s.copy(startMs = math.min(s.startMs, t),
+                    endMs = math.max(s.endMs, t), n = s.n + 1, sum = s.sum + e.value))
+                // straggler far BEFORE the open session: emit it as its own
+                // closed single-event session (single-open-session state
+                // cannot reopen history; session indices are not contractual)
+                case Some(s) if t < s.startMs - gapMs =>
+                  done += emit(userId, OpenSession(s.sessionIdx, t, t, 1, e.value))
+                  Some(s)
                 case Some(s) =>
                   done += emit(userId, s)
                   Some(OpenSession(s.sessionIdx + 1, t, t, 1, e.value))
