@@ -230,51 +230,58 @@ object Dedup {
 
   /** Resolve near-dup pairs into duplicate clusters: each id maps to the
     * minimum id reachable through the pair graph (connected components via
-    * iterative min-label propagation — the standard large-graph pattern;
-    * each round is one aggregation + join, and rounds needed = graph
-    * diameter, which is tiny for dedup clusters).
+    * min-label propagation WITH pointer jumping — each round a node takes
+    * the min over its neighbors' labels, then follows that label one more
+    * hop through the label table itself (`label ← label[label]`). The extra
+    * hop halves remaining path lengths, so rounds needed is O(log diameter)
+    * instead of O(diameter) — a long near-dup chain of 1000 docs resolves in
+    * ~10 rounds, not 1000 full-edge shuffles.
+    *
+    * Convergence is exact for ANY id type: each round carries the previous
+    * label alongside the new one and counts changed rows on the materialized
+    * frame (a numeric-sum metric silently null-casts string ids and declares
+    * convergence after one round — under-merged clusters).
     */
   def resolveClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // pre-partition on the lookup key and materialize once: localCheckpoint
+    // preserves outputPartitioning, so the per-round join against `edges`
+    // never re-shuffles the edge table (ContextCleaner frees the blocks when
+    // the frame is GC'd, unlike cache)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
-    edges.count() // materialize once: every round joins against this cache
+      .distinct().repartition(col("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-    // labels only ever DECREASE, so the label sum is a strictly-decreasing
-    // convergence metric — one tiny aggregate per round instead of a
-    // changed-rows self-join (decimal: a 128-bit sum cannot overflow at any
-    // realistic id range × row count)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty pair graph: sum is null
-    var prevSum = labelSum(labels)
-    var prevCached: Option[DataFrame] = None
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // hop 1: min over neighbors' labels (the propagation step)
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("cluster_id")).as("neighbor_min"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .cache()
-      val curSum = labelSum(updated) // materializes `updated`
-      prevCached.foreach(_.unpersist(false))
-      prevCached = Some(updated)
-      labels = updated
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
+        .agg(min(col("__nl")).as("__nmin"))
+      val prop = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster_id").as("__old"),
+          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
+            .as("__mid"))
+      // hop 2 (pointer jump): follow the new label through the previous
+      // round's label table — labels only decrease, so label[label] ≤ label
+      val jumped = prop.join(
+          labels.select(col("id").as("__jid"), col("cluster_id").as("__jl")),
+          col("__mid") === col("__jid"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__mid"), coalesce(col("__jl"), col("__mid"))).as("cluster_id"))
+        .localCheckpoint() // one materialization per round; truncates lineage
+      // changed-rows check runs on the checkpointed blocks — no recompute
+      converged = jumped.filter(col("cluster_id") =!= col("__old")).isEmpty
+      labels = jumped.drop("__old")
       i += 1
     }
     // silent truncation would report one true cluster as several — refuse
     if (!converged) throw new IllegalStateException(
       s"resolveClusters did not converge in $maxIters rounds (cluster diameter " +
         "exceeds maxIters); raise maxIters")
-    edges.unpersist(false)
     labels
   }
 

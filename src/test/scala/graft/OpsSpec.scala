@@ -72,6 +72,29 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("resolveClusters: string ids merge across diameter > 2 (no numeric-cast shortcut)") {
+    // a pure chain d0-d1-d2-d3-d4: diameter 4 forces several propagation
+    // rounds; a convergence metric that null-casts string ids would stop
+    // after one round and leave the chain under-merged
+    val pairs = Seq(("d0", "d1"), ("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("x9", "x8"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("d0" -> "d0", "d1" -> "d0", "d2" -> "d0", "d3" -> "d0",
+      "d4" -> "d0", "x8" -> "x8", "x9" -> "x8"))
+  }
+
+  test("resolveClusters: long chain converges in O(log d) rounds (pointer jumping)") {
+    // 40-node path graph: diameter 39; plain min-label propagation needs ~39
+    // rounds (> default maxIters would be the old failure mode at 25) while
+    // pointer jumping needs ~log2(39) ≈ 6-8 — converging under the default
+    // cap IS the behavioral assertion
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs, maxIters = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40 && got.values.forall(_ == 0L))
+  }
+
   test("embedding near-dup pairs within blocks above threshold") {
     val embs = Seq(
       (0L, Array(1.0, 0.0, 0.0), 0),
