@@ -36,15 +36,14 @@ object Main {
   /** CLI body on a caller-owned session (testable without session teardown). */
   def run(args: Array[String], spark: SparkSession): Unit = {
     require(args.length == 3 || args.length == 4,
-      "usage: graft.Main <pipeline.json> <inputRoot> <outputRoot> [checkpointRoot]")
-    val Array(pipelineJson, inputRoot, outputRoot) = args.take(3)
+      "usage: graft.Main <pipeline.{json,yaml}> <inputRoot> <outputRoot> [checkpointRoot]")
+    val Array(pipelineFile, inputRoot, outputRoot) = args.take(3)
     // with a checkpoint root, every stage persists to <root>/<idx>_<name> and
     // a re-run resumes after the last completed stage (runner.py .done files)
     val checkpointRoot = args.lift(3)
     graft.plans.GraftExtensions.register(spark)
 
-    val parsed = PipelineConfig.fromJson(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(pipelineJson)))
+    val parsed = PipelineConfig.fromFile(pipelineFile)
     parsed.description.foreach(d => println(s"[graft] pipeline: $d"))
     println(s"[graft] stages: ${parsed.stages.map(_.name).mkString(" -> ")}")
 

@@ -11,8 +11,8 @@ import graft.operators._
   * YAML surface (configs/pipeline.py:222-322, runner.py; stage entries are
   * either a bare stage name or {name: {stage config}}, with `_base_stage`
   * aliasing and `_match_revise` block rewriting). Configs are Cfg trees —
-  * typically parsed from JSON via `Cfg.fromJson` (YAML is a superset; the
-  * reference's pipeline files translate 1:1).
+  * parsed from JSON via `Cfg.fromJson` or from the reference's own YAML
+  * pipeline files via [[Yaml.parse]] (see [[fromFile]]).
   *
   * A pipeline built here is a sequence of `Pipeline.Stage`s executed on one
   * SparkSession by `Pipeline.run` — the reference's subprocess-per-stage,
@@ -24,6 +24,17 @@ object PipelineConfig {
   final case class Parsed(description: Option[String], stages: Seq[Pipeline.Stage])
 
   def fromJson(json: String): Parsed = fromCfg(Cfg.fromJson(json))
+
+  def fromYaml(yaml: String): Parsed = fromCfg(Yaml.parse(yaml))
+
+  /** Parse a pipeline config file, dispatching on extension (.yaml/.yml vs
+    * JSON) — the reference's pipelines are YAML and run unmodified.
+    */
+  def fromFile(path: String): Parsed = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    if (path.endsWith(".yaml") || path.endsWith(".yml")) fromYaml(text)
+    else fromJson(text)
+  }
 
   def fromCfg(cfg: Cfg): Parsed = {
     val m = cfg.asInstanceOf[M].v
@@ -93,7 +104,30 @@ object PipelineConfig {
     }
   }
 
+  // ---- stage registry ---------------------------------------------------
+
+  /** Third-party stage extension point, mirroring the reference's entry-point
+    * discovery (stages/discovery.py:14-72): packages register a builder under
+    * a base-stage name and pipeline configs can then reference it like any
+    * built-in (including via `_base_stage` aliasing and `_match_revise` —
+    * registered stages are consulted BEFORE the built-in match). The builder
+    * receives (stage name, stage config).
+    */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Cfg) => Pipeline.Stage]()
+
+  def register(baseStage: String)(builder: (String, Cfg) => Pipeline.Stage): Unit =
+    registry.put(baseStage, builder)
+
+  def unregister(baseStage: String): Unit = registry.remove(baseStage)
+
+  def registeredStages: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet().asScala.toSet
+  }
+
   def buildStage(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = baseStage match {
+    case s if registry.containsKey(s) => registry.get(s)(name, cfg)
     case "aggregate_code_metadata" =>
       val (aggs, quantiles) = parseAggregations(cfg)
       val mods = cfg.strings("code_modifiers")
@@ -103,6 +137,37 @@ object PipelineConfig {
     case "fit_vocabulary_indices" =>
       Pipeline.MetadataStage(name, m =>
         FitVocabularyIndices(m.codes, cfg.strings("code_modifiers")))
+    case "reshard_to_split" =>
+      // Reference stage config (reshard_to_split/config.yaml + reshard_to_split
+      // .py:264-333): n_subjects_per_shard (default 50000) sizes shards per
+      // split; n_shards fixes the count instead when given. The distributed
+      // seeded assignment is the default; reference_parity=true selects the
+      // driver-side permutation that structurally matches the reference's
+      // collected numpy shuffle.
+      val nShards = cfg.getInt("n_shards")
+      val perShard = cfg.getInt("n_subjects_per_shard")
+      val seed = cfg.getInt("seed").map(_.toLong).getOrElse(0L)
+      val parity = cfg.getBool("reference_parity").getOrElse(false)
+      Pipeline.DataStage(name, m => {
+        import org.apache.spark.sql.functions.{col, length}
+        // splits table when present; else fall back to the path-derived split
+        // (a root written without subject_splits but with split dirs)
+        val splitsSrc =
+          if (m.splits.isEmpty)
+            m.data.filter(length(col(graft.meds.MedsSchema.Split)) > 0)
+              .select(graft.meds.MedsSchema.SubjectId, graft.meds.MedsSchema.Split)
+              .distinct()
+          else m.splits
+        val assignment = (nShards, parity) match {
+          case (Some(k), false) => ReshardToSplit.assignShardsDistributed(splitsSrc, k, seed)
+          case (Some(k), true) => ReshardToSplit.assignShardsSeeded(splitsSrc, k, seed)
+          case (None, false) =>
+            ReshardToSplit.assignShardsDistributedBySize(splitsSrc, perShard.getOrElse(50000), seed)
+          case (None, true) =>
+            ReshardToSplit.assignShardsBySize(splitsSrc, perShard.getOrElse(50000), seed)
+        }
+        ReshardToSplit.applyAssigned(m.data, assignment)
+      })
     case _ =>
       // a data stage may opt into train-only input via a config override
       // (pipeline.py:430 lets config_overwrites set train_only on any stage);
@@ -110,10 +175,13 @@ object PipelineConfig {
       // extract_values' {out_col: expr} map, the ATDM generator dispatch)
       // never see it as stage config
       val stageCfg = cfg match { case M(m0) => M(m0 - "train_only"); case c => c }
+      // resolve the transform EAGERLY so an unknown stage name fails at
+      // config-parse time, not mid-pipeline when the stage first executes
+      val xform = dataTransform(baseStage, stageCfg)
       if (cfg.getBool("train_only").getOrElse(false))
-        Pipeline.DataStage(name, m => dataTransform(baseStage, stageCfg)(Pipeline.trainOnly(m)))
+        Pipeline.DataStage(name, m => xform(Pipeline.trainOnly(m)))
       else
-        Pipeline.DataStage(name, m => dataTransform(baseStage, stageCfg)(m))
+        Pipeline.DataStage(name, m => xform(m))
   }
 
   /** Data-stage transformation for `baseStage` under `cfg`; `_match_revise`
@@ -212,11 +280,12 @@ object PipelineConfig {
             code -> m0.obj.values.toSeq.collect { case D(d) => d; case I(i) => i.toDouble }
           case (code, other) => throw new IllegalArgumentException(s"bad bins for $code: $other")
         }.toMap
-        // custom_bins_filepath: same structure from a JSON file (the
-        // reference reads YAML; this engine's config surface is JSON),
-        // inline custom_bins entries win on collision
+        // custom_bins_filepath: same structure from a YAML (like the
+        // reference) or JSON file; inline custom_bins entries win on collision
         val fileBins = cfg.getStr("custom_bins_filepath").map { p =>
-          parseBins(Cfg.fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+          val text = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+          parseBins(if (p.endsWith(".yaml") || p.endsWith(".yml")) Yaml.parse(text)
+            else Cfg.fromJson(text))
         }.getOrElse(Map.empty[String, Seq[Double]])
         val custom = fileBins ++ cfg.obj.get("custom_bins").map(parseBins).getOrElse(Map.empty)
         val binWith = cfg.strings("bin_with_columns") match {

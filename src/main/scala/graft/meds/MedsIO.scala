@@ -31,7 +31,25 @@ object MedsIO {
     * and `trainOnly` becomes a filter Catalyst pushes into the scan.
     */
   def read(spark: SparkSession, root: String): MedsData = {
-    val data = spark.read
+    val data = readData(spark, root)
+    val codes = spark.read.parquet(s"$root/metadata/codes.parquet")
+    val splitsPath = new org.apache.hadoop.fs.Path(s"$root/metadata/subject_splits.parquet")
+    val fs = splitsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Only a *missing* splits table falls back to empty; a corrupt or
+    // unreadable one must propagate (ADVICE r1: silently-empty splits made
+    // trainOnly drop every row with no error surfaced).
+    val splits =
+      if (fs.exists(splitsPath)) spark.read.parquet(splitsPath.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], splitsSchema)
+    MedsData(data, codes, splits)
+  }
+
+  /** The data-table half of read(): sharded parquet under `root/data` with
+    * the shard identity recovered from the file path.
+    */
+  private def readData(spark: SparkSession, root: String): DataFrame =
+    spark.read
       .option("recursiveFileLookup", "true") // shards live in split subdirs
       .parquet(s"$root/data")
       .withColumn(Shard,
@@ -46,18 +64,6 @@ object MedsIO {
             """^split=""", ""),
           """^__HIVE_DEFAULT_PARTITION__/""", ""))
       .withColumn(Split, regexp_extract(col(Shard), """^([^/]+)/""", 1))
-    val codes = spark.read.parquet(s"$root/metadata/codes.parquet")
-    val splitsPath = new org.apache.hadoop.fs.Path(s"$root/metadata/subject_splits.parquet")
-    val fs = splitsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Only a *missing* splits table falls back to empty; a corrupt or
-    // unreadable one must propagate (ADVICE r1: silently-empty splits made
-    // trainOnly drop every row with no error surfaced).
-    val splits =
-      if (fs.exists(splitsPath)) spark.read.parquet(splitsPath.toString)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], splitsSchema)
-    MedsData(data, codes, splits)
-  }
 
   /** Write a MEDS dataset root. Data is written partitioned by shard columns
     * (split dirs) and sorted within partitions by (subject_id, time) — the
@@ -81,26 +87,82 @@ object MedsIO {
     val markerFs = markerPath.getFileSystem(
       meds.data.sparkSession.sparkContext.hadoopConfiguration)
     markerFs.delete(markerPath, false) // a rewrite invalidates prior completion
-    val withSplit =
-      if (meds.data.columns.contains(Split)) meds.data
-      else meds.data.withColumn(Split, lit(TrainSplit))
-    withSplit
-      .repartition(col(Split), col(SubjectId))
-      .sortWithinPartitions(SubjectId, Time)
-      .write.mode("overwrite").partitionBy(Split).parquet(s"$root/data")
-    // Strip Hive partition-dir prefixes: data/split=train -> data/train.
-    val dataPath = new org.apache.hadoop.fs.Path(s"$root/data")
-    val fs = dataPath.getFileSystem(
-      meds.data.sparkSession.sparkContext.hadoopConfiguration)
-    fs.listStatus(dataPath).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("split="))
-        fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(dataPath, name.stripPrefix("split=")))
+    // An INTEGER `shard` column is an explicit reshard assignment
+    // (ReshardToSplit output) and is persisted as the reference's resharded
+    // layout `data/<split>/<shardIdx>.parquet` plus a root `.shards.json`
+    // (reshard_to_split.py:264-333); the path-derived STRING shard from
+    // read() is provenance only and takes the default layout.
+    val intShard = meds.data.schema.fields
+      .exists(f => f.name == Shard && f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (intShard) writeReshardedData(meds.data, root)
+    else {
+      val withSplit =
+        if (meds.data.columns.contains(Split)) meds.data
+        else meds.data.withColumn(Split, lit(TrainSplit))
+      withSplit
+        .repartition(col(Split), col(SubjectId))
+        .sortWithinPartitions(SubjectId, Time)
+        .write.mode("overwrite").partitionBy(Split).parquet(s"$root/data")
+      // Strip Hive partition-dir prefixes: data/split=train -> data/train.
+      val dataPath = new org.apache.hadoop.fs.Path(s"$root/data")
+      val fs = dataPath.getFileSystem(
+        meds.data.sparkSession.sparkContext.hadoopConfiguration)
+      fs.listStatus(dataPath).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("split="))
+          fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(dataPath, name.stripPrefix("split=")))
+      }
     }
     meds.codes.write.mode("overwrite").parquet(s"$root/metadata/codes.parquet")
     meds.splits.write.mode("overwrite").parquet(s"$root/metadata/subject_splits.parquet")
     markerFs.create(markerPath, true).close()
+  }
+
+  /** Resharded data layout: one `data/<split>/<shardIdx>.parquet` file per
+    * (split, shard) — the reference's exact on-disk shape, which read()
+    * round-trips to shard name `"<split>/<shardIdx>"` with no special
+    * casing. Each (split, shard) pair lands in exactly one task (the
+    * repartition key), so each Hive partition dir holds one file and the
+    * dir-to-file collapse is a metadata-only rename. Shards are bounded by
+    * construction (n_subjects_per_shard), so one file per shard is the
+    * scale-correct unit too. `.shards.json` is derived from the files just
+    * written (layout-truthful) and streamed — never collected whole.
+    */
+  private def writeReshardedData(data: DataFrame, root: String): Unit = {
+    val spark = data.sparkSession
+    data
+      .repartition(col(Split), col(Shard))
+      .sortWithinPartitions(Split, Shard, SubjectId, Time)
+      .write.mode("overwrite").partitionBy(Split, Shard).parquet(s"$root/data")
+    val dataPath = new org.apache.hadoop.fs.Path(s"$root/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dataPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("split=")) {
+        val splitDir = new org.apache.hadoop.fs.Path(dataPath, name.stripPrefix("split="))
+        fs.rename(st.getPath, splitDir)
+        fs.listStatus(splitDir).foreach { sh =>
+          val shName = sh.getPath.getName
+          if (sh.isDirectory && shName.startsWith("shard=")) {
+            val idx = shName.stripPrefix("shard=")
+            val files = fs.listStatus(sh.getPath)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+            if (files.length == 1) {
+              // collapse dir/part-*.parquet -> <idx>.parquet (reference shape)
+              fs.rename(files(0).getPath,
+                new org.apache.hadoop.fs.Path(splitDir, s"$idx.parquet"))
+              fs.delete(sh.getPath, true)
+            } else {
+              // multi-file shard (maxRecordsPerFile etc.): keep the dir; read()
+              // still recovers a per-file shard id prefixed "<split>/<idx>/"
+              fs.rename(sh.getPath, new org.apache.hadoop.fs.Path(splitDir, idx))
+            }
+          }
+        }
+      }
+    }
+    writeShardsJson(readData(spark, root), root)
   }
 
   /** Attach the engine-wide stable-order row index (monotonic within the
@@ -175,20 +237,45 @@ object MedsIO {
 
   /** `.shards.json` — the {split/shardIdx → subject ids} map the reference's
     * resharding emits (reshard_to_split.py:232-261). Computed from the
-    * resharded data itself so it is layout-truthful.
+    * resharded data itself so it is layout-truthful, and STREAMED: the
+    * distinct+sort runs distributed, `toLocalIterator` pulls one partition
+    * at a time, and a Jackson generator writes straight to the (Hadoop FS)
+    * output stream — driver memory is bounded by one partition even at 10⁸+
+    * subjects, where the previous whole-map collect was an OOM hazard.
+    * Accepts both shard conventions: an integer reshard assignment and the
+    * path-derived `"<split>/<idx>"` string from read().
     */
   def writeShardsJson(resharded: DataFrame, root: String): Unit = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.createObjectNode()
-    resharded.select(Split, Shard, SubjectId).distinct()
-      .collect()
-      .groupBy(r => s"${r.getString(0)}/${r.get(1)}")
-      .toSeq.sortBy(_._1)
-      .foreach { case (key, rows) =>
-        val arr = node.putArray(key)
-        rows.map(_.getLong(2)).sorted.foreach(arr.add)
+    val shardStr = col(Shard).cast("string")
+    val key = when(shardStr.startsWith(concat(col(Split), lit("/"))), shardStr)
+      .otherwise(concat(col(Split), lit("/"), shardStr))
+    val rows = resharded
+      .select(key.as("__key"), col(SubjectId))
+      .distinct()
+      .orderBy("__key", SubjectId)
+      .toLocalIterator()
+    val out = fsFor(new org.apache.hadoop.fs.Path(s"$root/.shards.json"))
+      .create(new org.apache.hadoop.fs.Path(s"$root/.shards.json"), true)
+    val gen = new com.fasterxml.jackson.core.JsonFactory()
+      .createGenerator(out: java.io.OutputStream)
+    gen.setPrettyPrinter(new com.fasterxml.jackson.core.util.DefaultPrettyPrinter())
+    try {
+      gen.writeStartObject()
+      var current: String = null
+      while (rows.hasNext) {
+        val r = rows.next()
+        val k = r.getString(0)
+        if (k != current) {
+          if (current != null) gen.writeEndArray()
+          gen.writeArrayFieldStart(k)
+          current = k
+        }
+        gen.writeNumber(r.getLong(1))
       }
-    writeStringFile(new org.apache.hadoop.fs.Path(s"$root/.shards.json"),
-      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+      if (current != null) gen.writeEndArray()
+      gen.writeEndObject()
+    } finally {
+      gen.close() // closes the underlying FS stream too
+    }
   }
 }

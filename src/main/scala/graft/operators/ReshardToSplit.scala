@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 import graft.meds.MedsSchema._
 
 /** `reshard_to_split` (reference:
@@ -51,7 +52,7 @@ object ReshardToSplit {
 
   private def assignShardsWith(splits: DataFrame, shardCount: Int => Int,
       seed: Long): DataFrame = {
-    val rows = splits.select(Split, SubjectId).collect()
+    val rows = splits.dropDuplicates(SubjectId).select(Split, SubjectId).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val assigned = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (split, members) =>
       val rng = new scala.util.Random(seed ^ split.hashCode.toLong)
@@ -71,6 +72,58 @@ object ReshardToSplit {
     val spark = splits.sparkSession
     import spark.implicits._
     assigned.toDF(SubjectId, Split, Shard)
+  }
+
+  /** Fully-distributed seeded assignment: per split, subjects are permuted by
+    * a seeded engine-portable hash and cut into near-equal contiguous chunks
+    * (numpy `array_split` semantics, like the reference's `shard_subjects` —
+    * reshard_to_split.py:25-195) — but the permutation rank is computed with
+    * the scalable global-row-number primitive instead of a driver-side
+    * collect, so a split with 10⁸ subjects never materializes on the driver
+    * (the collect-based [[assignShardsSeeded]] stays available as the
+    * reference-parity mode). Deterministic for a given (splits, seed).
+    */
+  def assignShardsDistributed(splits: DataFrame, nShards: Int, seed: Long = 0L): DataFrame = {
+    require(nShards > 0)
+    assignShardsDistributedWith(splits, _ => lit(nShards), seed)
+  }
+
+  /** Distributed analog of [[assignShardsBySize]]: per split, shard count =
+    * ceil(n / nSubjectsPerShard) (the reference's `n_subjects_per_shard`
+    * default sizing).
+    */
+  def assignShardsDistributedBySize(splits: DataFrame, nSubjectsPerShard: Int,
+      seed: Long = 0L): DataFrame = {
+    require(nSubjectsPerShard > 0)
+    assignShardsDistributedWith(splits,
+      n => greatest(lit(1L), ceil(n / lit(nSubjectsPerShard.toDouble))).cast("long"), seed)
+  }
+
+  private def assignShardsDistributedWith(splits: DataFrame,
+      shardCount: Column => Column, seed: Long): DataFrame = {
+    // seeded permutation key: portable 56-bit hash of (subject, seed) — the
+    // same construction every sampling op uses, reproducible across engines
+    val hashed = splits.dropDuplicates(SubjectId)
+      .select(col(SubjectId), col(Split),
+        GraftFunctions.portableHash56(
+          concat_ws(":", col(SubjectId), lit(seed))).as("__h"))
+    // permutation rank within split, without a single-partition window: one
+    // global row number over (split, hash), then subtract the split's min
+    val ranked = GraftFunctions.withGlobalRowNumber(hashed, "__rn",
+      Seq(col(Split), col("__h"), col(SubjectId)))
+    // per-split stats are |splits| rows — always broadcastable
+    val stats = ranked.groupBy(Split)
+      .agg(min(col("__rn")).as("__min"), count(lit(1)).as("__n"))
+    val k = shardCount(col("__n"))
+    val rank = col("__rn") - col("__min") // 0-based rank within split
+    // numpy array_split: the first (n mod k) shards get base+1 subjects
+    val base = floor(col("__n") / k).cast("long")
+    val extra = col("__n") % k
+    val cut = (base + lit(1L)) * extra
+    val shard = when(rank < cut, floor(try_divide(rank, base + lit(1L))))
+      .otherwise(extra + floor(try_divide(rank - cut, base)))
+    ranked.join(broadcast(stats), Seq(Split))
+      .select(col(SubjectId), col(Split), shard.cast("int").as(Shard))
   }
 
   /** Generate IID splits from fractions when no external splits exist
@@ -103,6 +156,18 @@ object ReshardToSplit {
       .repartition(col(Split), col(Shard))
       .sortWithinPartitions(SubjectId, Time)
   }
+
+  /** Reshard against a precomputed {subject → (split, shard)} assignment
+    * (from any of the assignShards* variants). The join is deliberately
+    * UN-hinted: the assignment is one row per subject, which at cohort scale
+    * is too large to force-broadcast — AQE picks broadcast when it fits and
+    * a shuffle join when it doesn't.
+    */
+  def applyAssigned(data: DataFrame, assignment: DataFrame): DataFrame =
+    data.drop(Split, Shard)
+      .join(assignment.select(SubjectId, Split, Shard), Seq(SubjectId), "inner")
+      .repartition(col(Split), col(Shard))
+      .sortWithinPartitions(SubjectId, Time)
 
   /** Write re-sharded data in the MEDS layout (split partition dirs). */
   def write(resharded: DataFrame, root: String): Unit =

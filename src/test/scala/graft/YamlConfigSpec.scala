@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.config.{PipelineConfig, Yaml}
+import graft.dsl.Cfg
+import graft.meds.MedsIO
+import graft.operators.Pipeline
+
+/** YAML pipeline ingestion (reference pipelines are YAML —
+  * configs/pipeline.py:222-322) and the stage-registry extension point
+  * (stages/discovery.py:14-72): the reference's own downstream-package
+  * pipeline file must run unmodified once its custom stage is registered.
+  */
+class YamlConfigSpec extends SparkSpec {
+
+  test("Yaml.parse: scalars, nesting, lists, inline collections, comments") {
+    val cfg = Yaml.parse(
+      """# a header comment
+        |description: "quoted: with colon"  # trailing comment
+        |threshold: 4.5
+        |count: 12
+        |flag: true
+        |nothing: null
+        |hydra_marker: ???
+        |endpoints: [6, 12, 18]
+        |inline_map: {a: 1, b: two}
+        |nested:
+        |  deep:
+        |    key: value
+        |items:
+        |  - plain
+        |  - 7
+        |  - name: block_item
+        |    extra: 2
+        |""".stripMargin).asInstanceOf[Cfg.M].v
+    assert(cfg("description") == Cfg.S("quoted: with colon"))
+    assert(cfg("threshold") == Cfg.D(4.5))
+    assert(cfg("count") == Cfg.I(12))
+    assert(cfg("flag") == Cfg.B(true))
+    assert(cfg("nothing") == Cfg.Null)
+    assert(cfg("hydra_marker") == Cfg.S("???"))
+    assert(cfg("endpoints") == Cfg.list(Cfg(6), Cfg(12), Cfg(18)))
+    assert(cfg("inline_map") == Cfg.map("a" -> Cfg(1), "b" -> Cfg("two")))
+    assert(cfg("nested") == Cfg.map("deep" -> Cfg.map("key" -> Cfg("value"))))
+    val items = cfg("items").asInstanceOf[Cfg.L].v
+    assert(items == Seq(Cfg("plain"), Cfg(7),
+      Cfg.map("name" -> Cfg("block_item"), "extra" -> Cfg(2))))
+  }
+
+  test("YAML pipeline parses to the same stages as its JSON twin and runs identically") {
+    val yaml =
+      """description: twin test
+        |stages:
+        |  - filter_subjects:
+        |      min_events_per_subject: 5
+        |  - fit_outlier_detection:
+        |      _base_stage: aggregate_code_metadata
+        |      aggregations:
+        |        - "values/n_occurrences"
+        |        - "values/sum"
+        |        - "values/sum_sqd"
+        |""".stripMargin
+    val json =
+      """{"description": "twin test", "stages": [
+        |  {"filter_subjects": {"min_events_per_subject": 5}},
+        |  {"fit_outlier_detection": {"_base_stage": "aggregate_code_metadata",
+        |    "aggregations": ["values/n_occurrences", "values/sum", "values/sum_sqd"]}}
+        |]}""".stripMargin
+    val py = PipelineConfig.fromYaml(yaml)
+    val pj = PipelineConfig.fromJson(json)
+    assert(py.description == pj.description)
+    assert(py.stages.map(_.name) == pj.stages.map(_.name))
+
+    val meds = MedsIO.read(spark, "/root/reference/example/data")
+    val outY = Pipeline.run(spark, meds, py.stages)
+    val outJ = Pipeline.run(spark, meds, pj.stages)
+    assert(outY.data.count() == outJ.data.count())
+    assert(collectSet(outY.codes) == collectSet(outJ.codes))
+  }
+
+  test("graft.Main runs a YAML pipeline file end-to-end") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_yaml").toString
+    val yamlPath = s"$tmp/pipeline.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(yamlPath),
+      """description: yaml CLI test
+        |stages:
+        |  - filter_subjects:
+        |      min_events_per_subject: 5
+        |""".stripMargin)
+    Main.run(Array(yamlPath, "/root/reference/example/data", s"$tmp/out"), spark)
+    assert(Pipeline.isComplete(spark, s"$tmp/out"))
+    assert(MedsIO.read(spark, s"$tmp/out").data.count() == 41) // filter_subjects golden
+  }
+
+  test("registered custom stage: the reference's example_pipeline.yaml runs unmodified") {
+    // the reference's drop_regex (example/simple_example_pkg/src/simple_example_pkg/
+    // drop_regex/drop_regex.py): drop measurements whose code matches the regex
+    PipelineConfig.register("drop_regex") { (name, cfg) =>
+      val regex = cfg match {
+        case m: Cfg.M => m.v.get("regex").collect { case Cfg.S(s) => s }
+        case _ => None
+      }
+      Pipeline.DataStage(name, m => regex match {
+        case Some(r) => m.data.filter(!col(graft.meds.MedsSchema.Code).rlike(r))
+        case None => m.data
+      })
+    }
+    try {
+      val parsed = PipelineConfig.fromFile(
+        "/root/reference/example/simple_example_pkg/src/simple_example_pkg/pipelines/example_pipeline.yaml")
+      assert(parsed.stages.map(_.name) == Seq("drop_regex", "count_codes"))
+      val meds = MedsIO.read(spark, "/root/reference/example/data")
+      val out = Pipeline.run(spark, meds, parsed.stages)
+      // ^H.* codes are gone from the data
+      assert(out.data.filter(col(graft.meds.MedsSchema.Code).rlike("^H.*")).count() == 0)
+      // count_codes aggregated code/n_occurrences over the surviving codes
+      assert(out.codes.columns.contains("code/n_occurrences"))
+      assert(out.codes.filter(col(graft.meds.MedsSchema.Code).rlike("^H.*")).count() == 0)
+      assert(out.codes.count() > 0)
+    } finally PipelineConfig.unregister("drop_regex")
+  }
+
+  test("unregistered unknown stage still fails fast") {
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromJson("""{"stages": ["no_such_stage"]}""")
+    }
+  }
+}
