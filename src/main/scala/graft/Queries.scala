@@ -557,9 +557,12 @@ object Queries {
          |FROM t ORDER BY doc_id""".stripMargin
     })
 
+  // maxDf exercises the hot-shingle guard (the production configuration at
+  // web scale — boilerplate shingles otherwise fan the join key out d²);
+  // the oracle prunes the same shingles and recomputes set sizes identically
   private val ngramJaccard: Gate = Gate(
     (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"), "doc_id", "text",
-      n = 3, threshold = 0.4)
+      n = 3, threshold = 0.4, maxDf = Some(20))
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("id_a", "id_b"),
     Some("""WITH w AS (
@@ -569,10 +572,12 @@ object Queries {
       |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
       |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
       |sh AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS shingle FROM sh0),
-      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20),
+      |shp AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      |  FROM sh a JOIN sh b USING(shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+      |  FROM shp a JOIN shp b USING(shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
       |SELECT id_a, id_b, round(CAST(shared AS DOUBLE)/(sa.n+sb.n-shared), 4) AS jaccard
       |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
       |WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.4
@@ -781,11 +786,13 @@ object Queries {
       |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
       |LIMIT 10""".stripMargin))
 
+  // the hot-block guard is on (production configuration); no label block
+  // exceeds the cap at tested scales, so results stay exact vs the oracle
   private val knnJoin: Gate = Gate(
     (s, dir) => Similarity.knnJoin(
       table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
       table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
-      "vec_id", "embedding", "label", k = 3)
+      "vec_id", "embedding", "label", k = 3, maxBlockSize = Some(100000))
       .select(col("id_l"), col("id_r"), r4(col("cos")).as("cos"),
         col("rank").cast(LongType).as("rank"))
       .orderBy("id_l", "rank"),

@@ -104,15 +104,28 @@ object Dedup {
     * pairs share at least one shingle; Jaccard is computed from shared /
     * distinct counts. Emits (id_a < id_b, jaccard) above `threshold`.
     *
-    * The per-doc shingle-set size rides along with each exploded shingle row
-    * (computed in-row from the array — no separate sizes aggregation or
-    * join), so the whole query is one join + one aggregation: join on the
-    * 56-bit hash (8-byte fixed-width shuffle key instead of variable
-    * strings), then count shared shingles per pair.
+    * Without `maxDf`, the per-doc shingle-set size rides along with each
+    * exploded shingle row (computed in-row from the array — no separate
+    * sizes aggregation or join), so the whole query is one join + one
+    * aggregation: join on the 56-bit hash (8-byte fixed-width shuffle key
+    * instead of variable strings), then count shared shingles per pair.
+    *
+    * `maxDf` is the hot-shingle guard this operator NEEDS at web scale: a
+    * shingle present in d documents fans its join key out into d² candidate
+    * rows, and boilerplate shingles (cookie banners, license headers) make
+    * that a skewed-key shuffle bomb. With `maxDf = Some(m)`, shingles whose
+    * document frequency exceeds m are removed from every document's shingle
+    * set BEFORE the self-join — bounding any join key's fan-out to m² — and
+    * Jaccard is computed over the pruned sets (set sizes recomputed after
+    * pruning, so the semantics are "similarity over non-boilerplate
+    * shingles"). The hot list is found with a map-side-combined count
+    * (shuffles distinct-shingle partials, never the exploded rows) and
+    * removed with a broadcast anti-join — its size is bounded by
+    * total-shingle-volume / maxDf, tiny for any sensible cutoff.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, maxDf: Option[Int] = None): DataFrame = {
     // hash AFTER the explode: a row-level md5 runs inside whole-stage codegen
     // (measured ~1.5× the in-lambda interpreted form), and the cache stops
     // the self-join from computing the shingle chain twice (~2.5× overall).
@@ -128,15 +141,37 @@ object Dedup {
       // localCheckpoint, not cache: blocks are released by the ContextCleaner
       // when the frame is GC'd, instead of pinning storage for the session
       .localCheckpoint()
-    val a = sh.toDF("id_a", "n_a", "shingle")
-    val b = sh.toDF("id_b", "n_b", "shingle")
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_shared"))
-      .withColumn("jaccard",
-        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    maxDf match {
+      case None =>
+        val a = sh.toDF("id_a", "n_a", "shingle")
+        val b = sh.toDF("id_b", "n_b", "shingle")
+        a.join(b, Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_shared"))
+          .withColumn("jaccard",
+            col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
+      case Some(m) =>
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > m).select("shingle")
+        // anti-join is a narrow op over the checkpointed blocks — all three
+        // consumers (both join sides, sizes) re-derive it without a shuffle
+        val pruned = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .select(col(idCol), col("shingle"))
+        val sizes = pruned.groupBy(idCol).agg(count(lit(1)).as("__n"))
+        val a = pruned.toDF("id_a", "shingle")
+        val b = pruned.toDF("id_b", "shingle")
+        a.join(b, Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+          .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+          .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+          .withColumn("jaccard",
+            col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "jaccard")
+    }
   }
 
   /** MinHash signatures in wide form: one row per doc, one `mh_i` column per
@@ -241,6 +276,18 @@ object Dedup {
     * label alongside the new one and counts changed rows on the materialized
     * frame (a numeric-sum metric silently null-casts string ids and declares
     * convergence after one round — under-merged clusters).
+    *
+    * Storage contract: each round's label table is `localCheckpoint`ed and
+    * the PREVIOUS round's blocks are unpersisted explicitly as soon as the
+    * new round is materialized — peak executor storage is two label copies
+    * plus the edge table, independent of round count. localCheckpoint
+    * blocks are non-replicated and lineage is truncated: losing an executor
+    * (or a dynamic-allocation decommission) mid-loop fails the job, which
+    * then simply re-runs — the deterministic-batch trade-off documented on
+    * [[graft.functions.GraftFunctions.withGlobalRowNumber]]. Under
+    * `spark.dynamicAllocation.enabled` prefer
+    * `spark.dynamicAllocation.cachedExecutorIdleTimeout=infinity` (the
+    * default) so executors holding these blocks are not reaped mid-loop.
     */
   def resolveClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // pre-partition on the lookup key and materialize once: localCheckpoint
@@ -275,6 +322,9 @@ object Dedup {
         .localCheckpoint() // one materialization per round; truncates lineage
       // changed-rows check runs on the checkpointed blocks — no recompute
       converged = jumped.filter(col("cluster_id") =!= col("__old")).isEmpty
+      // the new round is materialized — free the previous round's blocks now
+      // instead of waiting for a driver GC + ContextCleaner pass
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)
       labels = jumped.drop("__old")
       i += 1
     }
@@ -282,6 +332,9 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"resolveClusters did not converge in $maxIters rounds (cluster diameter " +
         "exceeds maxIters); raise maxIters")
+    // the result is checkpointed and lineage-free; the edge table is no
+    // longer reachable from it
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
     labels
   }
 

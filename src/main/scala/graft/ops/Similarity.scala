@@ -130,13 +130,40 @@ object Similarity {
   /** All-pairs k-NN join within blocks (each left row gets its k nearest
     * right rows sharing the block key). Window-ranked, shuffle bounded by
     * block sizes.
+    *
+    * `maxBlockSize` is the hot-block guard: within a block of d rows the
+    * join is quadratic (d² candidate rows through one join key), so a single
+    * hot block degenerates the whole query at scale. With `Some(cap)`,
+    * blocks whose RIGHT side exceeds the cap are sub-bucketed by sign-LSH
+    * over `subBucketDims` on BOTH sides and the join key becomes
+    * (block, bucket) — fan-out per key drops by ~2^dims (expected; identical
+    * degenerate vectors still co-bucket, but those are exact duplicates that
+    * belong to dedup, not knn). Results are exact for every block within the
+    * cap and sign-LSH-approximate (neighbors found within the query row's
+    * bucket) for oversized ones — the same exactness trade [[lshTopK]]
+    * makes. The oversized-key list is a per-block count (map-side combined)
+    * broadcast to both sides: no extra shuffle of the vectors.
     */
   def knnJoin(left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, k: Int): DataFrame = {
+      blockCol: String, k: Int, maxBlockSize: Option[Int] = None,
+      subBucketDims: Seq[Int] = 0 until 8): DataFrame = {
     val l = left.select(col(blockCol), col(idCol).as("id_l"), col(vecCol).as("vec_l"))
     val r = right.select(col(blockCol), col(idCol).as("id_r"), col(vecCol).as("vec_r"))
     val w = Window.partitionBy("id_l").orderBy(col("cos").desc, col("id_r"))
-    l.join(r, Seq(blockCol))
+    val (lk, rk, joinKeys) = maxBlockSize match {
+      case None => (l, r, Seq(blockCol))
+      case Some(cap) =>
+        val oversized = r.groupBy(blockCol).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap)
+          .select(col(blockCol), lit(true).as("__hot"))
+        def bucketed(df: DataFrame, vec: String) =
+          df.join(broadcast(oversized), Seq(blockCol), "left")
+            .withColumn("__bucket",
+              when(col("__hot"), signBucket(col(vec), subBucketDims)).otherwise(lit(0L)))
+            .drop("__hot")
+        (bucketed(l, "vec_l"), bucketed(r, "vec_r"), Seq(blockCol, "__bucket"))
+    }
+    lk.join(rk, joinKeys)
       .filter(col("id_l") =!= col("id_r"))
       .withColumn("cos", cosine(col("vec_l"), col("vec_r")))
       .withColumn("rank", row_number().over(w))

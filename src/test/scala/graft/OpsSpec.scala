@@ -39,6 +39,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram jaccard maxDf prunes boilerplate shingles and bounds candidates") {
+    // skewed corpus: every doc shares an 8-word boilerplate prefix (web
+    // banner shape); docs 28/29 also share their unique tail
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    val skewed = (0 until 28).map(i => (i.toLong, s"$boiler unique$i word$i thing$i")) ++
+      Seq((28L, s"$boiler same same2 same3"), (29L, s"$boiler same same2 same3"))
+    val df = skewed.toDF("doc_id", "text")
+    // unguarded at threshold 0: the boilerplate shingles connect EVERY pair
+    val unguarded = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.0)
+    assert(unguarded.count() == 30L * 29 / 2) // the d² fan-out the guard exists for
+    // maxDf=10 prunes the df=30 boilerplate shingles: only the genuinely
+    // shared tail survives as a candidate generator
+    val pruned = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.3, maxDf = Some(10))
+    val pairs = pruned.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pairs.map(_._1).toSet == Set((28L, 29L)))
+    // sizes are recomputed over the pruned sets: identical pruned sets → 1.0
+    assert(pairs.head._2 == 1.0)
+    // and candidate generation itself is bounded (not just the output): at
+    // threshold 0 the pruned index yields only the surviving pair
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.0, maxDf = Some(10)).count() == 1)
+  }
+
   test("minhash-LSH finds near-dups without all-pairs comparison") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
@@ -194,6 +218,40 @@ class SimilaritySpec extends SparkSpec {
     val ranks = out.filter(col("id_l") === 0).orderBy("rank")
       .collect().map(r => r.getAs[Double]("cos"))
     assert(ranks.sameElements(ranks.sorted.reverse)) // descending similarity
+  }
+
+  test("knnJoin hot-block cap: oversized block sub-buckets, small blocks stay exact") {
+    // one dominant block of 40 vectors (4 sign-quadrant groups of 10 in dims
+    // 0-1) plus a small block of 5 — the skew shape that degenerates an
+    // uncapped block join
+    def vec(i: Int, hot: Boolean): Seq[Double] = {
+      val s0 = if ((i / 10) % 2 == 0) 1.0 else -1.0
+      val s1 = if ((i / 20) % 2 == 0) 1.0 else -1.0
+      Seq(s0 * (1.0 + i % 10 * 0.01), s1 * (2.0 + i % 10 * 0.01),
+        0.1 * (i % 7), 0.2, 0.3, 0.1, 0.05, if (hot) 0.4 else -0.4)
+    }
+    val rows = (0 until 40).map(i => (i.toLong, "hot", vec(i, hot = true))) ++
+      (100 until 105).map(i => (i.toLong, "small", vec(i, hot = false)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val dims = 0 until 2
+    val capped = Similarity.knnJoin(df, df, "vec_id", "embedding", "label",
+      k = 3, maxBlockSize = Some(20), subBucketDims = dims)
+    val exact = Similarity.knnJoin(df, df, "vec_id", "embedding", "label", k = 3)
+    // the small block (5 <= cap) is bit-identical to the unguarded join
+    assert(collectSet(capped.filter(col("id_l") >= 100L)) ==
+      collectSet(exact.filter(col("id_l") >= 100L)))
+    // every hot-block neighbor shares the query row's sign bucket (the
+    // candidate set is bounded to the sub-bucket, not the whole block)
+    val bucket = rows.map { case (id, _, v) =>
+      id -> dims.zipWithIndex.map { case (d, b) => if (v(d) >= 0) 1L << b else 0L }.sum
+    }.toMap
+    val hotPairs = capped.filter(col("id_l") < 100L)
+      .select("id_l", "id_r").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hotPairs.nonEmpty)
+    hotPairs.foreach { case (a, b) => assert(bucket(a) == bucket(b), s"($a,$b)") }
+    // ranked top-k per row still holds
+    val perRow = capped.groupBy("id_l").count().agg(max("count")).head().getLong(0)
+    assert(perRow <= 3)
   }
 }
 
