@@ -28,7 +28,14 @@ object Bench {
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run for local A/B iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names.contains(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache() // per-query caches must not accumulate or pre-warm
       System.gc() // keep prior queries' garbage out of this query's timing
@@ -43,10 +50,12 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also persisted to a file: sbt prefixes stdout with [info], which some
-    // log parsers trip over — the file carries the bare JSON line
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LATEST.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // log parsers trip over — the file carries the bare JSON line. Partial
+    // (BENCH_ONLY) runs must not clobber the full-suite snapshot.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LATEST.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

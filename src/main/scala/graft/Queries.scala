@@ -286,7 +286,7 @@ object Queries {
       val pats = Seq("^signup$", "^login", "^purchase$")
       val df = medsEvents(s, dir)
         .withColumn("order_idx", ReorderMeasurements.orderIndex(pats))
-      // scalable global position: range-partitioned row number, not a
+      // scalable global position: keyed (checkpoint-free) row number, not a
       // single-partition Window.orderBy
       GraftFunctions.withGlobalRowNumber(df, "out_pos",
         Seq(col(SubjectId), col(Time).asc_nulls_first, col("order_idx"), col("event_id")))

@@ -115,7 +115,11 @@ object GraftFunctions {
     * read the per-partition record index out of `monotonically_increasing_id`
     * (upper bits = partition id, lower 33 = record number in row order — so
     * no Window exchange is needed at all), then add per-partition row-count
-    * offsets via a broadcast join.
+    * offsets via a constant-folded map-literal lookup (broadcast join only
+    * past 4096 partitions, where the literal would bloat the expression
+    * tree). The counts come out of the materialization job itself — see
+    * GraftSqlBridge.localCheckpointWithPartitionCounts — so the blocks are
+    * scanned once, not twice.
     *
     * The ranged-and-numbered frame is materialized ONCE via an eager
     * localCheckpoint before the offsets pass and the numbering pass read it,
@@ -137,18 +141,83 @@ object GraftFunctions {
     val ranged = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint()
-    val counts = ranged
-      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // ONE job materializes the blocks AND reads off per-partition counts
+    // (the counts job over the blocks that used to follow the eager
+    // checkpoint was a second full scan — ~30% of the operator)
+    val (checkpointed, counts) =
+      org.apache.spark.sql.GraftSqlBridge.localCheckpointWithPartitionCounts(ranged)
     var acc = 0L
-    val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
-    val offsetsDf = df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
-    ranged
-      .join(broadcast(offsetsDf), shiftright(col("__mid"), 33) === col("__pid"))
-      .withColumn(outCol, col("__mid").bitwiseAND(lit(mask)) + col("__offset") + 1)
-      .drop("__mid", "__pid", "__offset")
+    val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid.toLong, o) }
+    if (offsets.length <= 4096) {
+      // constant-folded map literal: offset lookup is a pure projection —
+      // no BroadcastExchange, no join operator in the plan
+      val kv = offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }
+      checkpointed
+        .withColumn(outCol, col("__mid").bitwiseAND(lit(mask))
+          + element_at(map(kv.toIndexedSeq: _*), shiftright(col("__mid"), 33)) + 1)
+        .drop("__mid")
+    } else {
+      // at extreme partition counts a map literal would bloat the expression
+      // tree — fall back to a broadcast join
+      val offsetsDf = df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
+      checkpointed
+        .join(broadcast(offsetsDf), shiftright(col("__mid"), 33) === col("__pid"))
+        .withColumn(outCol, col("__mid").bitwiseAND(lit(mask)) + col("__offset") + 1)
+        .drop("__mid", "__pid", "__offset")
+    }
+  }
+
+  /** Scalable global row number, keyed variant: same contract as
+    * [[withGlobalRowNumber]] but REQUIRES `bucketKey` to be a numeric
+    * expression equal to the leading sort column (ascending, nulls first).
+    * That restriction buys a fundamentally cheaper plan: bucket boundaries
+    * are collected ONCE as literals (approxQuantile over the key), so the
+    * bucket id is a pure function of row values — two executions of the
+    * plan agree by construction, which is exactly the property a range
+    * shuffle lacks (RangePartitioner reseeds per RDD id; AQE coalesces per
+    * consumer) and the reason the generic variant must pay an eager
+    * localCheckpoint. Here nothing is materialized: one pass computes exact
+    * per-bucket counts (map-side combined — only bucket partials shuffle),
+    * the offsets broadcast back, and the main pass runs one hash shuffle on
+    * the bucket id with a streaming row_number window per bucket. Also
+    * fault-tolerant: with no checkpointed blocks, executor loss just
+    * recomputes lineage.
+    *
+    * Bucket count follows spark.sql.shuffle.partitions; quantile bounds keep
+    * buckets balanced under key skew (heavily duplicated keys collapse
+    * bounds, never split a key across buckets — equal keys always share a
+    * bucket, so ordering by the remaining sort columns stays within one
+    * window partition).
+    */
+  def withGlobalRowNumberKeyed(df: DataFrame, outCol: String, bucketKey: Column,
+      sortCols: Seq[Column], numBuckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numBuckets > 0) numBuckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val keyed = df.withColumn("__bk", bucketKey.cast("double"))
+    val bounds =
+      if (n <= 1) Array.empty[Double]
+      else keyed.stat.approxQuantile("__bk",
+        (1 until n).map(_.toDouble / n).toArray, 0.001).distinct.sorted
+    // pure-function bucket id: number of bounds strictly below the key.
+    // Nulls compare to null -> dropped by filter -> bucket 0 (nulls first).
+    val pid =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit(_)): _*), b => col("__bk") > b))
+    val withPid = keyed.withColumn("__pid", pid)
+    // exact counts; deterministic because __pid is value-derived
+    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, cnt) => val o = acc; acc += cnt; (p, o) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(sortCols: _*)
+    // constant-folded map literal — the offset lookup is a pure projection
+    val kv = offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }
+    withPid
+      .withColumn(outCol, row_number().over(w).cast(LongType)
+        + element_at(map(kv.toIndexedSeq: _*), col("__pid")))
+      .drop("__bk", "__pid")
   }
 
   /** Polars `shrink_dtype` analog (reducer.py:217, fit_vocabulary_indices

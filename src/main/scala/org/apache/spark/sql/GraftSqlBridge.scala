@@ -28,4 +28,29 @@ object GraftSqlBridge {
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** `localCheckpoint(eager = true)` fused with per-partition row counts:
+    * ONE job materializes the partitions into block storage (localCheckpoint
+    * semantics - lineage truncated, blocks freed by the ContextCleaner on
+    * driver GC) and returns each partition's row count as it streams by.
+    * Dataset.localCheckpoint runs a dedicated `rdd.count()` job to
+    * materialize and then any consumer needing the counts must re-scan the
+    * blocks - for global-row-number offsets that second full scan is pure
+    * waste, measured ~30% of the operator's cost.
+    */
+  def localCheckpointWithPartitionCounts(
+      df: Dataset[org.apache.spark.sql.Row]): (DataFrame, Array[(Int, Long)]) = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    // same InternalRow defensive copy Dataset.checkpoint performs: the
+    // iterator reuses one mutable row, which must not be cached as-is
+    val internalRdd = classic.queryExecution.toRdd.map(_.copy())
+    internalRdd.localCheckpoint()
+    val counts = internalRdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator((i, n))
+    }.collect().sortBy(_._1)
+    (classic.sparkSession.internalCreateDataFrame(
+      internalRdd, classic.schema, isStreaming = false), counts)
+  }
 }
