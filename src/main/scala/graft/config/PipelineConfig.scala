@@ -127,7 +127,16 @@ object PipelineConfig {
   }
 
   def buildStage(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = baseStage match {
-    case s if registry.containsKey(s) => registry.get(s)(name, cfg)
+    // single volatile read: a concurrent unregister between containsKey and
+    // get would otherwise NPE instead of falling through to the built-ins
+    case s if registry.get(s) != null => registry.get(s) match {
+      case null => buildBuiltinStage(name, s, cfg) // unregistered mid-parse
+      case b => b(name, cfg)
+    }
+    case s => buildBuiltinStage(name, s, cfg)
+  }
+
+  private def buildBuiltinStage(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = baseStage match {
     case "aggregate_code_metadata" =>
       val (aggs, quantiles) = parseAggregations(cfg)
       val mods = cfg.strings("code_modifiers")
@@ -158,6 +167,14 @@ object PipelineConfig {
               .select(graft.meds.MedsSchema.SubjectId, graft.meds.MedsSchema.Split)
               .distinct()
           else m.splits
+        // fail FAST on a root with no split information at all: the inner
+        // join against an empty assignment would otherwise complete
+        // "successfully" with zero rows — the silent-drop failure mode the
+        // r1 advice on MedsIO.read exists to prevent
+        require(!splitsSrc.isEmpty,
+          s"reshard_to_split stage '$name': no split information — the root has " +
+            "neither a metadata/subject_splits.parquet table nor split " +
+            "directories under data/")
         val assignment = (nShards, parity) match {
           case (Some(k), false) => ReshardToSplit.assignShardsDistributed(splitsSrc, k, seed)
           case (Some(k), true) => ReshardToSplit.assignShardsSeeded(splitsSrc, k, seed)

@@ -36,14 +36,21 @@ object Yaml {
     }
   }
 
+  /** A quote char only OPENS a quoted region at a token boundary (start of
+    * line or after a separator) — the YAML rule that makes an apostrophe in
+    * a plain scalar (`patient's data`) literal rather than a string opener.
+    */
+  private def opensQuote(s: String, i: Int): Boolean =
+    i == 0 || " :,[{".contains(s(i - 1))
+
   /** Strip a `#` comment that is outside quotes. */
   private def stripComment(line: String): String = {
     var inS = false; var inD = false
     var i = 0
     while (i < line.length) {
       line(i) match {
-        case '\'' if !inD => inS = !inS
-        case '"' if !inS => inD = !inD
+        case '\'' if !inD && (inS || opensQuote(line, i)) => inS = !inS
+        case '"' if !inS && (inD || opensQuote(line, i)) => inD = !inD
         case '#' if !inS && !inD && (i == 0 || line(i - 1) == ' ') =>
           return line.substring(0, i)
         case _ =>
@@ -73,6 +80,16 @@ object Yaml {
         i += 1
       } else if (i + 1 < lines.length && lines(i + 1).indent > indent) {
         val (child, next) = parseNode(lines, i + 1, lines(i + 1).indent)
+        entries += key -> child
+        i = next
+      } else if (i + 1 < lines.length && lines(i + 1).indent == indent &&
+          (lines(i + 1).text == "-" || lines(i + 1).text.startsWith("- "))) {
+        // zero-indent block list (the common YAML style):
+        //   stages:
+        //   - filter_subjects
+        // the dash items sit at the KEY's indent; parseList stops at the
+        // first non-dash line, where this map resumes
+        val (child, next) = parseList(lines, i + 1, indent)
         entries += key -> child
         i = next
       } else {
@@ -127,8 +144,8 @@ object Yaml {
     var i = 0
     while (i < s.length) {
       s(i) match {
-        case '\'' if !inD => inS = !inS
-        case '"' if !inS => inD = !inD
+        case '\'' if !inD && (inS || opensQuote(s, i)) => inS = !inS
+        case '"' if !inS && (inD || opensQuote(s, i)) => inD = !inD
         case '[' | '{' if !inS && !inD => depth += 1
         case ']' | '}' if !inS && !inD => depth -= 1
         case ':' if !inS && !inD && depth == 0 &&
@@ -154,8 +171,8 @@ object Yaml {
     var i = 0
     while (i < s.length) {
       s(i) match {
-        case '\'' if !inD => inS = !inS
-        case '"' if !inS => inD = !inD
+        case '\'' if !inD && (inS || opensQuote(s, i)) => inS = !inS
+        case '"' if !inS && (inD || opensQuote(s, i)) => inD = !inD
         case '[' | '{' if !inS && !inD => depth += 1
         case ']' | '}' if !inS && !inD => depth -= 1
         case ',' if !inS && !inD && depth == 0 =>
@@ -170,7 +187,8 @@ object Yaml {
 
   private[config] def parseScalar(raw: String): Cfg = {
     val s = raw.trim
-    if (s.startsWith("[") && s.endsWith("]"))
+    if (s.isEmpty) Cfg.Null // reachable via inline maps: {a: , b: 1}
+    else if (s.startsWith("[") && s.endsWith("]"))
       Cfg.L(splitTop(s.substring(1, s.length - 1)).map(parseScalar))
     else if (s.startsWith("{") && s.endsWith("}"))
       Cfg.M(ListMap(splitTop(s.substring(1, s.length - 1)).map { kv =>
@@ -180,7 +198,7 @@ object Yaml {
       }: _*))
     else if (s.head == '"' || s.head == '\'') Cfg.S(unquote(s))
     else s match {
-      case "null" | "~" | "" => Cfg.Null
+      case "null" | "~" => Cfg.Null
       case "true" | "True" => Cfg.B(true)
       case "false" | "False" => Cfg.B(false)
       case _ =>

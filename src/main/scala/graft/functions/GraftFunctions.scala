@@ -148,7 +148,7 @@ object GraftFunctions {
       org.apache.spark.sql.GraftSqlBridge.localCheckpointWithPartitionCounts(ranged)
     var acc = 0L
     val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid.toLong, o) }
-    if (offsets.length <= 4096) {
+    if (offsets.length <= MapLiteralMaxEntries) {
       // constant-folded map literal: offset lookup is a pure projection —
       // no BroadcastExchange, no join operator in the plan
       val kv = offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }
@@ -157,8 +157,8 @@ object GraftFunctions {
           + element_at(map(kv.toIndexedSeq: _*), shiftright(col("__mid"), 33)) + 1)
         .drop("__mid")
     } else {
-      // at extreme partition counts a map literal would bloat the expression
-      // tree — fall back to a broadcast join
+      // GetMapValue over a literal map is a per-row LINEAR key scan, so past
+      // a few hundred partitions the O(1) broadcast-hash probe wins
       val offsetsDf = df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
       checkpointed
         .join(broadcast(offsetsDf), shiftright(col("__mid"), 33) === col("__pid"))
@@ -166,6 +166,13 @@ object GraftFunctions {
         .drop("__mid", "__pid", "__offset")
     }
   }
+
+  /** Offset-lookup strategy bound: element_at on a literal map compiles to
+    * GetMapValue — a per-row linear key scan, not a hash lookup — so the
+    * map-literal projection only beats a broadcast-hash join while the
+    * partition count is small.
+    */
+  private val MapLiteralMaxEntries = 256
 
   /** Scalable global row number, keyed variant: same contract as
     * [[withGlobalRowNumber]] but REQUIRES `bucketKey` to be a numeric
@@ -212,12 +219,22 @@ object GraftFunctions {
     val offsets = counts.map { case (p, cnt) => val o = acc; acc += cnt; (p, o) }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy(sortCols: _*)
-    // constant-folded map literal — the offset lookup is a pure projection
-    val kv = offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }
-    withPid
-      .withColumn(outCol, row_number().over(w).cast(LongType)
-        + element_at(map(kv.toIndexedSeq: _*), col("__pid")))
-      .drop("__bk", "__pid")
+    val numbered = withPid.withColumn("__rn", row_number().over(w).cast(LongType))
+    val out =
+      if (offsets.isEmpty) // empty input: map() would be a typeless literal
+        numbered.withColumn(outCol, col("__rn"))
+      else if (offsets.length <= MapLiteralMaxEntries) {
+        // constant-folded map literal — the offset lookup is a pure projection
+        val kv = offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }
+        numbered.withColumn(outCol,
+          col("__rn") + element_at(map(kv.toIndexedSeq: _*), col("__pid")))
+      } else {
+        val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
+        numbered.join(broadcast(offsetsDf), Seq("__pid"))
+          .withColumn(outCol, col("__rn") + col("__offset"))
+          .drop("__offset")
+      }
+    out.drop("__bk", "__pid", "__rn")
   }
 
   /** Polars `shrink_dtype` analog (reducer.py:217, fit_vocabulary_indices

@@ -46,10 +46,15 @@ object MedsIO {
   }
 
   /** The data-table half of read(): sharded parquet under `root/data` with
-    * the shard identity recovered from the file path.
+    * the shard identity recovered from the file path. A root carrying
+    * `.shards.json` is a RESHARDED root (written by writeReshardedData):
+    * its shard identity is restored as the integer index — the same
+    * convention ReshardToSplit emits — so a checkpoint-resumed pipeline
+    * keeps writing the resharded layout instead of silently reverting to
+    * the default one.
     */
-  private def readData(spark: SparkSession, root: String): DataFrame =
-    spark.read
+  private def readData(spark: SparkSession, root: String): DataFrame = {
+    val pathShard = spark.read
       .option("recursiveFileLookup", "true") // shards live in split subdirs
       .parquet(s"$root/data")
       .withColumn(Shard,
@@ -64,6 +69,13 @@ object MedsIO {
             """^split=""", ""),
           """^__HIVE_DEFAULT_PARTITION__/""", ""))
       .withColumn(Split, regexp_extract(col(Shard), """^([^/]+)/""", 1))
+    val shardsJson = new org.apache.hadoop.fs.Path(s"$root/.shards.json")
+    if (shardsJson.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(shardsJson))
+      // "<split>/<idx>.parquet" or "<split>/<idx>/<file>.parquet" -> idx
+      pathShard.withColumn(Shard,
+        regexp_extract(col(Shard), """^[^/]+/(\d+)""", 1).cast("int"))
+    else pathShard
+  }
 
   /** Write a MEDS dataset root. Data is written partitioned by shard columns
     * (split dirs) and sorted within partitions by (subject_id, time) — the

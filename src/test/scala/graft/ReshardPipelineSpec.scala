@@ -85,15 +85,27 @@ class ReshardPipelineSpec extends SparkSpec {
       yield s"$s/$i.parquet"
     assert(shardFiles == expected.toSet, s"layout was $shardFiles")
 
-    // read() round-trips shard identity as "<split>/<idx>"
+    // read() recognizes the resharded root (.shards.json marker) and
+    // restores the INTEGER shard identity — the ReshardToSplit convention —
+    // so a resumed pipeline keeps the resharded layout
     val back = MedsIO.read(spark, s"$tmp/rs")
-    val shards = back.data.select(Shard).distinct().as[String].collect().toSet
+    val shards = back.data.select(Split, Shard).distinct()
+      .collect().map(r => s"${r.getString(0)}/${r.getInt(1)}").toSet
     assert(shards == expected.map(_.stripSuffix(".parquet")).toSet)
     // shards partition subjects disjointly
-    val multi = back.data.select(SubjectId, Shard).distinct()
+    val multi = back.data.select(SubjectId, Split, Shard).distinct()
       .groupBy(SubjectId).count().filter(col("count") > 1).count()
     assert(multi == 0)
     assert(back.data.count() == 80) // 40 subjects x 2 events
+
+    // a re-write of the read-back root (what a resumed pipeline's final
+    // write does) preserves the resharded layout instead of reverting
+    MedsIO.write(back, s"$tmp/rs2")
+    val files2 = new java.io.File(s"$tmp/rs2/data").listFiles().filter(_.isDirectory)
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getName}")).toSet
+    assert(files2 == expected.toSet, s"resumed layout was $files2")
+    assert(new java.io.File(s"$tmp/rs2/.shards.json").exists())
 
     // .shards.json exists and is layout-truthful
     val json = new String(java.nio.file.Files.readAllBytes(
@@ -126,6 +138,20 @@ class ReshardPipelineSpec extends SparkSpec {
     val parity = Pipeline.run(spark, meds, PipelineConfig.fromJson(
       """{"stages": [{"reshard_to_split": {"n_shards": 2, "reference_parity": true}}]}""").stages)
     assert(parity.data.select(SubjectId, Split, Shard).distinct().count() == 30)
+  }
+
+  test("reshard_to_split fails fast when no split information exists (no silent zero-row output)") {
+    // flat layout (split = "") and no splits table: the assignment would be
+    // empty and the inner join would silently drop every row
+    val data = eventsFor(splitsDf(5)).withColumn(Split, lit(""))
+    val meds = MedsData(data, Seq.empty[String].toDF(Code),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.meds.MedsSchema.splitsSchema))
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, meds, PipelineConfig.fromJson(
+        """{"stages": [{"reshard_to_split": {"n_shards": 2}}]}""").stages)
+    }
+    assert(ex.getMessage.contains("no split information"))
   }
 
   test("reshard_to_split falls back to path-derived splits when the table is absent") {

@@ -47,6 +47,32 @@ class YamlConfigSpec extends SparkSpec {
       Cfg.map("name" -> Cfg("block_item"), "extra" -> Cfg(2))))
   }
 
+  test("Yaml.parse: apostrophes, empty inline values, zero-indent block lists") {
+    // apostrophe in a plain scalar is literal — the trailing comment still strips
+    val c1 = Yaml.parse("description: patient's data  # note\n").asInstanceOf[Cfg.M].v
+    assert(c1("description") == Cfg.S("patient's data"))
+    // apostrophes inside inline lists don't swallow the separators
+    assert(Yaml.parse("xs: [don't, won't]\n").asInstanceOf[Cfg.M].v("xs") ==
+      Cfg.list(Cfg("don't"), Cfg("won't")))
+    // quoted strings still group (including separators inside quotes)
+    assert(Yaml.parse("xs: ['a, b', c]\n").asInstanceOf[Cfg.M].v("xs") ==
+      Cfg.list(Cfg("a, b"), Cfg("c")))
+    // empty value inside an inline map is Null, not a crash
+    assert(Yaml.parse("opts: {a: , b: 1}\n").asInstanceOf[Cfg.M].v("opts") ==
+      Cfg.map("a" -> Cfg.Null, "b" -> Cfg(1)))
+    // zero-indent block lists (the common style PyYAML accepts)
+    val c2 = Yaml.parse(
+      """stages:
+        |- filter_subjects
+        |- occlude_outliers:
+        |    stddev_cutoff: 2.0
+        |after: done
+        |""".stripMargin).asInstanceOf[Cfg.M].v
+    assert(c2("stages") == Cfg.list(Cfg("filter_subjects"),
+      Cfg.map("occlude_outliers" -> Cfg.map("stddev_cutoff" -> Cfg(2.0)))))
+    assert(c2("after") == Cfg.S("done"))
+  }
+
   test("YAML pipeline parses to the same stages as its JSON twin and runs identically") {
     val yaml =
       """description: twin test
