@@ -116,6 +116,34 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("windowspecdefinition()"), s"global window:\n$s")
   }
 
+  test("skew guards keep their bounded shapes: broadcast anti-join / broadcast hot-list") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "b c d e f g"), (3L, "a b c x y z"))
+      .toDF("doc_id", "text")
+    // maxDf prune: the hot-shingle removal must be a BROADCAST anti-join —
+    // a sort-merge anti would shuffle every exploded shingle row and undo
+    // the guard's purpose
+    val pruned = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.1, maxDf = Some(10))
+    val antiNodes = collectNodes(plan(pruned)).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString.contains("LeftAnti") => j
+    }
+    assert(antiNodes.nonEmpty, s"hot-shingle prune is not a broadcast anti-join:\n${plan(pruned)}")
+
+    // knnJoin cap: the oversized-block flag joins via broadcast on BOTH
+    // sides — the guard itself must not add a vector shuffle
+    val embs = (0 until 30).map(i => (i.toLong, "b", Seq.tabulate(8)(d => (i + d).toDouble)))
+      .toDF("vec_id", "label", "embedding")
+    val capped = graft.ops.Similarity.knnJoin(embs, embs, "vec_id", "embedding",
+      "label", k = 2, maxBlockSize = Some(10))
+    val broadcasts = collectNodes(plan(capped)).count {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }
+    assert(broadcasts >= 2, s"expected broadcast oversized-flag joins:\n${plan(capped)}")
+  }
+
   test("sketch stages (minhash signatures, simhash, winnow) are shuffle-free") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "b c d e f g")).toDF("doc_id", "text")
