@@ -7,10 +7,11 @@ import graft.operators.Pipeline
 
 /** Pipeline CLI — the `MEDS_transform-pipeline` analog (reference
   * runner.py:291-370): run a config-defined stage pipeline over a MEDS
-  * dataset root.
+  * dataset root. With `--stage=<name>` it is the `MEDS_transform-stage`
+  * analog instead (pyproject.toml:48): exactly one named stage runs.
   *
   * {{{
-  * sbt "runMain graft.Main <pipeline.json> <inputRoot> <outputRoot>"
+  * sbt "runMain graft.Main <pipeline.{json,yaml}> <inputRoot> <outputRoot> [checkpointRoot] [--stage=<name>]"
   * }}}
   *
   * The pipeline JSON mirrors the reference's YAML surface (see
@@ -35,24 +36,43 @@ object Main {
 
   /** CLI body on a caller-owned session (testable without session teardown). */
   def run(args: Array[String], spark: SparkSession): Unit = {
-    require(args.length == 3 || args.length == 4,
-      "usage: graft.Main <pipeline.{json,yaml}> <inputRoot> <outputRoot> [checkpointRoot]")
-    val Array(pipelineFile, inputRoot, outputRoot) = args.take(3)
+    // --stage=<name>: run exactly ONE named stage of the pipeline — the
+    // `MEDS_transform-stage <pipeline.yaml> <stage>` entry point
+    // (reference pyproject.toml:48, __main__.py run_stage) and the shape a
+    // cluster orchestrator uses at scale: one stage per submitted job,
+    // chained through the MEDS roots on shared storage
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    flags.foreach(f => require(f.startsWith("--stage="), s"unknown flag: $f"))
+    val stageOnly = flags.collectFirst {
+      case f if f.startsWith("--stage=") => f.stripPrefix("--stage=")
+    }
+    require(positional.length == 3 || positional.length == 4,
+      "usage: graft.Main <pipeline.{json,yaml}> <inputRoot> <outputRoot> " +
+        "[checkpointRoot] [--stage=<name>]")
+    val Array(pipelineFile, inputRoot, outputRoot) = positional.take(3)
     // with a checkpoint root, every stage persists to <root>/<idx>_<name> and
     // a re-run resumes after the last completed stage (runner.py .done files)
-    val checkpointRoot = args.lift(3)
+    val checkpointRoot = positional.lift(3)
     graft.plans.GraftExtensions.register(spark)
 
     val parsed = PipelineConfig.fromFile(pipelineFile)
     parsed.description.foreach(d => println(s"[graft] pipeline: $d"))
-    println(s"[graft] stages: ${parsed.stages.map(_.name).mkString(" -> ")}")
+    val stages = stageOnly match {
+      case Some(n) =>
+        val s = parsed.stages.filter(_.name == n)
+        require(s.nonEmpty,
+          s"--stage=$n: not in pipeline (${parsed.stages.map(_.name).mkString(", ")})")
+        s
+      case None => parsed.stages
+    }
+    println(s"[graft] stages: ${stages.map(_.name).mkString(" -> ")}")
 
     val checkpoints = checkpointRoot.map { root =>
-      parsed.stages.zipWithIndex
+      stages.zipWithIndex
         .map { case (s, i) => s.name -> f"$root/$i%02d_${s.name}" }.toMap
     }.getOrElse(Map.empty[String, String])
     val input = MedsIO.read(spark, inputRoot)
-    val out = Pipeline.run(spark, input, parsed.stages, checkpoints)
+    val out = Pipeline.run(spark, input, stages, checkpoints)
     MedsIO.write(out, outputRoot)
     MedsIO.writeDatasetMetadata(outputRoot,
       MedsIO.readDatasetMetadata(inputRoot).getOrElse("dataset_name", "dataset"),

@@ -118,6 +118,38 @@ class YamlConfigSpec extends SparkSpec {
     assert(MedsIO.read(spark, s"$tmp/out").data.count() == 41) // filter_subjects golden
   }
 
+  test("--stage= runs one named stage; chained single-stage runs equal the full pipeline") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val p = s"$tmp/pipeline.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """stages:
+        |  - filter_subjects:
+        |      min_events_per_subject: 5
+        |  - fit_outlier_detection:
+        |      _base_stage: aggregate_code_metadata
+        |      aggregations:
+        |        - "values/n_occurrences"
+        |        - "values/sum"
+        |        - "values/sum_sqd"
+        |""".stripMargin)
+    val in = "/root/reference/example/data"
+    // the orchestrator shape: one stage per invocation, chained through roots
+    Main.run(Array(p, in, s"$tmp/s1", "--stage=filter_subjects"), spark)
+    Main.run(Array(p, s"$tmp/s1", s"$tmp/s2", "--stage=fit_outlier_detection"), spark)
+    // equals the full pipeline in one invocation
+    Main.run(Array(p, in, s"$tmp/full"), spark)
+    val chained = MedsIO.read(spark, s"$tmp/s2")
+    val full = MedsIO.read(spark, s"$tmp/full")
+    assert(chained.data.count() == full.data.count())
+    assert(collectSet(chained.codes.drop("values/quantiles")) ==
+      collectSet(full.codes.drop("values/quantiles")))
+    // unknown stage name fails fast
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(Array(p, in, s"$tmp/x", "--stage=nope"), spark)
+    }
+    assert(ex.getMessage.contains("not in pipeline"))
+  }
+
   test("registered custom stage: the reference's example_pipeline.yaml runs unmodified") {
     // the reference's drop_regex (example/simple_example_pkg/src/simple_example_pkg/
     // drop_regex/drop_regex.py): drop measurements whose code matches the regex
