@@ -108,10 +108,17 @@ object MedsIO {
       .exists(f => f.name == Shard && f.dataType == org.apache.spark.sql.types.IntegerType)
     if (intShard) writeReshardedData(meds.data, root)
     else {
+      // a stale .shards.json from an earlier resharded write to the same
+      // dir would make read() misparse the new layout's shard identities
+      val shardsJson = new org.apache.hadoop.fs.Path(s"$root/.shards.json")
+      markerFs.delete(shardsJson, false)
       val withSplit =
         if (meds.data.columns.contains(Split)) meds.data
         else meds.data.withColumn(Split, lit(TrainSplit))
       withSplit
+        // the path-derived shard provenance is re-created by read(); writing
+        // it as a data column would add a field the MEDS layout doesn't have
+        .drop(Shard)
         .repartition(col(Split), col(SubjectId))
         .sortWithinPartitions(SubjectId, Time)
         .write.mode("overwrite").partitionBy(Split).parquet(s"$root/data")
@@ -259,8 +266,11 @@ object MedsIO {
     */
   def writeShardsJson(resharded: DataFrame, root: String): Unit = {
     val shardStr = col(Shard).cast("string")
-    val key = when(shardStr.startsWith(concat(col(Split), lit("/"))), shardStr)
+    val key0 = when(shardStr.startsWith(concat(col(Split), lit("/"))), shardStr)
       .otherwise(concat(col(Split), lit("/"), shardStr))
+    // a multi-file shard dir ("train/0/part-*.parquet") must still map to
+    // ONE "train/0" key — per-file keys would split a shard's subject list
+    val key = regexp_replace(key0, """^([^/]+/\d+)/.*$""", "$1")
     val rows = resharded
       .select(key.as("__key"), col(SubjectId))
       .distinct()

@@ -94,8 +94,9 @@ object AddTimeDerivedMeasurements {
 
   /** `timeline_tokens_fntr` (reference timeline_tokens.py:219-288): per
     * subject emit TIMELINE//START at min(time), TIMELINE//END at max(time),
-    * and a TIMELINE//DELTA//<unit> row per unique event carrying the gap to
-    * the previous event (null for the first).
+    * and a TIMELINE//DELTA//<unit> row per unique event AFTER the first,
+    * carrying the gap to the previous event (the first event emits no delta
+    * row — the reference filters `numeric_value.is_not_null()`).
     */
   def timelineTokenEvents(data: DataFrame, unit: String = "days",
       emitStart: Boolean = true, emitEnd: Boolean = true,

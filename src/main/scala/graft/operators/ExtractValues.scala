@@ -104,7 +104,10 @@ object BinNumericValues {
       .withColumn("__endpoints", coalesce(col("__endpoints_custom"), col("__endpoints_meta")))
       .select(Code, "__endpoints")
 
-    val joined = data.join(broadcast(meta), Seq(Code), "left")
+    // per-code uniqueness is this operator's metadata contract (the
+    // reference keys bins by code alone); a codes table carrying modifier
+    // duplicates must not multiply event rows through the left join
+    val joined = data.join(broadcast(meta.dropDuplicates(Code)), Seq(Code), "left")
     // reference do_bin checks only is_not_null (bin_numeric_values.py:
     // do_bin) — NaN values ARE binned; searchSortedRight places NaN past
     // every endpoint (Spark orders NaN greatest), matching numpy's

@@ -37,11 +37,20 @@ object Normalization {
     val m = meta.alias("__norm_m")
     val cond = keys.map(k => col(s"__norm_d.$k") <=> col(s"__norm_m.$k")).reduce(_ && _)
     val keep = withIdx.columns.filterNot(keys.contains).filterNot(_ == NumericValue)
+    // zero-variance codes: the reference's float arithmetic yields ±inf
+    // (v != mean) or NaN (v == mean); a bare `/` would throw DIVIDE_BY_ZERO
+    // under Spark 4's ANSI default instead, and try_divide alone would
+    // silently null them — reproduce the reference values explicitly
+    val diff = col(s"__norm_d.$NumericValue") - col("__norm_m.__mean")
+    val z = when(col("__norm_m.__std") === 0.0 && diff.isNotNull,
+        when(diff > 0, lit(Double.PositiveInfinity))
+          .when(diff < 0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN)))
+      .otherwise(try_divide(diff, col("__norm_m.__std")))
     d.join(broadcast(m), cond, "inner")
       .select((keep.map(c => col(s"__norm_d.$c")) :+
         col("__norm_m.__vocab").as(Code) :+
-        ((col(s"__norm_d.$NumericValue") - col("__norm_m.__mean")) / col("__norm_m.__std"))
-          .cast(valueType).as(NumericValue)): _*)
+        z.cast(valueType).as(NumericValue)): _*)
       .orderBy(col(RowIdx))
       .drop(RowIdx)
   }

@@ -40,11 +40,13 @@ object Pipeline {
       if (m.data.columns.contains(Split)) when(length(col(Split)) > 0, col(Split))
       else lit(null).cast("string")
     // defensive dedup: a duplicated subject row in the splits table must not
-    // multiply event rows through the left join
+    // multiply event rows through the left join. The join is deliberately
+    // UN-hinted: subject_splits is one row per subject — too large to
+    // force-broadcast at cohort scale; AQE broadcasts it when it fits
     val tbl = m.splits.select(col(SubjectId), col(Split).as("__table_split"))
       .dropDuplicates(SubjectId)
     val d = m.data
-      .join(broadcast(tbl), Seq(SubjectId), "left")
+      .join(tbl, Seq(SubjectId), "left")
       .filter(coalesce(fromPath, col("__table_split")) === TrainSplit)
       .drop("__table_split")
     m.withData(d)

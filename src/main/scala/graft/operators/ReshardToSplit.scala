@@ -147,15 +147,10 @@ object ReshardToSplit {
     assigned.toDF(SubjectId, Split)
   }
 
-  def apply(data: DataFrame, splits: DataFrame, nShards: Int): DataFrame = {
+  def apply(data: DataFrame, splits: DataFrame, nShards: Int): DataFrame =
     // defensive dedup (as in Pipeline.trainOnly): a duplicated subject row in
     // the splits table must not multiply event rows through the join
-    val assignment = assignShards(splits.dropDuplicates(SubjectId), nShards)
-    data.drop(Split, Shard)
-      .join(broadcast(assignment), Seq(SubjectId), "inner")
-      .repartition(col(Split), col(Shard))
-      .sortWithinPartitions(SubjectId, Time)
-  }
+    applyAssigned(data, assignShards(splits.dropDuplicates(SubjectId), nShards))
 
   /** Reshard against a precomputed {subject → (split, shard)} assignment
     * (from any of the assignShards* variants). The join is deliberately

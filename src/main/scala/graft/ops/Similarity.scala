@@ -40,7 +40,9 @@ object Similarity {
     */
   def signBucket(vec: Column, dims: Seq[Int]): Column =
     dims.zipWithIndex.map { case (d, i) =>
-      when(element_at(vec, d + 1) >= 0, lit(1L << i)).otherwise(0L)
+      // `get` (0-based) nulls out-of-range reads instead of ANSI-throwing on
+      // a ragged vector; the null comparison maps a missing dim to bit 0
+      when(get(vec, lit(d)) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN: only candidates in the query's bucket are scored.
@@ -103,8 +105,12 @@ object Similarity {
     var assigned = embs.withColumn("__cell",
       pmod(portableHash56(col(idCol)), lit(k)).cast("int"))
     (0 until iters).foreach { _ =>
+      // a null-celled row (all-null cosines, e.g. a zero-norm vector) would
+      // put a null-keyed group through getInt — skip it; such rows keep
+      // their deterministic hash cell via the coalesce below
       val byCell = centroids(assigned, "__cell", vecCol)
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        .collect().filter(!_.isNullAt(0))
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       val cosCols = (0 until k).map { c =>
         byCell.get(c) match {
           case Some(v) => cosine(col(vecCol), array(v.map(lit): _*))
@@ -113,7 +119,8 @@ object Similarity {
       }
       val scores = array(cosCols: _*)
       assigned = embs.withColumn("__cell",
-        (array_position(scores, array_max(scores)) - 1).cast("int"))
+        coalesce((array_position(scores, array_max(scores)) - 1).cast("int"),
+          pmod(portableHash56(col(idCol)), lit(k)).cast("int")))
     }
     assigned
   }

@@ -135,6 +135,22 @@ class NormalizationSpec extends SparkSpec {
     assert(math.abs(rows(3).getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("zero-variance code: reference float semantics (±inf / NaN), no ANSI crash") {
+    val d = medsDf(
+      (1L, "2020-01-01 00:00:00", "FLAG", 1.0),
+      (1L, "2020-01-01 00:01:00", "FLAG", 1.0),
+      (2L, "2020-01-01 00:02:00", "FLAG", null))
+      .withColumn(RowIdx, monotonically_increasing_id())
+    val codes = FitVocabularyIndices(
+      AggregateCodeMetadata.compute(d, Seq(ValuesNOccurrences, ValuesSum, ValuesSumSqd)))
+    val rows = Normalization(d, codes, valueType = DoubleType)
+      .select(NumericValue).collect().map(r =>
+        if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0)))
+    // v == mean with std 0 → NaN (the reference's (v-mean)/0); null stays null
+    assert(rows.take(2).forall(v => v != null && v.isNaN))
+    assert(rows(2) == null)
+  }
+
   test("null-safe join keys: rows with null modifier still match") {
     val d = medsDf((1L, "2020-01-01 00:00:00", "A", 1.0))
       .withColumn("unit", lit(null).cast(StringType))

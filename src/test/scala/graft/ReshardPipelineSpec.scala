@@ -140,6 +140,22 @@ class ReshardPipelineSpec extends SparkSpec {
     assert(parity.data.select(SubjectId, Split, Shard).distinct().count() == 30)
   }
 
+  test("default-layout write over a resharded root clears the stale .shards.json marker") {
+    val splits = splitsDf(12)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stale").toString
+    val resharded = ReshardToSplit.applyAssigned(eventsFor(splits),
+      ReshardToSplit.assignShardsDistributed(splits, nShards = 2))
+    MedsIO.write(MedsData(resharded, Seq.empty[String].toDF(Code), splits), s"$tmp/d")
+    assert(new java.io.File(s"$tmp/d/.shards.json").exists())
+    // overwrite the same dir with a NON-resharded frame: the marker must go,
+    // or read() would misparse the new layout's shard identities
+    MedsIO.write(MedsData(eventsFor(splits), Seq.empty[String].toDF(Code), splits), s"$tmp/d")
+    assert(!new java.io.File(s"$tmp/d/.shards.json").exists())
+    val back = MedsIO.read(spark, s"$tmp/d")
+    assert(back.data.schema(Shard).dataType.typeName == "string")
+    assert(back.data.count() == 24)
+  }
+
   test("reshard_to_split fails fast when no split information exists (no silent zero-row output)") {
     // flat layout (split = "") and no splits table: the assignment would be
     // empty and the inner join would silently drop every row
