@@ -68,6 +68,11 @@ object PipelineConfig {
       case I(i) => i.toInt
       case D(d) => d.toInt
     }
+    // for 64-bit values (seeds): getInt would silently wrap them
+    def getLong(k: String): Option[Long] = obj.get(k).collect {
+      case I(i) => i
+      case D(d) => d.toLong
+    }
     def getDouble(k: String): Option[Double] = obj.get(k).collect {
       case D(d) => d
       case I(i) => i.toDouble
@@ -93,10 +98,14 @@ object PipelineConfig {
         case m: M =>
           val name = m.getStr("name").getOrElse(
             throw new IllegalArgumentException(s"aggregation entry missing name: $m"))
-          quantiles = m.getList("quantiles").collect { case D(d) => d; case I(i) => i.toDouble } match {
-            case Nil => quantiles
-            case qs => qs
-          }
+          // a quantiles list only means anything on the values/quantiles
+          // entry — honoring it from any entry would let a later unrelated
+          // aggregation silently overwrite the configured quantiles
+          if (name == graft.meds.MedsSchema.ValuesQuantiles)
+            quantiles = m.getList("quantiles").collect { case D(d) => d; case I(i) => i.toDouble } match {
+              case Nil => quantiles
+              case qs => qs
+            }
           name
         case other => throw new IllegalArgumentException(s"bad aggregation entry: $other")
       }
@@ -126,14 +135,40 @@ object PipelineConfig {
     registry.keySet().asScala.toSet
   }
 
-  def buildStage(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = baseStage match {
-    // single volatile read: a concurrent unregister between containsKey and
-    // get would otherwise NPE instead of falling through to the built-ins
-    case s if registry.get(s) != null => registry.get(s) match {
-      case null => buildBuiltinStage(name, s, cfg) // unregistered mid-parse
-      case b => b(name, cfg)
+  def buildStage(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = {
+    // single volatile read: a concurrent unregister cannot NPE us
+    val b = registry.get(baseStage)
+    if (b == null) buildBuiltinStage(name, baseStage, cfg)
+    else buildRegisteredStage(b, name, cfg)
+  }
+
+  /** Registered stages get the SAME orchestration surface as built-ins: a
+    * `train_only` override wraps the input and `_match_revise` rewrites the
+    * stage into per-matcher blocks (both require the builder to yield data
+    * stages; a metadata stage is already train-only via Pipeline.run).
+    */
+  private def buildRegisteredStage(b: (String, Cfg) => Pipeline.Stage,
+      name: String, cfg: Cfg): Pipeline.Stage = {
+    val trainOnly = cfg.getBool("train_only").getOrElse(false)
+    val hasMatchRevise = cfg.obj.contains("_match_revise")
+    if (!trainOnly && !hasMatchRevise) b(name, cfg)
+    else {
+      val stageCfg = cfg match { case M(m0) => M(m0 - "train_only"); case c => c }
+      def simple(c: Cfg): MedsData => DataFrame = b(name, c) match {
+        case Pipeline.DataStage(_, f) => f
+        case _ => throw new IllegalArgumentException(
+          s"stage $name: _match_revise requires a data stage")
+      }
+      if (hasMatchRevise) {
+        val xform = dataTransformWith(simple, stageCfg)
+        if (trainOnly) Pipeline.DataStage(name, m => xform(Pipeline.trainOnly(m)))
+        else Pipeline.DataStage(name, m => xform(m))
+      } else b(name, stageCfg) match {
+        case Pipeline.DataStage(_, f) =>
+          Pipeline.DataStage(name, m => f(Pipeline.trainOnly(m)))
+        case ms => ms // metadata stages are train-only via Pipeline.run already
+      }
     }
-    case s => buildBuiltinStage(name, s, cfg)
   }
 
   private def buildBuiltinStage(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = baseStage match {
@@ -155,7 +190,7 @@ object PipelineConfig {
       // collected numpy shuffle.
       val nShards = cfg.getInt("n_shards")
       val perShard = cfg.getInt("n_subjects_per_shard")
-      val seed = cfg.getInt("seed").map(_.toLong).getOrElse(0L)
+      val seed = cfg.getLong("seed").getOrElse(0L)
       val parity = cfg.getBool("reference_parity").getOrElse(false)
       Pipeline.DataStage(name, m => {
         import org.apache.spark.sql.functions.{col, length}
@@ -205,7 +240,14 @@ object PipelineConfig {
     * (compute_modes/match_revise.py) rewrites it into per-matcher blocks with
     * block-level config overrides.
     */
-  private def dataTransform(baseStage: String, cfg: Cfg): MedsData => DataFrame = {
+  private def dataTransform(baseStage: String, cfg: Cfg): MedsData => DataFrame =
+    dataTransformWith(simpleDataTransform(baseStage, _), cfg)
+
+  /** The `_match_revise` rewrite over an arbitrary stage-transform factory —
+    * shared by built-in and registered stages.
+    */
+  private def dataTransformWith(simple: Cfg => MedsData => DataFrame,
+      cfg: Cfg): MedsData => DataFrame = {
     cfg.obj.get("_match_revise") match {
       case Some(L(blocks)) =>
         val mode = cfg.getStr("_match_revise_mode").getOrElse("match_and_revise")
@@ -223,11 +265,11 @@ object PipelineConfig {
         }
         m => {
           val blockDefs = parsed.map { case (matcher, overrides) =>
-            MatchRevise.Block(matcher, df => dataTransform(baseStage, overrides)(m.withData(df)))
+            MatchRevise.Block(matcher, df => dataTransformWith(simple, overrides)(m.withData(df)))
           }
           MatchRevise(m.data, blockDefs, multi = mode == "multi_match_and_revise")
         }
-      case _ => simpleDataTransform(baseStage, cfg)
+      case _ => simple(cfg)
     }
   }
 

@@ -18,15 +18,22 @@ object Yaml {
   private final case class Line(indent: Int, text: String)
 
   def parse(yaml: String): Cfg = {
-    val lines = yaml.linesIterator
-      .map(stripComment)
-      .zipWithIndex
+    val raw = yaml.linesIterator.map(stripComment).zipWithIndex.toVector
+    // a '---' after content starts a SECOND document — silently merging the
+    // two (duplicate keys overwrite) would be a plausible-but-wrong parse
+    val docMarkers = raw.collect { case (l, n) if l.trim == "---" => n }
+    val contentAt = raw.collect { case (l, n) if l.trim.nonEmpty && l.trim != "---" => n }
+    docMarkers.find(m => contentAt.exists(_ < m)).foreach { m =>
+      throw new IllegalArgumentException(
+        s"line ${m + 1}: multi-document YAML is not supported (second '---')")
+    }
+    val lines = raw
       .filter { case (l, _) => l.trim.nonEmpty && l.trim != "---" }
       .map { case (l, n) =>
-        require(!l.contains("\t"), s"line ${n + 1}: tabs are not valid YAML indentation")
+        require(!l.takeWhile(c => c == ' ' || c == '\t').contains('\t'),
+          s"line ${n + 1}: tabs are not valid YAML indentation")
         Line(l.takeWhile(_ == ' ').length, l.trim)
       }
-      .toVector
     if (lines.isEmpty) Cfg.Null
     else {
       val (cfg, next) = parseNode(lines, 0, lines.head.indent)
@@ -198,9 +205,12 @@ object Yaml {
       }: _*))
     else if (s.head == '"' || s.head == '\'') Cfg.S(unquote(s))
     else s match {
-      case "null" | "~" => Cfg.Null
-      case "true" | "True" => Cfg.B(true)
-      case "false" | "False" => Cfg.B(false)
+      case "null" | "~" | "Null" | "NULL" => Cfg.Null
+      // PyYAML (the reference's loader) resolves the YAML 1.1 boolean forms
+      case "true" | "True" | "TRUE" | "yes" | "Yes" | "YES" | "on" | "On" | "ON" =>
+        Cfg.B(true)
+      case "false" | "False" | "FALSE" | "no" | "No" | "NO" | "off" | "Off" | "OFF" =>
+        Cfg.B(false)
       case _ =>
         // YAML 1.2 core-schema numbers; anything else is a plain string
         if (s.matches("[-+]?\\d+")) Cfg.I(s.toLong)

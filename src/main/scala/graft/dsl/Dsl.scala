@@ -123,7 +123,11 @@ object Dsl {
     */
   private def exprShapeOk(kv: (String, Cfg)): Boolean = kv match {
     case ("col", S(_)) | ("str", S(_)) | ("literal", _) => true
-    case ("extract", M(e)) => e.contains("from") && e.contains("regex")
+    // keys present AND string-typed — a mis-typed from/regex must fall
+    // through to the fallback branches (and their typed error), not surface
+    // as a raw ClassCastException from the compile path
+    case ("extract", M(e)) =>
+      e.get("from").exists(_.isInstanceOf[S]) && e.get("regex").exists(_.isInstanceOf[S])
     case _ => false
   }
 
@@ -134,6 +138,8 @@ object Dsl {
     case S(s) if isInterpolated(s) => interpolate(s)
     case S(s) => (col(s), Set(s))
     case L(xs) => // coalescing list: first non-null
+      require(xs.nonEmpty,
+        "empty coalescing list in column-expression config (an empty [] value)")
       val compiled = xs.map(colExpr)
       (coalesce(compiled.map(_._1): _*), compiled.flatMap(_._2).toSet)
     case M(m) if m.keySet == Set("output", "matcher") =>
@@ -148,7 +154,12 @@ object Dsl {
         case ("extract", M(e)) =>
           val from = e("from").asInstanceOf[S].v
           val pat = e("regex").asInstanceOf[S].v
-          val gi = e.get("group_index").map(_.asInstanceOf[I].v.toInt).getOrElse(1)
+          val gi = e.get("group_index").map {
+            case I(i) => i.toInt
+            case D(d) => d.toInt // YAML→JSON round-trips often float ints
+            case other => throw new IllegalArgumentException(
+              s"extract.group_index must be an integer, got $other")
+          }.getOrElse(1)
           (extractOrNull(col(from), pat, gi), Set(from))
         case (k, v) => throw new IllegalArgumentException(s"bad col expr {$k: $v}")
       }

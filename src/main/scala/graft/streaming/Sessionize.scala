@@ -25,7 +25,9 @@ object Sessionize {
     */
   def batch(events: DataFrame, gapMinutes: Int, tieBreak: String = "event_id"): DataFrame = {
     val ts = col("ts").cast("timestamp")
-    val order = Seq(col("ts"), col(tieBreak))
+    // order by the SAME casted ts the gap math uses: ordering the raw column
+    // would sessionize string-typed ts inputs in lexical order
+    val order = Seq(ts, col(tieBreak))
     val w = Window.partitionBy("user_id").orderBy(order: _*)
     val prev = lag(ts, 1).over(w)
     val isNew = when(prev.isNull ||

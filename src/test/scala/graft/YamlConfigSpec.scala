@@ -178,6 +178,37 @@ class YamlConfigSpec extends SparkSpec {
     } finally PipelineConfig.unregister("drop_regex")
   }
 
+  test("registered stages honor train_only and _match_revise orchestration") {
+    PipelineConfig.register("tag_rows") { (name, cfg) =>
+      val tag = cfg match {
+        case m: Cfg.M => m.v.get("tag").collect { case Cfg.S(s) => s }.getOrElse("x")
+        case _ => "x"
+      }
+      Pipeline.DataStage(name, m =>
+        m.data.withColumn("tag", lit(tag)))
+    }
+    try {
+      val meds = MedsIO.read(spark, "/root/reference/example/data")
+      // train_only: the registered stage must see only train-split rows
+      val trainOut = Pipeline.run(spark, meds, PipelineConfig.fromJson(
+        """{"stages": [{"tag_rows": {"train_only": true, "tag": "t"}}]}""").stages)
+      assert(trainOut.data.select(graft.meds.MedsSchema.Split).distinct()
+        .collect().map(_.getString(0)).toSet == Set("train"))
+      assert(trainOut.data.select("tag").distinct().head().getString(0) == "t")
+      // _match_revise: per-matcher blocks with block-level overrides
+      val mrOut = Pipeline.run(spark, meds, PipelineConfig.fromJson(
+        """{"stages": [{"tag_rows": {
+          |  "_match_revise": [
+          |    {"_matcher": {"code": "HR"}, "tag": "hr"},
+          |    {"_matcher": {"code": "TEMP"}, "tag": "temp"}
+          |  ]}}]}""".stripMargin).stages)
+      val tags = mrOut.data.select(graft.meds.MedsSchema.Code, "tag").distinct()
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(tags("HR") == "hr")
+      assert(tags("TEMP") == "temp")
+    } finally PipelineConfig.unregister("tag_rows")
+  }
+
   test("unregistered unknown stage still fails fast") {
     intercept[IllegalArgumentException] {
       PipelineConfig.fromJson("""{"stages": ["no_such_stage"]}""")
