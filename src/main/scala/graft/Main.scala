@@ -67,16 +67,23 @@ object Main {
     }
     println(s"[graft] stages: ${stages.map(_.name).mkString(" -> ")}")
 
+    // checkpoint dirs are indexed by the stage's position in the FULL
+    // pipeline, so a --stage run and a full run share the same dirs and a
+    // chained per-stage orchestration still resumes off completed work
     val checkpoints = checkpointRoot.map { root =>
-      stages.zipWithIndex
-        .map { case (s, i) => s.name -> f"$root/$i%02d_${s.name}" }.toMap
+      parsed.stages.zipWithIndex.collect {
+        case (s, i) if stages.exists(_.name == s.name) =>
+          s.name -> f"$root/$i%02d_${s.name}"
+      }.toMap
     }.getOrElse(Map.empty[String, String])
     val input = MedsIO.read(spark, inputRoot)
     val out = Pipeline.run(spark, input, stages, checkpoints)
     MedsIO.write(out, outputRoot)
     MedsIO.writeDatasetMetadata(outputRoot,
       MedsIO.readDatasetMetadata(inputRoot).getOrElse("dataset_name", "dataset"),
-      "graft-" + parsed.stages.map(_.name).mkString("+"))
+      // provenance must list the stages that actually RAN (one stage in
+      // --stage mode), not the whole pipeline definition
+      "graft-" + stages.map(_.name).mkString("+"))
     // count from the just-written root (parquet footer metadata) — counting
     // `out` would re-execute the whole un-checkpointed pipeline lineage
     val written = MedsIO.read(spark, outputRoot)

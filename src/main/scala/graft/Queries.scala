@@ -216,11 +216,14 @@ object Queries {
     (s, dir) => FilterSubjects(medsEvents(s, dir), Some(60), Some(50))
       .select(col("event_id"), col(SubjectId), col(Time), col(Code), col(NumericValue))
       .orderBy("event_id"),
+    // n_events mirrors Polars n_unique: a null time counts as ONE distinct
+    // event (the + CASE term), exactly like the Spark side's has-null add
     Some("""SELECT event_id, user_id AS subject_id, ts AS time, event_type AS code, value AS numeric_value
       |FROM events
       |WHERE user_id IN (
       |  SELECT user_id FROM events GROUP BY user_id
-      |  HAVING count(ts) >= 60 AND count(DISTINCT ts) >= 50)
+      |  HAVING count(ts) >= 60
+      |   AND count(DISTINCT ts) + (CASE WHEN count(*) > count(ts) THEN 1 ELSE 0 END) >= 50)
       |ORDER BY event_id""".stripMargin))
 
   private val filterMeasurements: Gate = Gate(
@@ -248,14 +251,23 @@ object Queries {
           col(IsInlier).as("is_inlier"))
         .orderBy("event_id")
     },
-    Some("""WITH m AS (
+    // NaN guards mirror the Spark side exactly: stats exclude NaN values
+    // (valPresent), and a NaN sd must yield is_inlier = false — DuckDB's
+    // total-order comparison would otherwise make x <= NaN TRUE
+    Some("""WITH v AS (
+      |  SELECT event_type, CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+      |  FROM events),
+      |m AS (
       |  SELECT event_type,
       |   sum(value)/count(value) AS mu,
       |   sqrt(sum(value*value)/count(value) - (sum(value)/count(value))^2) AS sd
-      |  FROM events GROUP BY 1)
+      |  FROM v GROUP BY 1)
       |SELECT e.event_id, e.event_type AS code,
-      | CASE WHEN abs(e.value - m.mu) <= 1.0*m.sd THEN e.value END AS numeric_value,
-      | abs(e.value - m.mu) <= 1.0*m.sd AS is_inlier
+      | CASE WHEN NOT isnan(m.sd) AND abs(e.value - m.mu) <= 1.0*m.sd
+      |   THEN e.value END AS numeric_value,
+      | CASE WHEN e.value IS NULL OR m.sd IS NULL THEN NULL
+      |   WHEN isnan(m.sd) THEN FALSE
+      |   ELSE abs(e.value - m.mu) <= 1.0*m.sd END AS is_inlier
       |FROM events e LEFT JOIN m USING(event_type) ORDER BY e.event_id""".stripMargin))
 
   private val normalization: Gate = Gate(
@@ -269,11 +281,15 @@ object Queries {
           r4(col(NumericValue)).as(NumericValue))
         .orderBy("event_id")
     },
-    Some("""WITH m AS (
+    // stats exclude NaN values, mirroring the Spark side's valPresent
+    Some("""WITH nv AS (
+      |  SELECT event_type, CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+      |  FROM events),
+      |m AS (
       |  SELECT event_type,
       |   sum(value)/count(value) AS mu,
       |   sqrt(sum(value*value)/count(value) - (sum(value)/count(value))^2) AS sd
-      |  FROM events GROUP BY 1),
+      |  FROM nv GROUP BY 1),
       |v AS (
       |  SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS vocab
       |  FROM (SELECT DISTINCT event_type FROM events))
@@ -461,13 +477,15 @@ object Queries {
         col("start_ts"), col("end_ts"), col("n_events"),
         r3(col("sum_value")).as("sum_value"))
       .orderBy("user_id", "session_idx"),
+    // NULLS FIRST pins the null-time ordering to Spark's window default —
+    // DuckDB's nulls-last would sessionize null-ts events differently
     Some("""WITH p AS (
       |  SELECT user_id, ts, event_id, value,
-      |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev
       |  FROM events),
       |f AS (SELECT *, CASE WHEN prev IS NULL
       |   OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS nw FROM p),
-      |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
       |   ROWS UNBOUNDED PRECEDING) AS sidx FROM f)
       |SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
       | min(ts) AS start_ts, max(ts) AS end_ts,
@@ -585,33 +603,54 @@ object Queries {
       |WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.4
       |ORDER BY 1,2""".stripMargin))
 
+  /** Shared oracle fragment: tokenize → distinct word-3-gram shingles →
+    * 56-bit portable hashes (`hashed(doc_id, h)`). ONE definition — five
+    * oracles build on it, and a drift between copies would silently
+    * desynchronize an oracle from the shared Spark operator.
+    */
+  private val shingleHashCtes: String =
+    """w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+      |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
+      |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS h FROM sh)""".stripMargin
+
+  /** Shared oracle fragment: minhash signatures → bands → candidate pairs
+    * (`sigs`, `cand`) — used verbatim by minhash_lsh AND dedup_clusters.
+    */
+  private val minhashCandCtes: String = {
+    val params = GraftFunctions.hashParams(32)
+    val permValues = params.zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
+    s"""perms(perm, a, b) AS (VALUES $permValues),
+       |sigs AS (
+       |  SELECT doc_id, perm, min((a*(h % 2147483647) + b) % 2147483647) AS minhash
+       |  FROM hashed CROSS JOIN perms GROUP BY 1,2),
+       |banded AS (
+       |  SELECT doc_id, CAST(floor(perm/4) AS INT) AS band,
+       |   md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
+       |  FROM sigs GROUP BY 1,2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.band=b.band AND a.band_sig=b.band_sig
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Shared oracle fragment: the per-bit weighted-majority simhash sum. */
+  private def simhashBitTerms(numBits: Int): String =
+    (0 until numBits).map(b =>
+      s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+      .mkString(" + ")
+
   private val minhashLsh: Gate = Gate(
     (s, dir) => Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
       .orderBy("id_a", "id_b"),
-    Some {
-      val params = GraftFunctions.hashParams(32)
-      val permValues = params.zipWithIndex
-        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
-      s"""WITH w AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
-         |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
-         |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS h FROM sh),
-         |perms(perm, a, b) AS (VALUES $permValues),
-         |sigs AS (
-         |  SELECT doc_id, perm, min((a*(h % 2147483647) + b) % 2147483647) AS minhash
-         |  FROM hashed CROSS JOIN perms GROUP BY 1,2),
-         |banded AS (
-         |  SELECT doc_id, CAST(floor(perm/4) AS INT) AS band,
-         |   md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
-         |  FROM sigs GROUP BY 1,2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.band=b.band AND a.band_sig=b.band_sig
-         |  WHERE a.doc_id < b.doc_id),
+    Some(
+      s"""WITH $shingleHashCtes,
+         |$minhashCandCtes,
          |est AS (
          |  SELECT cand.id_a, cand.id_b,
          |   avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) AS est_jaccard
@@ -620,8 +659,7 @@ object Queries {
          |  JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.perm = sa.perm
          |  GROUP BY 1,2)
          |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
-         |ORDER BY 1,2""".stripMargin
-    })
+         |ORDER BY 1,2""".stripMargin))
 
   private val dedupClusters: Gate = Gate(
     (s, dir) => Dedup.resolveClusters(
@@ -630,32 +668,13 @@ object Queries {
       .select(col("id").cast(LongType).as("id"),
         col("cluster_id").cast(LongType).as("cluster_id"))
       .orderBy("id"),
-    // the same banded-MinHash pair pipeline, then connected components as a
-    // recursive transitive closure with min-reachable-id labels — mirrors
-    // iterative min-label propagation exactly on a converged graph
-    Some {
-      val params = GraftFunctions.hashParams(32)
-      val permValues = params.zipWithIndex
-        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
-      s"""WITH RECURSIVE w AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
-         |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
-         |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS h FROM sh),
-         |perms(perm, a, b) AS (VALUES $permValues),
-         |sigs AS (
-         |  SELECT doc_id, perm, min((a*(h % 2147483647) + b) % 2147483647) AS minhash
-         |  FROM hashed CROSS JOIN perms GROUP BY 1,2),
-         |banded AS (
-         |  SELECT doc_id, CAST(floor(perm/4) AS INT) AS band,
-         |   md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
-         |  FROM sigs GROUP BY 1,2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.band=b.band AND a.band_sig=b.band_sig
-         |  WHERE a.doc_id < b.doc_id),
+    // the same banded-MinHash pair pipeline (shared CTE fragments), then
+    // connected components as a recursive transitive closure with
+    // min-reachable-id labels — mirrors iterative min-label propagation
+    // exactly on a converged graph
+    Some(
+      s"""WITH RECURSIVE $shingleHashCtes,
+         |$minhashCandCtes,
          |pairs AS (
          |  SELECT cand.id_a, cand.id_b
          |  FROM cand
@@ -670,45 +689,25 @@ object Queries {
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT CAST(src AS BIGINT) AS id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY 1""".stripMargin
-    })
+         |FROM reach GROUP BY src ORDER BY 1""".stripMargin))
 
   private val simhashValues: Gate = Gate(
     (s, dir) => Dedup.simhash(table(s, dir, "documents"), "doc_id", "text",
       n = 3, numBits = 32)
       .orderBy("doc_id"),
-    Some {
-      val bitTerms = (0 until 32).map(b =>
-        s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH w AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
-         |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
-         |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS h FROM sh)
-         |SELECT doc_id, $bitTerms AS simhash
-         |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    })
+    Some(
+      s"""WITH $shingleHashCtes
+         |SELECT doc_id, ${simhashBitTerms(32)} AS simhash
+         |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   private val simhashPairs: Gate = Gate(
     (s, dir) => Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
       n = 3, numBits = 32, bands = 4, maxHamming = 6)
       .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
       .orderBy("id_a", "id_b"),
-    Some {
-      val bitTerms = (0 until 32).map(b =>
-        s"(CASE WHEN sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH w AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
-         |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
-         |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS h FROM sh),
-         |sv AS (SELECT doc_id, $bitTerms AS simhash FROM hashed GROUP BY doc_id),
+    Some(
+      s"""WITH $shingleHashCtes,
+         |sv AS (SELECT doc_id, ${simhashBitTerms(32)} AS simhash FROM hashed GROUP BY doc_id),
          |banded AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sv),
          |keyed AS (SELECT doc_id, simhash, band,
          |  (simhash >> CAST(band*8 AS INT)) & 255 AS key FROM banded),
@@ -718,8 +717,7 @@ object Queries {
          |  WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
-         |ORDER BY 1,2""".stripMargin
-    })
+         |ORDER BY 1,2""".stripMargin))
 
   private val embedDupPairs: Gate = Gate(
     (s, dir) => Dedup.embeddingPairs(

@@ -39,9 +39,15 @@ object MatchRevise {
     val anyMatch = matchers.map(m => coalesce(m, lit(false))).reduce(_ || _)
     val remainder = withIdx.filter(!anyMatch).withColumn(BlockIdx, lit(blocks.length))
 
-    val sorted = (parts :+ remainder)
+    val unioned = (parts :+ remainder)
       .reduce(_.unionByName(_, allowMissingColumns = true))
+    // keepOrderCols hands the ordering contract to the caller (the kept
+    // BlockIdx/RowIdx columns carry it): sorting here too would stack a
+    // second full range-shuffle sort under any caller that re-sorts —
+    // measured as a whole wasted pass in the match_revise gate
+    if (keepOrderCols) unioned
+    else unioned
       .orderBy(col(SubjectId), col(Time).asc_nulls_first, col(BlockIdx), col(RowIdx))
-    if (keepOrderCols) sorted else sorted.drop(BlockIdx, RowIdx)
+      .drop(BlockIdx, RowIdx)
   }
 }
