@@ -874,6 +874,16 @@ object Queries {
       | CAST(('0x' || substr(sha256(text),1,6))::BIGINT % 256 AS BIGINT) AS mean_intensity
       |FROM documents ORDER BY media_id""".stripMargin))
 
+  private val multimodalResize: Gate = Gate(
+    (s, dir) => Multimodal.resizeStub(media(s, dir), targetW = 64, targetH = 64)
+      .orderBy("media_id"),
+    Some("""SELECT doc_id AS media_id,
+      | CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+      | round((octet_length(encode(text)) % 640 + 1)/64.0, 4) AS scale_x,
+      | round((octet_length(encode(text)) * 7 % 480 + 1)/64.0, 4) AS scale_y,
+      | sha256(text || '64x64') AS resized_digest
+      |FROM documents ORDER BY media_id""".stripMargin))
+
   private val multimodalFrames: Gate = Gate(
     (s, dir) => Multimodal.sampleFramesStub(media(s, dir), n = 4)
       .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"),
@@ -927,6 +937,7 @@ object Queries {
     "stratified_cap" -> stratifiedCap,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames
   )
 

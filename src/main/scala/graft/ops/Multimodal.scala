@@ -90,6 +90,28 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB resize: target dimensions plus the scale factors from the decoded
+    * (stub) source dimensions, and a deterministic digest of the "resized"
+    * payload. A real implementation replaces the digest expression with the
+    * codec's resize call (via [[decodeBatched]]'s batch slot); the schema —
+    * (media_id, width, height, scale_x, scale_y, resized_digest) — and the
+    * pure-projection shape (no shuffle, runs inside the scan's codegen
+    * stage) are the production contract.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "resize targets must be positive")
+    val srcW = octet_length(col("payload")) % 640 + 1
+    val srcH = octet_length(col("payload")) * 7 % 480 + 1
+    media.select(
+      col("media_id"),
+      lit(targetW).cast("long").as("width"),
+      lit(targetH).cast("long").as("height"),
+      round(srcW.cast("double") / targetW, 4).as("scale_x"),
+      round(srcH.cast("double") / targetH, 4).as("scale_y"),
+      sha2(concat(col("payload"), lit(s"${targetW}x$targetH").cast("binary")), 256)
+        .as("resized_digest"))
+  }
+
   /** STUB frame sampling: emit `n` evenly-spaced frame indices with a
     * deterministic per-frame digest — the row-explosion plumbing (one row per
     * sampled frame, repartitionable downstream) is the real part.

@@ -304,6 +304,16 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFramesStub(media, 3)
     assert(frames.count() == 6)
     assert(frames.select("frame_digest").distinct().count() == 6) // per-frame digest differs
+    // resize: target dims, scale factors from the stub source dims, and a
+    // digest equal to sha256(payload ++ "WxH")
+    val rz = Multimodal.resizeStub(media, 64, 32).orderBy("media_id").head()
+    assert(rz.getLong(1) == 64L && rz.getLong(2) == 32L)
+    assert(math.abs(rz.getDouble(3) - 6.0 / 64) < 1e-4) // srcW=6 ("hello"), 4dp-rounded
+    assert(math.abs(rz.getDouble(4) - 36.0 / 32) < 1e-4) // srcH=5*7%480+1=36, 4dp-rounded
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest("hello64x32".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rz.getString(5) == expect)
   }
 
   test("batched decode (mapPartitions codec) matches the expression stub bit-for-bit") {
