@@ -123,9 +123,24 @@ object GoldenScenario {
     * quantile structs compared field-wise; null-code = all-codes row).
     */
   def assertRecordMetadataEquals(actual: DataFrame, expectedFile: String): Unit = {
-    val got = actual.collect().map(r => Option(r.getAs[String]("code")) -> r).toMap
+    val rows = actual.collect()
+    val got = rows.map(r => Option(r.getAs[String]("code")) -> r).toMap
     val expected = parseRecordMetadata(expectedFile)
+    // row count BEFORE keying by code: a join fan-out duplicating codes
+    // would otherwise collapse in the map and pass the size check
+    assert(rows.length == expected.size,
+      s"${rows.length} rows vs ${expected.size} expected")
     assert(got.size == expected.size, s"${got.size} rows vs ${expected.size} expected")
+    def isIntegral(v: Any): Boolean = v match {
+      case _: Long | _: Int | _: Short | _: Byte => true
+      case _ => false
+    }
+    // counts are exact quantities: the float tolerance (abs 1e-5 + rel 1e-3)
+    // would wave through off-by-one count bugs once counts reach ~1000
+    def approxAny(c: String, e: Any, a: Any): Unit =
+      if (isIntegral(e) && isIntegral(a))
+        assert(asD(e) == asD(a), s"$c: expected $e got $a (exact integral)")
+      else approx(c, asD(e), asD(a))
     def approx(c: String, e: Double, a: Double): Unit =
       assert(math.abs(e - a) <= 1e-5 + 1e-3 * math.abs(e), s"$c: expected $e got $a")
     def asD(v: Any): Double = v match {
@@ -149,7 +164,7 @@ object GoldenScenario {
           assert(row.getSeq[String](row.fieldIndex("parent_codes")) == pcs)
         case (f, null) => assert(row.getAs[Any](f) == null, s"$code.$f: expected null")
         case (f, s: String) => assert(row.getAs[Any](f) == s, s"$code.$f")
-        case (f, v) => approx(s"$code.$f", asD(v), asD(row.getAs[Any](f)))
+        case (f, v) => approxAny(s"$code.$f", v, row.getAs[Any](f))
       }
     }
   }
@@ -181,10 +196,19 @@ object GoldenScenario {
       case b: Byte => Some(b.toDouble)
       case _ => None
     }
+    def integral(v: Any): Boolean = v match {
+      case _: Long | _: Int | _: Short | _: Byte => true
+      case _ => false
+    }
     ea.zip(aa).foreach { case (e, a) =>
       cols.zipWithIndex.foreach { case (c, i) =>
         (e.get(i), a.get(i)) match {
           case (null, null) => ()
+          // counts are exact — the float tolerance must not absorb
+          // off-by-one count divergences at larger fixture scales
+          case (ev, av) if integral(ev) && integral(av) =>
+            assert(asNum(ev) == asNum(av),
+              s"code ${e.get(0)} col $c: expected $ev got $av (exact integral)")
           case (ev, av) => (asNum(ev), asNum(av)) match {
             case (Some(x), Some(y)) =>
               assert(math.abs(x - y) <= 1e-5 + 1e-3 * math.abs(x),
@@ -210,6 +234,12 @@ object GoldenScenario {
       compareCols: Seq[String]): Unit = {
     val expectedBlocks = parseBlocks(expectedFile).filter(_._1.startsWith("data/"))
     val actualRows = actual.collect() // already in stage output order
+    // rows under shard names absent from the golden file must FAIL, not be
+    // silently skipped by the per-expected-shard iteration below
+    val expectedShards = expectedBlocks.keySet.map(_.stripPrefix("data/"))
+    val actualShards = actualRows.map(_.getAs[String]("shard")).toSet
+    assert(actualShards.subsetOf(expectedShards),
+      s"unexpected shards in output: ${actualShards -- expectedShards}")
     expectedBlocks.foreach { case (path, csv) =>
       val shard = path.stripPrefix("data/")
       val exp = csvDf(spark, csv).collect()

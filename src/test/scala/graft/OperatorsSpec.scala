@@ -352,13 +352,16 @@ class ReshardSpec extends SparkSpec {
       (1L to 10L).map(i => (i, if (i <= 7) "train" else "tuning")))
       .toDF("subject_id", "split")
     val a = ReshardToSplit.assignShardsBySize(splits, nSubjectsPerShard = 3)
-    val counts = a.groupBy("split").agg(
+    val stats = a.groupBy("split").agg(
       org.apache.spark.sql.functions.countDistinct("shard").as("k"),
       org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("shard")).as("mx"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts("train") == 3) // ceil(7/3)
-    assert(counts("tuning") == 1) // ceil(3/3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(stats("train")._1 == 3) // ceil(7/3)
+    assert(stats("tuning")._1 == 1) // ceil(3/3)
+    // shard ids are contiguous from 0 (max == k-1), not just k distinct
+    assert(stats("train")._2 == 2)
+    assert(stats("tuning")._2 == 0)
     // no shard exceeds the size bound
     val maxSize = a.groupBy("split", "shard").count().collect().map(_.getLong(2)).max
     assert(maxSize <= 3)

@@ -164,6 +164,14 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF nProbe=1 is a subset of one cell; recall is reasonable") {
     val q = Seq.fill(16)(0.25f)
+    // nProbe=1: every result must come from exactly ONE label cell — the
+    // bounded-scan property that makes IVF a scale path
+    val labelOf = embsDf.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val one = Similarity.ivfTopK(embsDf, "vec_id", "label", "embedding", q, k = 10, nProbe = 1)
+      .collect().map(_.getLong(0))
+    assert(one.nonEmpty && one.map(labelOf).toSet.size == 1,
+      s"nProbe=1 results span cells: ${one.map(labelOf).toSet}")
     val ivf = Similarity.ivfTopK(embsDf, "vec_id", "label", "embedding", q, k = 10, nProbe = 2)
       .collect().map(_.getLong(0)).toSet
     val brute = Similarity.topK(embsDf, "vec_id", "embedding", q, 10)

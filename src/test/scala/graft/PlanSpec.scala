@@ -38,6 +38,11 @@ class PlanSpec extends SparkSpec {
       val nodes = collectNodes(plan(q))
       assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
         s"expected a broadcast exchange:\n${plan(q)}")
+      // the ONLY shuffle allowed is the metadata aggregation itself — a
+      // sort-merge join would add exchanges on the event side and break the
+      // never-shuffle-the-event-table property this test is named for
+      val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 1, s"event side shuffled ($shuffles exchanges):\n${plan(q)}")
     }
   }
 
@@ -111,9 +116,12 @@ class PlanSpec extends SparkSpec {
     // property a raw range shuffle lacks)
     val again = keyed.select("pos", "subj", "tie").collect()
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
-    // no single-partition global window in the plan
+    // the row_number window must be PARTITIONED by the bucket id — a
+    // regression to a global Window.orderBy would produce identical values
+    // through a single partition, which only the plan can reveal
     val s = plan(keyed).toString
-    assert(!s.contains("windowspecdefinition()"), s"global window:\n$s")
+    assert(s.contains("windowspecdefinition(__pid"),
+      s"window not partitioned by bucket id:\n$s")
   }
 
   test("skew guards keep their bounded shapes: broadcast anti-join / broadcast hot-list") {

@@ -27,9 +27,19 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts.values.sum == 1000)
     assert(counts("train") > 700 && counts("train") < 900)
-    // nested sample of train is a subset: hash-based splits compose
+    // hash-based splits compose: a nested sample of train stays within the
+    // split, is deterministic, and its seed-7 hash is NOT correlated with
+    // the split-assignment hash (rate stays near 0.5, not skewed)
     val train = out.filter(col("split") === "train")
-    assert(Sampling.sample(train, "doc_id", 0.5, seed = 7).count() < train.count())
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val nested = Sampling.sample(train, "doc_id", 0.5, seed = 7)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(nested.toSet.subsetOf(trainIds))
+    val rate = nested.length.toDouble / trainIds.size
+    assert(rate > 0.4 && rate < 0.6, s"nested rate $rate correlates with split hash")
+    val again = Sampling.sample(train, "doc_id", 0.5, seed = 7)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(nested.toSet == again.toSet)
   }
 
   test("null ids: dropped by sample, null split in assignSplits (never in held-out)") {

@@ -28,9 +28,6 @@ trait SparkSpec extends AnyFunSuite {
 
   def collectSet(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
-
-  def collectOrdered(df: DataFrame): Seq[Seq[Any]] =
-    df.collect().map(_.toSeq).toSeq
 }
 
 object SparkSpec {
@@ -40,6 +37,9 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // set ONCE for the shared session: individual suites setting it at
+      // runtime made behavior depend on suite execution order
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
