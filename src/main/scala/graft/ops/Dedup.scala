@@ -314,14 +314,17 @@ object Dedup {
             .as("__mid"))
       // hop 2 (pointer jump): follow the new label through the previous
       // round's label table — labels only decrease, so label[label] ≤ label
-      val jumped = prop.join(
+      val jumpedPlan = prop.join(
           labels.select(col("id").as("__jid"), col("cluster_id").as("__jl")),
           col("__mid") === col("__jid"), "left")
         .select(col("id"), col("__old"),
           least(col("__mid"), coalesce(col("__jl"), col("__mid"))).as("cluster_id"))
-        .localCheckpoint() // one materialization per round; truncates lineage
-      // changed-rows check runs on the checkpointed blocks — no recompute
-      converged = jumped.filter(col("cluster_id") =!= col("__old")).isEmpty
+      // ONE job per round: materialize the new labels AND count changed
+      // rows as they stream by (a separate convergence scan over the
+      // checkpointed blocks was a whole extra job per round)
+      val (jumped, changed) = org.apache.spark.sql.GraftSqlBridge
+        .localCheckpointWithDiffCount(jumpedPlan, "cluster_id", "__old")
+      converged = changed == 0
       // the new round is materialized — free the previous round's blocks now
       // instead of waiting for a driver GC + ContextCleaner pass
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(labels)

@@ -53,4 +53,34 @@ object GraftSqlBridge {
     (classic.sparkSession.internalCreateDataFrame(
       internalRdd, classic.schema, isStreaming = false), counts)
   }
+
+  /** `localCheckpoint(eager = true)` fused with a changed-rows count: ONE
+    * job materializes the partitions and counts rows whose `col1` differs
+    * from `col2` as they stream by - the per-round convergence check of an
+    * iterative operator without a second scan over the checkpointed blocks.
+    * Both columns must share a type; null != non-null counts as changed.
+    */
+  def localCheckpointWithDiffCount(df: Dataset[org.apache.spark.sql.Row],
+      col1: String, col2: String): (DataFrame, Long) = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val schema = classic.schema
+    val i1 = schema.fieldIndex(col1)
+    val i2 = schema.fieldIndex(col2)
+    val dt = schema(i1).dataType
+    require(schema(i2).dataType == dt, s"$col1/$col2 type mismatch")
+    val internalRdd = classic.queryExecution.toRdd.map(_.copy())
+    internalRdd.localCheckpoint()
+    val changed = internalRdd.mapPartitions { it =>
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        val a = r.get(i1, dt)
+        val b = r.get(i2, dt)
+        if ((a == null) != (b == null) || (a != null && a != b)) n += 1
+      }
+      Iterator.single(n)
+    }.collect().sum
+    (classic.sparkSession.internalCreateDataFrame(
+      internalRdd, classic.schema, isStreaming = false), changed)
+  }
 }
