@@ -195,10 +195,12 @@ object Queries {
         r4(col(ValuesQuantiles).getField("values/quantile/0.75")).as("p75"))
         .orderBy("code")
     },
+    // NaN exclusion mirrors the Spark side's presentVal; DuckDB's
+    // quantile_cont would otherwise rank NaN as the largest value
     Some("""SELECT event_type AS code,
-      | round(quantile_cont(value, 0.25),4) AS p25,
-      | round(quantile_cont(value, 0.5),4) AS p50,
-      | round(quantile_cont(value, 0.75),4) AS p75
+      | round(quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.25),4) AS p25,
+      | round(quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.5),4) AS p50,
+      | round(quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.75),4) AS p75
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   private val fitVocab: Gate = Gate(
@@ -381,8 +383,10 @@ object Queries {
           col("evt_code"), col("big_flag"))
         .orderBy("event_id")
     },
+    // NULLIF: DuckDB regexp_extract returns '' on no-match, which CAST
+    // would hard-error on — the Spark side (extractOrNull) yields NULL
     Some("""SELECT event_id,
-      | CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_value,
+      | CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k_value,
       | 'EVT//' || event_type AS evt_code,
       | CASE WHEN event_type = 'purchase' THEN 'big' END AS big_flag
       |FROM events ORDER BY event_id""".stripMargin))
@@ -455,10 +459,12 @@ object Queries {
         .agg(count(lit(1)).as("n_rows"), countDistinct(col(SubjectId)).as("n_subjects"))
         .orderBy(Split, Shard)
     },
+    // ((x % m) + m) % m = pmod: DuckDB's signed % would diverge from the
+    // Spark side's pmod on negative subject ids
     Some("""SELECT
-      | CASE WHEN user_id % 10 < 8 THEN 'train'
-      |  WHEN user_id % 10 = 8 THEN 'tuning' ELSE 'held_out' END AS split,
-      | CAST(user_id % 4 AS INT) AS shard,
+      | CASE WHEN ((user_id % 10) + 10) % 10 < 8 THEN 'train'
+      |  WHEN ((user_id % 10) + 10) % 10 = 8 THEN 'tuning' ELSE 'held_out' END AS split,
+      | CAST(((user_id % 4) + 4) % 4 AS INT) AS shard,
       | count(*) AS n_rows, count(DISTINCT user_id) AS n_subjects
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
 
@@ -467,9 +473,11 @@ object Queries {
       .select(col("window_start"), col("event_type"), col("n_events"),
         r3(col("sum_value")).as("sum_value"))
       .orderBy("window_start", "event_type"),
+    // ts IS NOT NULL: Spark's window() silently drops null-timestamp rows
+    // (the TimeWindowing rule adds the filter); the oracle must too
     Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
       | count(*) AS n_events, round(sum(value),3) AS sum_value
-      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+      |FROM events WHERE ts IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
 
   private val eventsSessionize: Gate = Gate(
     (s, dir) => graft.streaming.Sessionize.batch(eventsTable(s, dir), gapMinutes = 30)
@@ -585,30 +593,26 @@ object Queries {
       n = 3, threshold = 0.4, maxDf = Some(20))
       .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
       .orderBy("id_a", "id_b"),
-    Some("""WITH w AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-      |  FROM documents WHERE length(trim(text)) > 0),
-      |sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
-      |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
-      |sh AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS shingle FROM sh0),
-      |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20),
-      |shp AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-      |sz AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY 1),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-      |  FROM shp a JOIN shp b USING(shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
-      |SELECT id_a, id_b, round(CAST(shared AS DOUBLE)/(sa.n+sb.n-shared), 4) AS jaccard
-      |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-      |WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.4
-      |ORDER BY 1,2""".stripMargin))
+    Some(
+      s"""WITH $shingleHashCtes,
+         |hot AS (SELECT h FROM hashed GROUP BY h HAVING count(*) > 20),
+         |shp AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM hot)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM shp a JOIN shp b USING(h) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+         |SELECT id_a, id_b, round(CAST(shared AS DOUBLE)/(sa.n+sb.n-shared), 4) AS jaccard
+         |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(shared AS DOUBLE)/(sa.n+sb.n-shared) >= 0.4
+         |ORDER BY 1,2""".stripMargin))
 
   /** Shared oracle fragment: tokenize → distinct word-3-gram shingles →
     * 56-bit portable hashes (`hashed(doc_id, h)`). ONE definition — five
     * oracles build on it, and a drift between copies would silently
-    * desynchronize an oracle from the shared Spark operator.
+    * desynchronize an oracle from the shared Spark operator. (lazy: used by
+    * gate vals declared both before and after this point)
     */
-  private val shingleHashCtes: String =
+  private lazy val shingleHashCtes: String =
     """w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
       |  FROM documents WHERE length(trim(text)) > 0),
@@ -617,11 +621,18 @@ object Queries {
       |    i -> array_to_string(ws[i:i+2], ' '))) AS shingle FROM w)),
       |hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,14))::BIGINT AS h FROM sh)""".stripMargin
 
+  /** Banding geometry shared by the Spark gate calls AND the oracle CTE
+    * fragment — one set of constants, so the two sides cannot diverge.
+    */
+  private val MinhashBands = 8
+  private val MinhashRowsPerBand = 4
+  private val MinhashPerms = MinhashBands * MinhashRowsPerBand
+
   /** Shared oracle fragment: minhash signatures → bands → candidate pairs
     * (`sigs`, `cand`) — used verbatim by minhash_lsh AND dedup_clusters.
     */
-  private val minhashCandCtes: String = {
-    val params = GraftFunctions.hashParams(32)
+  private lazy val minhashCandCtes: String = {
+    val params = GraftFunctions.hashParams(MinhashPerms)
     val permValues = params.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
     s"""perms(perm, a, b) AS (VALUES $permValues),
@@ -629,7 +640,7 @@ object Queries {
        |  SELECT doc_id, perm, min((a*(h % 2147483647) + b) % 2147483647) AS minhash
        |  FROM hashed CROSS JOIN perms GROUP BY 1,2),
        |banded AS (
-       |  SELECT doc_id, CAST(floor(perm/4) AS INT) AS band,
+       |  SELECT doc_id, CAST(floor(perm/$MinhashRowsPerBand) AS INT) AS band,
        |   md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
        |  FROM sigs GROUP BY 1,2),
        |cand AS (
@@ -646,7 +657,7 @@ object Queries {
 
   private val minhashLsh: Gate = Gate(
     (s, dir) => Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
-      n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      n = 3, bands = MinhashBands, rowsPerBand = MinhashRowsPerBand, threshold = 0.5)
       .orderBy("id_a", "id_b"),
     Some(
       s"""WITH $shingleHashCtes,
@@ -664,7 +675,7 @@ object Queries {
   private val dedupClusters: Gate = Gate(
     (s, dir) => Dedup.resolveClusters(
       Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
-        n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5))
+        n = 3, bands = MinhashBands, rowsPerBand = MinhashRowsPerBand, threshold = 0.5))
       .select(col("id").cast(LongType).as("id"),
         col("cluster_id").cast(LongType).as("cluster_id"))
       .orderBy("id"),
@@ -740,7 +751,8 @@ object Queries {
     (s, dir) => Similarity.topK(
       table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
       "vec_id", "embedding", queryVec(s, dir), k = 20)
-      .select(col("vec_id"), r4(col("cos")).as("cos")),
+      .select(col("vec_id"), r4(col("cos")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")),
     Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
       |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos
       |FROM embeddings, q
@@ -751,7 +763,8 @@ object Queries {
     (s, dir) => Similarity.lshTopK(
       table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
       "vec_id", "embedding", queryVec(s, dir), k = 10, dims = 0 until 8)
-      .select(col("vec_id"), r4(col("cos")).as("cos")),
+      .select(col("vec_id"), r4(col("cos")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")),
     Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
       |b AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -771,7 +784,8 @@ object Queries {
     (s, dir) => Similarity.ivfTopK(
       table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
       "vec_id", "label", "embedding", queryVec(s, dir), k = 10, nProbe = 2)
-      .select(col("vec_id"), r4(col("cos")).as("cos")),
+      .select(col("vec_id"), r4(col("cos")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")),
     // per-label centroids via parallel unnest (zipped in DuckDB), probe the
     // 2 closest cells, exact re-rank inside them — mirrors ivfTopK exactly
     Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -833,7 +847,8 @@ object Queries {
       |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000000)/1000000000.0 AS u
       |  FROM documents)
       |SELECT doc_id,
-      | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+      | CASE WHEN u IS NULL THEN NULL
+      |  WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
       |FROM h ORDER BY doc_id""".stripMargin))
 
   private val stratifiedCap: Gate = Gate(

@@ -96,7 +96,10 @@ object OccludeOutliers {
     // comparison — Spark orders NaN greater than all values, which would
     // instead keep everything.
     val raw = abs(col(NumericValue) - col("__mean")) <= lit(stddevCutoff) * col("__std")
-    val inlier = when(isnan(col("__std")), lit(false)).otherwise(raw)
+    // null-value rows stay NULL even under a NaN std — the reference's
+    // three-valued semantics take precedence over the occlude-everything rule
+    val inlier = when(col(NumericValue).isNull, lit(null).cast("boolean"))
+      .when(isnan(col("__std")), lit(false)).otherwise(raw)
     joined
       .withColumn(IsInlier, inlier)
       .withColumn(NumericValue, when(col(IsInlier), col(NumericValue)))
