@@ -114,6 +114,23 @@ class FilterStagesSpec extends SparkSpec {
     val static = out.filter(_._1 == "S").head
     assert(static._2.isEmpty && static._3.isEmpty) // no value → null flag
   }
+
+  test("occlude_outliers: NaN std occludes valued rows but null values stay NULL-flagged") {
+    // a constant code with a pre-fitted NaN std (derived variance rounding
+    // negative) plus one null-value row of the same code
+    val d = medsDf(
+      (1L, "2020-01-01 00:00:00", "C", 5.0),
+      (1L, "2020-01-01 00:01:00", "C", 5.0),
+      (1L, "2020-01-01 00:02:00", "C", null))
+    val codes = spark.createDataFrame(Seq(("C", 5.0, Double.NaN)))
+      .toDF(Code, ValuesMean, ValuesStd)
+    val out = OccludeOutliers(d, codes, stddevCutoff = 1.0).collect()
+      .map(r => (Option(r.getAs[Any](NumericValue)), Option(r.getAs[Any](IsInlier)))).toSeq
+    // valued rows: occluded with is_inlier = false
+    assert(out.count(x => x._1.isEmpty && x._2.contains(false)) == 2)
+    // the null-value row keeps the reference's three-valued NULL flag
+    assert(out.count(x => x._1.isEmpty && x._2.isEmpty) == 1)
+  }
 }
 
 class NormalizationSpec extends SparkSpec {
