@@ -211,8 +211,8 @@ object Queries {
         .orderBy("code")
     },
     Some("""SELECT event_type AS code,
-      | CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS vocab_index
-      |FROM (SELECT DISTINCT event_type FROM events) ORDER BY 1""".stripMargin))
+      | CAST(row_number() OVER (ORDER BY event_type NULLS FIRST) AS BIGINT) AS vocab_index
+      |FROM (SELECT DISTINCT event_type FROM events) ORDER BY 1 NULLS FIRST""".stripMargin))
 
   private val filterSubjects: Gate = Gate(
     (s, dir) => FilterSubjects(medsEvents(s, dir), Some(60), Some(50))
@@ -293,7 +293,7 @@ object Queries {
       |   sqrt(sum(value*value)/count(value) - (sum(value)/count(value))^2) AS sd
       |  FROM nv GROUP BY 1),
       |v AS (
-      |  SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS vocab
+      |  SELECT event_type, CAST(row_number() OVER (ORDER BY event_type NULLS FIRST) AS BIGINT) AS vocab
       |  FROM (SELECT DISTINCT event_type FROM events))
       |SELECT e.event_id, v.vocab AS code, round((e.value - m.mu)/m.sd, 4) AS numeric_value
       |FROM events e JOIN m USING(event_type) JOIN v USING(event_type)
@@ -859,7 +859,7 @@ object Queries {
     Some("""WITH h AS (
       |  SELECT doc_id, lang,
       |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000000)/1000000000.0 AS u
-      |  FROM documents),
+      |  FROM documents WHERE doc_id IS NOT NULL),
       |r AS (SELECT doc_id, lang,
       |   row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk FROM h)
       |SELECT doc_id, lang FROM r WHERE rk <= 50 ORDER BY doc_id""".stripMargin))

@@ -192,7 +192,12 @@ object PipelineConfig {
       val perShard = cfg.getInt("n_subjects_per_shard")
       val seed = cfg.getLong("seed").getOrElse(0L)
       val parity = cfg.getBool("reference_parity").getOrElse(false)
-      Pipeline.DataStage(name, m => {
+      // train_only is honored here too (config_overwrites may set it on ANY
+      // stage, pipeline.py:430) — the generic strip in the default branch
+      // does not see this dedicated case
+      val reshardTrainOnly = cfg.getBool("train_only").getOrElse(false)
+      Pipeline.DataStage(name, m0 => {
+        val m = if (reshardTrainOnly) Pipeline.trainOnly(m0) else m0
         import org.apache.spark.sql.functions.{col, length}
         // splits table when present; else fall back to the path-derived split
         // (a root written without subject_splits but with split dirs)

@@ -32,7 +32,15 @@ object MedsIO {
     */
   def read(spark: SparkSession, root: String): MedsData = {
     val data = readData(spark, root)
-    val codes = spark.read.parquet(s"$root/metadata/codes.parquet")
+    // a streaming sink writes data/ before any metadata exists — a missing
+    // codes table falls back to empty (same contract as splits below), so
+    // batch operators can run over a root a stream is still appending to
+    val codesPath = new org.apache.hadoop.fs.Path(s"$root/metadata/codes.parquet")
+    val codesFs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes =
+      if (codesFs.exists(codesPath)) spark.read.parquet(codesPath.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codesSchema)
     val splitsPath = new org.apache.hadoop.fs.Path(s"$root/metadata/subject_splits.parquet")
     val fs = splitsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Only a *missing* splits table falls back to empty; a corrupt or

@@ -169,7 +169,13 @@ object AddTimeDerivedMeasurements {
       else data.withColumn(RowIdx, monotonically_increasing_id())
     var augmented: DataFrame = withIdx
     val newParts = generators.zipWithIndex.map { case (g, i) =>
-      val newEv = g.make(augmented)
+      val computed = g.make(augmented)
+      // with multiple generators, each part feeds every LATER generator's
+      // input AND the final union — materialize it once, or generator 0's
+      // window lineage re-executes inside every later make() (O(k²) passes)
+      val newEv =
+        if (generators.length > 1 && i < generators.length - 1) computed.localCheckpoint()
+        else computed
       augmented = augmented.unionByName(newEv, allowMissingColumns = true)
       val rank = g.newCodeLastRegex match {
         case Some(pat) => when(col(Code).rlike(pat), lit(i + 1)).otherwise(lit(-(i + 1)))

@@ -245,6 +245,11 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numBits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    // a remainder would leave the top numBits%bands bits out of every band —
+    // silently missed near-dup pairs; and 64-bit bands would wrap the mask
+    // shift to 0, degenerating the band join to the full cross product
+    require(numBits % bands == 0, s"numBits ($numBits) must divide into bands ($bands)")
+    require(numBits / bands < 64, "band width must be < 64 bits")
     // cache: the per-doc simhash table is tiny and consumed by both join sides
     val sh = simhash(docs, idCol, textCol, n, numBits).localCheckpoint()
     val bandBits = numBits / bands

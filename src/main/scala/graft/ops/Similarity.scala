@@ -51,10 +51,10 @@ object Similarity {
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, dims: Seq[Int] = 0 until 8): DataFrame = {
     // SQL comparison semantics for the driver-side bucket too: NaN >= 0 is
-    // TRUE in Spark/DuckDB but FALSE in Scala — a NaN coordinate must bucket
-    // the query the same way it buckets the rows
+    // TRUE in Spark/DuckDB but FALSE in Scala, and a dim beyond the query's
+    // length maps to bit 0 exactly like signBucket's null-tolerant get()
     val qBucket = dims.zipWithIndex.map { case (d, i) =>
-      if (query(d) >= 0 || query(d).isNaN) 1L << i else 0L
+      if (d < query.length && (query(d) >= 0 || query(d).isNaN)) 1L << i else 0L
     }.sum
     bruteForceScores(
       embs.filter(signBucket(col(vecCol), dims) === qBucket), idCol, vecCol, query)
