@@ -171,7 +171,24 @@ object PipelineConfig {
     }
   }
 
-  private def buildBuiltinStage(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = baseStage match {
+  /** train_only is hoisted HERE so every present and future data-stage case
+    * honors it uniformly (config_overwrites may set it on ANY stage,
+    * pipeline.py:430): the case arms see the stripped stage config, and any
+    * DataStage they return gets its input wrapped. Metadata stages are
+    * train-only via Pipeline.run already.
+    */
+  private def buildBuiltinStage(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = {
+    val stageCfg = cfg match { case M(m0) => M(m0 - "train_only"); case c => c }
+    val stage = buildBuiltinStageInner(name, baseStage, stageCfg)
+    if (!cfg.getBool("train_only").getOrElse(false)) stage
+    else stage match {
+      case Pipeline.DataStage(n, f) =>
+        Pipeline.DataStage(n, m => f(Pipeline.trainOnly(m)))
+      case ms => ms
+    }
+  }
+
+  private def buildBuiltinStageInner(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = baseStage match {
     case "aggregate_code_metadata" =>
       val (aggs, quantiles) = parseAggregations(cfg)
       val mods = cfg.strings("code_modifiers")
@@ -192,12 +209,7 @@ object PipelineConfig {
       val perShard = cfg.getInt("n_subjects_per_shard")
       val seed = cfg.getLong("seed").getOrElse(0L)
       val parity = cfg.getBool("reference_parity").getOrElse(false)
-      // train_only is honored here too (config_overwrites may set it on ANY
-      // stage, pipeline.py:430) — the generic strip in the default branch
-      // does not see this dedicated case
-      val reshardTrainOnly = cfg.getBool("train_only").getOrElse(false)
-      Pipeline.DataStage(name, m0 => {
-        val m = if (reshardTrainOnly) Pipeline.trainOnly(m0) else m0
+      Pipeline.DataStage(name, m => {
         import org.apache.spark.sql.functions.{col, length}
         // splits table when present; else fall back to the path-derived split
         // (a root written without subject_splits but with split dirs)
@@ -226,19 +238,11 @@ object PipelineConfig {
         ReshardToSplit.applyAssigned(m.data, assignment)
       })
     case _ =>
-      // a data stage may opt into train-only input via a config override
-      // (pipeline.py:430 lets config_overwrites set train_only on any stage);
-      // the key is ORCHESTRATION config — strip it so stage builders (e.g.
-      // extract_values' {out_col: expr} map, the ATDM generator dispatch)
-      // never see it as stage config
-      val stageCfg = cfg match { case M(m0) => M(m0 - "train_only"); case c => c }
       // resolve the transform EAGERLY so an unknown stage name fails at
       // config-parse time, not mid-pipeline when the stage first executes
-      val xform = dataTransform(baseStage, stageCfg)
-      if (cfg.getBool("train_only").getOrElse(false))
-        Pipeline.DataStage(name, m => xform(Pipeline.trainOnly(m)))
-      else
-        Pipeline.DataStage(name, m => xform(m))
+      // (train_only was already stripped and is handled by the caller)
+      val xform = dataTransform(baseStage, cfg)
+      Pipeline.DataStage(name, m => xform(m))
   }
 
   /** Data-stage transformation for `baseStage` under `cfg`; `_match_revise`

@@ -36,17 +36,19 @@ object Pipeline {
     * zero rows (read_and_filter_fntr over splits, read_fn.py:22-86).
     */
   def trainOnly(m: MedsData): MedsData = {
-    // fail FAST when the root carries no split information at all: the
+    // fail FAST when NON-EMPTY data carries no split information at all: the
     // filter below would otherwise drop every row and each metadata stage
-    // would silently write empty codes. The check is cheap on healthy roots
-    // (splits-table action is metadata-scale; the limit(1) probe stops at
-    // the first split-carrying row).
+    // would silently write empty codes (the r1 silent-drop bug). A genuinely
+    // empty input stays the reference's zero-rows behavior. The probes only
+    // run when the splits table is empty — an unusual root — and pay one
+    // extra pass of the upstream lineage there; healthy roots skip them.
     if (m.splits.isEmpty) {
       val hasPathSplit = m.data.columns.contains(Split) &&
         !m.data.filter(length(col(Split)) > 0).limit(1).isEmpty
-      require(hasPathSplit,
-        "train-only stage but the root has no split information: neither a " +
-          "metadata/subject_splits.parquet table nor split directories under data/")
+      if (!hasPathSplit) require(m.data.limit(1).isEmpty,
+        "train-only stage over non-empty data with no split information: " +
+          "neither a metadata/subject_splits.parquet table nor split " +
+          "directories under data/")
     }
     val fromPath =
       if (m.data.columns.contains(Split)) when(length(col(Split)) > 0, col(Split))

@@ -248,7 +248,9 @@ object Dedup {
     // a remainder would leave the top numBits%bands bits out of every band —
     // silently missed near-dup pairs; and 64-bit bands would wrap the mask
     // shift to 0, degenerating the band join to the full cross product
-    require(numBits % bands == 0, s"numBits ($numBits) must divide into bands ($bands)")
+    require(bands > 0, s"bands must be positive, got $bands")
+    require(numBits % bands == 0,
+      s"bands ($bands) must evenly divide numBits ($numBits)")
     require(numBits / bands < 64, "band width must be < 64 bits")
     // cache: the per-doc simhash table is tiny and consumed by both join sides
     val sh = simhash(docs, idCol, textCol, n, numBits).localCheckpoint()

@@ -40,18 +40,30 @@ object GraftSqlBridge {
     */
   def localCheckpointWithPartitionCounts(
       df: Dataset[org.apache.spark.sql.Row]): (DataFrame, Array[(Int, Long)]) = {
-    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-    // same InternalRow defensive copy Dataset.checkpoint performs: the
-    // iterator reuses one mutable row, which must not be cached as-is
-    val internalRdd = classic.queryExecution.toRdd.map(_.copy())
-    internalRdd.localCheckpoint()
-    val counts = internalRdd.mapPartitionsWithIndex { (i, it) =>
+    val (out, counts) = localCheckpointWith(df) { (i, it) =>
       var n = 0L
       while (it.hasNext) { it.next(); n += 1 }
-      Iterator((i, n))
-    }.collect().sortBy(_._1)
+      (i, n)
+    }
+    (out, counts.sortBy(_._1))
+  }
+
+  /** Shared scaffold for the fused localCheckpoint variants: defensive
+    * InternalRow copy (the iterator reuses one mutable row, which must not
+    * be cached as-is - same as Dataset.checkpoint), checkpoint mark, ONE
+    * materializing job that folds each partition, and the re-wrapped frame.
+    */
+  private def localCheckpointWith[A: scala.reflect.ClassTag](
+      df: Dataset[org.apache.spark.sql.Row])(
+      fold: (Int, Iterator[org.apache.spark.sql.catalyst.InternalRow]) => A): (DataFrame, Array[A]) = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val internalRdd = classic.queryExecution.toRdd.map(_.copy())
+    internalRdd.localCheckpoint()
+    val results = internalRdd
+      .mapPartitionsWithIndex((i, it) => Iterator.single(fold(i, it)))
+      .collect()
     (classic.sparkSession.internalCreateDataFrame(
-      internalRdd, classic.schema, isStreaming = false), counts)
+      internalRdd, classic.schema, isStreaming = false), results)
   }
 
   /** `localCheckpoint(eager = true)` fused with a changed-rows count: ONE
@@ -62,15 +74,12 @@ object GraftSqlBridge {
     */
   def localCheckpointWithDiffCount(df: Dataset[org.apache.spark.sql.Row],
       col1: String, col2: String): (DataFrame, Long) = {
-    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-    val schema = classic.schema
+    val schema = df.schema
     val i1 = schema.fieldIndex(col1)
     val i2 = schema.fieldIndex(col2)
     val dt = schema(i1).dataType
     require(schema(i2).dataType == dt, s"$col1/$col2 type mismatch")
-    val internalRdd = classic.queryExecution.toRdd.map(_.copy())
-    internalRdd.localCheckpoint()
-    val changed = internalRdd.mapPartitions { it =>
+    val (out, partials) = localCheckpointWith(df) { (_, it) =>
       var n = 0L
       while (it.hasNext) {
         val r = it.next()
@@ -78,9 +87,8 @@ object GraftSqlBridge {
         val b = r.get(i2, dt)
         if ((a == null) != (b == null) || (a != null && a != b)) n += 1
       }
-      Iterator.single(n)
-    }.collect().sum
-    (classic.sparkSession.internalCreateDataFrame(
-      internalRdd, classic.schema, isStreaming = false), changed)
+      n
+    }
+    (out, partials.sum)
   }
 }
