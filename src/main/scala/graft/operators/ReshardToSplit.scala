@@ -130,6 +130,12 @@ object ReshardToSplit {
     * (shard_subjects' split_fracs_dict, reshard_to_split.py:29,85): seeded
     * permutation of the distinct cohort, sliced at the cumulative-fraction
     * boundaries. Fractions must sum to 1.
+    *
+    * Reference-parity form: collects the distinct subject ids and permutes
+    * them on the driver, structurally matching the reference's collected
+    * numpy shuffle. At 10⁸+ subjects that is a ~GB driver materialization —
+    * use [[assignSplitsByFracDistributed]] (identical split cardinalities,
+    * no driver-side subject list) anywhere scale matters.
     */
   def assignSplitsByFrac(subjects: DataFrame, fracs: Seq[(String, Double)],
       seed: Long = 1L): DataFrame = {
@@ -145,6 +151,41 @@ object ReshardToSplit {
     val spark = subjects.sparkSession
     import spark.implicits._
     assigned.toDF(SubjectId, Split)
+  }
+
+  /** Fully-distributed [[assignSplitsByFrac]]: the permutation is a seeded
+    * engine-portable hash and the slice position is the scalable global rank
+    * over it (the same construction [[assignShardsDistributed]] uses), so no
+    * subject list ever lands on the driver — the only driver-side value is
+    * the cohort COUNT, needed to turn fractions into row boundaries.
+    *
+    * Split cardinalities are identical to the collect form for any input
+    * (both cut a permutation of n subjects at `round(cum_frac · n)`); the
+    * MEMBERSHIP differs because the permutation orders differ (driver RNG vs
+    * portable hash) — both are valid seeded IID draws, deterministic for a
+    * given (subjects, seed).
+    */
+  def assignSplitsByFracDistributed(subjects: DataFrame, fracs: Seq[(String, Double)],
+      seed: Long = 1L): DataFrame = {
+    require(fracs.nonEmpty, "at least one split fraction is required")
+    require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9, s"fractions must sum to 1: $fracs")
+    val hashed = subjects.select(col(SubjectId)).distinct()
+      .select(col(SubjectId),
+        GraftFunctions.portableHash56(
+          concat_ws(":", col(SubjectId), lit(seed))).as("__h"))
+    // global rank over (hash, id): `ranked` is the checkpointed blocks, so
+    // the count below and the final projection both read materialized
+    // partitions — no lineage re-execution, no second shuffle
+    val ranked = GraftFunctions.withGlobalRowNumber(hashed, "__rn",
+      Seq(col("__h"), col(SubjectId)))
+    val n = ranked.count() // scalar only — never the subject ids
+    // same boundary arithmetic as the collect form: cut at round(cum · n)
+    val bounds = fracs.map(_._2).scanLeft(0.0)(_ + _).map(f => math.round(f * n))
+    val rank0 = col("__rn") - 1
+    val split = fracs.init.zipWithIndex.foldRight(lit(fracs.last._1): Column) {
+      case (((name, _), i), els) => when(rank0 < lit(bounds(i + 1)), lit(name)).otherwise(els)
+    }
+    ranked.select(col(SubjectId), split.as(Split))
   }
 
   def apply(data: DataFrame, splits: DataFrame, nShards: Int): DataFrame =

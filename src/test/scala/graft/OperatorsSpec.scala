@@ -398,6 +398,34 @@ class ReshardSpec extends SparkSpec {
     assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
   }
 
+  test("distributed split_fracs: same cardinalities as collect form, no driver subject list") {
+    // awkward n (17) + fracs that exercise the round(cum·n) boundary math
+    val fracs = Seq("train" -> 0.7, "tuning" -> 0.2, "held_out" -> 0.1)
+    val small = spark.range(1, 18).toDF("subject_id")
+    def sizes(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes(ReshardToSplit.assignSplitsByFracDistributed(small, fracs, seed = 3L))
+      == sizes(ReshardToSplit.assignSplitsByFrac(small, fracs, seed = 3L)))
+
+    // 10⁶-subject frame: exact cardinalities, full coverage, and the plan
+    // reads distributed blocks — no LocalTableScan of a collected id list
+    // (the collect form's plan is exactly such a scan)
+    val big = spark.range(1, 1000001).toDF("subject_id")
+    val f3 = Seq("train" -> 0.8, "tuning" -> 0.1, "held_out" -> 0.1)
+    val dist = ReshardToSplit.assignSplitsByFracDistributed(big, f3, seed = 7L)
+    assert(!dist.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(sizes(dist) == Map("train" -> 800000L, "tuning" -> 100000L, "held_out" -> 100000L))
+    assert(dist.select("subject_id").distinct().count() == 1000000L)
+    // deterministic under the same seed (order-insensitive content hash)
+    import org.apache.spark.sql.functions.{sum, xxhash64, col}
+    // decimal sum: ANSI mode throws on Long-sum overflow of 10⁶ full-range hashes
+    def contentHash(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64(col("subject_id"), col("split")).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    assert(contentHash(dist) ==
+      contentHash(ReshardToSplit.assignSplitsByFracDistributed(big, f3, seed = 7L)))
+  }
+
   test("subjects are assigned deterministically and data joins splits") {
     val d = medsDf(
       (1L, "2020-01-01 00:00:00", "HR", 1.0),
