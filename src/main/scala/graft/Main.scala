@@ -11,8 +11,13 @@ import graft.operators.Pipeline
   * analog instead (pyproject.toml:48): exactly one named stage runs.
   *
   * {{{
-  * sbt "runMain graft.Main <pipeline.{json,yaml}> <inputRoot> <outputRoot> [checkpointRoot] [--stage=<name>]"
+  * sbt "runMain graft.Main <pipeline.{json,yaml}> <inputRoot> <outputRoot> \
+  *   [checkpointRoot] [--stage=<name>] [dotted.path=value ...]"
   * }}}
+  *
+  * Trailing `dotted.path=value` args are Hydra-style config overrides
+  * (`stages.occlude_outliers.stddev_cutoff=3`, or `stage_cfg.<key>=v` with
+  * `--stage=` — the reference's per-stage override surface).
   *
   * The pipeline JSON mirrors the reference's YAML surface (see
   * config.PipelineConfig). Where the reference launches a subprocess per
@@ -41,21 +46,34 @@ object Main {
     // (reference pyproject.toml:48, __main__.py run_stage) and the shape a
     // cluster orchestrator uses at scale: one stage per submitted job,
     // chained through the MEDS roots on shared storage
-    val (flags, positional) = args.partition(_.startsWith("--"))
+    val (flags, rest) = args.partition(_.startsWith("--"))
     flags.foreach(f => require(f.startsWith("--stage="), s"unknown flag: $f"))
     val stageOnly = flags.collectFirst {
       case f if f.startsWith("--stage=") => f.stripPrefix("--stage=")
     }
+    // Hydra-style `dotted.path=value` overrides, the reference's per-
+    // invocation config-edit surface (runner.py:252-288): applied to the
+    // parsed pipeline tree before stages build. `stage_cfg.<key>` addresses
+    // the --stage target, matching `MEDS_transform-stage <yaml> <stage>
+    // stage_cfg.x=y` invocations.
+    val (overrideArgs, positional) = rest.partition(_.matches("[A-Za-z_][A-Za-z0-9_.]*=.*"))
+    val overrides = overrideArgs.toSeq.map { o =>
+      if (!o.startsWith("stage_cfg.")) o
+      else {
+        require(stageOnly.isDefined, s"override '$o': stage_cfg.* requires --stage=<name>")
+        s"stages.${stageOnly.get}.${o.stripPrefix("stage_cfg.")}"
+      }
+    }
     require(positional.length == 3 || positional.length == 4,
       "usage: graft.Main <pipeline.{json,yaml}> <inputRoot> <outputRoot> " +
-        "[checkpointRoot] [--stage=<name>]")
+        "[checkpointRoot] [--stage=<name>] [dotted.path=value ...]")
     val Array(pipelineFile, inputRoot, outputRoot) = positional.take(3)
     // with a checkpoint root, every stage persists to <root>/<idx>_<name> and
     // a re-run resumes after the last completed stage (runner.py .done files)
     val checkpointRoot = positional.lift(3)
     graft.plans.GraftExtensions.register(spark)
 
-    val parsed = PipelineConfig.fromFile(pipelineFile)
+    val parsed = PipelineConfig.fromFile(pipelineFile, overrides)
     parsed.description.foreach(d => println(s"[graft] pipeline: $d"))
     val stages = stageOnly match {
       case Some(n) =>

@@ -28,12 +28,31 @@ object PipelineConfig {
   def fromYaml(yaml: String): Parsed = fromCfg(Yaml.parse(yaml))
 
   /** Parse a pipeline config file, dispatching on extension (.yaml/.yml vs
-    * JSON) — the reference's pipelines are YAML and run unmodified.
+    * JSON) — the reference's pipelines are YAML and run unmodified. Optional
+    * `overrides` are Hydra-style `dotted.path=value` edits applied to the
+    * parsed tree before stages are built (see [[Overrides]]).
+    *
+    * `pkg://pkg.path.file.yaml` paths resolve from the classpath — the JVM
+    * analog of the reference's installed-package resolution
+    * (utils.py resolve_pkg_path, configs/pipeline.py:296-305): dot segments
+    * map to the package directory, the last segment is the extension, so
+    * `pkg://my_pkg.configs.pipeline.yaml` loads the classpath resource
+    * `my_pkg/configs/pipeline.yaml`.
     */
-  def fromFile(path: String): Parsed = {
-    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-    if (path.endsWith(".yaml") || path.endsWith(".yml")) fromYaml(text)
-    else fromJson(text)
+  def fromFile(path: String, overrides: Seq[String] = Nil): Parsed = {
+    val text =
+      if (path.startsWith("pkg://")) {
+        val parts = path.stripPrefix("pkg://").split('.')
+        require(parts.length >= 2, s"bad pkg:// path (need name.ext): $path")
+        val resource = parts.init.mkString("/") + "." + parts.last
+        val in = Thread.currentThread.getContextClassLoader.getResourceAsStream(resource)
+        require(in != null, s"$path: classpath resource not found: $resource")
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } else java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val base = if (path.endsWith(".yaml") || path.endsWith(".yml")) Yaml.parse(text)
+      else Cfg.fromJson(text)
+    fromCfg(Overrides(base, overrides))
   }
 
   def fromCfg(cfg: Cfg): Parsed = {
@@ -62,7 +81,7 @@ object PipelineConfig {
 
   // ---- config accessors -------------------------------------------------
 
-  private implicit class CfgOps(val c: Cfg) {
+  private[config] implicit class CfgOps(val c: Cfg) {
     def obj: Map[String, Cfg] = c match { case M(m) => m; case _ => Map.empty }
     def getInt(k: String): Option[Int] = obj.get(k).collect {
       case I(i) => i.toInt
@@ -124,6 +143,11 @@ object PipelineConfig {
     */
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Cfg) => Pipeline.Stage]()
+
+  // built-in hygiene stages (dedup / text signals / sampling) register through
+  // the same path third-party stages use — see OpStages. Runs once when this
+  // object initializes; `registry` is defined above so ordering is safe.
+  OpStages.registerAll()
 
   def register(baseStage: String)(builder: (String, Cfg) => Pipeline.Stage): Unit =
     registry.put(baseStage, builder)

@@ -24,12 +24,10 @@ object TextAnalysis {
     size(pieces)
   }
 
-  /** Quality signals: lengths, word stats, punctuation/alpha/digit/space
-    * ratios, stopword fraction — the usual pre-training heuristics.
+  /** The quality-signal columns for a text column, aliased — shared by the
+    * id-projected [[qualitySignals]] and the column-appending stage form.
     */
-  def qualitySignals(docs: DataFrame, idCol: String, textCol: String,
-      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
-    val t = col(textCol)
+  def qualityExprs(t: Column, stopwords: Seq[String] = DefaultStopwords): Seq[Column] = {
     val nChars = length(t)
     val words = tokens(t)
     val nWords = size(words)
@@ -37,8 +35,7 @@ object TextAnalysis {
     val nStop = size(filter(words, w => array_contains(
       array(stopwords.map(lit(_)): _*), lower(w))))
     val sumWordLen = aggregate(transform(words, w => length(w)), lit(0), (acc, x) => acc + x)
-    docs.select(
-      col(idCol),
+    Seq(
       nChars.as("n_chars"),
       nWords.as("n_words"),
       when(nWords > 0, sumWordLen.cast("double") / nWords).as("mean_word_len"),
@@ -50,6 +47,13 @@ object TextAnalysis {
       when(nWords > 0, lit(1.0) - size(array_distinct(words)).cast("double") / nWords)
         .otherwise(0.0).as("repetition_ratio"))
   }
+
+  /** Quality signals: lengths, word stats, punctuation/alpha/digit/space
+    * ratios, stopword fraction — the usual pre-training heuristics.
+    */
+  def qualitySignals(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = DefaultStopwords): DataFrame =
+    docs.select((col(idCol) +: qualityExprs(col(textCol), stopwords)): _*)
 
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
@@ -71,18 +75,23 @@ object TextAnalysis {
       lang -> size(regexp_extract_all(lower(text), lit(pat), lit(0)))
     }
 
-  /** Predicted language + per-language scores. `unknown` when no marker hits. */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scores = langScores(col(textCol))
+  /** The language-ID columns (per-language scores + prediction), aliased —
+    * shared by the id-projected [[languageId]] and the column-appending stage
+    * form.
+    */
+  def langIdExprs(t: Column): Seq[Column] = {
+    val scores = langScores(t)
     val best = scores.map(_._2).reduce(greatest(_, _))
     // ties → lexicographically-first language wins (LangMarkers is sorted)
     val predFirst = scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
-    docs.select(
-      (col(idCol) +: scores.map { case (l, s) => s.as(s"score_$l") } :+
-        predFirst.as("lang_pred")): _*)
+    scores.map { case (l, s) => s.as(s"score_$l") } :+ predFirst.as("lang_pred")
   }
+
+  /** Predicted language + per-language scores. `unknown` when no marker hits. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select((col(idCol) +: langIdExprs(col(textCol))): _*)
 
   /** Normalized-content fingerprint (lowercase, collapse whitespace, md5). */
   def fingerprint(text: Column): Column =

@@ -244,4 +244,47 @@ class GoldenScenarioSpec extends SparkSpec {
     GoldenScenario.assertShardsEqual(out, s"$dir/out_data.yaml", spark,
       Seq("subject_id", "time", "code", "numeric_value", "numeric_value/is_inlier"))
   }
+
+  /** Every scenario shipped with a registered reference stage must be ported
+    * here — the reference discovers its example dirs recursively
+    * (stages/base.py:721-746, tests/test_registered_stages.py:14-15), so a
+    * reference upgrade that ADDS a scenario has to fail this walk instead of
+    * passing silently without a port.
+    */
+  test("every reference example scenario is ported (recursive discovery)") {
+    val ported = Set(
+      "add_time_derived_measurements/examples/in_example_pipeline",
+      "add_time_derived_measurements/examples/on_raw_static_data",
+      "aggregate_code_metadata/examples/in_example_pipeline/fit_normalization",
+      "aggregate_code_metadata/examples/in_example_pipeline/fit_outlier_detection",
+      "aggregate_code_metadata/examples/on_raw_static_data",
+      "aggregate_code_metadata/examples/with_not_split_defined_shards",
+      "bin_numeric_values/examples",
+      "bin_numeric_values/examples/custom_bins_fp",
+      "extract_values/examples",
+      "filter_measurements/examples/match_revise",
+      "filter_measurements/examples/simple",
+      "filter_subjects/examples",
+      "fit_vocabulary_indices/examples/in_example_pipeline",
+      "fit_vocabulary_indices/examples/on_raw_static_data",
+      "normalization/examples/in_example_pipeline",
+      "normalization/examples/on_raw_static_data",
+      "occlude_outliers/examples/in_example_pipeline",
+      "occlude_outliers/examples/on_raw_static_data",
+      "reorder_measurements/examples",
+      "reshard_to_split/examples")
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(stagesRoot)
+    val discovered = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString == "out_data.yaml" ||
+        p.getFileName.toString == "out_metadata.yaml")
+      .map(p => root.relativize(p.getParent).toString)
+      .toSet
+    val unported = discovered -- ported
+    assert(unported.isEmpty,
+      s"reference scenarios with no ported golden test: ${unported.toSeq.sorted.mkString(", ")}")
+    val gone = ported -- discovered
+    assert(gone.isEmpty,
+      s"ported scenarios no longer in the reference: ${gone.toSeq.sorted.mkString(", ")}")
+  }
 }

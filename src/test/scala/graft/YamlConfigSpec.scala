@@ -150,6 +150,86 @@ class YamlConfigSpec extends SparkSpec {
     assert(ex.getMessage.contains("not in pipeline"))
   }
 
+  test("CLI dotted-path overrides equal an edited-file run") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_override").toString
+    val p = s"$tmp/pipeline.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """stages:
+        |  - filter_subjects:
+        |      min_events_per_subject: 5
+        |""".stripMargin)
+    val pEdited = s"$tmp/edited.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(pEdited),
+      """stages:
+        |  - filter_subjects:
+        |      min_events_per_subject: 1
+        |""".stripMargin)
+    val in = "/root/reference/example/data"
+    Main.run(Array(p, in, s"$tmp/over",
+      "stages.filter_subjects.min_events_per_subject=1"), spark)
+    Main.run(Array(pEdited, in, s"$tmp/edit"), spark)
+    val overridden = MedsIO.read(spark, s"$tmp/over").data.count()
+    val edited = MedsIO.read(spark, s"$tmp/edit").data.count()
+    assert(overridden == edited)
+    assert(overridden > 41) // the un-overridden cutoff (5) keeps only 41 rows
+
+    // `stage_cfg.<key>` addresses the --stage target (reference's
+    // MEDS_transform-stage override shape)
+    Main.run(Array(p, in, s"$tmp/sc", "--stage=filter_subjects",
+      "stage_cfg.min_events_per_subject=1"), spark)
+    assert(MedsIO.read(spark, s"$tmp/sc").data.count() == edited)
+    // ...and is rejected without --stage= (no stage to address)
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(Array(p, in, s"$tmp/bad", "stage_cfg.min_events_per_subject=1"), spark)
+    }
+    assert(ex.getMessage.contains("requires --stage"))
+  }
+
+  test("override path semantics: types, list entries, bare stage promotion") {
+    import graft.config.Overrides
+    import graft.dsl.Cfg
+    import graft.dsl.Cfg._
+    val base = Yaml.parse(
+      """stages:
+        |  - filter_subjects:
+        |      min_events_per_subject: 5
+        |  - normalization
+        |""".stripMargin)
+    // typed scalar replaces an existing key
+    val c1 = Overrides(base, Seq("stages.filter_subjects.min_events_per_subject=9"))
+    assert(c1.asInstanceOf[M].v("stages").asInstanceOf[L].v.head
+      .asInstanceOf[M].v("filter_subjects").asInstanceOf[M].v("min_events_per_subject") == I(9))
+    // a bare stage name gains a config map; new keys are created (Hydra ++)
+    val c2 = Overrides(base, Seq("stages.normalization.code_modifiers=[unit]"))
+    val norm = c2.asInstanceOf[M].v("stages").asInstanceOf[L].v(1)
+    assert(norm == Cfg.map("normalization" ->
+      Cfg.map("code_modifiers" -> Cfg.list(Cfg("unit")))))
+    // integer index addresses a list position; bools/floats/null parse as YAML
+    val c3 = Overrides(base, Seq("stages.0.filter_subjects.train_only=true"))
+    assert(c3.asInstanceOf[M].v("stages").asInstanceOf[L].v.head
+      .asInstanceOf[M].v("filter_subjects").asInstanceOf[M].v("train_only") == B(true))
+    // unknown stage entry fails with the available names
+    val ex = intercept[IllegalArgumentException] {
+      Overrides(base, Seq("stages.nope.x=1"))
+    }
+    assert(ex.getMessage.contains("no list entry named 'nope'"))
+  }
+
+  test("pkg:// pipeline paths resolve from the classpath") {
+    val parsed = PipelineConfig.fromFile("pkg://graft_testcfg.pipeline.yaml")
+    assert(parsed.description.contains("packaged pipeline loaded via pkg://"))
+    assert(parsed.stages.map(_.name) == Seq("filter_subjects", "normalization"))
+    // overrides compose with pkg:// resolution
+    val over = PipelineConfig.fromFile("pkg://graft_testcfg.pipeline.yaml",
+      Seq("description=overridden"))
+    assert(over.description.contains("overridden"))
+    // a missing resource names the path it looked for
+    val ex = intercept[IllegalArgumentException] {
+      PipelineConfig.fromFile("pkg://graft_testcfg.nope.yaml")
+    }
+    assert(ex.getMessage.contains("graft_testcfg/nope.yaml"))
+  }
+
   test("registered custom stage: the reference's example_pipeline.yaml runs unmodified") {
     // the reference's drop_regex (example/simple_example_pkg/src/simple_example_pkg/
     // drop_regex/drop_regex.py): drop measurements whose code matches the regex
