@@ -10,7 +10,7 @@ import graft.dsl.Cfg
 import graft.operators._
 import graft.ops._
 import graft.functions.GraftFunctions
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, Sessionize}
 
 /** The correctness/benchmark query surface: one entry per operator from
   * SURVEY.md §2 plus the large-scale training-data ops, each paired with an
@@ -500,6 +500,69 @@ object Queries {
       | count(*) AS n_events, round(sum(value),3) AS sum_value
       |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
 
+  /** Streaming gate: the SAME sessionization computed by the Structured
+    * Streaming path — parquet `readStream` source → `flatMapGroupsWithState`
+    * partial sessions → exactly-once foreachBatch parquet sink → re-aggregate
+    * partials by (user, session) — must hash-match the batch window-function
+    * result (and the DuckDB oracle) on identical data. This is the
+    * correctness row for SURVEY §2.8: batch/streaming parity is verified by
+    * the oracle, not just by spec assertions.
+    *
+    * Null event times are filtered on both sides: event-time streaming has no
+    * ordering for a null timestamp (the batch path's NULLS FIRST convention
+    * is a window-order artifact a watermark would drop anyway).
+    */
+  private val eventsSessionizeStream: Gate = Gate(
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val rawSchema = table(s, dir, "events").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sessionize_stream")
+      val outDir = tmp.resolve("out").toString
+      // file source takes a directory; glob-pin it to the events table
+      val src0 = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val src =
+        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else src0
+      val evs = src.filter(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[Sessionize.Ev]
+      val q = Sessionize.streaming(evs, gapMinutes = 30).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.SessionOut], _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.awaitTermination()
+      // a session spanning micro-batches emits one partial per batch under a
+      // stable (user_id, session_idx); the re-aggregation is the downstream
+      // contract documented on Sessionize.streaming
+      s.read.parquet(outDir)
+        .groupBy("user_id", "session_idx")
+        .agg(min("start_ts").as("start_ts"), max("end_ts").as("end_ts"),
+          sum("n_events").cast(LongType).as("n_events"),
+          r3(sum("sum_value")).as("sum_value"))
+        .select(col("user_id"), col("session_idx").cast(LongType).as("session_idx"),
+          col("start_ts"), col("end_ts"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""WITH p AS (
+      |  SELECT user_id, ts, event_id, value,
+      |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE ts IS NOT NULL),
+      |f AS (SELECT *, CASE WHEN prev IS NULL
+      |   OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS nw FROM p),
+      |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS UNBOUNDED PRECEDING) AS sidx FROM f)
+      |SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
+      | min(ts) AS start_ts, max(ts) AS end_ts,
+      | count(*) AS n_events, round(sum(value),3) AS sum_value
+      |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+
   // =====================================================================
   // Training-data ops: dedup / similarity / text / multimodal
   // =====================================================================
@@ -932,6 +995,7 @@ object Queries {
     "reshard_to_split" -> reshardSummary,
     "events_hourly" -> eventsHourly,
     "events_sessionize" -> eventsSessionize,
+    "events_sessionize_stream" -> eventsSessionizeStream,
     "dedup_exact" -> dedupExact,
     "doc_fingerprint" -> docFingerprint,
     "winnow_fingerprint" -> winnowFp,

@@ -45,6 +45,14 @@ object Sessionize {
   }
 
   final case class Ev(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+
+  /** Full-precision epoch micros. `Timestamp.getTime` truncates to millis —
+    * gap math on it would diverge from the batch `unix_micros` comparison
+    * whenever a gap falls within 1 ms of the boundary (the synthetic events
+    * carry sub-millisecond components on ~every row).
+    */
+  private def epochMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   final case class SessionState(lastTs: Long, sessionIdx: Long)
   final case class SessionOut(user_id: Long, session_idx: Long, start_ts: Timestamp,
       end_ts: Timestamp, n_events: Long, sum_value: Double)
@@ -66,12 +74,12 @@ object Sessionize {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (userId, evs, state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
           val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           var cur: Option[SessionOut] = None
           sorted.foreach { e =>
-            val tsMicros = e.ts.getTime * 1000L
+            val tsMicros = epochMicros(e.ts)
             // abs: a cross-batch straggler far BEFORE the stored last event
             // must also break the session, not silently merge into it
             val isNew = st.lastTs == Long.MinValue ||

@@ -122,6 +122,16 @@ class StreamingSpec extends SparkSpec {
     assert(meds.data.filter(col("code") === "TEMP").count() == 1)
   }
 
+  test("events_sessionize_stream gate equals the batch events_sessionize gate") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Queries.queries("events_sessionize_stream")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = Queries.queries("events_sessionize")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming windowed agg equals batch windowed agg on sf0.001 events") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
