@@ -529,15 +529,23 @@ object Queries {
       val evs = src.filter(col("ts").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .as[Sessionize.Ev]
-      val q = Sessionize.streaming(evs, gapMinutes = 30).writeStream
-        .outputMode("append")
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.SessionOut], _: Long) =>
-          batch.write.mode("append").parquet(outDir); ()
-        }
-        .start()
-      q.awaitTermination()
+      // a stateful streaming query pays per-state-partition overhead (one
+      // HDFS-backed store + delta file per partition per batch) regardless of
+      // row count — scope the state partitioning to the gate's data size
+      // instead of inheriting the session's scan parallelism
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = Sessionize.streaming(evs, gapMinutes = 30).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.SessionOut], _: Long) =>
+            batch.coalesce(1).write.mode("append").parquet(outDir); ()
+          }
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // a session spanning micro-batches emits one partial per batch under a
       // stable (user_id, session_idx); the re-aggregation is the downstream
       // contract documented on Sessionize.streaming
