@@ -17,7 +17,9 @@ import graft.operators.Pipeline
   *
   * Trailing `dotted.path=value` args are Hydra-style config overrides
   * (`stages.occlude_outliers.stddev_cutoff=3`, or `stage_cfg.<key>=v` with
-  * `--stage=` — the reference's per-stage override surface).
+  * `--stage=` — the reference's per-stage override surface). The reference's
+  * `--multirun worker="range(0,n)" hydra/launcher=...` worker-parallelization
+  * args are accepted and ignored: Spark's task scheduling IS the worker pool.
   *
   * The pipeline JSON mirrors the reference's YAML surface (see
   * config.PipelineConfig). Where the reference launches a subprocess per
@@ -46,11 +48,23 @@ object Main {
     // (reference pyproject.toml:48, __main__.py run_stage) and the shape a
     // cluster orchestrator uses at scale: one stage per submitted job,
     // chained through the MEDS roots on shared storage
-    val (flags, rest) = args.partition(_.startsWith("--"))
-    flags.foreach(f => require(f.startsWith("--stage="), s"unknown flag: $f"))
+    val (flags, rest0) = args.partition(_.startsWith("--"))
+    flags.foreach(f => require(f.startsWith("--stage=") || f == "--multirun",
+      s"unknown flag: $f"))
     val stageOnly = flags.collectFirst {
       case f if f.startsWith("--stage=") => f.stripPrefix("--stage=")
     }
+    // the reference's `--multirun` surface exists ONLY to spawn file-lock
+    // worker processes (`worker="range(0,n)"` + `hydra/launcher=...`,
+    // runner.py:30-111); Spark subsumes that parallelism in task scheduling
+    // (SURVEY §2 S4-S6), so those args are accepted and ignored — a reference
+    // invocation runs unmodified, with one engine doing the worker fan-out
+    val (launcherArgs, rest) = rest0.partition(a =>
+      a.startsWith("worker=") || a.startsWith("hydra/launcher=") ||
+        a.startsWith("hydra.launcher."))
+    if (flags.contains("--multirun") || launcherArgs.nonEmpty)
+      println("[graft] ignoring worker/launcher parallelization args " +
+        s"(${launcherArgs.mkString(" ")}): Spark schedules the workers")
     // Hydra-style `dotted.path=value` overrides, the reference's per-
     // invocation config-edit surface (runner.py:252-288): applied to the
     // parsed pipeline tree before stages build. `stage_cfg.<key>` addresses

@@ -150,6 +150,21 @@ class YamlConfigSpec extends SparkSpec {
     assert(ex.getMessage.contains("not in pipeline"))
   }
 
+  test("reference --multirun worker/launcher args are accepted and subsumed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_multirun").toString
+    val p = s"$tmp/pipeline.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """stages:
+        |  - filter_subjects:
+        |      min_events_per_subject: 5
+        |""".stripMargin)
+    // the reference's worker-fan-out invocation (runner.py:30-111) runs
+    // unmodified: the launcher args are Spark's task scheduling here
+    Main.run(Array(p, "/root/reference/example/data", s"$tmp/mr", "--multirun",
+      "worker=\"range(0,2)\"", "hydra/launcher=joblib", "hydra.launcher.n_jobs=2"), spark)
+    assert(MedsIO.read(spark, s"$tmp/mr").data.count() == 41)
+  }
+
   test("CLI dotted-path overrides equal an edited-file run") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_override").toString
     val p = s"$tmp/pipeline.yaml"
