@@ -261,6 +261,38 @@ object PipelineConfig {
         }
         ReshardToSplit.applyAssigned(m.data, assignment)
       })
+    case "generate_subject_splits" =>
+      // Config-reachable analog of shard_subjects' IID split generation
+      // (reshard_to_split.py:25-110: split_fracs_dict, default 0.8/0.1/0.1,
+      // plus the external-splits contract): subjects already present in the
+      // splits table KEEP their split — only unassigned subjects draw a
+      // seeded IID split by fraction. Replaces MedsData.splits for every
+      // downstream stage, so `generate_subject_splits -> reshard_to_split`
+      // runs on a root with no split information at all.
+      val fracs = cfg.obj.get("split_fracs") match {
+        case Some(M(m)) => m.toSeq.map {
+          case (k, D(d)) => k -> d
+          case (k, I(i)) => k -> i.toDouble
+          case (k, other) => throw new IllegalArgumentException(
+            s"stage $name: bad split fraction for $k: $other")
+        }
+        case None => Seq(TrainSplit -> 0.8, TuningSplit -> 0.1, HeldOutSplit -> 0.1)
+        case Some(other) => throw new IllegalArgumentException(
+          s"stage $name: split_fracs must be a {name: fraction} map, got $other")
+      }
+      val seed = cfg.getLong("seed").getOrElse(1L)
+      val parity = cfg.getBool("reference_parity").getOrElse(false)
+      Pipeline.SplitsStage(name, m => {
+        import org.apache.spark.sql.functions.col
+        val subjects = m.data.select(col(SubjectId)).distinct()
+        val existing = m.splits.select(col(SubjectId), col(Split))
+          .dropDuplicates(SubjectId)
+        val unassigned = subjects.join(existing, Seq(SubjectId), "left_anti")
+        val assigned =
+          if (parity) ReshardToSplit.assignSplitsByFrac(unassigned, fracs, seed)
+          else ReshardToSplit.assignSplitsByFracDistributed(unassigned, fracs, seed)
+        existing.unionByName(assigned)
+      })
     case _ =>
       // resolve the transform EAGERLY so an unknown stage name fails at
       // config-parse time, not mid-pipeline when the stage first executes

@@ -18,6 +18,7 @@ final case class MedsData(
 ) {
   def withData(d: DataFrame): MedsData = copy(data = d)
   def withCodes(c: DataFrame): MedsData = copy(codes = c)
+  def withSplits(s: DataFrame): MedsData = copy(splits = s)
 }
 
 object MedsIO {

@@ -26,6 +26,10 @@ object Pipeline {
     * train-split data only, per the reference's forced `train_only=True`.
     */
   final case class MetadataStage(name: String, f: MedsData => org.apache.spark.sql.DataFrame) extends Stage
+  /** A dataset→splits-table transformation (split generation/repair); the
+    * result replaces `MedsData.splits` for every downstream stage.
+    */
+  final case class SplitsStage(name: String, f: MedsData => org.apache.spark.sql.DataFrame) extends Stage
 
   final case class Checkpoint(path: String)
 
@@ -105,6 +109,7 @@ object Pipeline {
       val next = stage match {
         case DataStage(_, f) => m.withData(f(m))
         case MetadataStage(_, f) => m.withCodes(f(trainOnly(m)))
+        case SplitsStage(_, f) => m.withSplits(f(m))
       }
       checkpoints.get(stage.name) match {
         case Some(dir) =>

@@ -65,6 +65,47 @@ class ReshardPipelineSpec extends SparkSpec {
       .toSeq.toDF(SubjectId, Time, Code, NumericValue)
   }
 
+  test("generate_subject_splits stage: IID fracs over unassigned, external splits kept") {
+    // 100 subjects, 20 pre-assigned held_out (the external-splits contract)
+    val external = (1L to 20L).map(i => (i, "held_out")).toDF(SubjectId, Split)
+    val data = (1L to 100L).map(i => (i, ts("2024-01-01 10:00:00"), "A", 1.0f))
+      .toDF(SubjectId, Time, Code, NumericValue)
+    val meds = MedsData(data, Seq.empty[String].toDF(Code), external)
+    val parsed = PipelineConfig.fromJson(
+      """{"stages": [{"generate_subject_splits": {
+        |  "split_fracs": {"train": 0.8, "tuning": 0.2}, "seed": 11}}]}""".stripMargin)
+    val out = Pipeline.run(spark, meds, parsed.stages)
+    val bySplit = out.splits.groupBy(Split).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // externals untouched; the 80 unassigned draw 0.8/0.2
+    assert(bySplit == Map("held_out" -> 20L, "train" -> 64L, "tuning" -> 16L))
+    val kept = out.splits.filter(col(SubjectId) <= 20)
+      .select(Split).distinct().collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("held_out"))
+    // every subject assigned exactly once
+    assert(out.splits.select(SubjectId).distinct().count() == 100)
+    assert(out.splits.count() == 100)
+    // deterministic; parity mode gives identical cardinalities
+    val again = Pipeline.run(spark, meds, parsed.stages)
+    assert(collectSet(out.splits) == collectSet(again.splits))
+    val parity = Pipeline.run(spark, meds, PipelineConfig.fromJson(
+      """{"stages": [{"generate_subject_splits": {
+        |  "split_fracs": {"train": 0.8, "tuning": 0.2}, "seed": 11,
+        |  "reference_parity": true}}]}""".stripMargin).stages)
+    assert(parity.splits.groupBy(Split).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == bySplit)
+
+    // chained: a split-less root becomes reshard-able in one pipeline
+    val noSplits = MedsData(data, Seq.empty[String].toDF(Code),
+      spark.emptyDataFrame.select(lit(0L).as(SubjectId), lit("").as(Split)).limit(0))
+    val chained = Pipeline.run(spark, noSplits, PipelineConfig.fromJson(
+      """{"stages": [
+        |  {"generate_subject_splits": {"seed": 2}},
+        |  {"reshard_to_split": {"n_shards": 2, "seed": 2}}]}""".stripMargin).stages)
+    assert(chained.data.select(Split).distinct().count() == 3) // default 0.8/0.1/0.1
+    assert(chained.data.groupBy(Split, Shard).count().count() == 6) // 2 shards each
+  }
+
   test("reshard_to_split stage from config JSON + checkpoint round-trips the layout") {
     val splits = splitsDf(40)
     val meds = MedsData(eventsFor(splits), Seq.empty[String].toDF(Code), splits)
