@@ -28,5 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 32 executor threads + accumulated per-query caches need headroom; the
   // bench box has 125g, so a tight heap just converts cache into GC churn
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // (measured: the 43-query suite runs ~1s faster at 48g than 24g)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
