@@ -516,6 +516,7 @@ object Queries {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
+      import scala.jdk.CollectionConverters._
       val rawSchema = table(s, dir, "events").schema
       val tmp = java.nio.file.Files.createTempDirectory("graft_sessionize_stream")
       val outDir = tmp.resolve("out").toString
@@ -549,7 +550,7 @@ object Queries {
       // a session spanning micro-batches emits one partial per batch under a
       // stable (user_id, session_idx); the re-aggregation is the downstream
       // contract documented on Sessionize.streaming
-      s.read.parquet(outDir)
+      val result = s.read.parquet(outDir)
         .groupBy("user_id", "session_idx")
         .agg(min("start_ts").as("start_ts"), max("end_ts").as("end_ts"),
           sum("n_events").cast(LongType).as("n_events"),
@@ -557,6 +558,19 @@ object Queries {
         .select(col("user_id"), col("session_idx").cast(LongType).as("session_idx"),
           col("start_ts"), col("end_ts"), col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_idx")
+        // eager materialization (session-count-sized) so the sink + state
+        // checkpoint dirs can be deleted NOW — repeated gate invocations must
+        // not accumulate temp dirs for the host to clean up
+        .localCheckpoint()
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.iterator().asScala.foreach(rm) finally st.close()
+        }
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rm(tmp)
+      result
     },
     Some("""WITH p AS (
       |  SELECT user_id, ts, event_id, value,
