@@ -14,6 +14,20 @@ run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+lazy val defaultHeap: String = {
+  val memTotalGb: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.trim.split("\\s+")(1).toLong / (1024 * 1024) }
+        .getOrElse(0L)
+      finally src.close()
+    } catch { case _: Throwable => 0L }
+  if (memTotalGb <= 0) "24g"
+  else s"${math.max(4L, math.min(48L, memTotalGb * 2 / 5))}g"
+}
+
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
@@ -26,8 +40,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 executor threads + accumulated per-query caches need headroom; the
-  // bench box has 125g, so a tight heap just converts cache into GC churn
-  // (measured: the 43-query suite runs ~1s faster at 48g than 24g)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 32 executor threads + accumulated per-query caches need headroom
+  // (measured: the 43-query suite runs ~1s faster at 48g than 24g on the
+  // 125g bench box), but the default must not exceed what a smaller host
+  // can back with physical memory — size to ~40% of RAM, capped at 48g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

@@ -38,16 +38,19 @@ object Queries {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events table with `ts` restored to a microsecond timestamp (the parquet
-    * stores nanos; integral `div` keeps exactness — a double division would
-    * lose precision above 2^53).
+  /** `ts` restored to a microsecond timestamp (the parquet stores nanos,
+    * read as raw longs under the legacy conf; integral `div` keeps exactness
+    * — a double division would lose precision above 2^53). ONE definition
+    * for the batch and streaming reads of the events table: the conversion
+    * convention must not be able to drift between the two.
     */
-  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
-    val raw = table(s, dir, "events")
+  private def restoreTs(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
-  }
+
+  private def eventsTable(s: SparkSession, dir: String): DataFrame =
+    restoreTs(table(s, dir, "events"))
 
   /** events table viewed as a MEDS event shard; `__row_idx` (the engine's
     * stable-order bookkeeping column) is the natural event_id here.
@@ -502,8 +505,8 @@ object Queries {
 
   /** Streaming gate: the SAME sessionization computed by the Structured
     * Streaming path — parquet `readStream` source → `flatMapGroupsWithState`
-    * partial sessions → exactly-once foreachBatch parquet sink → re-aggregate
-    * partials by (user, session) — must hash-match the batch window-function
+    * partial sessions → idempotent per-batch foreachBatch parquet sink →
+    * re-aggregate partials by (user, session) — must hash-match the batch
     * result (and the DuckDB oracle) on identical data. This is the
     * correctness row for SURVEY §2.8: batch/streaming parity is verified by
     * the oracle, not just by spec assertions.
@@ -517,51 +520,8 @@ object Queries {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
       import scala.jdk.CollectionConverters._
-      val rawSchema = table(s, dir, "events").schema
       val tmp = java.nio.file.Files.createTempDirectory("graft_sessionize_stream")
       val outDir = tmp.resolve("out").toString
-      // file source takes a directory; glob-pin it to the events table
-      val src0 = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val src =
-        if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-          src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else src0
-      val evs = src.filter(col("ts").isNotNull)
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        .as[Sessionize.Ev]
-      // a stateful streaming query pays per-state-partition overhead (one
-      // HDFS-backed store + delta file per partition per batch) regardless of
-      // row count — scope the state partitioning to the gate's data size
-      // instead of inheriting the session's scan parallelism
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = Sessionize.streaming(evs, gapMinutes = 30).writeStream
-          .outputMode("append")
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.SessionOut], _: Long) =>
-            batch.coalesce(1).write.mode("append").parquet(outDir); ()
-          }
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // a session spanning micro-batches emits one partial per batch under a
-      // stable (user_id, session_idx); the re-aggregation is the downstream
-      // contract documented on Sessionize.streaming
-      val result = s.read.parquet(outDir)
-        .groupBy("user_id", "session_idx")
-        .agg(min("start_ts").as("start_ts"), max("end_ts").as("end_ts"),
-          sum("n_events").cast(LongType).as("n_events"),
-          r3(sum("sum_value")).as("sum_value"))
-        .select(col("user_id"), col("session_idx").cast(LongType).as("session_idx"),
-          col("start_ts"), col("end_ts"), col("n_events"), col("sum_value"))
-        .orderBy("user_id", "session_idx")
-        // eager materialization (session-count-sized) so the sink + state
-        // checkpoint dirs can be deleted NOW — repeated gate invocations must
-        // not accumulate temp dirs for the host to clean up
-        .localCheckpoint()
       def rm(p: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(p)) {
           val st = java.nio.file.Files.list(p)
@@ -569,8 +529,49 @@ object Queries {
         }
         java.nio.file.Files.deleteIfExists(p); ()
       }
-      rm(tmp)
-      result
+      try {
+        // file source takes a directory; glob-pin it to the events table
+        val src = restoreTs(s.readStream.schema(table(s, dir, "events").schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val evs = src.filter(col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[Sessionize.Ev]
+        // a stateful streaming query pays per-state-partition overhead (one
+        // HDFS-backed store + delta file per partition per batch) regardless
+        // of row count — scope the state partitioning to the gate's data size
+        // instead of inheriting the session's scan parallelism
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = Sessionize.streaming(evs, gapMinutes = 30).writeStream
+            .outputMode("append")
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(Trigger.AvailableNow())
+            // per-batch overwrite dirs make a replayed micro-batch (written
+            // sink, unfinished commit log) IDEMPOTENT — a plain append sink
+            // is only at-least-once and would double-count retried partials
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.SessionOut], batchId: Long) =>
+              batch.coalesce(1).write.mode("overwrite").parquet(s"$outDir/b$batchId"); ()
+            }
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        // a session spanning micro-batches emits one partial per batch under a
+        // stable (user_id, session_idx); the re-aggregation is the downstream
+        // contract documented on Sessionize.streaming
+        s.read.option("recursiveFileLookup", "true").parquet(outDir)
+          .groupBy("user_id", "session_idx")
+          .agg(min("start_ts").as("start_ts"), max("end_ts").as("end_ts"),
+            sum("n_events").cast(LongType).as("n_events"),
+            r3(sum("sum_value")).as("sum_value"))
+          .select(col("user_id"), col("session_idx").cast(LongType).as("session_idx"),
+            col("start_ts"), col("end_ts"), col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_idx")
+          // eager materialization (session-count-sized) so the sink + state
+          // checkpoint dirs can be deleted NOW — repeated gate invocations
+          // must not accumulate temp dirs for the host to clean up
+          .localCheckpoint()
+      } finally rm(tmp)
     },
     Some("""WITH p AS (
       |  SELECT user_id, ts, event_id, value,

@@ -41,12 +41,22 @@ object OpStages {
     def ids(cfg: Cfg) = (cfg.getStr(IdCol).getOrElse("doc_id"),
       cfg.getStr(TextCol).getOrElse("text"))
 
+    // null-text rows are NOT duplicates of one another: md5(null) is null and
+    // SQL GROUP BY groups nulls together, so deduping over them would keep
+    // one row and silently drop every other failed-extraction document. They
+    // bypass the dedup entirely (matching the near-dup stages, whose pair
+    // generation never emits null-text docs).
+    def keepNullText(data: DataFrame, id: String, text: String, keep: DataFrame): DataFrame =
+      data.filter(col(text).isNull)
+        .unionByName(data.filter(col(text).isNotNull).join(keep, Seq(id), "left_semi"))
+
     // keep the min-id row per distinct raw text (one hash shuffle on md5)
     PipelineConfig.register("dedup_exact") { (name, cfg) =>
       val (id, text) = ids(cfg)
       Pipeline.DataStage(name, m => {
-        val keep = Dedup.exact(m.data, id, text).select(col("keep_id").as(id))
-        m.data.join(keep, Seq(id), "left_semi")
+        val keep = Dedup.exact(m.data.filter(col(text).isNotNull), id, text)
+          .select(col("keep_id").as(id))
+        keepNullText(m.data, id, text, keep)
       })
     }
 
@@ -55,10 +65,10 @@ object OpStages {
     PipelineConfig.register("dedup_fingerprint") { (name, cfg) =>
       val (id, text) = ids(cfg)
       Pipeline.DataStage(name, m => {
-        val keep = Dedup.fingerprint(m.data, id, text)
+        val keep = Dedup.fingerprint(m.data.filter(col(text).isNotNull), id, text)
           .groupBy("fingerprint").agg(min(col(id)).as(id))
           .select(id)
-        m.data.join(keep, Seq(id), "left_semi")
+        keepNullText(m.data, id, text, keep)
       })
     }
 
@@ -102,24 +112,35 @@ object OpStages {
         Dedup.simhashPairs(m.data, id, text, n, numBits, bands, maxHamming)))
     }
 
-    // column-appending signal stages: pure projections, chainable anywhere
+    // column-appending signal stages: pure projections, chainable anywhere.
+    // A name clash with an existing column fails HERE with the stage named —
+    // letting it through would surface as AMBIGUOUS_REFERENCE in whatever
+    // later stage first touches the duplicated column.
+    def appendCols(stage: String, data: DataFrame,
+        exprs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val clash = data.select(exprs: _*).columns.toSeq.intersect(data.columns.toSeq)
+      require(clash.isEmpty, s"stage $stage: output column(s) " +
+        s"${clash.mkString(", ")} already exist in the input")
+      data.select((col("*") +: exprs): _*)
+    }
+
     PipelineConfig.register("text_quality") { (name, cfg) =>
       val text = cfg.getStr(TextCol).getOrElse("text")
       Pipeline.DataStage(name, m =>
-        m.data.select((col("*") +: TextAnalysis.qualityExprs(col(text))): _*))
+        appendCols(name, m.data, TextAnalysis.qualityExprs(col(text))))
     }
 
     PipelineConfig.register("lang_id") { (name, cfg) =>
       val text = cfg.getStr(TextCol).getOrElse("text")
       Pipeline.DataStage(name, m =>
-        m.data.select((col("*") +: TextAnalysis.langIdExprs(col(text))): _*))
+        appendCols(name, m.data, TextAnalysis.langIdExprs(col(text))))
     }
 
     PipelineConfig.register("text_tokens") { (name, cfg) =>
       val text = cfg.getStr(TextCol).getOrElse("text")
-      Pipeline.DataStage(name, m => m.data.select(col("*"),
+      Pipeline.DataStage(name, m => appendCols(name, m.data, Seq(
         TextAnalysis.tokenCount(col(text)).as("n_tokens"),
-        TextAnalysis.subwordCount(col(text)).as("n_subwords")))
+        TextAnalysis.subwordCount(col(text)).as("n_subwords"))))
     }
 
     // deterministic Bernoulli sample on the id hash (retry/engine-stable)
@@ -135,16 +156,9 @@ object OpStages {
     PipelineConfig.register("sample_split") { (name, cfg) =>
       val id = cfg.getStr(IdCol).getOrElse("doc_id")
       val seed = cfg.getLong("seed").getOrElse(42L)
-      val splits = cfg.obj.get("splits") match {
-        case Some(m: Cfg.M) => m.v.toSeq.map {
-          case (k, Cfg.D(d)) => k -> d
-          case (k, Cfg.I(i)) => k -> i.toDouble
-          case (k, other) => throw new IllegalArgumentException(
-            s"stage $name: bad weight for split $k: $other")
-        }
-        case _ => throw new IllegalArgumentException(
-          s"stage $name: `splits` map of {name: weight} is required")
-      }
+      val splits = cfg.numberMap("splits", s"stage $name").getOrElse(
+        throw new IllegalArgumentException(
+          s"stage $name: `splits` map of {name: weight} is required"))
       Pipeline.DataStage(name, m => Sampling.assignSplits(m.data, id, splits, seed))
     }
 

@@ -21,12 +21,46 @@ import graft.dsl.Cfg._
   */
 object Overrides {
 
-  /** Apply `key.path=value` overrides to a parsed config tree, in order. */
+  /** Apply `key.path=value` overrides to a parsed config tree, in order.
+    *
+    * An override whose path does not already exist is APPLIED but warned
+    * about: stage keys legitimately absent from the file (builder defaults)
+    * must stay settable — the reference's stage configs carry Hydra defaults
+    * the pipeline file never spells out — but a silently-accepted typo
+    * (`sttdev_cutoff=3`) would run the pipeline with the default while the
+    * user believes the override took.
+    */
   def apply(cfg: Cfg, overrides: Seq[String]): Cfg =
     overrides.foldLeft(cfg) { (c, o) =>
       val (path, value) = parseArg(o)
+      if (!exists(c, path))
+        System.err.println(s"[graft] override '$o' creates a key not present " +
+          "in the config — check the spelling if this was meant to replace one")
       set(c, path, value, o)
     }
+
+  private def exists(node: Cfg, path: Seq[String]): Boolean = path match {
+    case Seq() => true
+    case seg +: rest => node match {
+      case M(m) => m.get(seg).exists(exists(_, rest))
+      case L(xs) =>
+        val el = seg.toIntOption match {
+          case Some(i) => xs.lift(i)
+          case None => xs.find {
+            case S(n) => n == seg
+            case M(m) => m.size == 1 && m.head._1 == seg
+            case _ => false
+          }
+        }
+        el.exists {
+          // a bare or single-key stage entry: descend into its config map
+          case S(_) => rest.isEmpty
+          case M(m) if seg.toIntOption.isEmpty && m.size == 1 => exists(m.head._2, rest)
+          case other => exists(other, rest)
+        }
+      case _ => false
+    }
+  }
 
   /** Split one `a.b.c=value` argument into its path and parsed value. */
   def parseArg(arg: String): (Seq[String], Cfg) = {

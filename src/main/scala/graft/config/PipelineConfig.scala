@@ -100,6 +100,19 @@ object PipelineConfig {
     def getBool(k: String): Option[Boolean] = obj.get(k).collect { case B(b) => b }
     def getList(k: String): Seq[Cfg] = obj.get(k).collect { case L(xs) => xs }.getOrElse(Nil)
     def strings(k: String): Seq[String] = getList(k).collect { case S(s) => s }
+    /** An ordered `{name: number}` map (split fractions/weights) — one
+      * coercion shared by every split-weighted stage. */
+    def numberMap(k: String, owner: String): Option[Seq[(String, Double)]] =
+      obj.get(k).map {
+        case M(m) => m.toSeq.map {
+          case (key, D(d)) => key -> d
+          case (key, I(i)) => key -> i.toDouble
+          case (key, other) => throw new IllegalArgumentException(
+            s"$owner: bad number for $key in `$k`: $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"$owner: `$k` must be a {name: number} map, got $other")
+      }
   }
 
   // ---- stage builders ---------------------------------------------------
@@ -269,17 +282,8 @@ object PipelineConfig {
       // seeded IID split by fraction. Replaces MedsData.splits for every
       // downstream stage, so `generate_subject_splits -> reshard_to_split`
       // runs on a root with no split information at all.
-      val fracs = cfg.obj.get("split_fracs") match {
-        case Some(M(m)) => m.toSeq.map {
-          case (k, D(d)) => k -> d
-          case (k, I(i)) => k -> i.toDouble
-          case (k, other) => throw new IllegalArgumentException(
-            s"stage $name: bad split fraction for $k: $other")
-        }
-        case None => Seq(TrainSplit -> 0.8, TuningSplit -> 0.1, HeldOutSplit -> 0.1)
-        case Some(other) => throw new IllegalArgumentException(
-          s"stage $name: split_fracs must be a {name: fraction} map, got $other")
-      }
+      val fracs = cfg.numberMap("split_fracs", s"stage $name").getOrElse(
+        Seq(TrainSplit -> 0.8, TuningSplit -> 0.1, HeldOutSplit -> 0.1))
       val seed = cfg.getLong("seed").getOrElse(1L)
       val parity = cfg.getBool("reference_parity").getOrElse(false)
       Pipeline.SplitsStage(name, m => {

@@ -275,11 +275,14 @@ class GoldenScenarioSpec extends SparkSpec {
       "reshard_to_split/examples")
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(stagesRoot)
-    val discovered = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(p => p.getFileName.toString == "out_data.yaml" ||
-        p.getFileName.toString == "out_metadata.yaml")
-      .map(p => root.relativize(p.getParent).toString)
-      .toSet
+    val walk = java.nio.file.Files.walk(root)
+    val discovered =
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString == "out_data.yaml" ||
+          p.getFileName.toString == "out_metadata.yaml")
+        .map(p => root.relativize(p.getParent).toString)
+        .toSet
+      finally walk.close()
     val unported = discovered -- ported
     assert(unported.isEmpty,
       s"reference scenarios with no ported golden test: ${unported.toSeq.sorted.mkString(", ")}")

@@ -107,6 +107,32 @@ class OpStagesSpec extends SparkSpec {
     assert(sh.contains(1L) && !sh.contains(2L))
   }
 
+  test("exact/fingerprint dedup stages keep every null-text row") {
+    // null texts group together under SQL GROUP BY (md5(null) = null) — a
+    // dedup over them would keep one failed-extraction row and silently drop
+    // the rest as "duplicates" of each other
+    val withNulls = docs.unionByName(spark.createDataFrame(Seq(
+      (7L, null.asInstanceOf[String], "web"),
+      (8L, null.asInstanceOf[String], "books"),
+      (9L, null.asInstanceOf[String], "web")
+    )).toDF("doc_id", "text", "source"))
+    def run(stage: String): Set[Long] =
+      Pipeline.run(spark, emptyMeds(withNulls),
+        PipelineConfig.fromYaml(s"stages:\n  - $stage\n").stages)
+        .data.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run("dedup_exact") == Set(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    assert(run("dedup_fingerprint") == Set(1L, 4L, 5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("column-appending stages fail fast on an output-name collision") {
+    val clash = docs.withColumn("n_tokens", lit(0L))
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, emptyMeds(clash),
+        PipelineConfig.fromYaml("stages:\n  - text_tokens\n").stages).data.count()
+    }
+    assert(ex.getMessage.contains("n_tokens") && ex.getMessage.contains("text_tokens"))
+  }
+
   test("sample stage is deterministic and requires fraction") {
     val yaml = "stages:\n  - sample:\n      fraction: 0.5\n      seed: 7\n"
     val a = Pipeline.run(spark, emptyMeds(docs), PipelineConfig.fromYaml(yaml).stages)
