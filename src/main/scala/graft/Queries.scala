@@ -714,10 +714,8 @@ object Queries {
   private val MinhashRowsPerBand = 4
   private val MinhashPerms = MinhashBands * MinhashRowsPerBand
 
-  /** Shared oracle fragment: minhash signatures → bands → candidate pairs
-    * (`sigs`, `cand`) — used verbatim by minhash_lsh AND dedup_clusters.
-    */
-  private lazy val minhashCandCtes: String = {
+  /** Shared oracle fragment: minhash signatures → bands (`sigs`, `banded`). */
+  private lazy val minhashBandedCtes: String = {
     val params = GraftFunctions.hashParams(MinhashPerms)
     val permValues = params.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(", ")
@@ -728,12 +726,45 @@ object Queries {
        |banded AS (
        |  SELECT doc_id, CAST(floor(perm/$MinhashRowsPerBand) AS INT) AS band,
        |   md5(string_agg(minhash::VARCHAR, ',' ORDER BY perm)) AS band_sig
-       |  FROM sigs GROUP BY 1,2),
+       |  FROM sigs GROUP BY 1,2)""".stripMargin
+  }
+
+  /** Shared oracle fragment: minhash signatures → bands → candidate pairs
+    * (`sigs`, `cand`) — used verbatim by minhash_lsh AND dedup_clusters.
+    */
+  private lazy val minhashCandCtes: String =
+    s"""$minhashBandedCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b ON a.band=b.band AND a.band_sig=b.band_sig
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
-  }
+
+  /** Capped candidate generation: buckets over `cap` emit a consecutive
+    * id-sorted chain (linear) instead of all pairs — mirrors
+    * `Dedup.bandedCandidates`' hot-bucket guard exactly.
+    */
+  private def minhashCappedCandCtes(cap: Int): String =
+    s"""$minhashBandedCtes,
+       |hotb AS (
+       |  SELECT band, band_sig FROM banded GROUP BY 1,2 HAVING count(*) > $cap),
+       |coldb AS (
+       |  SELECT banded.* FROM banded LEFT JOIN hotb
+       |   ON banded.band=hotb.band AND banded.band_sig=hotb.band_sig
+       |  WHERE hotb.band IS NULL),
+       |coldp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM coldb a JOIN coldb b ON a.band=b.band AND a.band_sig=b.band_sig
+       |  WHERE a.doc_id < b.doc_id),
+       |hotr AS (
+       |  SELECT banded.* FROM banded JOIN hotb
+       |   ON banded.band=hotb.band AND banded.band_sig=hotb.band_sig),
+       |chain AS (
+       |  SELECT lag(doc_id) OVER (PARTITION BY band, band_sig ORDER BY doc_id) AS id_a,
+       |   doc_id AS id_b FROM hotr),
+       |cand AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |   SELECT id_a, id_b FROM coldp
+       |   UNION ALL SELECT id_a, id_b FROM chain WHERE id_a IS NOT NULL))""".stripMargin
 
   /** Shared oracle fragment: the per-bit weighted-majority simhash sum. */
   private def simhashBitTerms(numBits: Int): String =
@@ -748,6 +779,29 @@ object Queries {
     Some(
       s"""WITH $shingleHashCtes,
          |$minhashCandCtes,
+         |est AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |   avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) AS est_jaccard
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = cand.id_a
+         |  JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.perm = sa.perm
+         |  GROUP BY 1,2)
+         |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+         |ORDER BY 1,2""".stripMargin))
+
+  /** The hot-bucket chain guard (Dedup.bandedCandidates) under oracle
+    * verification: cap=2 triggers on this table's natural size-3 band
+    * buckets, so the oracle checks the GUARDED semantics — cold buckets
+    * all-pairs, hot buckets chained — not just the easy path.
+    */
+  private val minhashLshCapped: Gate = Gate(
+    (s, dir) => Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+      n = 3, bands = MinhashBands, rowsPerBand = MinhashRowsPerBand, threshold = 0.5,
+      maxBucket = Some(2))
+      .orderBy("id_a", "id_b"),
+    Some(
+      s"""WITH $shingleHashCtes,
+         |${minhashCappedCandCtes(2)},
          |est AS (
          |  SELECT cand.id_a, cand.id_b,
          |   avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) AS est_jaccard
@@ -1027,6 +1081,7 @@ object Queries {
     "lang_id" -> langId,
     "ngram_jaccard" -> ngramJaccard,
     "minhash_lsh" -> minhashLsh,
+    "minhash_lsh_capped" -> minhashLshCapped,
     "dedup_clusters" -> dedupClusters,
     "simhash_values" -> simhashValues,
     "simhash_pairs" -> simhashPairs,

@@ -191,16 +191,72 @@ object Dedup {
     hs.select((col(idCol) +: mins): _*)
   }
 
+  /** Band-bucket candidate pairs with the hot-bucket guard shared by the
+    * MinHash and SimHash band joins. A banded self-join fans a bucket of m
+    * rows into m² candidate rows through one join key, so a corpus where a
+    * million near-identical templated documents share every band signature
+    * degenerates exactly like the hot-shingle case `ngramJaccardPairs`
+    * guards with `maxDf` — but pruning is the wrong guard here: the hot
+    * bucket's members are precisely the near-dups the query exists to find.
+    * Instead, an oversized bucket emits a CONSECUTIVE CHAIN (members sorted
+    * by id, each linked to its predecessor): m−1 pairs instead of m·(m−1)/2,
+    * which preserves the connected component a duplicate-cluster resolution
+    * ([[resolveClusters]]) needs — every member stays reachable — while the
+    * pair LIST becomes a spanning subset rather than all pairs (a pair can
+    * also still surface from any other band bucket it shares). Buckets within
+    * the cap keep exact all-pairs semantics. The hot-bucket list is a
+    * map-side-combined count, broadcast to both uses; chain members pass
+    * through ONE window sort per bucket — linear, one task per hot bucket.
+    *
+    * `banded` must carry (`idCol`, `carry`, bucket key columns); emitted
+    * pairs carry (`id_a`, `id_b`, `<carry>_a`, `<carry>_b`) when `carry` is
+    * set, deduplicated across buckets.
+    */
+  private def bandedCandidates(banded: DataFrame, idCol: String,
+      bucketKeys: Seq[String], carry: Option[String],
+      maxBucket: Option[Int]): DataFrame = {
+    val keyCols = bucketKeys.map(col)
+    val carryCols = carry.toSeq
+    def pairs(df: DataFrame): DataFrame = {
+      // rename by NAME: a USING-style join (the anti-join below) moves its
+      // key columns first, so a positional rename would mislabel the sides
+      def side(sfx: String) = df.select(
+        (col(idCol).as(s"id_$sfx") +: carryCols.map(c => col(c).as(s"${c}_$sfx"))) ++
+          keyCols: _*)
+      side("a").join(side("b"), bucketKeys)
+        .filter(col("id_a") < col("id_b"))
+        .select(("id_a" +: "id_b" +: carryCols.flatMap(c => Seq(c + "_a", c + "_b"))).map(col): _*)
+    }
+    val cand = maxBucket match {
+      case None => pairs(banded)
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucket must be >= 2, got $cap")
+        val hot = banded.groupBy(keyCols: _*).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap).select(keyCols: _*)
+        val cold = banded.join(broadcast(hot), bucketKeys, "left_anti")
+        val w = Window.partitionBy(keyCols: _*).orderBy(col(idCol))
+        val chain = banded.join(broadcast(hot), bucketKeys, "left_semi")
+          .select(Seq(lag(col(idCol), 1).over(w).as("id_a"), col(idCol).as("id_b")) ++
+            carryCols.flatMap(c =>
+              Seq(lag(col(c), 1).over(w).as(c + "_a"), col(c).as(c + "_b"))): _*)
+          .filter(col("id_a").isNotNull)
+        pairs(cold).unionByName(chain)
+    }
+    cand.distinct()
+  }
+
   /** MinHash-LSH near-dup pairs: band the signature (numPerms = bands ×
     * rowsPerBand), bucket-join on (band, band signature), then estimate
     * Jaccard as the fraction of matching minhashes among candidates.
     * Candidate generation explodes only (doc, band) — `bands` rows per doc —
     * and the Jaccard estimate is pure column arithmetic on two wide rows.
+    * `maxBucket` is the hot-bucket chain guard (see [[bandedCandidates]]).
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucket: Option[Int] = None): DataFrame = {
     val numPerms = bands * rowsPerBand
     val sigs = minhashSignatures(docs, idCol, textCol, n, numPerms, seed).localCheckpoint()
     val bandStructs = (0 until bands).map { b =>
@@ -209,10 +265,7 @@ object Dedup {
     }
     val banded = sigs.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.band_sig").as("band_sig"))
-    val cand = banded.toDF("id_a", "band", "band_sig")
-      .join(banded.toDF("id_b", "band", "band_sig"), Seq("band", "band_sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = bandedCandidates(banded, idCol, Seq("band", "band_sig"), None, maxBucket)
     val sigsA = sigs.toDF(("id_a" +: (0 until numPerms).map(i => s"a_$i")): _*)
     val sigsB = sigs.toDF(("id_b" +: (0 until numPerms).map(i => s"b_$i")): _*)
     val matches = (0 until numPerms)
@@ -242,9 +295,11 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the simhash into `bands` bit-groups; pairs
     * sharing any band are candidates; keep those within `maxHamming`.
+    * `maxBucket` is the hot-bucket chain guard (see [[bandedCandidates]]).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numBits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      n: Int = 3, numBits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
     // a remainder would leave the top numBits%bands bits out of every band —
     // silently missed near-dup pairs; and 64-bit bands would wrap the mask
     // shift to 0, degenerating the band join to the full cross product
@@ -261,11 +316,10 @@ object Dedup {
         struct(lit(i).as("band"),
           shiftright(col("simhash"), i * bandBits).bitwiseAND(mask).as("key"))): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band"), col("b.key"))
-    val cand = banded.toDF("id_a", "sh_a", "band", "key")
-      .join(banded.toDF("id_b", "sh_b", "band", "key"), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-    cand.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    val cand = bandedCandidates(banded, idCol, Seq("band", "key"),
+      Some("simhash"), maxBucket)
+    cand.withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

@@ -71,6 +71,42 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("band-bucket chain guard bounds hot buckets, preserves the cluster") {
+    // templated-corpus shape: 40 identical docs share EVERY band signature —
+    // unguarded, that one bucket alone is 40·39/2 pairs through each band key
+    val templated = (0L until 40L).map(i => (i, "the same templated boilerplate page body here")) ++
+      Seq((100L, "completely different content alpha beta"),
+        (101L, "completely different content alpha beta"),
+        (102L, "unrelated third text gamma delta epsilon"))
+    val df = templated.toDF("doc_id", "text")
+    val unguarded = Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5)
+    assert(unguarded.count() == 40L * 39 / 2 + 1) // hot block all-pairs + (100,101)
+    val guarded = Dedup.minhashLshPairs(df, "doc_id", "text", threshold = 0.5,
+      maxBucket = Some(5))
+    val gPairs = guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // linear: 39 chain links for the hot block + the small exact bucket
+    assert(gPairs.size == 40)
+    assert(gPairs.contains((100L, 101L))) // within-cap buckets stay all-pairs
+    // the chain preserves the connected component: one cluster of all 40
+    val clusters = Dedup.resolveClusters(
+      guarded.select("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 40L).forall(clusters(_) == 0L))
+    assert(clusters(101L) == 100L && !clusters.contains(102L))
+
+    // simhash: same guard through its band/key buckets
+    val shUnguarded = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+    val shGuarded = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3,
+      maxBucket = Some(5))
+    assert(shUnguarded.count() == 40L * 39 / 2 + 1)
+    val shPairs = shGuarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shPairs.size == 40 && shPairs.contains((100L, 101L)))
+    val shClusters = Dedup.resolveClusters(
+      shGuarded.select("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 40L).forall(shClusters(_) == 0L))
+  }
+
   test("minhash of identical docs is identical; est_jaccard of exact dup is 1.0") {
     val est = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .filter(col("id_a") === 0 && col("id_b") === 1)
