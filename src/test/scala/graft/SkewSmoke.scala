@@ -89,6 +89,33 @@ object SkewSmoke {
     val (pG, tGs) = time(Dedup.ngramJaccardPairs(docsS, "doc_id", "text", 3, 0.5, Some(maxDf)).count())
     report(f"ngram 50k-doc A/B on identical data: unguarded $tU%.1f s ($pU pairs) vs guarded $tGs%.1f s ($pG pairs)")
 
+    // ---------------- minhash band hot-bucket guard ----------------
+    // templated-corpus shape: every 10th doc is byte-identical, so one band
+    // bucket per band holds 100k members — the m² hazard the chain guard
+    // bounds. Identical docs share ALL `bands` buckets, so the unguarded
+    // fan-out is bands × C(m,2); the chain emits bands × (m−1).
+    def corpusTemplated(n: Long, everyNth: Int): DataFrame =
+      spark.range(0, n, 1, 64).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(everyNth)) === 0,
+          lit("the same templated boilerplate page body repeated across the corpus"))
+          .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(11)),
+            i => concat(lit("w"), pmod(hash(col("id") * 31 + i * 7), lit(200000))))))
+          .as("text"))
+    val capB = 1000
+    val mHot = 100000L
+    val docsB = corpusTemplated(1000000L, 10).localCheckpoint()
+    val unguardedBand = 8L * mHot * (mHot - 1) / 2
+    report(f"minhash band 1M docs, 100k byte-identical: unguarded candidates (analytic) = $unguardedBand%,d; " +
+      f"guarded (maxBucket=$capB) chain = ${8L * (mHot - 1)}%,d (${unguardedBand / (8.0 * (mHot - 1))}%.0fx cut)")
+    val (nBand, tB) = time(Dedup.minhashLshPairs(docsB, "doc_id", "text",
+      maxBucket = Some(capB)).count())
+    report(f"minhash band 1M docs guarded run: $tB%.1f s, $nBand%,d near-dup pairs (unguarded = ${unguardedBand / 1000000}%,dM-row join, not runnable)")
+    val docsBS = corpusTemplated(50000L, 25).localCheckpoint() // 2000 identical
+    val (bU, tBU) = time(Dedup.minhashLshPairs(docsBS, "doc_id", "text").count())
+    val (bG, tBG) = time(Dedup.minhashLshPairs(docsBS, "doc_id", "text",
+      maxBucket = Some(capB)).count())
+    report(f"minhash band 50k-doc A/B on identical data: unguarded $tBU%.1f s ($bU%,d pairs) vs guarded $tBG%.1f s ($bG%,d pairs)")
+
     // ---------------- knn hot-block guard ----------------
     val cap = 1000
     val vecs = vectors(spark, nVecs = 500000L, nBlocks = 5000, hotN = 100000L)
