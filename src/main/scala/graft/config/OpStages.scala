@@ -89,8 +89,10 @@ object OpStages {
       val rows = cfg.getInt("rows_per_band").getOrElse(4)
       val threshold = cfg.getDouble("threshold").getOrElse(0.5)
       val seed = cfg.getLong("seed").getOrElse(42L)
+      val maxBucket = cfg.getInt("max_bucket") // None = no hot-bucket chaining
       Pipeline.DataStage(name, m => dropNonRepresentatives(m.data, id,
-        Dedup.minhashLshPairs(m.data, id, text, n, bands, rows, threshold, seed)))
+        Dedup.minhashLshPairs(m.data, id, text, n, bands, rows, threshold, seed,
+          maxBucket)))
     }
 
     PipelineConfig.register("ngram_jaccard_dedup") { (name, cfg) =>
@@ -108,8 +110,10 @@ object OpStages {
       val numBits = cfg.getInt("num_bits").getOrElse(32)
       val bands = cfg.getInt("bands").getOrElse(4)
       val maxHamming = cfg.getInt("max_hamming").getOrElse(3)
+      val maxBucket = cfg.getInt("max_bucket")
       Pipeline.DataStage(name, m => dropNonRepresentatives(m.data, id,
-        Dedup.simhashPairs(m.data, id, text, n, numBits, bands, maxHamming)))
+        Dedup.simhashPairs(m.data, id, text, n, numBits, bands, maxHamming,
+          maxBucket)))
     }
 
     // column-appending signal stages: pure projections, chainable anywhere.

@@ -102,6 +102,9 @@ class OpStagesSpec extends SparkSpec {
     val mh = run("minhash_lsh_dedup", "\n      threshold: 0.4")
     assert(mh.contains(1L) && mh.contains(5L) && mh.contains(6L))
     assert(Set(2L, 3L).intersect(mh).isEmpty)
+    // with the hot-bucket chain guard on, the duplicate CLUSTER is preserved
+    // (chain pairs reach every member), so the survivor set is identical
+    assert(run("minhash_lsh_dedup", "\n      threshold: 0.4\n      max_bucket: 2") == mh)
     // simhash: exact copies share all bands at hamming 0
     val sh = run("simhash_dedup", "\n      max_hamming: 3")
     assert(sh.contains(1L) && !sh.contains(2L))
