@@ -150,6 +150,31 @@ class PlanSpec extends SparkSpec {
       case _ => false
     }
     assert(broadcasts >= 2, s"expected broadcast oversized-flag joins:\n${plan(capped)}")
+
+    // band-bucket chain guard: the hot-bucket list reaches BOTH its uses
+    // (cold-side anti-join, chain-side semi-join) as a broadcast — and the
+    // chain window partitions by the bucket key, never a single partition
+    val bandCapped = graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.1, maxBucket = Some(2))
+    val bandNodes = collectNodes(plan(bandCapped))
+    val bandAnti = bandNodes.exists {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType.toString.contains("LeftAnti")
+      case _ => false
+    }
+    val bandSemi = bandNodes.exists {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType.toString.contains("LeftSemi")
+      case _ => false
+    }
+    assert(bandAnti && bandSemi,
+      s"hot-bucket list must broadcast to both the anti and semi join:\n${plan(bandCapped)}")
+    val singlePartWindows = bandNodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(singlePartWindows.isEmpty,
+      s"chain window must partition by the bucket key:\n${plan(bandCapped)}")
   }
 
   test("sketch stages (minhash signatures, simhash, winnow) are shuffle-free") {
