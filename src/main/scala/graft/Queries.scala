@@ -740,11 +740,15 @@ object Queries {
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
 
   /** Capped candidate generation: buckets over `cap` emit a consecutive
-    * id-sorted chain (linear) instead of all pairs — mirrors
+    * chain ordered by the full signature string (identical-signature docs
+    * contiguous) tie-broken by id, normalized to id_a < id_b — mirrors
     * `Dedup.bandedCandidates`' hot-bucket guard exactly.
     */
   private def minhashCappedCandCtes(cap: Int): String =
     s"""$minhashBandedCtes,
+       |fullsig AS (
+       |  SELECT doc_id, string_agg(minhash::VARCHAR, ',' ORDER BY perm) AS sk
+       |  FROM sigs GROUP BY 1),
        |hotb AS (
        |  SELECT band, band_sig FROM banded GROUP BY 1,2 HAVING count(*) > $cap),
        |coldb AS (
@@ -756,15 +760,20 @@ object Queries {
        |  FROM coldb a JOIN coldb b ON a.band=b.band AND a.band_sig=b.band_sig
        |  WHERE a.doc_id < b.doc_id),
        |hotr AS (
-       |  SELECT banded.* FROM banded JOIN hotb
-       |   ON banded.band=hotb.band AND banded.band_sig=hotb.band_sig),
+       |  SELECT banded.band, banded.band_sig, banded.doc_id, fullsig.sk
+       |  FROM banded JOIN hotb
+       |   ON banded.band=hotb.band AND banded.band_sig=hotb.band_sig
+       |  JOIN fullsig ON fullsig.doc_id = banded.doc_id),
+       |chain0 AS (
+       |  SELECT lag(doc_id) OVER (PARTITION BY band, band_sig ORDER BY sk, doc_id) AS pid,
+       |   doc_id AS cid FROM hotr),
        |chain AS (
-       |  SELECT lag(doc_id) OVER (PARTITION BY band, band_sig ORDER BY doc_id) AS id_a,
-       |   doc_id AS id_b FROM hotr),
+       |  SELECT least(pid, cid) AS id_a, greatest(pid, cid) AS id_b
+       |  FROM chain0 WHERE pid IS NOT NULL),
        |cand AS (
        |  SELECT DISTINCT id_a, id_b FROM (
        |   SELECT id_a, id_b FROM coldp
-       |   UNION ALL SELECT id_a, id_b FROM chain WHERE id_a IS NOT NULL))""".stripMargin
+       |   UNION ALL SELECT id_a, id_b FROM chain))""".stripMargin
 
   /** Shared oracle fragment: the per-bit weighted-majority simhash sum. */
   private def simhashBitTerms(numBits: Int): String =

@@ -83,21 +83,47 @@ object PipelineConfig {
 
   private[config] implicit class CfgOps(val c: Cfg) {
     def obj: Map[String, Cfg] = c match { case M(m) => m; case _ => Map.empty }
-    def getInt(k: String): Option[Int] = obj.get(k).collect {
-      case I(i) => i.toInt
-      case D(d) => d.toInt
+    // A key that is PRESENT but not readable as the expected type throws
+    // instead of reading as absent: a quoted "1000" (or any typo'd value) on
+    // e.g. `max_bucket` would otherwise silently disable the very guard the
+    // user configured. Numeric strings coerce (YAML quoting is not an error).
+    private def bad(k: String, want: String, got: Cfg): Nothing =
+      throw new IllegalArgumentException(s"config key `$k`: expected $want, got $got")
+    // explicit `key: null` reads as absent (the reference's Hydra configs use
+    // null to disable optional thresholds)
+    def getInt(k: String): Option[Int] = obj.get(k).flatMap {
+      case Null => None
+      case I(i) => Some(i.toInt)
+      case D(d) => Some(d.toInt)
+      case S(s) if s.trim.toIntOption.isDefined => Some(s.trim.toInt)
+      case other => bad(k, "an integer", other)
     }
     // for 64-bit values (seeds): getInt would silently wrap them
-    def getLong(k: String): Option[Long] = obj.get(k).collect {
-      case I(i) => i
-      case D(d) => d.toLong
+    def getLong(k: String): Option[Long] = obj.get(k).flatMap {
+      case Null => None
+      case I(i) => Some(i)
+      case D(d) => Some(d.toLong)
+      case S(s) if s.trim.toLongOption.isDefined => Some(s.trim.toLong)
+      case other => bad(k, "an integer", other)
     }
-    def getDouble(k: String): Option[Double] = obj.get(k).collect {
-      case D(d) => d
-      case I(i) => i.toDouble
+    def getDouble(k: String): Option[Double] = obj.get(k).flatMap {
+      case Null => None
+      case D(d) => Some(d)
+      case I(i) => Some(i.toDouble)
+      case S(s) if s.trim.toDoubleOption.isDefined => Some(s.trim.toDouble)
+      case other => bad(k, "a number", other)
     }
-    def getStr(k: String): Option[String] = obj.get(k).collect { case S(s) => s }
-    def getBool(k: String): Option[Boolean] = obj.get(k).collect { case B(b) => b }
+    def getStr(k: String): Option[String] = obj.get(k).flatMap {
+      case Null => None
+      case S(s) => Some(s)
+      case other => bad(k, "a string", other)
+    }
+    def getBool(k: String): Option[Boolean] = obj.get(k).flatMap {
+      case Null => None
+      case B(b) => Some(b)
+      case S(s) if s.trim.toBooleanOption.isDefined => Some(s.trim.toBoolean)
+      case other => bad(k, "a boolean", other)
+    }
     def getList(k: String): Seq[Cfg] = obj.get(k).collect { case L(xs) => xs }.getOrElse(Nil)
     def strings(k: String): Seq[String] = getList(k).collect { case S(s) => s }
     /** An ordered `{name: number}` map (split fractions/weights) — one

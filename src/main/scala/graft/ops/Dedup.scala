@@ -198,23 +198,30 @@ object Dedup {
     * degenerates exactly like the hot-shingle case `ngramJaccardPairs`
     * guards with `maxDf` — but pruning is the wrong guard here: the hot
     * bucket's members are precisely the near-dups the query exists to find.
-    * Instead, an oversized bucket emits a CONSECUTIVE CHAIN (members sorted
-    * by id, each linked to its predecessor): m−1 pairs instead of m·(m−1)/2,
-    * which preserves the connected component a duplicate-cluster resolution
-    * ([[resolveClusters]]) needs — every member stays reachable — while the
-    * pair LIST becomes a spanning subset rather than all pairs (a pair can
-    * also still surface from any other band bucket it shares). Buckets within
-    * the cap keep exact all-pairs semantics. The hot-bucket list is a
-    * map-side-combined count, broadcast to both uses; chain members pass
-    * through ONE window sort per bucket — linear, one task per hot bucket.
+    * Instead, an oversized bucket emits a CONSECUTIVE CHAIN — members sorted
+    * by their FULL sketch (`chainOrderCol`, e.g. the complete signature),
+    * tie-broken by id, each linked to its predecessor: m−1 pairs instead of
+    * m·(m−1)/2. The sketch-sorted order puts identical-sketch documents in
+    * contiguous runs, so every group of true copies inside the bucket stays
+    * internally chained (its pairs pass the downstream similarity filter and
+    * the group survives duplicate-cluster resolution, [[resolveClusters]])
+    * even when a bucket MIXES groups; only cross-group chain edges fall to
+    * the filter. The guarantee is therefore per identical-sketch run —
+    * near-identical (not byte-identical) members sort adjacently only
+    * best-effort — and the pair LIST is a spanning subset rather than all
+    * pairs (a pair can also still surface from any other band bucket it
+    * shares). Buckets within the cap keep exact all-pairs semantics. The
+    * hot-bucket list is a map-side-combined count, broadcast to both uses;
+    * chain members pass through ONE window sort per bucket — linear, one
+    * task per hot bucket.
     *
-    * `banded` must carry (`idCol`, `carry`, bucket key columns); emitted
-    * pairs carry (`id_a`, `id_b`, `<carry>_a`, `<carry>_b`) when `carry` is
-    * set, deduplicated across buckets.
+    * `banded` must carry (`idCol`, `carry`, bucket key columns,
+    * `chainOrderCol`); emitted pairs carry (`id_a` < `id_b`, `<carry>_a`,
+    * `<carry>_b`) when `carry` is set, deduplicated across buckets.
     */
-  private def bandedCandidates(banded: DataFrame, idCol: String,
+  private[graft] def bandedCandidates(banded: DataFrame, idCol: String,
       bucketKeys: Seq[String], carry: Option[String],
-      maxBucket: Option[Int]): DataFrame = {
+      maxBucket: Option[Int], chainOrderCol: Option[String] = None): DataFrame = {
     val keyCols = bucketKeys.map(col)
     val carryCols = carry.toSeq
     def pairs(df: DataFrame): DataFrame = {
@@ -234,12 +241,23 @@ object Dedup {
         val hot = banded.groupBy(keyCols: _*).agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") > cap).select(keyCols: _*)
         val cold = banded.join(broadcast(hot), bucketKeys, "left_anti")
-        val w = Window.partitionBy(keyCols: _*).orderBy(col(idCol))
-        val chain = banded.join(broadcast(hot), bucketKeys, "left_semi")
-          .select(Seq(lag(col(idCol), 1).over(w).as("id_a"), col(idCol).as("id_b")) ++
+        val orderCols = chainOrderCol.map(col).toSeq :+ col(idCol)
+        val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+        val linked = banded.join(broadcast(hot), bucketKeys, "left_semi")
+          .select(Seq(lag(col(idCol), 1).over(w).as("__pid"), col(idCol).as("__cid")) ++
             carryCols.flatMap(c =>
-              Seq(lag(col(c), 1).over(w).as(c + "_a"), col(c).as(c + "_b"))): _*)
-          .filter(col("id_a").isNotNull)
+              Seq(lag(col(c), 1).over(w).as(s"__p_$c"), col(c).as(s"__c_$c"))): _*)
+          .filter(col("__pid").isNotNull)
+        // the sketch-sorted chain order is not the id order: normalize to
+        // id_a < id_b (swapping carries in lockstep) so chain and cold pairs
+        // deduplicate against each other and downstream `<` conventions hold
+        val aIsPrev = col("__pid") < col("__cid")
+        val chain = linked.select(Seq(
+          when(aIsPrev, col("__pid")).otherwise(col("__cid")).as("id_a"),
+          when(aIsPrev, col("__cid")).otherwise(col("__pid")).as("id_b")) ++
+          carryCols.flatMap(c => Seq(
+            when(aIsPrev, col(s"__p_$c")).otherwise(col(s"__c_$c")).as(c + "_a"),
+            when(aIsPrev, col(s"__c_$c")).otherwise(col(s"__p_$c")).as(c + "_b"))): _*)
         pairs(cold).unionByName(chain)
     }
     cand.distinct()
@@ -263,9 +281,16 @@ object Dedup {
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_sig"))
     }
-    val banded = sigs.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.band_sig").as("band_sig"))
-    val cand = bandedCandidates(banded, idCol, Seq("band", "band_sig"), None, maxBucket)
+    // __sk: the full signature rendered as a string — the hot-bucket chain's
+    // sort key (identical signatures chain contiguously); engine-portable
+    // (matches SQL string_agg over the same decimal renderings)
+    val skCol = concat_ws(",", (0 until numPerms).map(i => col(s"mh_$i")): _*)
+    val banded = sigs.select(col(idCol), skCol.as("__sk"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("__sk"), col("b.band").as("band"),
+        col("b.band_sig").as("band_sig"))
+    val cand = bandedCandidates(banded, idCol, Seq("band", "band_sig"), None,
+      maxBucket, chainOrderCol = Some("__sk"))
     val sigsA = sigs.toDF(("id_a" +: (0 until numPerms).map(i => s"a_$i")): _*)
     val sigsB = sigs.toDF(("id_b" +: (0 until numPerms).map(i => s"b_$i")): _*)
     val matches = (0 until numPerms)
@@ -307,6 +332,20 @@ object Dedup {
     require(numBits % bands == 0,
       s"bands ($bands) must evenly divide numBits ($numBits)")
     require(numBits / bands < 64, "band width must be < 64 bits")
+    // The chain guard assumes buckets only go HOT from mass duplication. A
+    // simhash band key is just numBits/bands bits; with narrow keys (e.g.
+    // the 32/4 default's 8 bits = 256 values) every bucket of a large corpus
+    // saturates regardless of duplication, and chaining then links unrelated
+    // documents whose pairs the hamming filter discards — silent recall
+    // collapse, the opposite of a guard. Demand keys wide enough that
+    // saturation needs ~65M+ docs per band; beyond that, MinHash-LSH's
+    // 128-bit band signatures are the right tool.
+    maxBucket.foreach { _ =>
+      require(numBits / bands >= 16,
+        s"maxBucket needs >=16-bit band keys (got ${numBits / bands}-bit: " +
+          s"numBits=$numBits / bands=$bands); use numBits=64 with bands<=4, " +
+          "or MinHash-LSH for narrow-band configurations")
+    }
     // cache: the per-doc simhash table is tiny and consumed by both join sides
     val sh = simhash(docs, idCol, textCol, n, numBits).localCheckpoint()
     val bandBits = numBits / bands
@@ -317,7 +356,7 @@ object Dedup {
           shiftright(col("simhash"), i * bandBits).bitwiseAND(mask).as("key"))): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band"), col("b.key"))
     val cand = bandedCandidates(banded, idCol, Seq("band", "key"),
-      Some("simhash"), maxBucket)
+      Some("simhash"), maxBucket, chainOrderCol = Some("simhash"))
     cand.withColumn("hamming",
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
       .filter(col("hamming") <= maxHamming)

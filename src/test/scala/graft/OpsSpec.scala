@@ -94,10 +94,12 @@ class DedupSpec extends SparkSpec {
     assert((0L until 40L).forall(clusters(_) == 0L))
     assert(clusters(101L) == 100L && !clusters.contains(102L))
 
-    // simhash: same guard through its band/key buckets
-    val shUnguarded = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
-    val shGuarded = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3,
-      maxBucket = Some(5))
+    // simhash: same guard through its band/key buckets (64/4 = 16-bit band
+    // keys — the minimum width the guard accepts, see saturation note)
+    val shUnguarded = Dedup.simhashPairs(df, "doc_id", "text", numBits = 64,
+      maxHamming = 3)
+    val shGuarded = Dedup.simhashPairs(df, "doc_id", "text", numBits = 64,
+      maxHamming = 3, maxBucket = Some(5))
     assert(shUnguarded.count() == 40L * 39 / 2 + 1)
     val shPairs = shGuarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(shPairs.size == 40 && shPairs.contains((100L, 101L)))
@@ -105,6 +107,35 @@ class DedupSpec extends SparkSpec {
       shGuarded.select("id_a", "id_b")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L until 40L).forall(shClusters(_) == 0L))
+    // narrow band keys saturate from corpus SIZE, not duplication — the
+    // guard refuses them instead of silently chaining unrelated docs
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", maxBucket = Some(5))
+    }
+    assert(ex.getMessage.contains("16-bit"))
+  }
+
+  test("chain guard orders hot buckets by sketch: interleaved groups stay internally chained") {
+    // one hot bucket holding TWO identical-sketch groups interleaved by id:
+    // the sketch-sorted chain keeps each group contiguous, so only the one
+    // cross-group edge is lost to the downstream similarity filter — id-order
+    // chaining would alternate groups and lose every edge
+    val banded = Seq(
+      (1L, "X", 0, "b"), (2L, "Y", 0, "b"), (3L, "X", 0, "b"),
+      (4L, "Y", 0, "b"), (5L, "X", 0, "b"), (6L, "Y", 0, "b"))
+      .toDF("doc_id", "sk", "band", "key")
+    val cand = Dedup.bandedCandidates(banded, "doc_id", Seq("band", "key"),
+      carry = Some("sk"), maxBucket = Some(3), chainOrderCol = Some("sk"))
+    val rows = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    // sk order: X-run (1,3,5) then Y-run (2,4,6); (5,2) normalizes to (2,5)
+    assert(rows.map(p => (p._1, p._2)) ==
+      Set((1L, 3L), (3L, 5L), (2L, 5L), (2L, 4L), (4L, 6L)))
+    // carries swapped in lockstep with the id normalization
+    val sketch = Map(1L -> "X", 3L -> "X", 5L -> "X", 2L -> "Y", 4L -> "Y", 6L -> "Y")
+    rows.foreach { case (a, b, ska, skb) =>
+      assert(ska == sketch(a) && skb == sketch(b))
+    }
   }
 
   test("minhash of identical docs is identical; est_jaccard of exact dup is 1.0") {
