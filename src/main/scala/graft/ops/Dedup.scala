@@ -184,11 +184,15 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 32, seed: Long = 42L): DataFrame = {
     val hs = hashArrays(docs, idCol, textCol, n, distinct = true)
-    val mins = hashParams(numPerms, seed).zipWithIndex.map { case ((a, b), i) =>
-      aggregate(col("__hs"), lit(HashPrime),
-        (acc, h) => least(acc, universalHash(h, a, b))).as(s"mh_$i")
-    }
-    hs.select((col(idCol) +: mins): _*)
+    // ONE codegen'd pass over the hash array computes all numPerms minima
+    // (graft.plans.MinHashSignatures) — the previous numPerms separate
+    // `aggregate` folds each re-traversed the array through an interpreted
+    // lambda; identical arithmetic, oracle-locked
+    val sig = graft.plans.VectorExpressions.minhashSig(
+      col("__hs"), hashParams(numPerms, seed))
+    hs.select(col(idCol), sig.as("__sig"))
+      .select((col(idCol) +:
+        (0 until numPerms).map(i => col("__sig").getItem(i).as(s"mh_$i"))): _*)
   }
 
   /** Band-bucket candidate pairs with the hot-bucket guard shared by the
@@ -310,12 +314,10 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numBits: Int = 32): DataFrame = {
     val hs = hashArrays(docs, idCol, textCol, n, distinct = true)
-    val packed = (0 until numBits).map { b =>
-      val bitSum = aggregate(col("__hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce(_ + _)
-    hs.select(col(idCol), packed.as("simhash"))
+    // one codegen'd pass computes every bit's majority sum and packs
+    // (graft.plans.SimHashPack) — replaces numBits interpreted folds
+    hs.select(col(idCol),
+      graft.plans.VectorExpressions.simhashPack(col("__hs"), numBits).as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the simhash into `bands` bit-groups; pairs

@@ -115,6 +115,152 @@ case class L2Norm(child: Expression) extends UnaryExpression with ImplicitCastIn
     copy(child = newChild)
 }
 
+/** One-pass MinHash signature: for each universal-hash permutation i,
+  * min over the row's shingle hashes of `(a_i·(h mod P) + b_i) mod P`,
+  * initialized to P. Identical arithmetic to the composable
+  * `aggregate(least(...))` fold chain (Dedup.minhashSignatures's previous
+  * form, oracle-locked), but ONE traversal of the hash array with a tight
+  * primitive inner loop instead of `numPerms` interpreted ArrayAggregate
+  * lambdas — the signature stage is the dominant cost of every minhash
+  * query. Null elements are skipped (matching `least`'s null handling);
+  * a null array yields null; an empty array yields all-P.
+  */
+case class MinHashSignatures(child: Expression, params: Seq[(Long, Long)])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  private val P = 2147483647L
+  @transient private lazy val as: Array[Long] = params.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = params.map(_._2).toArray
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val out = Array.fill(params.length)(P)
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) {
+        val hm = xs.getLong(i) % P
+        var j = 0
+        while (j < out.length) {
+          val v = (as(j) * hm + bs(j)) % P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+      val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val hm = ctx.freshName("hm")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $out = new long[${params.length}];
+         |java.util.Arrays.fill($out, ${P}L);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $hm = $arr.getLong($i) % ${P}L;
+         |    for (int $j = 0; $j < ${params.length}; $j++) {
+         |      long $v = ($aRef[$j] * $hm + $bRef[$j]) % ${P}L;
+         |      if ($v < $out[$j]) $out[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass SimHash: per bit b, the weighted majority
+  * `sum(+1 if bit set else -1)` over the row's shingle hashes, packed to a
+  * long with bit b set where the sum is positive. Identical arithmetic to
+  * the per-bit `aggregate` fold chain (Dedup.simhash's previous form,
+  * oracle-locked) in ONE traversal. A null element contributes −1 to every
+  * bit's sum — the fold's `when(bit-test, 1).otherwise(-1)` routes a null
+  * hash through `otherwise` — so parity with the composable form holds even
+  * for degenerate inputs; null array yields null; empty array packs to 0.
+  */
+case class SimHashPack(child: Expression, numBits: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val sums = new Array[Long](numBits)
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      val isNull = xs.isNullAt(i)
+      val h = if (isNull) 0L else xs.getLong(i)
+      var b = 0
+      while (b < numBits) {
+        sums(b) += (if (!isNull && ((h >> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var packed = 0L
+    var b = 0
+    while (b < numBits) {
+      if (sums(b) > 0) packed |= (1L << b)
+      b += 1
+    }
+    packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sums = ctx.freshName("sums")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val packed = ctx.freshName("packed")
+      s"""
+         |long[] $sums = new long[$numBits];
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  boolean ${i}Null = $arr.isNullAt($i);
+         |  long $h = ${i}Null ? 0L : $arr.getLong($i);
+         |  for (int $b = 0; $b < $numBits; $b++) {
+         |    $sums[$b] += (!${i}Null && (($h >> $b) & 1L) == 1L) ? 1L : -1L;
+         |  }
+         |}
+         |long $packed = 0L;
+         |for (int $b = 0; $b < $numBits; $b++) {
+         |  if ($sums[$b] > 0) $packed |= (1L << $b);
+         |}
+         |${ev.value} = $packed;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column) = GraftSqlBridge.expression(c)
 
@@ -122,6 +268,12 @@ object VectorExpressions {
     GraftSqlBridge.column(DotProduct(expr(a), expr(b)))
 
   def l2norm(a: Column): Column = GraftSqlBridge.column(L2Norm(expr(a)))
+
+  def minhashSig(hashes: Column, params: Seq[(Long, Long)]): Column =
+    GraftSqlBridge.column(MinHashSignatures(expr(hashes), params))
+
+  def simhashPack(hashes: Column, numBits: Int): Column =
+    GraftSqlBridge.column(SimHashPack(expr(hashes), numBits))
 
   /** Zero-norm vectors have undefined cosine → null (try_divide keeps ANSI
     * mode from throwing DIVIDE_BY_ZERO on degenerate rows).
