@@ -72,9 +72,9 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, w: Int = 4): DataFrame = {
     val hs = hashArrays(docs, idCol, textCol, n, distinct = false)
-    val wins = when(size(col("__hs")) < w, array(array_min(col("__hs"))))
-      .otherwise(transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
-        i => array_min(slice(col("__hs"), i, lit(w)))))
+    // one codegen'd pass over the hash array (graft.plans.WinnowMins) —
+    // replaces a per-window slice allocation + interpreted array_min lambda
+    val wins = graft.plans.VectorExpressions.winnowMins(col("__hs"), w)
     hs.select(col(idCol), explode(array_distinct(wins)).as("fingerprint"))
   }
 

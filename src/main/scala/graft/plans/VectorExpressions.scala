@@ -261,6 +261,83 @@ case class SimHashPack(child: Expression, numBits: Int)
     copy(child = newChild)
 }
 
+/** One-pass winnowing window minima: for window size w, the minimum of each
+  * length-w sliding window over the hash array (the full-array minimum when
+  * the array is shorter than w). Identical semantics to the composable
+  * `transform(sequence(...), i -> array_min(slice(hs, i, w)))` form
+  * (Dedup.winnowFingerprints's previous shape, oracle-locked) — null
+  * elements are skipped per `array_min`, an all-null window yields a null
+  * element — without the per-window slice allocation and interpreted lambda.
+  */
+case class WinnowMins(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(w >= 1, s"window must be >= 1, got $w")
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_winnow_mins"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val span = if (n < w) n else w
+    val outLen = if (n < w) 1 else n - w + 1
+    val out = new Array[Any](outLen)
+    var s = 0
+    while (s < outLen) {
+      var best = Long.MaxValue
+      var seen = false
+      var i = s
+      while (i < s + span) {
+        if (!xs.isNullAt(i)) {
+          val v = xs.getLong(i)
+          if (!seen || v < best) { best = v; seen = true }
+        }
+        i += 1
+      }
+      out(s) = if (seen) java.lang.Long.valueOf(best) else null
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val span = ctx.freshName("span")
+      val outLen = ctx.freshName("outLen")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val seen = ctx.freshName("seen")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $arr.numElements();
+         |int $span = ($n < $w) ? $n : $w;
+         |int $outLen = ($n < $w) ? 1 : $n - $w + 1;
+         |Object[] $out = new Object[$outLen];
+         |for (int $s = 0; $s < $outLen; $s++) {
+         |  long $best = Long.MAX_VALUE;
+         |  boolean $seen = false;
+         |  for (int $i = $s; $i < $s + $span; $i++) {
+         |    if (!$arr.isNullAt($i)) {
+         |      long $v = $arr.getLong($i);
+         |      if (!$seen || $v < $best) { $best = $v; $seen = true; }
+         |    }
+         |  }
+         |  $out[$s] = $seen ? (Object) java.lang.Long.valueOf($best) : null;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column) = GraftSqlBridge.expression(c)
 
@@ -274,6 +351,9 @@ object VectorExpressions {
 
   def simhashPack(hashes: Column, numBits: Int): Column =
     GraftSqlBridge.column(SimHashPack(expr(hashes), numBits))
+
+  def winnowMins(hashes: Column, w: Int): Column =
+    GraftSqlBridge.column(WinnowMins(expr(hashes), w))
 
   /** Zero-norm vectors have undefined cosine → null (try_divide keeps ANSI
     * mode from throwing DIVIDE_BY_ZERO on degenerate rows).
