@@ -15,8 +15,13 @@ object GraftFunctions {
     * that results are reproducible across engines (the same value is
     * computable in any SQL dialect with md5 + hex→int conversion).
     */
+  /** Native expression (graft.plans.Hash56): first 7 md5-digest bytes read
+    * big-endian — bit-identical to the composable definition every oracle
+    * mirrors, `conv(substring(md5(s), 1, 14), 16, 10)::long`, without the
+    * per-value hex materialization + radix parse.
+    */
   def portableHash56(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 14), 16, 10).cast(LongType)
+    graft.plans.VectorExpressions.hash56(c.cast("string"))
 
   /** Mersenne prime 2^31-1; universal-hash family h(x) = (a*x + b) mod P over
     * the 56-bit portable hash reduced mod P (keeps a*x within Long range).

@@ -55,7 +55,10 @@ object Dedup {
     docs
       .filter(size(tokens(col(textCol))) >= n)
       .select(col(idCol), arr.as("__shingles"))
-      .select(col(idCol), transform(col("__shingles"), s => portableHash56(s)).as("__hs"))
+      // one codegen'd pass (graft.plans.Hash56Array) — a transform() lambda
+      // re-enters interpreted evaluation per shingle
+      .select(col(idCol),
+        graft.plans.VectorExpressions.hash56Array(col("__shingles")).as("__hs"))
   }
 
   /** Winnowing document fingerprints (Schleimer et al.'s rolling-hash

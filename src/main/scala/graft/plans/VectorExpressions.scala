@@ -338,6 +338,90 @@ case class WinnowMins(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** The engine's 56-bit portable hash as a native expression: the first 7
+  * bytes of the md5 digest read big-endian — bit-for-bit identical to the
+  * composable `conv(substring(md5(s), 1, 14), 16, 10)::long` definition
+  * (GraftFunctions.portableHash56, which every oracle mirrors), but without
+  * materializing the 32-char hex string and radix-parsing it back per value.
+  */
+case class Hash56(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hash56"
+
+  override def nullSafeEval(input: Any): Any =
+    Hash56.hash56(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.Hash56.hash56($s.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Hash56 {
+  /** First 56 bits of md5, big-endian — equals parseLong(md5Hex.take(14), 16). */
+  def hash56(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) | ((d(2) & 0xffL) << 32) |
+      ((d(3) & 0xffL) << 24) | ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) |
+      (d(6) & 0xffL)
+  }
+}
+
+/** [[Hash56]] over every element of a string array in one pass — replaces a
+  * `transform(arr, s -> portableHash56(s))` whose lambda body re-enters
+  * interpreted evaluation per element. Null elements stay null.
+  */
+case class Hash56Array(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hash56_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i))
+        out(i) = java.lang.Long.valueOf(Hash56.hash56(xs.getUTF8String(i).getBytes))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $arr.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    $out[$i] = (Object) java.lang.Long.valueOf(
+         |      graft.plans.Hash56.hash56($arr.getUTF8String($i).getBytes()));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def expr(c: Column) = GraftSqlBridge.expression(c)
 
@@ -354,6 +438,11 @@ object VectorExpressions {
 
   def winnowMins(hashes: Column, w: Int): Column =
     GraftSqlBridge.column(WinnowMins(expr(hashes), w))
+
+  def hash56(s: Column): Column = GraftSqlBridge.column(Hash56(expr(s)))
+
+  def hash56Array(arr: Column): Column =
+    GraftSqlBridge.column(Hash56Array(expr(arr)))
 
   /** Zero-norm vectors have undefined cosine → null (try_divide keeps ANSI
     * mode from throwing DIVIDE_BY_ZERO on degenerate rows).

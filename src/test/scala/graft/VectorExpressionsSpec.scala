@@ -21,6 +21,54 @@ class VectorExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("Hash56 equals the composable conv(substring(md5)) definition") {
+    // every oracle mirrors the composable form — the native expression must
+    // be bit-identical on arbitrary content (incl. unicode, empties)
+    val strs = (0 until 500).map(i => s"str-$i-${"x" * (i % 17)}") ++
+      Seq("", " ", "ünïcode-ß", "a,b|c", "\ttab\nnewline")
+    val df = strs.toDF("s")
+    val both = df.select(
+      graft.plans.VectorExpressions.hash56(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 14), 16, 10).cast("long").as("composable"))
+    assert(both.filter(col("native") =!= col("composable")).count() == 0)
+    // array form agrees element-wise, nulls stay null
+    val arrDf = Seq((Seq("a", "b", "c"), 0)).toDF("arr", "i")
+      .select(graft.plans.VectorExpressions.hash56Array(col("arr")).as("hs"),
+        transform(col("arr"),
+          s => conv(substring(md5(s), 1, 14), 16, 10).cast("long")).as("ref"))
+    assert(arrDf.filter(col("hs") =!= col("ref")).count() == 0)
+  }
+
+  test("one-pass sketch expressions equal their composable fold forms") {
+    val rng = new scala.util.Random(7)
+    val arrs = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(3 + rng.nextInt(40))(rng.nextLong().abs % (1L << 56))))
+      .toDF("id", "hs")
+    val params = GraftFunctions.hashParams(16)
+    val mhRef = params.zipWithIndex.map { case ((a, b), j) =>
+      aggregate(col("hs"), lit(GraftFunctions.HashPrime),
+        (acc, h) => least(acc, GraftFunctions.universalHash(h, a, b))).as(s"r_$j")
+    }
+    val mh = arrs.select(
+      (VectorExpressions.minhashSig(col("hs"), params).as("native") +: mhRef): _*)
+    mh.collect().foreach { r =>
+      val native = r.getSeq[Long](0)
+      (0 until 16).foreach(j => assert(native(j) == r.getLong(j + 1)))
+    }
+    val shRef = (0 until 32).map { b =>
+      val bitSum = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)
+    arrs.select(VectorExpressions.simhashPack(col("hs"), 32).as("n"), shRef.as("r"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val winRef = when(size(col("hs")) < 4, array(array_min(col("hs"))))
+      .otherwise(transform(sequence(lit(1), size(col("hs")) - 3),
+        i => array_min(slice(col("hs"), i, lit(4)))))
+    arrs.select(VectorExpressions.winnowMins(col("hs"), 4).as("n"), winRef.as("r"))
+      .collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("implicit cast: float arrays accepted") {
     val d = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     assert(d.select(VectorExpressions.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
