@@ -39,7 +39,7 @@ object Overrides {
       set(c, path, value, o)
     }
 
-  private def exists(node: Cfg, path: Seq[String]): Boolean = path match {
+  private[graft] def exists(node: Cfg, path: Seq[String]): Boolean = path match {
     case Seq() => true
     case seg +: rest => node match {
       case M(m) => m.get(seg).exists(exists(_, rest))

@@ -200,6 +200,27 @@ class YamlConfigSpec extends SparkSpec {
     assert(ex.getMessage.contains("requires --stage"))
   }
 
+  test("override existence probe: present keys found, typos flagged") {
+    import graft.config.{Overrides, Yaml}
+    val cfg = Yaml.parse(
+      """stages:
+        |  - filter_subjects:
+        |      min_events_per_subject: 5
+        |  - fit_outlier_detection
+        |""".stripMargin)
+    def ex(p: String) = Overrides.exists(cfg, p.split('.').toIndexedSeq)
+    assert(ex("stages"))
+    assert(ex("stages.filter_subjects"))
+    assert(ex("stages.filter_subjects.min_events_per_subject"))
+    assert(ex("stages.0.filter_subjects"))
+    assert(ex("stages.fit_outlier_detection")) // bare stage entry
+    // the warning cases: typo'd key / stage / deep path
+    assert(!ex("stages.filter_subjects.min_evnets_per_subject"))
+    assert(!ex("stages.fliter_subjects"))
+    assert(!ex("stagse"))
+    assert(!ex("stages.fit_outlier_detection.aggregations")) // bare entry has no config yet
+  }
+
   test("override path semantics: types, list entries, bare stage promotion") {
     import graft.config.Overrides
     import graft.dsl.Cfg
