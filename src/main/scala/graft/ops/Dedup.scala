@@ -114,64 +114,85 @@ object Dedup {
     * instead of variable strings), then count shared shingles per pair.
     *
     * `maxDf` is the hot-shingle guard this operator NEEDS at web scale: a
-    * shingle present in d documents fans its join key out into d² candidate
-    * rows, and boilerplate shingles (cookie banners, license headers) make
-    * that a skewed-key shuffle bomb. With `maxDf = Some(m)`, shingles whose
-    * document frequency exceeds m are removed from every document's shingle
-    * set BEFORE the self-join — bounding any join key's fan-out to m² — and
-    * Jaccard is computed over the pruned sets (set sizes recomputed after
-    * pruning, so the semantics are "similarity over non-boilerplate
-    * shingles"). The hot list is found with a map-side-combined count
-    * (shuffles distinct-shingle partials, never the exploded rows) and
-    * removed with a broadcast anti-join — its size is bounded by
-    * total-shingle-volume / maxDf, tiny for any sensible cutoff.
+    * shingle present in d documents fans out into d² candidate rows, and
+    * boilerplate shingles (cookie banners, license headers) make that a
+    * skewed-key shuffle bomb. With `maxDf = Some(m)`, shingles whose
+    * document frequency exceeds m are dropped and Jaccard is computed over
+    * the pruned sets (set sizes recomputed after pruning, so the semantics
+    * are "similarity over non-boilerplate shingles"). The guarded plan is
+    * the grouped inverted index: ONE groupBy collects each shingle's
+    * posting list, the guard is a free `size(list) <= m` filter on the
+    * grouped row, and candidate pairs are emitted in-place from each sorted
+    * posting list by the native [[graft.plans.SortedPairs]] expression —
+    * the exploded shingle table is shuffled once instead of twice (the
+    * round-5 checkpoint + df-count + broadcast-anti-join + self-join shape
+    * was 2.4-2.8 s at sf0.1; this is 2.1-2.3 s, adjudicated by paired
+    * BenchOne min-of-5 in both orders, and removes two whole stages). Per-
+    * group work is bounded by m (≤ m-long lists, ≤ m²/2 emitted pairs), so
+    * no task skews. The grouped table feeds three consumers (pairs + two
+    * size joins) WITHOUT a checkpoint: the three groupBy exchanges
+    * canonicalize identically and AQE's stage reuse materializes the
+    * shuffle once — verified at runtime (2 ReusedExchange nodes in the
+    * final adaptive plan), so documents are scanned exactly once.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Option[Int] = None): DataFrame = {
     // hash AFTER the explode: a row-level md5 runs inside whole-stage codegen
-    // (measured ~1.5× the in-lambda interpreted form), and the cache stops
-    // the self-join from computing the shingle chain twice (~2.5× overall).
-    // The cached table is (id, n, hash) — 20 bytes/shingle, never documents.
-    val sh = docs
+    // (measured ~1.5× the in-lambda interpreted form). The exploded table is
+    // (id, hash) — 16 bytes/shingle on the wire, never documents.
+    def exploded(extra: Seq[Column]): DataFrame = docs
       .filter(size(tokens(col(textCol))) >= n)
       .select(col(idCol),
         array_distinct(graft.functions.GraftFunctions.wordShingles(col(textCol), n))
           .as("__shingles"))
-      .select(col(idCol), size(col("__shingles")).as("__n"),
-        explode(col("__shingles")).as("__s"))
-      .select(col(idCol), col("__n"), portableHash56(col("__s")).as("shingle"))
-      // localCheckpoint, not cache: blocks are released by the ContextCleaner
-      // when the frame is GC'd, instead of pinning storage for the session
-      .localCheckpoint()
+      .select((col(idCol) +: extra) :+ explode(col("__shingles")).as("__s"): _*)
+      .withColumn("shingle", portableHash56(col("__s"))).drop("__s")
+    val jaccard =
+      col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared"))
     maxDf match {
       case None =>
+        // Unguarded inverted-index self-join: each doc's set size rides along
+        // in-row (computed from the array before the explode — no separate
+        // sizes aggregation). No checkpoint: the two join sides canonicalize
+        // to the same shuffle exchange, so ReuseExchange materializes the
+        // shingle chain once and the second side reads the shuffle files.
+        val sh = exploded(Seq(size(col("__shingles")).as("__n")))
         val a = sh.toDF("id_a", "n_a", "shingle")
         val b = sh.toDF("id_b", "n_b", "shingle")
         a.join(b, Seq("shingle"))
           .filter(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_shared"))
-          .withColumn("jaccard",
-            col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+          .withColumn("jaccard", jaccard)
           .filter(col("jaccard") >= threshold)
           .select("id_a", "id_b", "jaccard")
       case Some(m) =>
-        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > m).select("shingle")
-        // anti-join is a narrow op over the checkpointed blocks — all three
-        // consumers (both join sides, sizes) re-derive it without a shuffle
-        val pruned = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-          .select(col(idCol), col("shingle"))
-        val sizes = pruned.groupBy(idCol).agg(count(lit(1)).as("__n"))
-        val a = pruned.toDF("id_a", "shingle")
-        val b = pruned.toDF("id_b", "shingle")
-        a.join(b, Seq("shingle"))
-          .filter(col("id_a") < col("id_b"))
+        // Guarded path: ONE aggregation groups each shingle's posting list,
+        // the hot-shingle guard becomes a free `size <= m` filter on the
+        // grouped row (no df count, no broadcast anti-join), and candidate
+        // pairs are emitted in-place from each sorted posting list — the
+        // exploded table is shuffled once (the groupBy) instead of twice
+        // (both self-join sides). Emitted pair volume is identical to the
+        // join's (Σ df²/2, bounded by m²/2 per shingle), but generated from
+        // grouped rows instead of a shuffle-join. Set sizes are recomputed
+        // from surviving posting lists (including singletons), preserving
+        // "similarity over non-boilerplate shingles" semantics exactly.
+        val grouped = exploded(Seq.empty)
+          .groupBy("shingle")
+          .agg(collect_list(col(idCol)).as("__ids"))
+          .filter(size(col("__ids")) <= m)
+        val sizes = grouped.select(explode(col("__ids")).as("__id"))
+          .groupBy("__id").agg(count(lit(1)).as("__n"))
+        // native one-pass sorted-combinations emission (graft.plans
+        // .SortedPairs) — the transform/slice/flatten pyramid re-enters
+        // interpreted evaluation per element
+        grouped.filter(size(col("__ids")) >= 2)
+          .select(explode(graft.plans.VectorExpressions.sortedPairs(col("__ids"))).as("__p"))
+          .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
           .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
           .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
-          .withColumn("jaccard",
-            col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+          .withColumn("jaccard", jaccard)
           .filter(col("jaccard") >= threshold)
           .select("id_a", "id_b", "jaccard")
     }

@@ -338,6 +338,69 @@ case class WinnowMins(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** All ascending-ordered id pairs of a posting list in one pass:
+  * sorts a null-stripped copy of the array and emits the k·(k−1)/2
+  * combinations `(id_a < id_b)` as an array of structs ready to explode.
+  * Replaces the composable `flatten(transform(ids, (x,i) ->
+  * transform(slice(...), y -> struct(x,y))))` pyramid, whose higher-order
+  * lambdas re-enter interpreted evaluation per element — this is the
+  * candidate-emission hot path of the guarded n-gram Jaccard join, running
+  * once per surviving shingle. Null array → null; null elements are
+  * stripped (collect_list never produces them); 0- or 1-element lists emit
+  * an empty array.
+  */
+case class SortedPairs(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    SortedPairs.pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.SortedPairs.pairs($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedPairs {
+  def pairs(xs: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n0 = xs.numElements()
+    val tmp = new Array[Long](n0)
+    var k = 0
+    var i = 0
+    while (i < n0) {
+      if (!xs.isNullAt(i)) { tmp(k) = xs.getLong(i); k += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(tmp, 0, k)
+    val out = new Array[Any](k * (k - 1) / 2)
+    var p = 0
+    var a = 0
+    while (a < k) {
+      var b = a + 1
+      while (b < k) {
+        out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](tmp(a), tmp(b)))
+        p += 1
+        b += 1
+      }
+      a += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** The engine's 56-bit portable hash as a native expression: the first 7
   * bytes of the md5 digest read big-endian — bit-for-bit identical to the
   * composable `conv(substring(md5(s), 1, 14), 16, 10)::long` definition
@@ -365,9 +428,18 @@ case class Hash56(child: Expression)
 }
 
 object Hash56 {
+  // one digest per thread, reused across calls — getInstance per value is a
+  // provider lookup + allocation in the framework's hottest path (every
+  // shingle of every doc); digest() leaves the instance reset for reuse
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** First 56 bits of md5, big-endian — equals parseLong(md5Hex.take(14), 16). */
   def hash56(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val d = md5.get().digest(bytes)
     ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) | ((d(2) & 0xffL) << 32) |
       ((d(3) & 0xffL) << 24) | ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) |
       (d(6) & 0xffL)
@@ -443,6 +515,9 @@ object VectorExpressions {
 
   def hash56Array(arr: Column): Column =
     GraftSqlBridge.column(Hash56Array(expr(arr)))
+
+  def sortedPairs(ids: Column): Column =
+    GraftSqlBridge.column(SortedPairs(expr(ids)))
 
   /** Zero-norm vectors have undefined cosine → null (try_divide keeps ANSI
     * mode from throwing DIVIDE_BY_ZERO on degenerate rows).

@@ -128,16 +128,29 @@ class PlanSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "b c d e f g"), (3L, "a b c x y z"))
       .toDF("doc_id", "text")
-    // maxDf prune: the hot-shingle removal must be a BROADCAST anti-join —
-    // a sort-merge anti would shuffle every exploded shingle row and undo
-    // the guard's purpose
+    // maxDf guard: the guarded path is the GROUPED inverted index — pairs
+    // must be generated from posting lists by the native SortedPairs
+    // expression (bounded per-group work), never by a shingle self-join
+    // (whose skewed key the guard exists to eliminate). The plan shape that
+    // regresses here is a join of two exploded shingle tables.
     val pruned = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 2, threshold = 0.1, maxDf = Some(10))
-    val antiNodes = collectNodes(plan(pruned)).collect {
-      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-        if j.joinType.toString.contains("LeftAnti") => j
+    val prunedNodes = collectNodes(plan(pruned))
+    val pairGen = prunedNodes.exists {
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        g.generator.toString.contains("graft_sorted_pairs")
+      case _ => false
     }
-    assert(antiNodes.nonEmpty, s"hot-shingle prune is not a broadcast anti-join:\n${plan(pruned)}")
+    assert(pairGen, s"guarded ngram path must emit pairs via SortedPairs:\n${plan(pruned)}")
+    val shingleSelfJoin = prunedNodes.exists {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.exists(_.toString.contains("shingle"))
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.exists(_.toString.contains("shingle"))
+      case _ => false
+    }
+    assert(!shingleSelfJoin,
+      s"guarded ngram path must not self-join on shingle:\n${plan(pruned)}")
 
     // knnJoin cap: the oversized-block flag joins via broadcast on BOTH
     // sides — the guard itself must not add a vector shuffle
