@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dsl.Cfg
 import graft.operators.Pipeline
-import graft.ops.{Dedup, Sampling, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Built-in training-data-hygiene stages, registered through the SAME
   * extension point third-party packages use ([[PipelineConfig.register]],
@@ -175,6 +175,126 @@ object OpStages {
       val seed = cfg.getLong("seed").getOrElse(42L)
       Pipeline.DataStage(name, m =>
         Sampling.stratifiedCap(m.data, id, stratum, perStratum, seed))
+    }
+
+    // ---- similarity / sketch / multimodal stages -------------------------
+    // (embedding-table column defaults follow the embeddings schema:
+    // `vec_id`, `embedding`, block/label column `label`)
+
+    def vecIds(cfg: Cfg) = (cfg.getStr(IdCol).getOrElse("vec_id"),
+      cfg.getStr("vec_col").getOrElse("embedding"))
+
+    def doubleList(cfg: Cfg, k: String): Seq[Double] =
+      cfg.getList(k).collect { case Cfg.D(d) => d; case Cfg.I(i) => i.toDouble }
+
+    // append the winnowing sketch as an array column (pure projection —
+    // no explode/shuffle; the exploded per-fingerprint table stays available
+    // through the graft.ops API)
+    PipelineConfig.register("winnow_fingerprint") { (name, cfg) =>
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      val n = cfg.getInt("n").getOrElse(3)
+      val w = cfg.getInt("w").getOrElse(4)
+      Pipeline.DataStage(name, m => appendCols(name, m.data,
+        Seq(Dedup.winnowFingerprintArray(col(text), n, w).as("winnow_fingerprints"))))
+    }
+
+    // embedding-cosine near-dup dedup over a block/label column — same
+    // representative-selection semantics as the text dedup stages
+    PipelineConfig.register("embed_dedup") { (name, cfg) =>
+      val (id, vec) = vecIds(cfg)
+      val block = cfg.getStr("block_col").getOrElse("label")
+      val threshold = cfg.getDouble("threshold").getOrElse(0.95)
+      Pipeline.DataStage(name, m => dropNonRepresentatives(m.data, id,
+        Dedup.embeddingPairs(m.data, id, vec, col(block), threshold)))
+    }
+
+    // k-NN join: each data row gets its k nearest rows of `right_path`
+    // (another parquet table; omitted = self-join) sharing `block_col`.
+    // Default output appends a `knn` array column (sorted by rank) so the
+    // corpus stays chainable; `output: pairs` replaces data with the raw
+    // (id_l, id_r, cos, rank) pair table for analysis pipelines.
+    PipelineConfig.register("knn_join") { (name, cfg) =>
+      val (id, vec) = vecIds(cfg)
+      val block = cfg.getStr("block_col").getOrElse("label")
+      val k = cfg.getInt("k").getOrElse(5)
+      val cap = cfg.getInt("max_block_size")
+      val rightPath = cfg.getStr("right_path")
+      val output = cfg.getStr("output").getOrElse("column")
+      require(output == "column" || output == "pairs",
+        s"stage $name: `output` must be `column` or `pairs`, got `$output`")
+      Pipeline.DataStage(name, m => {
+        val right = rightPath match {
+          case Some(p) => m.data.sparkSession.read.parquet(p)
+          case None => m.data
+        }
+        val pairs = Similarity.knnJoin(m.data, right, id, vec, block, k, cap)
+        if (output == "pairs") pairs
+        else {
+          val neighbors = pairs
+            .groupBy(col("id_l").as(id))
+            .agg(sort_array(collect_list(struct(
+              col("rank"), col("id_r"), col("cos")))).as("knn"))
+          require(!m.data.columns.contains("knn"),
+            s"stage $name: output column knn already exists in the input")
+          m.data.join(neighbors, Seq(id), "left")
+        }
+      })
+    }
+
+    // top-k selection against one query vector: brute-force exact (default),
+    // sign-LSH bucketed, or IVF (over `key_col` cells when given, else
+    // k-means cells) — replaces data with the k best rows + their cosine
+    PipelineConfig.register("sim_topk") { (name, cfg) =>
+      val (id, vec) = vecIds(cfg)
+      val query = doubleList(cfg, "query").map(_.toFloat)
+      require(query.nonEmpty, s"stage $name: `query` vector is required")
+      val k = cfg.getInt("k").getOrElse(10)
+      val mode = cfg.getStr("mode").getOrElse("brute")
+      Pipeline.DataStage(name, m => mode match {
+        case "brute" => Similarity.topK(m.data, id, vec, query, k)
+        case "lsh" =>
+          val planes = cfg.getInt("planes").getOrElse(8)
+          Similarity.lshTopK(m.data, id, vec, query, k, 0 until planes)
+        case "ivf" =>
+          val nProbe = cfg.getInt("n_probe").getOrElse(2)
+          cfg.getStr("key_col") match {
+            case Some(key) => Similarity.ivfTopK(m.data, id, key, vec, query, k, nProbe)
+            case None => Similarity.ivfTopKKmeans(m.data, id, vec, query, k,
+              cfg.getInt("n_cells").getOrElse(16), nProbe,
+              cfg.getInt("iters").getOrElse(2))
+          }
+        case other => throw new IllegalArgumentException(
+          s"stage $name: unknown mode `$other` (brute | lsh | ivf)")
+      })
+    }
+
+    // multimodal plumbing: convert a text corpus to the media-table shape,
+    // then metadata / decode / resize / frame-sample over it. The decode /
+    // resize / frame stages require media-shaped data (media_id, payload,
+    // mime_type) and REPLACE data with the operator's output table (which
+    // carries media_id for downstream joins); the codec itself is the
+    // documented deterministic stub — no media libraries in this container.
+    PipelineConfig.register("as_media") { (name, cfg) =>
+      val (id, text) = ids(cfg)
+      Pipeline.DataStage(name, m => Multimodal.asMediaTable(m.data, id, text))
+    }
+    PipelineConfig.register("media_metadata") { (name, _) =>
+      Pipeline.DataStage(name, m => Multimodal.payloadMetadata(m.data))
+    }
+    PipelineConfig.register("media_decode") { (name, _) =>
+      Pipeline.DataStage(name, m => Multimodal.decodeBatched(m.data))
+    }
+    PipelineConfig.register("media_resize") { (name, cfg) =>
+      val w = cfg.getInt("target_w").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `target_w` is required"))
+      val h = cfg.getInt("target_h").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `target_h` is required"))
+      Pipeline.DataStage(name, m => Multimodal.resizeStub(m.data, w, h))
+    }
+    PipelineConfig.register("media_frames") { (name, cfg) =>
+      val n = cfg.getInt("n_frames").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `n_frames` is required"))
+      Pipeline.DataStage(name, m => Multimodal.sampleFramesStub(m.data, n))
     }
   }
 }

@@ -81,6 +81,17 @@ object Dedup {
     hs.select(col(idCol), explode(array_distinct(wins)).as("fingerprint"))
   }
 
+  /** [[winnowFingerprints]]'s sketch as an in-row COLUMN (the distinct window
+    * minima as an array) for column-appending pipeline stages — a pure
+    * projection, no explode/shuffle. Docs with fewer than n words yield null
+    * (the exploded form drops them).
+    */
+  def winnowFingerprintArray(text: Column, n: Int, w: Int): Column =
+    when(size(tokens(text)) >= n,
+      array_distinct(graft.plans.VectorExpressions.winnowMins(
+        graft.plans.VectorExpressions.hash56Array(
+          graft.functions.GraftFunctions.wordShingles(text, n)), w)))
+
   /** Word n-gram shingles with their start position, one row per shingle:
     * posexplode the token array once, then assemble each shingle from window
     * `lead`s — tokenization happens exactly once per document (the

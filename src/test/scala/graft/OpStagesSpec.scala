@@ -149,6 +149,123 @@ class OpStagesSpec extends SparkSpec {
     }
   }
 
+  test("similarity/winnow/multimodal stages are registered") {
+    val expected = Set("winnow_fingerprint", "embed_dedup", "knn_join",
+      "sim_topk", "as_media", "media_metadata", "media_decode",
+      "media_resize", "media_frames")
+    assert(expected.subsetOf(PipelineConfig.registeredStages))
+  }
+
+  private def embRows = {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-02 00:00:00")
+    // subject 30 has a single event — filter_subjects(min_events=2) drops it
+    spark.createDataFrame(Seq(
+      (10L, t0, 1L, Seq(1.0, 0.0, 0.0, 0.1), "a"),
+      (10L, t1, 2L, Seq(0.9, 0.1, 0.0, 0.0), "a"),
+      (20L, t0, 3L, Seq(0.0, 1.0, 0.0, 0.0), "a"),
+      (20L, t1, 4L, Seq(0.0, 0.9, 0.1, 0.0), "a"),
+      (30L, t0, 5L, Seq(0.5, 0.5, 0.0, 0.0), "a")
+    )).toDF("subject_id", "time", "vec_id", "embedding", "label")
+  }
+
+  test("YAML pipeline chains filter_subjects -> knn_join (column output)") {
+    val yaml =
+      """stages:
+        |  - filter_subjects:
+        |      min_events_per_subject: 2
+        |  - knn_join:
+        |      k: 1
+        |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(embRows),
+      PipelineConfig.fromYaml(yaml).stages).data
+    assert(out.columns.contains("knn"))
+    val rows = out.select("vec_id", "knn.id_r").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L)) // 5 filtered out
+    rows.foreach { r =>
+      val neighbors = r.getSeq[Long](1)
+      assert(neighbors.size == 1 && neighbors.head != r.getLong(0))
+      assert(neighbors.head != 5L) // the filtered row is not a candidate
+    }
+  }
+
+  test("knn_join right_path joins a second parquet table; pairs output shape") {
+    val dir = java.nio.file.Files.createTempDirectory("knn_right").toString
+    embRows.select("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$dir/right.parquet")
+    val yaml =
+      s"""stages:
+         |  - knn_join:
+         |      k: 2
+         |      right_path: $dir/right.parquet
+         |      output: pairs
+         |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(embRows),
+      PipelineConfig.fromYaml(yaml).stages).data
+    assert(out.columns.toSeq == Seq("id_l", "id_r", "cos", "rank"))
+    // every left row found 2 right-table neighbors (self excluded by id)
+    val counts = out.groupBy("id_l").count().collect().map(_.getLong(1))
+    assert(counts.length == 5 && counts.forall(_ == 2L))
+  }
+
+  test("winnow_fingerprint appends the sketch column; short docs get null") {
+    val out = Pipeline.run(spark, emptyMeds(docs),
+      PipelineConfig.fromYaml("stages:\n  - winnow_fingerprint\n").stages).data
+    assert(out.columns.contains("winnow_fingerprints") && out.count() == 6)
+    val byId = out.select("doc_id", "winnow_fingerprints").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getSeq[Long](1).nonEmpty)
+    assert(byId(6L).isNullAt(1)) // "short text" has < n words
+    // identical text yields identical sketch
+    assert(byId(1L).getSeq[Long](1) == byId(2L).getSeq[Long](1))
+  }
+
+  test("embed_dedup keeps the min-id representative per near-identical cluster") {
+    val yaml =
+      """stages:
+        |  - embed_dedup:
+        |      threshold: 0.98
+        |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(embRows),
+      PipelineConfig.fromYaml(yaml).stages).data
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    // vec 1~2 and 3~4 are near-identical (cos > 0.98): min ids 1 and 3 stay
+    assert(kept.contains(1L) && kept.contains(3L) && kept.contains(5L))
+    assert(Set(2L, 4L).intersect(kept).isEmpty)
+  }
+
+  test("sim_topk stage: brute and lsh modes select k rows with cosine") {
+    def run(extra: String): Seq[Long] =
+      Pipeline.run(spark, emptyMeds(embRows), PipelineConfig.fromYaml(
+        s"stages:\n  - sim_topk:\n      k: 2\n      query: [1.0, 0.0, 0.0, 0.0]\n$extra"
+      ).stages).data.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = run("")
+    assert(brute == Seq(1L, 2L)) // the two vectors nearest the x-axis query
+    val lsh = run("      mode: lsh\n      planes: 4\n")
+    assert(lsh.nonEmpty && lsh.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+    val ivf = run("      mode: ivf\n      key_col: label\n")
+    assert(ivf == Seq(1L, 2L))
+  }
+
+  test("multimodal YAML chain: as_media -> media_frames plumbing") {
+    val yaml =
+      """stages:
+        |  - as_media
+        |  - media_frames:
+        |      n_frames: 3
+        |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(docs),
+      PipelineConfig.fromYaml(yaml).stages).data
+    assert(out.columns.toSeq == Seq("media_id", "frame_idx", "frame_digest"))
+    assert(out.count() == 18) // 6 docs x 3 frames
+    val decoded = Pipeline.run(spark, emptyMeds(docs), PipelineConfig.fromYaml(
+      "stages:\n  - as_media\n  - media_decode\n").stages).data
+    assert(decoded.columns.toSeq ==
+      Seq("media_id", "width", "height", "mean_intensity"))
+    assert(decoded.count() == 6)
+  }
+
   test("hygiene stages honor train_only orchestration") {
     // train_only resolves splits per subject_id — documents pipelines carry
     // one (here 1:1 with doc_id)
