@@ -851,6 +851,46 @@ object Queries {
          |SELECT CAST(src AS BIGINT) AS id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY src ORDER BY 1""".stripMargin))
 
+  /** The `minhash_lsh_dedup` pipeline STAGE under oracle verification — not
+    * the pair table but the stage's corpus-filtering semantics: run through
+    * the real config/registry/Pipeline path (YAML → stage builder →
+    * Pipeline.run), keep the min-id representative per near-dup cluster,
+    * null-text rows bypass. The oracle mirrors the full chain: banded
+    * candidates → estimated-Jaccard threshold → transitive closure →
+    * min-label clusters → drop non-representatives from the corpus.
+    */
+  private val minhashDedupStage: Gate = Gate(
+    (s, dir) => {
+      val stages = graft.config.PipelineConfig.fromYaml(
+        "stages:\n  - minhash_lsh_dedup:\n      threshold: 0.5\n").stages
+      val out = graft.operators.Pipeline.run(s,
+        graft.meds.MedsData(table(s, dir, "documents"),
+          s.emptyDataFrame, s.emptyDataFrame), stages).data
+      out.select(col("doc_id"), col("text")).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $shingleHashCtes,
+         |$minhashCandCtes,
+         |pairs AS (
+         |  SELECT cand.id_a, cand.id_b
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = cand.id_a
+         |  JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.perm = sa.perm
+         |  GROUP BY 1,2
+         |  HAVING avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |dropped AS (
+         |  SELECT src AS id FROM reach GROUP BY src
+         |  HAVING least(src, min(dst)) != src)
+         |SELECT doc_id, text FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin))
+
   private val simhashValues: Gate = Gate(
     (s, dir) => Dedup.simhash(table(s, dir, "documents"), "doc_id", "text",
       n = 3, numBits = 32)
@@ -1091,6 +1131,7 @@ object Queries {
     "ngram_jaccard" -> ngramJaccard,
     "minhash_lsh" -> minhashLsh,
     "minhash_lsh_capped" -> minhashLshCapped,
+    "minhash_lsh_dedup_stage" -> minhashDedupStage,
     "dedup_clusters" -> dedupClusters,
     "simhash_values" -> simhashValues,
     "simhash_pairs" -> simhashPairs,
