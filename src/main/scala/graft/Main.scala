@@ -21,6 +21,15 @@ import graft.operators.Pipeline
   * `--multirun worker="range(0,n)" hydra/launcher=...` worker-parallelization
   * args are accepted and ignored: Spark's task scheduling IS the worker pool.
   *
+  * Under `--multirun`, a comma-valued override is a Hydra VALUE SWEEP
+  * (`stage_cfg.cutoff=1,2,3` → three pipeline runs, the reference's
+  * runner.py:30-111 multirun semantics): the cartesian product of every
+  * swept override runs, job `i` writing to `<outputRoot>/run_<i>` (and
+  * checkpointing under `<checkpointRoot>/run_<i>`), mirroring Hydra's
+  * numbered `multirun/` job dirs. Quoted values and flow collections
+  * (`[...]`/`{...}`) are never split; without `--multirun` a comma value
+  * stays one literal string, exactly as Hydra treats it.
+  *
   * The pipeline JSON mirrors the reference's YAML surface (see
   * config.PipelineConfig). Where the reference launches a subprocess per
   * stage with file-lock workers and mandatory per-stage disk round-trips,
@@ -62,7 +71,8 @@ object Main {
     val (launcherArgs, rest) = rest0.partition(a =>
       a.startsWith("worker=") || a.startsWith("hydra/launcher=") ||
         a.startsWith("hydra.launcher."))
-    if (flags.contains("--multirun") || launcherArgs.nonEmpty)
+    val multirun = flags.contains("--multirun")
+    if (multirun || launcherArgs.nonEmpty)
       println("[graft] ignoring worker/launcher parallelization args " +
         s"(${launcherArgs.mkString(" ")}): Spark schedules the workers")
     // Hydra-style `dotted.path=value` overrides, the reference's per-
@@ -87,6 +97,37 @@ object Main {
     val checkpointRoot = positional.lift(3)
     graft.plans.GraftExtensions.register(spark)
 
+    // Hydra value sweeps: under --multirun an unquoted, non-collection
+    // comma value fans one override into one-per-value; the job list is the
+    // cartesian product across swept overrides. Without --multirun the comma
+    // stays inside one literal value (Hydra's behavior exactly) — silently
+    // running a single job with the literal "1,2,3" under --multirun was the
+    // r5-flagged semantic gap.
+    def choices(o: String): Seq[String] = {
+      val eq = o.indexOf('=')
+      val v = o.substring(eq + 1)
+      val atomic = !multirun || !v.contains(',') ||
+        Seq("[", "{", "\"", "'").exists(v.startsWith)
+      if (atomic) Seq(o)
+      else v.split(',').toSeq.map(p => o.substring(0, eq + 1) + p.trim)
+    }
+    val jobs: Seq[Seq[String]] =
+      overrides.map(choices).foldLeft(Seq(Seq.empty[String])) {
+        (acc, cs) => for { a <- acc; c <- cs } yield a :+ c
+      }
+    if (jobs.lengthCompare(1) == 0)
+      runPipeline(spark, pipelineFile, inputRoot, outputRoot, checkpointRoot,
+        jobs.head, stageOnly)
+    else jobs.zipWithIndex.foreach { case (combo, i) =>
+      println(s"[graft] multirun job $i: ${combo.mkString(" ")}")
+      runPipeline(spark, pipelineFile, inputRoot, s"$outputRoot/run_$i",
+        checkpointRoot.map(r => s"$r/run_$i"), combo, stageOnly)
+    }
+  }
+
+  private def runPipeline(spark: SparkSession, pipelineFile: String,
+      inputRoot: String, outputRoot: String, checkpointRoot: Option[String],
+      overrides: Seq[String], stageOnly: Option[String]): Unit = {
     val parsed = PipelineConfig.fromFile(pipelineFile, overrides)
     parsed.description.foreach(d => println(s"[graft] pipeline: $d"))
     val stages = stageOnly match {

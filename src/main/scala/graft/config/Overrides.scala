@@ -23,21 +23,40 @@ object Overrides {
 
   /** Apply `key.path=value` overrides to a parsed config tree, in order.
     *
-    * An override whose path does not already exist is APPLIED but warned
-    * about: stage keys legitimately absent from the file (builder defaults)
-    * must stay settable — the reference's stage configs carry Hydra defaults
-    * the pipeline file never spells out — but a silently-accepted typo
+    * An override whose path does not already exist is APPLIED but noted:
+    * stage keys legitimately absent from the file (builder defaults) must
+    * stay settable — the reference's stage configs carry Hydra defaults the
+    * pipeline file never spells out — but a silently-accepted typo
     * (`sttdev_cutoff=3`) would run the pipeline with the default while the
-    * user believes the override took.
+    * user believes the override took. Created paths surface as ONE
+    * aggregated note (not a warning per override): builder-default keys are
+    * routine, and a per-key warning stream trains users to ignore the one
+    * that is a real typo.
     */
-  def apply(cfg: Cfg, overrides: Seq[String]): Cfg =
+  def apply(cfg: Cfg, overrides: Seq[String]): Cfg = {
+    val created = createdPaths(cfg, overrides)
+    if (created.nonEmpty)
+      System.err.println("[graft] note: override(s) set key(s) not present in " +
+        s"the config file (builder defaults, or typos — check spelling if a " +
+        s"replacement was intended): ${created.mkString(", ")}")
     overrides.foldLeft(cfg) { (c, o) =>
       val (path, value) = parseArg(o)
-      if (!exists(c, path))
-        System.err.println(s"[graft] override '$o' creates a key not present " +
-          "in the config — check the spelling if this was meant to replace one")
       set(c, path, value, o)
     }
+  }
+
+  /** The override paths that do not yet exist while applying `overrides` in
+    * order (an earlier override can create the path a later one extends).
+    */
+  private[graft] def createdPaths(cfg: Cfg, overrides: Seq[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    overrides.foldLeft(cfg) { (c, o) =>
+      val (path, value) = parseArg(o)
+      if (!exists(c, path)) out += path.mkString(".")
+      set(c, path, value, o)
+    }
+    out.result()
+  }
 
   private[graft] def exists(node: Cfg, path: Seq[String]): Boolean = path match {
     case Seq() => true

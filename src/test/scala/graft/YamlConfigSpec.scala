@@ -165,6 +165,35 @@ class YamlConfigSpec extends SparkSpec {
     assert(MedsIO.read(spark, s"$tmp/mr").data.count() == 41)
   }
 
+  test("--multirun value sweeps run the cartesian product into run_<i> dirs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    val p = s"$tmp/pipeline.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """stages:
+        |  - filter_subjects:
+        |      min_events_per_subject: 5
+        |""".stripMargin)
+    val in = "/root/reference/example/data"
+    // one swept override -> two jobs, Hydra's numbered job dirs
+    Main.run(Array(p, in, s"$tmp/sweep", "--multirun",
+      "stages.filter_subjects.min_events_per_subject=1,5"), spark)
+    val r0 = MedsIO.read(spark, s"$tmp/sweep/run_0").data.count()
+    val r1 = MedsIO.read(spark, s"$tmp/sweep/run_1").data.count()
+    assert(r1 == 41) // the cutoff-5 run
+    assert(r0 > r1) // the cutoff-1 run keeps more rows
+    // a flow-collection value is NOT a sweep even under --multirun: one job,
+    // output at the root (no run_ dirs)
+    Main.run(Array(p, in, s"$tmp/flow", "--multirun",
+      "stages.filter_subjects.code_filters=[a,b]"), spark)
+    assert(MedsIO.read(spark, s"$tmp/flow").data.count() == 41)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/flow/run_0")))
+    // without --multirun a comma value stays one literal (Hydra's exact
+    // behavior) — the sweep only activates under the multirun flag
+    Main.run(Array(p, in, s"$tmp/lit",
+      "stages.filter_subjects.extra_note=a,b"), spark)
+    assert(MedsIO.read(spark, s"$tmp/lit").data.count() == 41)
+  }
+
   test("CLI dotted-path overrides equal an edited-file run") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_override").toString
     val p = s"$tmp/pipeline.yaml"
@@ -219,6 +248,14 @@ class YamlConfigSpec extends SparkSpec {
     assert(!ex("stages.fliter_subjects"))
     assert(!ex("stagse"))
     assert(!ex("stages.fit_outlier_detection.aggregations")) // bare entry has no config yet
+    // created paths aggregate into ONE note (routine builder-default keys
+    // must not drown the one real typo in a warning stream); an earlier
+    // override creating a path stops later extensions of it from re-noting
+    assert(Overrides.createdPaths(cfg, Seq(
+      "stages.filter_subjects.min_events_per_subject=9",
+      "stages.filter_subjects.min_measurements_per_subject=2",
+      "stages.filter_subjects.min_measurements_per_subject=3"))
+      == Seq("stages.filter_subjects.min_measurements_per_subject"))
   }
 
   test("override path semantics: types, list entries, bare stage promotion") {
