@@ -15,7 +15,24 @@ run / fork := true
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
 lazy val defaultHeap: String = {
-  val memTotalGb: Long =
+  def firstLineLong(path: String): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      // (build.sbt compiles with Scala 2.12 — no nextOption/toLongOption)
+      try src.getLines().take(1).toList.headOption
+        .flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+      finally src.close()
+    } catch { case _: Throwable => None }
+  // in a cgroup-limited container /proc/meminfo reports HOST RAM — a
+  // 4g-limited container on a 128g host would get -Xmx48g and an OOM kill.
+  // Prefer the cgroup limit (v2 then v1; "max"/huge sentinel = unlimited),
+  // fall back to MemTotal. SPARK_DRIVER_MEM overrides manually.
+  val cgroupGb: Option[Long] =
+    Seq("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes")
+      .flatMap(firstLineLong).headOption
+      .filter(_ < (1L << 50)) // v1 reports ~2^63 when unlimited
+      .map(_ / (1024L * 1024 * 1024))
+  val memTotalGb: Long = cgroupGb.getOrElse {
     try {
       val src = scala.io.Source.fromFile("/proc/meminfo")
       try src.getLines()
@@ -24,6 +41,7 @@ lazy val defaultHeap: String = {
         .getOrElse(0L)
       finally src.close()
     } catch { case _: Throwable => 0L }
+  }
   if (memTotalGb <= 0) "24g"
   else s"${math.max(4L, math.min(48L, memTotalGb * 2 / 5))}g"
 }

@@ -530,32 +530,32 @@ object Queries {
         java.nio.file.Files.deleteIfExists(p); ()
       }
       try {
+        // a stateful streaming query pays per-state-partition overhead (one
+        // HDFS-backed store + delta file per partition per batch) regardless
+        // of row count — scope the state partitioning to the gate's data
+        // size in a DEDICATED session (newSession: shared SparkContext, own
+        // SQLConf) instead of flipping the shared session's conf, which a
+        // concurrently-running gate would silently inherit
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
         // file source takes a directory; glob-pin it to the events table
-        val src = restoreTs(s.readStream.schema(table(s, dir, "events").schema)
+        val src = restoreTs(ss.readStream.schema(table(ss, dir, "events").schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir))
         val evs = src.filter(col("ts").isNotNull)
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
           .as[Sessionize.Ev]
-        // a stateful streaming query pays per-state-partition overhead (one
-        // HDFS-backed store + delta file per partition per batch) regardless
-        // of row count — scope the state partitioning to the gate's data size
-        // instead of inheriting the session's scan parallelism
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
-          val q = Sessionize.streaming(evs, gapMinutes = 30).writeStream
-            .outputMode("append")
-            .option("checkpointLocation", tmp.resolve("ckpt").toString)
-            .trigger(Trigger.AvailableNow())
-            // per-batch overwrite dirs make a replayed micro-batch (written
-            // sink, unfinished commit log) IDEMPOTENT — a plain append sink
-            // is only at-least-once and would double-count retried partials
-            .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.SessionOut], batchId: Long) =>
-              batch.coalesce(1).write.mode("overwrite").parquet(s"$outDir/b$batchId"); ()
-            }
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val q = Sessionize.streaming(evs, gapMinutes = 30).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          // per-batch overwrite dirs make a replayed micro-batch (written
+          // sink, unfinished commit log) IDEMPOTENT — a plain append sink
+          // is only at-least-once and would double-count retried partials
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.SessionOut], batchId: Long) =>
+            batch.coalesce(1).write.mode("overwrite").parquet(s"$outDir/b$batchId"); ()
+          }
+          .start()
+        q.awaitTermination()
         // a session spanning micro-batches emits one partial per batch under a
         // stable (user_id, session_idx); the re-aggregation is the downstream
         // contract documented on Sessionize.streaming

@@ -313,10 +313,23 @@ object PipelineConfig {
       val seed = cfg.getLong("seed").getOrElse(1L)
       val parity = cfg.getBool("reference_parity").getOrElse(false)
       Pipeline.SplitsStage(name, m => {
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, countDistinct}
         val subjects = m.data.select(col(SubjectId)).distinct()
-        val existing = m.splits.select(col(SubjectId), col(Split))
-          .dropDuplicates(SubjectId)
+        // a subject listed under TWO different splits is a silent-leakage
+        // hazard: dropDuplicates would keep an arbitrary row, so a held_out
+        // subject could nondeterministically land in train on some runs.
+        // Fail fast with examples instead (identical duplicate rows are fine
+        // — distinct() collapses them first).
+        val existing = m.splits.select(col(SubjectId), col(Split)).distinct()
+        val conflicted = existing.groupBy(SubjectId)
+          .agg(countDistinct(col(Split)).as("__n_splits"))
+          .filter(col("__n_splits") > 1)
+          .limit(5).collect().map(_.get(0))
+        require(conflicted.isEmpty,
+          s"stage $name: subject(s) ${conflicted.mkString(", ")} appear under " +
+            "more than one split in the external splits table — resolve the " +
+            "conflict upstream (an arbitrary winner would silently leak " +
+            "held-out subjects into training)")
         val unassigned = subjects.join(existing, Seq(SubjectId), "left_anti")
         val assigned =
           if (parity) ReshardToSplit.assignSplitsByFrac(unassigned, fracs, seed)

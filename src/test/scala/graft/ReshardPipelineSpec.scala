@@ -106,6 +106,27 @@ class ReshardPipelineSpec extends SparkSpec {
     assert(chained.data.groupBy(Split, Shard).count().count() == 6) // 2 shards each
   }
 
+  test("generate_subject_splits fails fast on a subject with conflicting external splits") {
+    // subject 3 is listed as BOTH held_out and train: an arbitrary winner
+    // would silently leak a held-out subject into training on some runs
+    val external = Seq((1L, "held_out"), (2L, "held_out"), (3L, "held_out"),
+      (3L, "train"), (3L, "held_out") /* identical dup is fine */)
+      .toDF(SubjectId, Split)
+    val data = (1L to 10L).map(i => (i, ts("2024-01-01 10:00:00"), "A", 1.0f))
+      .toDF(SubjectId, Time, Code, NumericValue)
+    val meds = MedsData(data, Seq.empty[String].toDF(Code), external)
+    val stages = PipelineConfig.fromJson(
+      """{"stages": [{"generate_subject_splits": {"seed": 1}}]}""").stages
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, meds, stages)
+    }
+    assert(ex.getMessage.contains("3") && ex.getMessage.contains("more than one split"))
+    // identical duplicate rows (no conflict) still pass
+    val okExternal = Seq((1L, "held_out"), (1L, "held_out")).toDF(SubjectId, Split)
+    val ok = Pipeline.run(spark, MedsData(data, Seq.empty[String].toDF(Code), okExternal), stages)
+    assert(ok.splits.count() == 10)
+  }
+
   test("reshard_to_split stage from config JSON + checkpoint round-trips the layout") {
     val splits = splitsDf(40)
     val meds = MedsData(eventsFor(splits), Seq.empty[String].toDF(Code), splits)
