@@ -426,7 +426,15 @@ object Dedup {
     * `spark.dynamicAllocation.cachedExecutorIdleTimeout=infinity` (the
     * default) so executors holding these blocks are not reaped mid-loop.
     */
-  def resolveClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    resolveClustersStats(pairs, maxIters)._1
+
+  /** [[resolveClusters]] plus the number of propagation rounds it ran — the
+    * observable for the O(log diameter) pointer-jumping claim (ClusterSmoke
+    * measures rounds against known-diameter graphs).
+    */
+  private[graft] def resolveClustersStats(
+      pairs: DataFrame, maxIters: Int = 25): (DataFrame, Int) = {
     // pre-partition on the lookup key and materialize once: localCheckpoint
     // preserves outputPartitioning, so the per-round join against `edges`
     // never re-shuffles the edge table (ContextCleaner frees the blocks when
@@ -475,7 +483,7 @@ object Dedup {
     // the result is checkpointed and lineage-free; the edge table is no
     // longer reachable from it
     org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(edges)
-    labels
+    (labels, i)
   }
 
   /** Embedding-cosine near-dup pairs, blocked by a coarse partition column
