@@ -117,6 +117,18 @@ object Sessionize {
     * gap). Events later than the watermark may be dropped by the engine.
     * Session indices restart after an eviction; only (start,end,n,sum)
     * identity is contractual.
+    *
+    * State-store sizing: the operator is store-agnostic, but at high key
+    * cardinality (10⁷-10⁸ concurrent users) configure the RocksDB provider —
+    * the default HDFS-backed store keeps every state row ON-HEAP per
+    * executor, while RocksDB holds state off-heap + on local disk so heap
+    * stays bounded by the working set, not the user count:
+    * {{{
+    * spark.sql.streaming.stateStore.providerClass=
+    *   org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    * }}}
+    * Evidence at 1M concurrent users (open → extend → timeout-close, state
+    * fully evicted): `StreamSmoke.scala` + SMOKE.md.
     */
   def streamingWithTimeout(events: Dataset[Ev], gapMinutes: Int,
       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
