@@ -69,6 +69,33 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("SortedPairs equals the composable transform/slice pyramid") {
+    val rng = new scala.util.Random(23)
+    // random lists incl. empty, singleton, duplicates, and unsorted order
+    val lists = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(rng.nextInt(8))(rng.nextLong().abs % 20))) ++
+      Seq((100L, Seq.empty[Long]), (101L, Seq(7L)), (102L, Seq(5L, 5L, 1L)))
+    val df = lists.toDF("i", "ids")
+    val sorted = sort_array(col("ids"))
+    val pyramid = flatten(transform(sorted, (x, idx) =>
+      transform(slice(sorted, idx + lit(2), size(sorted)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val rows = df.select(
+      VectorExpressions.sortedPairs(col("ids")).as("native"),
+      pyramid.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) == r.getSeq[org.apache.spark.sql.Row](1))
+    }
+    // null array -> null; null elements stripped (collect_list never emits
+    // them, but the expression must not NPE on hand-built input)
+    val edge = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) AS ids " +
+      "UNION ALL SELECT array(3L, NULL, 1L)")
+      .select(VectorExpressions.sortedPairs(col("ids")).as("p")).collect()
+    assert(edge.exists(_.isNullAt(0)))
+    val stripped = edge.find(!_.isNullAt(0)).get.getSeq[org.apache.spark.sql.Row](0)
+    assert(stripped.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 3L)))
+  }
+
   test("implicit cast: float arrays accepted") {
     val d = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     assert(d.select(VectorExpressions.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
@@ -106,5 +133,12 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(col("id"), array((0 until 8).map(i => col("id") * i): _*).cast("array<double>").as("v"))
     val total = d.select(sum(VectorExpressions.dot(col("v"), col("v")))).head().getDouble(0)
     assert(total > 0)
+    // SortedPairs through the codegen'd generate path at volume: k=4 lists
+    // emit exactly C(4,2)=6 pairs each
+    val p = spark.range(10000)
+      .select(array(col("id"), col("id") + 3, col("id") + 1, col("id") + 2).as("ids"))
+      .select(explode(VectorExpressions.sortedPairs(col("ids"))).as("p"))
+    assert(p.count() == 60000)
+    assert(p.filter(col("p.id_a") >= col("p.id_b")).count() == 0)
   }
 }
