@@ -97,12 +97,25 @@ object Main {
     val checkpointRoot = positional.lift(3)
     graft.plans.GraftExtensions.register(spark)
 
-    // Hydra value sweeps: under --multirun an unquoted, non-collection
-    // comma value fans one override into one-per-value; the job list is the
-    // cartesian product across swept overrides. Without --multirun the comma
-    // stays inside one literal value (Hydra's behavior exactly) — silently
-    // running a single job with the literal "1,2,3" under --multirun was the
-    // r5-flagged semantic gap.
+    val jobs = sweepJobs(overrides, multirun)
+    if (jobs.lengthCompare(1) == 0)
+      runPipeline(spark, pipelineFile, inputRoot, outputRoot, checkpointRoot,
+        jobs.head, stageOnly)
+    else jobs.zipWithIndex.foreach { case (combo, i) =>
+      println(s"[graft] multirun job $i: ${combo.mkString(" ")}")
+      runPipeline(spark, pipelineFile, inputRoot, s"$outputRoot/run_$i",
+        checkpointRoot.map(r => s"$r/run_$i"), combo, stageOnly)
+    }
+  }
+
+  /** Hydra value sweeps: under --multirun an unquoted, non-collection comma
+    * value fans one override into one-per-value; the job list is the
+    * cartesian product across swept overrides (applied in argument order).
+    * Without --multirun the comma stays inside one literal value (Hydra's
+    * behavior exactly) — silently running a single job with the literal
+    * "1,2,3" under --multirun was the r5-flagged semantic gap.
+    */
+  private[graft] def sweepJobs(overrides: Seq[String], multirun: Boolean): Seq[Seq[String]] = {
     def choices(o: String): Seq[String] = {
       val eq = o.indexOf('=')
       val v = o.substring(eq + 1)
@@ -111,17 +124,8 @@ object Main {
       if (atomic) Seq(o)
       else v.split(',').toSeq.map(p => o.substring(0, eq + 1) + p.trim)
     }
-    val jobs: Seq[Seq[String]] =
-      overrides.map(choices).foldLeft(Seq(Seq.empty[String])) {
-        (acc, cs) => for { a <- acc; c <- cs } yield a :+ c
-      }
-    if (jobs.lengthCompare(1) == 0)
-      runPipeline(spark, pipelineFile, inputRoot, outputRoot, checkpointRoot,
-        jobs.head, stageOnly)
-    else jobs.zipWithIndex.foreach { case (combo, i) =>
-      println(s"[graft] multirun job $i: ${combo.mkString(" ")}")
-      runPipeline(spark, pipelineFile, inputRoot, s"$outputRoot/run_$i",
-        checkpointRoot.map(r => s"$r/run_$i"), combo, stageOnly)
+    overrides.map(choices).foldLeft(Seq(Seq.empty[String])) {
+      (acc, cs) => for { a <- acc; c <- cs } yield a :+ c
     }
   }
 

@@ -192,6 +192,16 @@ class YamlConfigSpec extends SparkSpec {
     Main.run(Array(p, in, s"$tmp/lit",
       "stages.filter_subjects.extra_note=a,b"), spark)
     assert(MedsIO.read(spark, s"$tmp/lit").data.count() == 41)
+
+    // sweep-expansion unit rules: cartesian product in argument order,
+    // quoted/collection/comma-free values stay atomic, no flag = no sweep
+    assert(Main.sweepJobs(Seq("a=1,2", "b=x,y", "c=5"), multirun = true) == Seq(
+      Seq("a=1", "b=x", "c=5"), Seq("a=1", "b=y", "c=5"),
+      Seq("a=2", "b=x", "c=5"), Seq("a=2", "b=y", "c=5")))
+    assert(Main.sweepJobs(Seq("a=[1,2]", "b=\"x,y\"", "c='p,q'"), multirun = true)
+      == Seq(Seq("a=[1,2]", "b=\"x,y\"", "c='p,q'")))
+    assert(Main.sweepJobs(Seq("a=1,2"), multirun = false) == Seq(Seq("a=1,2")))
+    assert(Main.sweepJobs(Seq.empty, multirun = true) == Seq(Seq.empty))
   }
 
   test("CLI dotted-path overrides equal an edited-file run") {
