@@ -204,8 +204,9 @@ object OpStages {
       val (id, vec) = vecIds(cfg)
       val block = cfg.getStr("block_col").getOrElse("label")
       val threshold = cfg.getDouble("threshold").getOrElse(0.95)
+      val maxBlock = cfg.getInt("max_block") // None = no hot-block sub-bucketing
       Pipeline.DataStage(name, m => dropNonRepresentatives(m.data, id,
-        Dedup.embeddingPairs(m.data, id, vec, col(block), threshold)))
+        Dedup.embeddingPairs(m.data, id, vec, col(block), threshold, maxBlock)))
     }
 
     // k-NN join: each data row gets its k nearest rows of `right_path`

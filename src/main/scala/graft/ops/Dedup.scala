@@ -490,14 +490,43 @@ object Dedup {
     * (cluster/label/bucket) so the cross join stays within blocks. For
     * unblocked data pass a constant column (exact but quadratic) or an LSH
     * bucket from `Similarity.signBucket`.
+    *
+    * `maxBlock` is this operator's hot-block guard (the same skew family as
+    * ngram `maxDf` / band `maxBucket` / knn `maxBlockSize`): a block of d
+    * rows fans into d² candidates through one join key, so one hot label
+    * degenerates the whole query at scale. With `Some(cap)`, blocks whose
+    * size exceeds the cap are sub-bucketed by sign-LSH over
+    * `subBucketDims` on BOTH join sides (join key becomes (block, bucket),
+    * expected fan-out cut ~2^dims). Results stay exact for every block
+    * within the cap; oversized blocks find pairs within the sub-bucket —
+    * near-identical vectors (the cos ≥ threshold targets of this operator)
+    * agree on coordinate signs almost everywhere, so true near-dups
+    * co-bucket, the same exactness trade `Similarity.knnJoin` makes. The
+    * oversized-block list is a map-side-combined count broadcast to both
+    * sides: no extra shuffle of the vectors.
     */
   def embeddingPairs(
       embs: DataFrame, idCol: String, vecCol: String, blockCol: Column,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, maxBlock: Option[Int] = None,
+      subBucketDims: Seq[Int] = 0 until 8): DataFrame = {
     val e = embs.select(col(idCol), col(vecCol), blockCol.as("__block"))
-    val a = e.toDF("id_a", "vec_a", "__block")
-    val b = e.toDF("id_b", "vec_b", "__block")
-    a.join(b, Seq("__block"))
+    val (a, b, joinKeys) = maxBlock match {
+      case None =>
+        (e.toDF("id_a", "vec_a", "__block"), e.toDF("id_b", "vec_b", "__block"),
+          Seq("__block"))
+      case Some(cap) =>
+        val oversized = e.groupBy("__block").agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap)
+          .select(col("__block"), lit(true).as("__hot"))
+        val bucketed = e.join(broadcast(oversized), Seq("__block"), "left")
+          .withColumn("__bucket", when(col("__hot"),
+            graft.ops.Similarity.signBucket(col(vecCol), subBucketDims)).otherwise(lit(0L)))
+          .drop("__hot")
+        def side(p: String) = bucketed.select(col("__block"), col("__bucket"),
+          col(idCol).as(s"id_$p"), col(vecCol).as(s"vec_$p"))
+        (side("a"), side("b"), Seq("__block", "__bucket"))
+    }
+    a.join(b, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)

@@ -197,6 +197,34 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("embeddingPairs maxBlock guard: hot block sub-buckets, near-dups still found") {
+    val rng = new scala.util.Random(31)
+    // hot block "h": 60 vectors = 20 near-identical triples (base + tiny
+    // jitter, pairwise cos ~1) scattered across orthants so sub-bucketing
+    // splits the block; cold block "c": 4 vectors, stays exact
+    val hot = (0 until 20).flatMap { g =>
+      val base = Array.fill(8)(rng.nextGaussian())
+      (0 until 3).map(j =>
+        (g * 3L + j, base.map(_ + rng.nextGaussian() * 1e-4), "h"))
+    }
+    val cold = (0 until 4).map(i => (100L + i, Array.fill(8)(rng.nextGaussian()), "c"))
+    val embs = (hot ++ cold).toDF("vec_id", "embedding", "label")
+    val unguarded = Dedup.embeddingPairs(embs, "vec_id", "embedding", col("label"), 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.embeddingPairs(embs, "vec_id", "embedding", col("label"), 0.999,
+      maxBlock = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every true near-dup pair (within a jitter triple) survives the guard:
+    // near-identical vectors agree on coordinate signs, so triples co-bucket
+    val trueDups = (0 until 20).flatMap { g =>
+      val ids = (0 until 3).map(g * 3L + _)
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    }.toSet
+    assert(trueDups.subsetOf(guarded), s"missing: ${trueDups -- guarded}")
+    // the guard never invents pairs and the cold block is untouched (exact)
+    assert(guarded.subsetOf(unguarded))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
