@@ -269,6 +269,25 @@ object OpStages {
       })
     }
 
+    // batch sessionization over an event-shaped data table: groups activity
+    // into gap-separated sessions (the sequence-construction primitive).
+    // Column names are configurable; REPLACES data with the session table
+    // (user_id, session_idx, start_ts, end_ts, n_events, sum_value). The
+    // streaming twin stays on the graft.streaming API (a YAML pipeline is a
+    // batch run; identical semantics spec-locked in StreamingSpec).
+    PipelineConfig.register("sessionize") { (name, cfg) =>
+      val gap = cfg.getInt("gap_minutes").getOrElse(30)
+      val user = cfg.getStr("user_col").getOrElse("user_id")
+      val tsc = cfg.getStr("ts_col").getOrElse("ts")
+      val value = cfg.getStr("value_col").getOrElse("value")
+      val tieBreak = cfg.getStr("tie_break_col").getOrElse("event_id")
+      Pipeline.DataStage(name, m =>
+        graft.streaming.Sessionize.batch(
+          m.data.select(col(user).as("user_id"), col(tsc).as("ts"),
+            col(value).as("value"), col(tieBreak).as(tieBreak)),
+          gapMinutes = gap, tieBreak = tieBreak))
+    }
+
     // multimodal plumbing: convert a text corpus to the media-table shape,
     // then metadata / decode / resize / frame-sample over it. The decode /
     // resize / frame stages require media-shaped data (media_id, payload,

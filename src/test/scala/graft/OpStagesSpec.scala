@@ -248,6 +248,30 @@ class OpStagesSpec extends SparkSpec {
     assert(ivf == Seq(1L, 2L))
   }
 
+  test("sessionize stage groups events into gap-separated sessions from YAML") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = spark.createDataFrame(Seq(
+      (7L, t("2024-01-01 10:00:00"), 1L, 2.0),
+      (7L, t("2024-01-01 10:10:00"), 2L, 3.0),
+      (7L, t("2024-01-01 11:30:00"), 3L, 1.0), // > 30 min gap -> new session
+      (8L, t("2024-01-01 09:00:00"), 4L, 5.0)
+    )).toDF("uid", "when", "event_id", "amount")
+    val yaml =
+      """stages:
+        |  - sessionize:
+        |      gap_minutes: 30
+        |      user_col: uid
+        |      ts_col: when
+        |      value_col: amount
+        |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(events),
+      PipelineConfig.fromYaml(yaml).stages).data
+    val rows = out.select("user_id", "session_idx", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set((7L, 1L, 2L, 5.0), (7L, 2L, 1L, 1.0), (8L, 1L, 1L, 5.0)))
+  }
+
   test("multimodal YAML chain: as_media -> media_frames plumbing") {
     val yaml =
       """stages:
