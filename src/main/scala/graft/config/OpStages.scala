@@ -16,8 +16,14 @@ import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
   * These go beyond the reference's own stage set: they wrap the
   * `graft.ops` operators (each independently oracle-verified by the
   * correctness gate) as pipeline stages over whatever table the pipeline
-  * threads as `data`. Column names are configurable per stage (`id_col`,
-  * `text_col`, ...) with documents-table defaults (`doc_id`, `text`).
+  * threads as `data` — dedup (exact/fingerprint/minhash/ngram/simhash/
+  * embedding), text signals (quality/lang-id/tokens/winnow), similarity
+  * (knn_join/sim_topk), sampling (sample/sample_split/stratified_cap),
+  * sessionization, multimodal plumbing (as_media/media_*), and a generic
+  * `filter_rows` predicate stage. Column names are configurable per stage
+  * (`id_col`, `text_col`, ...) with documents-table defaults
+  * (`doc_id`, `text`) and embeddings-table defaults (`vec_id`,
+  * `embedding`, `label`) for the vector stages.
   *
   * Dedup-stage semantics: the stage RETURNS THE DEDUPLICATED DATA — rows
   * whose id survives as its group's representative (minimum id per exact
@@ -267,6 +273,24 @@ object OpStages {
         case other => throw new IllegalArgumentException(
           s"stage $name: unknown mode `$other` (brute | lsh | ivf)")
       })
+    }
+
+    // generic predicate filter over the data table — the glue stage corpus
+    // pipelines need between signal stages and dedup (e.g. keep
+    // `lang_pred = 'en' AND n_tokens > 100` after lang_id/text_tokens).
+    // The predicate is a Spark SQL boolean expression; it fails at
+    // config-parse time if unparsable, at analysis time if columns miss.
+    PipelineConfig.register("filter_rows") { (name, cfg) =>
+      val predicate = cfg.getStr("predicate").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `predicate` (a SQL boolean expression) is required"))
+      // parse eagerly so a syntax error fails at config time, not
+      // mid-pipeline (Spark 4's Column API defers expr() parsing to binding)
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(predicate)
+      catch { case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        throw new IllegalArgumentException(
+          s"stage $name: unparsable `predicate` '$predicate': ${e.getMessage}")
+      }
+      Pipeline.DataStage(name, m => m.data.filter(expr(predicate)))
     }
 
     // batch sessionization over an event-shaped data table: groups activity

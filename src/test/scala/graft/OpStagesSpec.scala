@@ -248,6 +248,29 @@ class OpStagesSpec extends SparkSpec {
     assert(ivf == Seq(1L, 2L))
   }
 
+  test("filter_rows stage: SQL predicate chains with signal stages") {
+    val yaml =
+      """stages:
+        |  - text_tokens
+        |  - filter_rows:
+        |      predicate: "n_tokens >= 5 AND source = 'web'"
+        |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(docs),
+      PipelineConfig.fromYaml(yaml).stages).data
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L)) // web docs with >= 5 tokens ("short text" = 2)
+    // an unparsable predicate fails at CONFIG time, not mid-pipeline
+    intercept[Exception] {
+      PipelineConfig.fromYaml(
+        "stages:\n  - filter_rows:\n      predicate: \"n_tokens >=\"\n")
+    }
+    // a missing predicate is rejected with the stage named
+    val ex = intercept[IllegalArgumentException] {
+      PipelineConfig.fromYaml("stages:\n  - filter_rows\n")
+    }
+    assert(ex.getMessage.contains("predicate"))
+  }
+
   test("sessionize stage groups events into gap-separated sessions from YAML") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
