@@ -140,6 +140,38 @@ object SkewSmoke {
     val (nG, tKG) = time(Similarity.knnJoin(vecsS, vecsS, "id", "vec", "block", 5, Some(cap)).count())
     report(f"knn 50k-vector A/B on identical data: unguarded $tKU%.1f s ($nU rows) vs guarded $tKG%.1f s ($nG rows)")
 
+    // ---------------- embeddingPairs hot-block guard ----------------
+    // 500k vectors with PLANTED duplicates: vector seeded by id % 50k, so
+    // hot-block ids 0..99,999 hold each seed exactly twice — 50,000 true
+    // identical pairs (i, i+50000) inside the hot block. Identical vectors
+    // co-bucket under sign-LSH by construction, so the guard must find ALL
+    // of them — the recall claim under verification, not just the cut.
+    val embVecs = spark.range(0, 500000L, 1, 64).select(
+      col("id"),
+      when(col("id") < 100000L, lit(0))
+        .otherwise((pmod(col("id"), lit(5000)) + 1).cast("int")).as("block"),
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod(hash(pmod(col("id"), lit(50000L)) * 17 + i * 3), lit(2001)) - 1000)
+          .cast("double") / 1000.0).as("vec")).localCheckpoint()
+    val embSizes = embVecs.groupBy("block").agg(count(lit(1)).as("n"))
+    val embCandAll = embSizes
+      .agg(sum((col("n") * (col("n") - 1) / 2).cast("long"))).head().getLong(0)
+    val embCandGuarded = embVecs
+      .withColumn("bucket", when(col("block") === 0,
+        Similarity.signBucket(col("vec"), 0 until 8)).otherwise(lit(0L)))
+      .groupBy("block", "bucket").agg(count(lit(1)).as("n"))
+      .agg(sum((col("n") * (col("n") - 1) / 2).cast("long"))).head().getLong(0)
+    report(f"embed pairs 500k vectors, hot block 100k rows: unguarded candidates (analytic) = $embCandAll%,d; " +
+      f"guarded (cap=$cap, 8 sign-LSH planes) = $embCandGuarded%,d (${embCandAll.toDouble / embCandGuarded}%.0fx cut)")
+    val (planted, tE) = time(
+      Dedup.embeddingPairs(embVecs, "id", "vec", col("block"), threshold = 0.999,
+        maxBlock = Some(cap))
+        .filter(col("id_b") === col("id_a") + 50000L && col("id_a") < 50000L)
+        .count())
+    require(planted == 50000L, s"guard lost planted duplicate pairs: $planted/50000")
+    report(f"embed pairs 500k vectors guarded run: $tE%.1f s, all $planted%,d planted " +
+      f"hot-block duplicate pairs found (unguarded = ${embCandAll / 1000000}%,dM-row join, not runnable)")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SMOKE_SKEW.txt"),
       out.toString)
     spark.stop()
