@@ -63,6 +63,55 @@ class DedupSpec extends SparkSpec {
       threshold = 0.0, maxDf = Some(10)).count() == 1)
   }
 
+  test("ngram jaccard equals a brute-force Scala oracle on random corpora (both paths)") {
+    // independent oracle: exact Jaccard over distinct shingle STRINGS
+    // (56-bit hash collisions are impossible at this corpus size), with the
+    // maxDf prune + size recomputation replicated literally — locks the
+    // grouped-inverted-index rewrite to the operator's contract without
+    // reference to any deleted implementation
+    def shingleSet(text: String, n: Int): Set[String] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    def brute(docs: Seq[(Long, String)], n: Int, threshold: Double,
+        maxDf: Option[Int]): Set[(Long, Long, Double)] = {
+      val sets0 = docs.map { case (id, t) => id -> shingleSet(t, n) }
+        .filter(_._2.nonEmpty).toMap
+      val sets = maxDf match {
+        case None => sets0
+        case Some(m) =>
+          val df = sets0.values.toSeq.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+          sets0.view.mapValues(_.filter(s => df(s) <= m)).toMap
+      }
+      (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+        shared = (sa intersect sb).size if shared > 0
+        j = shared.toDouble / (sa.size + sb.size - shared) if j >= threshold
+      } yield (a, b, math.rint(j * 10000) / 10000)).toSet
+    }
+    val rng = new scala.util.Random(97)
+    (0 until 4).foreach { trial =>
+      // small vocab forces heavy shingle sharing; some docs near-duplicated
+      val docs = (0 until 25).map { i =>
+        val len = 3 + rng.nextInt(10)
+        val words = Seq.fill(len)(s"w${rng.nextInt(12)}")
+        (i.toLong, words.mkString(" "))
+      } ++ Seq((100L, "w1 w2 w3 w4 w5"), (101L, "w1 w2 w3 w4 w5"), (102L, ""))
+      val df = docs.toDF("doc_id", "text")
+      val maxDf = if (trial % 2 == 0) None else Some(3 + rng.nextInt(5))
+      val threshold = 0.2 + 0.2 * (trial % 3)
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+          threshold = threshold, maxDf = maxDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 10000) / 10000))
+        .toSet
+      val want = brute(docs, 3, threshold, maxDf)
+      assert(got == want,
+        s"trial $trial maxDf=$maxDf thr=$threshold: got-want=${got -- want} want-got=${want -- got}")
+    }
+  }
+
   test("minhash-LSH finds near-dups without all-pairs comparison") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
