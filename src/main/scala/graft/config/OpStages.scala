@@ -275,6 +275,28 @@ object OpStages {
       })
     }
 
+    // text normalization: the standard pre-dedup cleanup, in-place on
+    // `text_col` by default or appended as `output_col`. Fixed application
+    // order (lowercase → strip_punct → collapse_ws → trim) regardless of
+    // the order requested, so configs normalize identically.
+    PipelineConfig.register("normalize_text") { (name, cfg) =>
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      val ops = cfg.strings("ops") match {
+        case Seq() => TextAnalysis.NormalizeOps
+        case xs => xs
+      }
+      val normalized = try TextAnalysis.normalize(col(text), ops)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"stage $name: ${e.getMessage}")
+      }
+      cfg.getStr("output_col") match {
+        case Some(out) => Pipeline.DataStage(name, m =>
+          appendCols(name, m.data, Seq(normalized.as(out))))
+        case None => Pipeline.DataStage(name, m =>
+          m.data.withColumn(text, normalized))
+      }
+    }
+
     // generic predicate filter over the data table — the glue stage corpus
     // pipelines need between signal stages and dedup (e.g. keep
     // `lang_pred = 'en' AND n_tokens > 100` after lang_id/text_tokens).

@@ -96,4 +96,25 @@ object TextAnalysis {
   /** Normalized-content fingerprint (lowercase, collapse whitespace, md5). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Composable text normalization — the standard pre-dedup cleanup chain,
+    * applied in a FIXED order regardless of the order ops are requested in
+    * (lowercase → strip punctuation → collapse whitespace → trim), so two
+    * configs naming the same op set normalize identically. Pure codegen'd
+    * expressions; unknown op names fail fast with the known set.
+    */
+  val NormalizeOps: Seq[String] = Seq("lowercase", "strip_punct", "collapse_ws")
+
+  def normalize(text: Column, ops: Seq[String]): Column = {
+    val unknown = ops.filterNot(NormalizeOps.contains)
+    require(unknown.isEmpty,
+      s"unknown normalize op(s) ${unknown.mkString(", ")} (known: ${NormalizeOps.mkString(", ")})")
+    var t = text
+    if (ops.contains("lowercase")) t = lower(t)
+    // punctuation → space (not empty): "end.Start" must not fuse into one
+    // token, and the whitespace collapse below tidies the result
+    if (ops.contains("strip_punct")) t = regexp_replace(t, "[\\p{Punct}]+", " ")
+    if (ops.contains("collapse_ws")) t = regexp_replace(t, "\\s+", " ")
+    trim(t)
+  }
 }

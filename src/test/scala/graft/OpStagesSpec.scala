@@ -248,6 +248,39 @@ class OpStagesSpec extends SparkSpec {
     assert(ivf == Seq(1L, 2L))
   }
 
+  test("normalize_text stage: fixed-order ops, in-place or appended") {
+    val messy = spark.createDataFrame(Seq(
+      (1L, "Hello,   World! (Again)"),
+      (2L, "hello world again"),
+      (3L, null.asInstanceOf[String])
+    )).toDF("doc_id", "text")
+    val inPlace = Pipeline.run(spark, emptyMeds(messy), PipelineConfig.fromYaml(
+      "stages:\n  - normalize_text\n").stages).data
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(inPlace(1L) == "hello world again" && inPlace(2L) == "hello world again")
+    assert(inPlace(3L) == null) // null text passes through untouched
+    // appended column + op subset; request order does not matter
+    val appended = Pipeline.run(spark, emptyMeds(messy), PipelineConfig.fromYaml(
+      """stages:
+        |  - normalize_text:
+        |      ops: [collapse_ws, lowercase]
+        |      output_col: text_norm
+        |""".stripMargin).stages).data
+    val r1 = appended.filter(col("doc_id") === 1).head()
+    assert(r1.getString(r1.fieldIndex("text")) == "Hello,   World! (Again)")
+    assert(r1.getString(r1.fieldIndex("text_norm")) == "hello, world! (again)")
+    // normalize -> fingerprint-dedup chain collapses the messy duplicate
+    val chained = Pipeline.run(spark, emptyMeds(messy), PipelineConfig.fromYaml(
+      "stages:\n  - normalize_text\n  - dedup_exact\n").stages).data
+    assert(chained.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // unknown op fails at config time with the stage named
+    val ex = intercept[IllegalArgumentException] {
+      PipelineConfig.fromYaml(
+        "stages:\n  - normalize_text:\n      ops: [lowercase, nfkc]\n")
+    }
+    assert(ex.getMessage.contains("normalize_text") && ex.getMessage.contains("nfkc"))
+  }
+
   test("filter_rows stage: SQL predicate chains with signal stages") {
     val yaml =
       """stages:
