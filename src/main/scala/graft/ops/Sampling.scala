@@ -45,18 +45,35 @@ object Sampling {
   }
 
   /** Stratified cap: keep at most `perStratum` rows per stratum, selected by
-    * hash rank (deterministic). One shuffle on the stratum key.
+    * hash rank (deterministic).
+    *
+    * TWO-PHASE TOURNAMENT, because the obvious single window partitioned by
+    * the stratum serializes each stratum into one task — and real corpora
+    * have a dominant stratum (one `source` covering most of a 100 TB crawl),
+    * which turns the cap into a single-task sort of most of the dataset.
+    * Phase 1 windows over (stratum, salt) — `salts`-way parallel even inside
+    * one stratum — keeping each salt's local top-`perStratum`; phase 2 ranks
+    * only the ≤ salts × perStratum survivors per stratum. Exact: every
+    * global top-k row is its salt bucket's top-≤k, so phase 1 never drops
+    * one. The phase-1 shuffle is the same volume the single window paid but
+    * spread over salts× more keys; phase 2 shuffles only survivors. The salt
+    * is id-derived (not round-robin), so retries re-bucket identically.
     */
   def stratifiedCap(df: DataFrame, idCol: String, stratumCol: String,
-      perStratum: Int, seed: Long = 42L): DataFrame = {
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(unitHash(col(idCol), seed), col(idCol))
+      perStratum: Int, seed: Long = 42L, salts: Int = 64): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val order = Seq(unitHash(col(idCol), seed), col(idCol))
+    val local = Window.partitionBy(col(stratumCol), pmod(hash(col(idCol)), lit(salts)))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
     // null ids have no stable hash: default nulls-first ordering would keep
     // them preferentially AND nondeterministically (all sort keys equal) —
     // drop them, consistent with sample()
     df.filter(col(idCol).isNotNull)
-      .withColumn("__rank", row_number().over(w))
+      .withColumn("__lrank", row_number().over(local))
+      .filter(col("__lrank") <= perStratum)
+      .withColumn("__rank", row_number().over(global))
       .filter(col("__rank") <= perStratum)
-      .drop("__rank")
+      .drop("__lrank", "__rank")
   }
 }

@@ -58,6 +58,27 @@ class SamplingSpec extends SparkSpec {
     val out2 = Sampling.stratifiedCap(docs, "doc_id", "lang", perStratum = 10)
     assert(out.collect().map(_.getLong(0)).toSet == out2.collect().map(_.getLong(0)).toSet)
   }
+
+  test("stratified cap tournament is exact on a hot stratum, salt-count invariant") {
+    import spark.implicits._
+    // one dominant stratum (the shape that serializes a single-window cap)
+    val rows = (0 until 5000).map(i => (i.toLong, "hot")) ++
+      (0 until 7).map(i => (10000L + i, "cold"))
+    val df = rows.toDF("doc_id", "lang")
+    // ground truth: smallest (unitHash, id) per stratum, computed directly
+    val hashed = df.select(col("doc_id"), col("lang"),
+      Sampling.unitHash(col("doc_id")).as("h"))
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(0)))
+    val want = hashed.toSeq.groupBy(_._1).values
+      .flatMap(xs => xs.sortBy(x => (x._2, x._3)).take(10).map(_._3)).toSet
+    def run(salts: Int) = Sampling.stratifiedCap(df, "doc_id", "lang",
+      perStratum = 10, salts = salts).collect().map(_.getLong(0)).toSet
+    assert(run(64) == want) // default
+    assert(run(1) == want) // degenerate single-phase
+    assert(run(257) == want) // more salts than survivors per stratum
+    // the cold stratum (7 < cap) survives whole
+    assert((10000L until 10007L).toSet.subsetOf(want))
+  }
 }
 
 class GraftExtensionsSpec extends SparkSpec {
