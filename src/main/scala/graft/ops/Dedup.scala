@@ -49,17 +49,17 @@ object Dedup {
     * exploded forms.
     */
   private def hashArrays(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, distinct: Boolean): DataFrame = {
-    val shingles = graft.functions.GraftFunctions.wordShingles(col(textCol), n)
-    val arr = if (distinct) array_distinct(shingles) else shingles
+      n: Int, distinct: Boolean): DataFrame =
     docs
       .filter(size(tokens(col(textCol))) >= n)
-      .select(col(idCol), arr.as("__shingles"))
-      // one codegen'd pass (graft.plans.Hash56Array) — a transform() lambda
-      // re-enters interpreted evaluation per shingle
+      // one codegen'd pass from the TOKEN array to the hash array
+      // (graft.plans.ShingleHash56): token bytes stream into the digest, so
+      // the shingle strings and the zip_with/array_distinct intermediates
+      // of the composable form (interpreted per element — higher-order
+      // functions are CodegenFallback) never materialize
       .select(col(idCol),
-        graft.plans.VectorExpressions.hash56Array(col("__shingles")).as("__hs"))
-  }
+        graft.plans.VectorExpressions.shingleHash56(tokens(col(textCol)), n, distinct)
+          .as("__hs"))
 
   /** Winnowing document fingerprints (Schleimer et al.'s rolling-hash
     * sketch): hash every word n-gram, slide a window of `w` hashes, keep the
@@ -89,8 +89,7 @@ object Dedup {
   def winnowFingerprintArray(text: Column, n: Int, w: Int): Column =
     when(size(tokens(text)) >= n,
       array_distinct(graft.plans.VectorExpressions.winnowMins(
-        graft.plans.VectorExpressions.hash56Array(
-          graft.functions.GraftFunctions.wordShingles(text, n)), w)))
+        graft.plans.VectorExpressions.shingleHash56(tokens(text), n, distinct = false), w)))
 
   /** Word n-gram shingles with their start position, one row per shingle:
     * posexplode the token array once, then assemble each shingle from window
@@ -149,16 +148,18 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Option[Int] = None): DataFrame = {
-    // hash AFTER the explode: a row-level md5 runs inside whole-stage codegen
-    // (measured ~1.5× the in-lambda interpreted form). The exploded table is
+    // hash BEFORE the explode, in the one-pass native expression (tokens →
+    // hash array, graft.plans.ShingleHash56): the Generate then fans out
+    // 8-byte longs instead of shingle strings, and the exploded table is
     // (id, hash) — 16 bytes/shingle on the wire, never documents.
-    def exploded(extra: Seq[Column]): DataFrame = docs
-      .filter(size(tokens(col(textCol))) >= n)
-      .select(col(idCol),
-        array_distinct(graft.functions.GraftFunctions.wordShingles(col(textCol), n))
-          .as("__shingles"))
-      .select((col(idCol) +: extra) :+ explode(col("__shingles")).as("__s"): _*)
-      .withColumn("shingle", portableHash56(col("__s"))).drop("__s")
+    def exploded(withSize: Boolean): DataFrame = {
+      val base = hashArrays(docs, idCol, textCol, n, distinct = true)
+      if (withSize) // per-doc distinct-set size rides along in-row
+        base.select(col(idCol), size(col("__hs")).as("__n"),
+          explode(col("__hs")).as("shingle"))
+      else
+        base.select(col(idCol), explode(col("__hs")).as("shingle"))
+    }
     val jaccard =
       col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared"))
     maxDf match {
@@ -168,7 +169,7 @@ object Dedup {
         // sizes aggregation). No checkpoint: the two join sides canonicalize
         // to the same shuffle exchange, so ReuseExchange materializes the
         // shingle chain once and the second side reads the shuffle files.
-        val sh = exploded(Seq(size(col("__shingles")).as("__n")))
+        val sh = exploded(withSize = true)
         val a = sh.toDF("id_a", "n_a", "shingle")
         val b = sh.toDF("id_b", "n_b", "shingle")
         a.join(b, Seq("shingle"))
@@ -188,7 +189,7 @@ object Dedup {
         // grouped rows instead of a shuffle-join. Set sizes are recomputed
         // from surviving posting lists (including singletons), preserving
         // "similarity over non-boilerplate shingles" semantics exactly.
-        val grouped = exploded(Seq.empty)
+        val grouped = exploded(withSize = false)
           .groupBy("shingle")
           .agg(collect_list(col(idCol)).as("__ids"))
           .filter(size(col("__ids")) <= m)

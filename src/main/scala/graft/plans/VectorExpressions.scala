@@ -338,6 +338,94 @@ case class WinnowMins(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Word-n-gram shingle hashes straight from the TOKEN array in one pass:
+  * for each window of n consecutive tokens, the 56-bit portable hash of the
+  * space-joined shingle — computed by STREAMING the token bytes and
+  * separators into the digest, so the shingle string, the zip_with
+  * intermediate arrays, and the per-element interpreted lambdas of the
+  * composable form (`array_distinct(wordShingles(text, n))` +
+  * [[Hash56Array]], GraftFunctions.wordShingles) never materialize. MD5 of
+  * the streamed bytes is bit-identical to MD5 of the concatenated string,
+  * so every oracle stays exact.
+  *
+  * `distinct` dedups on the FULL 128-bit digest — exactly the oracle's
+  * DISTINCT-on-string semantics (two shingles share a full md5 iff they are
+  * the same string, cryptographically), NOT on the 56-bit prefix: a prefix
+  * collision between two distinct shingles must keep both rows, because
+  * the string-level oracle keeps both. Windows containing a null token are
+  * skipped (parity: the composable form's concat yields null there and
+  * filters it). n=1 hashes the tokens themselves; arrays shorter than n
+  * yield an empty array; a null array yields null.
+  */
+case class ShingleHash56(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hash56"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash56.hashWindows(input.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.ShingleHash56.hashWindows($arr, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHash56 {
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private val Space = Array[Byte](' ')
+
+  def hashWindows(xs: ArrayData, n: Int, distinct: Boolean):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val total = xs.numElements()
+    val wins = total - n + 1
+    if (wins <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = md5.get()
+    val out = new Array[Any](wins)
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    var k = 0
+    var i = 0
+    while (i < wins) {
+      var nullTok = false
+      var j = 0
+      while (j < n && !nullTok) {
+        if (xs.isNullAt(i + j)) nullTok = true
+        else {
+          if (j > 0) md.update(Space)
+          md.update(xs.getUTF8String(i + j).getBytes)
+        }
+        j += 1
+      }
+      if (nullTok) md.reset() // discard the partial window's state
+      else {
+        val d = md.digest() // resets for the next window
+        // full-digest dedup = string-level DISTINCT (see scaladoc)
+        if (seen == null || seen.add(new String(d, java.nio.charset.StandardCharsets.ISO_8859_1))) {
+          out(k) = ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) |
+            ((d(2) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |
+            ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) | (d(6) & 0xffL)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (k == wins) out else out.take(k))
+  }
+}
+
 /** All ascending-ordered id pairs of a posting list in one pass:
   * sorts a null-stripped copy of the array and emits the k·(k−1)/2
   * combinations `(id_a < id_b)` as an array of structs ready to explode.
@@ -518,6 +606,9 @@ object VectorExpressions {
 
   def sortedPairs(ids: Column): Column =
     GraftSqlBridge.column(SortedPairs(expr(ids)))
+
+  def shingleHash56(tokens: Column, n: Int, distinct: Boolean): Column =
+    GraftSqlBridge.column(ShingleHash56(expr(tokens), n, distinct))
 
   /** Zero-norm vectors have undefined cosine → null (try_divide keeps ANSI
     * mode from throwing DIVIDE_BY_ZERO on degenerate rows).

@@ -69,6 +69,36 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("ShingleHash56 equals the composable wordShingles + hash chain") {
+    val rng = new scala.util.Random(41)
+    val vocab = Seq("alpha", "beta", "gamma", "ünïcode", "x", "longer-token")
+    val texts = (0 until 120).map { i =>
+      val words = Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      // irregular whitespace exercises the tokenizer parity
+      words.mkString(if (i % 3 == 0) "  " else " ")
+    } ++ Seq("", "   ", "one", "a b", "dup dup dup dup dup")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3); distinct <- Seq(true, false)) {
+      val toks = GraftFunctions.tokens(col("text"))
+      val sh = GraftFunctions.wordShingles(col("text"), n)
+      val composable = VectorExpressions.hash56Array(
+        if (distinct) array_distinct(sh) else sh)
+      val bad = df
+        .filter(size(toks) >= n) // both forms defined on >= n tokens
+        .select(
+          VectorExpressions.shingleHash56(toks, n, distinct).as("native"),
+          composable.as("ref"))
+        .filter(col("native") =!= col("ref"))
+      assert(bad.count() == 0, s"n=$n distinct=$distinct")
+    }
+    // null text -> null; null tokens skipped like the concat-null filter
+    val edge = spark.sql(
+      "SELECT CAST(NULL AS ARRAY<STRING>) AS t UNION ALL SELECT array('a', NULL, 'b')")
+      .select(VectorExpressions.shingleHash56(col("t"), 2, false).as("h")).collect()
+    assert(edge.exists(_.isNullAt(0)))
+    assert(edge.find(!_.isNullAt(0)).get.getSeq[Long](0).isEmpty) // both windows hit the null
+  }
+
   test("SortedPairs equals the composable transform/slice pyramid") {
     val rng = new scala.util.Random(23)
     // random lists incl. empty, singleton, duplicates, and unsorted order
