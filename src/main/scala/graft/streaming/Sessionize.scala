@@ -22,6 +22,13 @@ object Sessionize {
   /** Batch sessionization. A session breaks when the gap to the previous
     * event exceeds `gapMinutes`. `tieBreak` makes simultaneous events
     * deterministic.
+    *
+    * Scale note: the windows partition by user, so one user's history is
+    * sequential by construction (sessionization is an inherently ordered
+    * per-key computation). A single key holding a data-center-sized share
+    * of events (bot traffic) serializes into one task — filter or cap such
+    * keys upstream (`filter_rows` / `stratified_cap`); they are noise for
+    * training-data purposes anyway.
     */
   def batch(events: DataFrame, gapMinutes: Int, tieBreak: String = "event_id"): DataFrame = {
     val ts = col("ts").cast("timestamp")
