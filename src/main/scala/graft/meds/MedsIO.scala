@@ -124,13 +124,20 @@ object MedsIO {
       val withSplit =
         if (meds.data.columns.contains(Split)) meds.data
         else meds.data.withColumn(Split, lit(TrainSplit))
-      withSplit
-        // the path-derived shard provenance is re-created by read(); writing
-        // it as a data column would add a field the MEDS layout doesn't have
-        .drop(Shard)
-        .repartition(col(Split), col(SubjectId))
-        .sortWithinPartitions(SubjectId, Time)
-        .write.mode("overwrite").partitionBy(Split).parquet(s"$root/data")
+      // the path-derived shard provenance is re-created by read(); writing
+      // it as a data column would add a field the MEDS layout doesn't have
+      val bare = withSplit.drop(Shard)
+      // the (subject_id, time) sorted layout is the MEDS invariant — but
+      // the pipeline also carries NON-MEDS tables (a documents corpus
+      // through the hygiene stages, a session table): for those, partition
+      // by split alone instead of failing on absent MEDS columns
+      val sortCols = Seq(SubjectId, Time).filter(bare.columns.contains)
+      val arranged = sortCols match {
+        case Seq() => bare.repartition(col(Split))
+        case cs => bare.repartition(col(Split), col(cs.head))
+          .sortWithinPartitions(cs.map(col): _*)
+      }
+      arranged.write.mode("overwrite").partitionBy(Split).parquet(s"$root/data")
       // Strip Hive partition-dir prefixes: data/split=train -> data/train.
       val dataPath = new org.apache.hadoop.fs.Path(s"$root/data")
       val fs = dataPath.getFileSystem(

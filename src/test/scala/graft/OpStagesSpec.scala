@@ -346,6 +346,39 @@ class OpStagesSpec extends SparkSpec {
     assert(decoded.count() == 6)
   }
 
+  test("corpus pipeline end-to-end through the CLI on a non-MEDS root") {
+    // a documents corpus (no subject_id/time) as a flat dataset root:
+    // the full reference CLI surface — YAML file, dataset-root in/out —
+    // driving hygiene stages, including the final layout write, which
+    // must not require the MEDS sort columns for non-MEDS schemas
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corpus_cli").toString
+    docs.write.parquet(s"$tmp/in/data")
+    val yaml =
+      s"""description: corpus curation via CLI
+         |stages:
+         |  - normalize_text
+         |  - dedup_fingerprint
+         |  - text_tokens
+         |  - filter_rows:
+         |      predicate: "n_tokens >= 3"
+         |  - sample_split:
+         |      splits:
+         |        train: 0.5
+         |        held_out: 0.5
+         |""".stripMargin
+    val p = s"$tmp/pipeline.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), yaml)
+    Main.run(Array(p, s"$tmp/in", s"$tmp/out"), spark)
+    val out = MedsIO.read(spark, s"$tmp/out").data
+    // normalize collapses 1/2/3 to one representative; 6 ("short text")
+    // fails the token filter; survivors carry assigned splits in the PATH
+    // (the write partitions by the split column sample_split assigned)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+    val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "held_out")) && splits.nonEmpty)
+  }
+
   test("hygiene stages honor train_only orchestration") {
     // train_only resolves splits per subject_id — documents pipelines carry
     // one (here 1:1 with doc_id)
