@@ -136,8 +136,9 @@ object Dedup {
     * posting list by the native [[graft.plans.SortedPairs]] expression —
     * the exploded shingle table is shuffled once instead of twice (the
     * round-5 checkpoint + df-count + broadcast-anti-join + self-join shape
-    * was 2.4-2.8 s at sf0.1; this is 2.1-2.3 s, adjudicated by paired
-    * BenchOne min-of-5 in both orders, and removes two whole stages). Per-
+    * was 2.4-2.8 s at sf0.1; the grouped shape measured 2.1-2.3 s by paired
+    * BenchOne min-of-5 in both orders, 1.54 s after the ShingleHash56
+    * native hashing landed, and removes two whole stages). Per-
     * group work is bounded by m (≤ m-long lists, ≤ m²/2 emitted pairs), so
     * no task skews. The grouped table feeds three consumers (pairs + two
     * size joins) WITHOUT a checkpoint: the three groupBy exchanges
