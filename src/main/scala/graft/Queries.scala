@@ -482,6 +482,31 @@ object Queries {
       | count(*) AS n_events, round(sum(value),3) AS sum_value
       |FROM events WHERE ts IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
 
+  /** Semi-structured extraction: typed `from_json` over the events `props`
+    * column, then an aggregate over the extracted field — the schema-on-read
+    * op every event/log pipeline needs. The oracle extracts the same field
+    * with a regexp so it never depends on a DuckDB JSON extension.
+    */
+  private val eventsJson: Gate = Gate(
+    (s, dir) => {
+      val parsed = eventsTable(s, dir).select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      parsed.groupBy("event_type").agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum("k").as("sum_k"),
+        r4(avg("k")).as("avg_k"),
+        max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+    Some("""WITH p AS (
+      |  SELECT event_type,
+      |   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+      | round(avg(k), 4) AS avg_k, max(k) AS max_k
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val eventsSessionize: Gate = Gate(
     (s, dir) => graft.streaming.Sessionize.batch(eventsTable(s, dir), gapMinutes = 30)
       .select(col("user_id"), col("session_idx").cast(LongType).as("session_idx"),
@@ -1120,6 +1145,7 @@ object Queries {
     "match_revise" -> matchReviseQuery,
     "reshard_to_split" -> reshardSummary,
     "events_hourly" -> eventsHourly,
+    "events_json" -> eventsJson,
     "events_sessionize" -> eventsSessionize,
     "events_sessionize_stream" -> eventsSessionizeStream,
     "dedup_exact" -> dedupExact,

@@ -297,6 +297,27 @@ object OpStages {
       }
     }
 
+    // semi-structured extraction: parse a JSON string column with a DDL
+    // schema ("k BIGINT, tag STRING") and append each parsed field as a
+    // top-level column. Schema typos fail at config-parse time; malformed
+    // JSON rows yield null fields (from_json's PERMISSIVE default — a log
+    // pipeline must not die on one corrupt line).
+    PipelineConfig.register("json_extract") { (name, cfg) =>
+      val jsonCol = cfg.getStr("json_col").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `json_col` is required"))
+      val ddl = cfg.getStr("schema").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `schema` (DDL, e.g. \"k BIGINT, tag STRING\") is required"))
+      val schema = try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"stage $name: unparsable `schema` '$ddl': ${e.getMessage}")
+      }
+      Pipeline.DataStage(name, m => {
+        val parsed = from_json(col(jsonCol), schema)
+        appendCols(name, m.data,
+          schema.fieldNames.toSeq.map(f => parsed.getField(f).as(f)))
+      })
+    }
+
     // generic predicate filter over the data table — the glue stage corpus
     // pipelines need between signal stages and dedup (e.g. keep
     // `lang_pred = 'en' AND n_tokens > 100` after lang_id/text_tokens).

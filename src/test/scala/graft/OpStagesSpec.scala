@@ -281,6 +281,32 @@ class OpStagesSpec extends SparkSpec {
     assert(ex.getMessage.contains("normalize_text") && ex.getMessage.contains("nfkc"))
   }
 
+  test("json_extract stage appends typed fields; malformed rows yield nulls") {
+    val logs = spark.createDataFrame(Seq(
+      (1L, """{"k": 7, "tag": "a"}"""),
+      (2L, """{"k": 9}"""),
+      (3L, "not json at all")
+    )).toDF("doc_id", "props")
+    val yaml =
+      """stages:
+        |  - json_extract:
+        |      json_col: props
+        |      schema: "k BIGINT, tag STRING"
+        |  - filter_rows:
+        |      predicate: "k > 8"
+        |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(logs),
+      PipelineConfig.fromYaml(yaml).stages).data
+    assert(out.columns.toSeq == Seq("doc_id", "props", "k", "tag"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // a bad DDL schema fails at config-parse time with the stage named
+    val ex = intercept[IllegalArgumentException] {
+      PipelineConfig.fromYaml(
+        "stages:\n  - json_extract:\n      json_col: props\n      schema: \"k NOTATYPE\"\n")
+    }
+    assert(ex.getMessage.contains("json_extract"))
+  }
+
   test("filter_rows stage: SQL predicate chains with signal stages") {
     val yaml =
       """stages:
