@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Recall evidence for the approximate similarity paths: recall@k of
+  * sign-LSH bucketing and IVF (k-means cells) against the exact brute-force
+  * top-k, over the real sf0.1 embeddings table, averaged across query
+  * vectors drawn from the data itself. ANN correctness is oracle-gated
+  * (deterministic given the config); THIS measures the approximation
+  * quality those configs buy — the number a user tunes `planes` / `n_cells`
+  * / `n_probe` against. Committed results in SMOKE.md.
+  * Run: `sbt "Test/runMain graft.AnnRecallSmoke"`.
+  */
+object AnnRecallSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .localCheckpoint()
+    val n = embs.count()
+    val k = 10
+    // 20 query vectors sampled deterministically from the table itself
+    val queries = embs.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .orderBy("vec_id").limit(20)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("embedding"))))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactSets = queries.map { case (_, q) =>
+      q -> ids(Similarity.topK(embs, "vec_id", "embedding", q, k))
+    }
+    val denom = (queries.length * k).toDouble
+    def recall(approx: Seq[Float] => Set[Long]): Double =
+      exactSets.map { case (q, exact) => exact.intersect(approx(q)).size }.sum / denom
+    // the tuning curve is the point: recall vs scanned fraction, both knobs.
+    // Bucket occupancy must exceed k (n/2^planes for LSH, n*probe/cells for
+    // IVF) or the bucket cannot even CONTAIN k true neighbors — config
+    // follows data size.
+    Seq(2, 4, 6).foreach { planes =>
+      val r = recall(q =>
+        ids(Similarity.lshTopK(embs, "vec_id", "embedding", q, k, 0 until planes)))
+      println(f"SMOKE ann recall@$k sign-LSH planes=$planes " +
+        f"(~1/${1 << planes} scanned, ~${n / (1L << planes)}%,d/bucket): $r%.2f")
+    }
+    Seq(2, 4, 8).foreach { probe =>
+      val r = recall(q =>
+        ids(Similarity.ivfTopKKmeans(embs, "vec_id", "embedding", q, k,
+          nCells = 16, nProbe = probe, iters = 2)))
+      println(f"SMOKE ann recall@$k IVF cells=16 probe=$probe " +
+        f"(~$probe/16 scanned): $r%.2f")
+    }
+    println("SMOKE all ok")
+    spark.stop()
+  }
+}
