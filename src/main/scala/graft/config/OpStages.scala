@@ -179,8 +179,9 @@ object OpStages {
       val perStratum = cfg.getInt("per_stratum").getOrElse(throw new IllegalArgumentException(
         s"stage $name: `per_stratum` is required"))
       val seed = cfg.getLong("seed").getOrElse(42L)
+      val salts = cfg.getInt("salts").getOrElse(64) // tournament parallelism
       Pipeline.DataStage(name, m =>
-        Sampling.stratifiedCap(m.data, id, stratum, perStratum, seed))
+        Sampling.stratifiedCap(m.data, id, stratum, perStratum, seed, salts))
     }
 
     // ---- similarity / sketch / multimodal stages -------------------------
@@ -348,6 +349,12 @@ object OpStages {
       val tsc = cfg.getStr("ts_col").getOrElse("ts")
       val value = cfg.getStr("value_col").getOrElse("value")
       val tieBreak = cfg.getStr("tie_break_col").getOrElse("event_id")
+      // the select below renames into the fixed (user_id, ts, value) shape;
+      // a tie-break column named like one of them would duplicate an output
+      // column and surface later as AMBIGUOUS_REFERENCE
+      require(!Set("user_id", "ts", "value").contains(tieBreak),
+        s"stage $name: `tie_break_col` ($tieBreak) collides with the " +
+          "sessionizer's user_id/ts/value output columns")
       Pipeline.DataStage(name, m =>
         graft.streaming.Sessionize.batch(
           m.data.select(col(user).as("user_id"), col(tsc).as("ts"),
