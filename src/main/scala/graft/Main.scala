@@ -58,8 +58,15 @@ object Main {
     // cluster orchestrator uses at scale: one stage per submitted job,
     // chained through the MEDS roots on shared storage
     val (flags, rest0) = args.partition(_.startsWith("--"))
-    flags.foreach(f => require(f.startsWith("--stage=") || f == "--multirun",
-      s"unknown flag: $f"))
+    flags.foreach(f => require(f.startsWith("--stage=") || f == "--multirun" ||
+      f == "--list-stages", s"unknown flag: $f"))
+    // registry discoverability — the analog of listing the reference's
+    // MEDS_transforms.stages entry points (pyproject.toml:53-65)
+    if (flags.contains("--list-stages")) {
+      (PipelineConfig.BuiltinStages ++ PipelineConfig.registeredStages)
+        .toSeq.sorted.foreach(println)
+      return
+    }
     val stageOnly = flags.collectFirst {
       case f if f.startsWith("--stage=") => f.stripPrefix("--stage=")
     }

@@ -198,6 +198,16 @@ object PipelineConfig {
     registry.keySet().asScala.toSet
   }
 
+  /** The built-in reference stages (the `buildBuiltinStageInner` match arms
+    * — kept in sync by PipelineConfigSpec, which builds each one). Together
+    * with [[registeredStages]] this is the full `--list-stages` surface.
+    */
+  val BuiltinStages: Set[String] = Set(
+    "aggregate_code_metadata", "fit_vocabulary_indices", "reshard_to_split",
+    "generate_subject_splits", "filter_subjects", "filter_measurements",
+    "occlude_outliers", "normalization", "reorder_measurements",
+    "extract_values", "add_time_derived_measurements", "bin_numeric_values")
+
   def buildStage(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = {
     // single volatile read: a concurrent unregister cannot NPE us
     val b = registry.get(baseStage)

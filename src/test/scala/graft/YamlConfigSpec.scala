@@ -165,6 +165,22 @@ class YamlConfigSpec extends SparkSpec {
     assert(MedsIO.read(spark, s"$tmp/mr").data.count() == 41)
   }
 
+  test("--list-stages prints the registry and runs nothing") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("--list-stages"), spark)
+    }
+    val listed = out.toString.linesIterator.toSet
+    assert(Set("minhash_lsh_dedup", "knn_join", "filter_rows", "json_extract",
+      "normalize_text", "sessionize").subsetOf(listed))
+    assert(PipelineConfig.BuiltinStages.subsetOf(listed)) // reference stages too
+    // every listed builtin actually builds (BuiltinStages stays in sync
+    // with the match arms)
+    PipelineConfig.BuiltinStages.foreach { s =>
+      PipelineConfig.fromYaml(s"stages:\n  - $s\n")
+    }
+  }
+
   test("--multirun value sweeps run the cartesian product into run_<i> dirs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sweep").toString
     val p = s"$tmp/pipeline.yaml"
