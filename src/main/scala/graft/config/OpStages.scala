@@ -375,6 +375,18 @@ object OpStages {
     PipelineConfig.register("media_metadata") { (name, _) =>
       Pipeline.DataStage(name, m => Multimodal.payloadMetadata(m.data))
     }
+    // REAL container-header parsing (PNG/GIF/BMP dimensions, pure builtins)
+    // appended as columns; unrecognized payloads yield nulls
+    PipelineConfig.register("media_dimensions") { (name, cfg) =>
+      val payload = cfg.getStr("payload_col").getOrElse("payload")
+      Pipeline.DataStage(name, m => {
+        val dim = Multimodal.imageDimensions(col(payload))
+        appendCols(name, m.data, Seq(
+          dim.getField("format").as("image_format"),
+          dim.getField("width").as("image_width"),
+          dim.getField("height").as("image_height")))
+      })
+    }
     PipelineConfig.register("media_decode") { (name, _) =>
       Pipeline.DataStage(name, m => Multimodal.decodeBatched(m.data))
     }

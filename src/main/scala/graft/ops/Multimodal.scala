@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,10 +40,45 @@ object Multimodal {
       octet_length(col("payload")).as("n_bytes"),
       sha2(col("payload"), 256).as("sha256"))
 
+  /** REAL image-container metadata: format + pixel dimensions parsed from
+    * the payload's header bytes for PNG / GIF / BMP — pure codegen'd
+    * builtins (binary substring + hex + radix conversion), no image
+    * library, no UDF, so it runs at scan speed over 100 TB of payloads.
+    * Unrecognized or truncated payloads yield a null struct (a corrupt blob
+    * must not kill the scan). PNG stores IHDR dimensions big-endian at
+    * offsets 17/21; GIF (87a/89a) and BMP little-endian at 7/9 and 19/23.
+    */
+  def imageDimensions(payload: Column): Column = {
+    // unsigned big-endian int from `len` bytes at 1-based offset `off`
+    def be(off: Int, len: Int): Column =
+      conv(hex(substring(payload, off, len)), 16, 10).cast("long")
+    // little-endian: reverse the bytes before radix conversion
+    def le(off: Int, len: Int): Column =
+      conv(concat((off + len - 1).to(off, -1).map(i => hex(substring(payload, i, 1))): _*),
+        16, 10).cast("long")
+    val isPng = octet_length(payload) >= 24 &&
+      hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
+    val isGif = octet_length(payload) >= 10 &&
+      (hex(substring(payload, 1, 6)) === "474946383761" || // GIF87a
+        hex(substring(payload, 1, 6)) === "474946383961") // GIF89a
+    val isBmp = octet_length(payload) >= 26 && hex(substring(payload, 1, 2)) === "424D"
+    when(isPng, struct(lit("png").as("format"),
+        be(17, 4).as("width"), be(21, 4).as("height")))
+      .when(isGif, struct(lit("gif").as("format"),
+        le(7, 2).as("width"), le(9, 2).as("height")))
+      .when(isBmp, struct(lit("bmp").as("format"),
+        le(19, 4).as("width"),
+        // BMP height is SIGNED (negative = top-down row order) — two's-
+        // complement fold, then magnitude: consumers want pixel extent
+        abs(when(le(23, 4) >= 2147483648L, le(23, 4) - 4294967296L)
+          .otherwise(le(23, 4))).as("height")))
+  }
+
   /** STUB decode: deterministic fake "image" properties derived from the
-    * payload bytes. Replace the three expressions with a real codec call;
-    * the output schema and the per-row batch shape are the production
-    * contract.
+    * payload bytes. Replace the three expressions with a real codec call
+    * (for PIXEL decoding; [[imageDimensions]] already parses real container
+    * headers); the output schema and the per-row batch shape are the
+    * production contract.
     */
   def decodeStub(media: DataFrame): DataFrame =
     media.select(

@@ -152,7 +152,8 @@ class OpStagesSpec extends SparkSpec {
   test("similarity/winnow/multimodal stages are registered") {
     val expected = Set("winnow_fingerprint", "embed_dedup", "knn_join",
       "sim_topk", "as_media", "media_metadata", "media_decode",
-      "media_resize", "media_frames")
+      "media_resize", "media_frames", "media_dimensions", "sessionize",
+      "filter_rows", "json_extract", "normalize_text")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
   }
 

@@ -468,6 +468,36 @@ class MultimodalSpec extends SparkSpec {
     assert(rz.getString(5) == expect)
   }
 
+  test("imageDimensions parses real PNG/GIF/BMP headers; garbage yields null") {
+    def beInt(v: Int): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def leShort(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    def leInt(v: Int): Array[Byte] = Array(
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // minimal REAL container headers, byte-for-byte per spec
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      beInt(13) ++ "IHDR".getBytes ++ beInt(640) ++ beInt(480)
+    val gif = "GIF89a".getBytes ++ leShort(320) ++ leShort(200) ++ Array[Byte](0, 0, 0)
+    val bmpTopDown = "BM".getBytes ++ leInt(26) ++ leInt(0) ++ leInt(26) ++
+      leInt(12) ++ leInt(800) ++ leInt(-600) // negative height = top-down
+    val junk = "definitely not an image".getBytes
+    val truncatedPng = png.take(12) // signature ok, IHDR cut off
+    val rows = Seq(
+      (1L, png), (2L, gif), (3L, bmpTopDown), (4L, junk), (5L, truncatedPng),
+      (6L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val got = rows.select(col("media_id"),
+      Multimodal.imageDimensions(col("payload")).as("dim"))
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null
+          else { val s = r.getStruct(1); (s.getString(0), s.getLong(1), s.getLong(2)) })
+      }.toMap
+    assert(got(1L) == ("png", 640L, 480L))
+    assert(got(2L) == ("gif", 320L, 200L))
+    assert(got(3L) == ("bmp", 800L, 600L)) // magnitude of the signed height
+    assert(got(4L) == null && got(5L) == null && got(6L) == null)
+  }
+
   test("batched decode (mapPartitions codec) matches the expression stub bit-for-bit") {
     val docs = (0 until 50).map(i => (i.toLong, s"payload $i " * (i + 1))).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
