@@ -62,6 +62,10 @@ object Multimodal {
       (hex(substring(payload, 1, 6)) === "474946383761" || // GIF87a
         hex(substring(payload, 1, 6)) === "474946383961") // GIF89a
     val isBmp = octet_length(payload) >= 26 && hex(substring(payload, 1, 2)) === "424D"
+    // JPEG dimensions sit at a variable offset (frame-header segment) — the
+    // native graft.plans.JpegDimensions walks the marker stream in codegen
+    val jpeg = graft.plans.VectorExpressions.jpegDimensions(payload)
+    val isJpeg = octet_length(payload) >= 4 && hex(substring(payload, 1, 2)) === "FFD8"
     when(isPng, struct(lit("png").as("format"),
         be(17, 4).as("width"), be(21, 4).as("height")))
       .when(isGif, struct(lit("gif").as("format"),
@@ -72,6 +76,8 @@ object Multimodal {
         // complement fold, then magnitude: consumers want pixel extent
         abs(when(le(23, 4) >= 2147483648L, le(23, 4) - 4294967296L)
           .otherwise(le(23, 4))).as("height")))
+      .when(isJpeg && jpeg.isNotNull, struct(lit("jpeg").as("format"),
+        jpeg.getField("width").as("width"), jpeg.getField("height").as("height")))
   }
 
   /** STUB decode: deterministic fake "image" properties derived from the

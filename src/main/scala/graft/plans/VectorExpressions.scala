@@ -426,6 +426,74 @@ object ShingleHash56 {
   }
 }
 
+/** JPEG pixel dimensions from the payload's segment stream: walks the
+  * marker segments from SOI to the first frame header (SOF0-SOF15, minus
+  * DHT/DAC/RST which share the high nibble) and reads the big-endian
+  * height/width from it — the one container whose dimensions sit at a
+  * VARIABLE offset, so the fixed-offset builtin parsing used for PNG/GIF/
+  * BMP (Multimodal.imageDimensions) cannot express it. Returns a
+  * (width, height) struct; anything non-JPEG, truncated, or structurally
+  * corrupt returns null (a bad blob must not kill the scan).
+  */
+case class JpegDimensions(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false)))
+  override def nullable: Boolean = true // non-JPEG payloads yield null
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_jpeg_dims"
+
+  override def nullSafeEval(input: Any): Any =
+    JpegDimensions.dims(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val r = ctx.freshName("jpegDims")
+      s"""
+         |InternalRow $r = graft.plans.JpegDimensions.dims($arr);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object JpegDimensions {
+  /** Null for non-JPEG / truncated / corrupt streams. */
+  def dims(b: Array[Byte]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    def u(i: Int): Int = b(i) & 0xff
+    if (b.length < 4 || u(0) != 0xff || u(1) != 0xd8) return null // no SOI
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u(i) != 0xff) return null // lost marker sync
+      var marker = u(i + 1)
+      while (marker == 0xff && i + 2 < b.length) { i += 1; marker = u(i + 1) } // fill bytes
+      // standalone markers without a length field
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      else {
+        val len = (u(i + 2) << 8) | u(i + 3)
+        if (len < 2 || i + 2 + len > b.length) return null
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 7) return null // must hold precision + height + width
+          val h = ((u(i + 5) << 8) | u(i + 6)).toLong
+          val w = ((u(i + 7) << 8) | u(i + 8)).toLong
+          return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](w, h))
+        }
+        if (marker == 0xd9 || marker == 0xda) return null // EOI/SOS before any SOF
+        i += 2 + len
+      }
+    }
+    null
+  }
+}
+
 /** All ascending-ordered id pairs of a posting list in one pass:
   * sorts a null-stripped copy of the array and emits the k·(k−1)/2
   * combinations `(id_a < id_b)` as an array of structs ready to explode.
@@ -609,6 +677,9 @@ object VectorExpressions {
 
   def shingleHash56(tokens: Column, n: Int, distinct: Boolean): Column =
     GraftSqlBridge.column(ShingleHash56(expr(tokens), n, distinct))
+
+  def jpegDimensions(payload: Column): Column =
+    GraftSqlBridge.column(JpegDimensions(expr(payload)))
 
   /** Zero-norm vectors have undefined cosine → null (try_divide keeps ANSI
     * mode from throwing DIVIDE_BY_ZERO on degenerate rows).

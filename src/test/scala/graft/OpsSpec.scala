@@ -482,9 +482,19 @@ class MultimodalSpec extends SparkSpec {
       leInt(12) ++ leInt(800) ++ leInt(-600) // negative height = top-down
     val junk = "definitely not an image".getBytes
     val truncatedPng = png.take(12) // signature ok, IHDR cut off
+    // minimal REAL JPEG: SOI, APP0 (JFIF shell), a COM segment (exercises
+    // the variable-offset walk), then SOF0 with height=1080 width=1920
+    def beShort(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      Array[Byte](0xFF.toByte, 0xE0.toByte) ++ beShort(16) ++
+      "JFIF".getBytes ++ Array.fill[Byte](10)(0) ++
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++ beShort(9) ++ "comment".getBytes ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte) ++ beShort(11) ++ Array[Byte](8) ++
+      beShort(1080) ++ beShort(1920) ++ Array[Byte](1, 1, 0x11, 0)
+    val jpegNoSof = jpeg.take(24) ++ Array[Byte](0xFF.toByte, 0xD9.toByte) // truncated mid-COM
     val rows = Seq(
       (1L, png), (2L, gif), (3L, bmpTopDown), (4L, junk), (5L, truncatedPng),
-      (6L, null.asInstanceOf[Array[Byte]])
+      (6L, null.asInstanceOf[Array[Byte]]), (7L, jpeg), (8L, jpegNoSof)
     ).toDF("media_id", "payload")
     val got = rows.select(col("media_id"),
       Multimodal.imageDimensions(col("payload")).as("dim"))
@@ -496,6 +506,8 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == ("gif", 320L, 200L))
     assert(got(3L) == ("bmp", 800L, 600L)) // magnitude of the signed height
     assert(got(4L) == null && got(5L) == null && got(6L) == null)
+    assert(got(7L) == ("jpeg", 1920L, 1080L)) // SOF found past APP0 + COM
+    assert(got(8L) == null) // truncated before any frame header
   }
 
   test("batched decode (mapPartitions codec) matches the expression stub bit-for-bit") {
