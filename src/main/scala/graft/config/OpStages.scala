@@ -375,8 +375,8 @@ object OpStages {
     PipelineConfig.register("media_metadata") { (name, _) =>
       Pipeline.DataStage(name, m => Multimodal.payloadMetadata(m.data))
     }
-    // REAL container-header parsing (PNG/GIF/BMP dimensions, pure builtins)
-    // appended as columns; unrecognized payloads yield nulls
+    // REAL container-header parsing (PNG/GIF/BMP/JPEG dimensions; WAV audio
+    // metadata) appended as columns; unrecognized payloads yield nulls
     PipelineConfig.register("media_dimensions") { (name, cfg) =>
       val payload = cfg.getStr("payload_col").getOrElse("payload")
       Pipeline.DataStage(name, m => {
@@ -385,6 +385,17 @@ object OpStages {
           dim.getField("format").as("image_format"),
           dim.getField("width").as("image_width"),
           dim.getField("height").as("image_height")))
+      })
+    }
+    PipelineConfig.register("audio_metadata") { (name, cfg) =>
+      val payload = cfg.getStr("payload_col").getOrElse("payload")
+      Pipeline.DataStage(name, m => {
+        val a = Multimodal.audioMetadata(col(payload))
+        appendCols(name, m.data, Seq(
+          a.getField("channels").as("audio_channels"),
+          a.getField("sample_rate").as("audio_sample_rate"),
+          a.getField("n_frames").as("audio_n_frames"),
+          a.getField("duration_s").as("audio_duration_s")))
       })
     }
     PipelineConfig.register("media_decode") { (name, _) =>

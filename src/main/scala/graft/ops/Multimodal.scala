@@ -80,6 +80,25 @@ object Multimodal {
         jpeg.getField("width").as("width"), jpeg.getField("height").as("height")))
   }
 
+  /** REAL audio-container metadata: channels / sample rate / bit depth /
+    * frame count parsed from WAV (RIFF) chunk streams by the native
+    * [[graft.plans.WavMetadata]] expression (any chunk order, unknown
+    * chunks skipped, word-alignment honored). Null for non-WAV payloads.
+    * Duration seconds = n_frames / sample_rate, computed here as a double
+    * convenience column.
+    */
+  def audioMetadata(payload: Column): Column = {
+    val m = graft.plans.VectorExpressions.wavMetadata(payload)
+    when(m.isNotNull, struct(
+      lit("wav").as("format"),
+      m.getField("channels").as("channels"),
+      m.getField("sample_rate").as("sample_rate"),
+      m.getField("bits_per_sample").as("bits_per_sample"),
+      m.getField("n_frames").as("n_frames"),
+      (m.getField("n_frames").cast("double") / m.getField("sample_rate"))
+        .as("duration_s")))
+  }
+
   /** STUB decode: deterministic fake "image" properties derived from the
     * payload bytes. Replace the three expressions with a real codec call
     * (for PIXEL decoding; [[imageDimensions]] already parses real container

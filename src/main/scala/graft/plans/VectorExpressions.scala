@@ -494,6 +494,74 @@ object JpegDimensions {
   }
 }
 
+/** WAV (RIFF) audio metadata from the payload's chunk stream: walks the
+  * chunks to `fmt ` (codec/channels/rate/bits) and `data` (byte length →
+  * duration), tolerating any chunk order and unknown chunks (LIST, cue,
+  * etc.) — the audio analog of [[JpegDimensions]]. Returns
+  * (channels, sample_rate, bits_per_sample, n_frames) where n_frames =
+  * data bytes / block-align; null for non-WAV / truncated / corrupt
+  * payloads. Duration in seconds is n_frames / sample_rate, left to the
+  * caller (an integer-exact contract beats a lossy double here).
+  */
+case class WavMetadata(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("bits_per_sample", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_wav_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    WavMetadata.meta(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val r = ctx.freshName("wavMeta")
+      s"""
+         |InternalRow $r = graft.plans.WavMetadata.meta($arr);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WavMetadata {
+  def meta(b: Array[Byte]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    def u(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u(i) | (u(i + 1) << 8)
+    def le32(i: Int): Long =
+      u(i).toLong | (u(i + 1).toLong << 8) | (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + s.length <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    var channels = -1L; var rate = -1L; var bits = -1L; var blockAlign = -1L
+    var dataBytes = -1L
+    var i = 12
+    while (i + 8 <= b.length && (channels < 0 || dataBytes < 0)) {
+      val size = le32(i + 4)
+      if (size < 0 || i + 8L + size > b.length) return null // truncated chunk
+      if (tag(i, "fmt ")) {
+        if (size < 16) return null
+        channels = le16(i + 10)
+        rate = le32(i + 12)
+        blockAlign = le16(i + 20)
+        bits = le16(i + 22)
+      } else if (tag(i, "data")) dataBytes = size
+      i += (8 + size + (size & 1)).toInt // chunks are word-aligned (odd sizes pad)
+    }
+    if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataBytes < 0) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](channels, rate, bits, dataBytes / blockAlign))
+  }
+}
+
 /** All ascending-ordered id pairs of a posting list in one pass:
   * sorts a null-stripped copy of the array and emits the k·(k−1)/2
   * combinations `(id_a < id_b)` as an array of structs ready to explode.
@@ -680,6 +748,9 @@ object VectorExpressions {
 
   def jpegDimensions(payload: Column): Column =
     GraftSqlBridge.column(JpegDimensions(expr(payload)))
+
+  def wavMetadata(payload: Column): Column =
+    GraftSqlBridge.column(WavMetadata(expr(payload)))
 
   /** Zero-norm vectors have undefined cosine → null (try_divide keeps ANSI
     * mode from throwing DIVIDE_BY_ZERO on degenerate rows).

@@ -510,6 +510,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got(8L) == null) // truncated before any frame header
   }
 
+  test("audioMetadata parses a real WAV header; chunk order and padding tolerated") {
+    def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int): Array[Byte] = Array(
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // 2ch 16-bit 44100Hz, 441 frames (10ms); an odd-sized LIST chunk BEFORE
+    // fmt exercises the walk + word-alignment padding
+    val list = "LIST".getBytes ++ le32(5) ++ "INFOx".getBytes ++ Array[Byte](0) // pad
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val dataBytes = 441 * 4
+    val data = "data".getBytes ++ le32(dataBytes) ++ Array.fill[Byte](dataBytes)(0)
+    val body = list ++ fmt ++ data
+    val wav = "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+    val rows = Seq(
+      (1L, wav),
+      (2L, "RIFFxxxxNOPE".getBytes), // RIFF but not WAVE
+      (3L, wav.take(30)) // truncated mid-fmt
+    ).toDF("media_id", "payload")
+    val got = rows.select(col("media_id"),
+      Multimodal.audioMetadata(col("payload")).as("a"))
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else {
+          val s = r.getStruct(1)
+          (s.getString(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4),
+            s.getDouble(5))
+        })
+      }.toMap
+    assert(got(1L) == ("wav", 2L, 44100L, 16L, 441L, 0.01))
+    assert(got(2L) == null && got(3L) == null)
+  }
+
   test("batched decode (mapPartitions codec) matches the expression stub bit-for-bit") {
     val docs = (0 until 50).map(i => (i.toLong, s"payload $i " * (i + 1))).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
