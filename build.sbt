@@ -27,23 +27,33 @@ lazy val defaultHeap: String = {
   // 4g-limited container on a 128g host would get -Xmx48g and an OOM kill.
   // Prefer the cgroup limit (v2 then v1; "max"/huge sentinel = unlimited),
   // fall back to MemTotal. SPARK_DRIVER_MEM overrides manually.
-  val cgroupGb: Option[Long] =
+  // Work in BYTES end-to-end: integer-dividing a sub-GiB limit to whole
+  // GiB yields 0 (which would skip the fallback yet look "unset"), and a
+  // fixed floor in GiB can exceed a small container's limit — either way
+  // recreating the OOM kill this sizing exists to prevent.
+  val cgroupBytes: Option[Long] =
     Seq("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes")
       .flatMap(firstLineLong).headOption
       .filter(_ < (1L << 50)) // v1 reports ~2^63 when unlimited
-      .map(_ / (1024L * 1024 * 1024))
-  val memTotalGb: Long = cgroupGb.getOrElse {
+  val memTotalBytes: Option[Long] = cgroupBytes.orElse {
     try {
       val src = scala.io.Source.fromFile("/proc/meminfo")
       try src.getLines()
         .collectFirst { case l if l.startsWith("MemTotal:") =>
-          l.trim.split("\\s+")(1).toLong / (1024 * 1024) }
-        .getOrElse(0L)
+          l.trim.split("\\s+")(1).toLong * 1024 } // meminfo is in kB
+        .filter(_ > 0)
       finally src.close()
-    } catch { case _: Throwable => 0L }
+    } catch { case _: Throwable => None }
   }
-  if (memTotalGb <= 0) "24g"
-  else s"${math.max(4L, math.min(48L, memTotalGb * 2 / 5))}g"
+  memTotalBytes match {
+    case None => "24g" // no limit readable anywhere: the old bench-box default
+    case Some(b) =>
+      // ~40% of the limit with a 512m working floor, capped at 48g AND at
+      // (limit − 256m headroom) so no floor can push -Xmx past the cgroup
+      val want = math.min(48L * 1024, math.max(512L, b * 2 / 5 >> 20))
+      val mb = math.max(256L, math.min(want, (b >> 20) - 256L))
+      s"${mb}m"
+  }
 }
 
 val jdk17AddOpens = Seq(

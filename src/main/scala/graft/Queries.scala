@@ -503,7 +503,7 @@ object Queries {
       |  SELECT event_type,
       |   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
       |  FROM events)
-      |SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+      |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
       | round(avg(k), 4) AS avg_k, max(k) AS max_k
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
 

@@ -475,6 +475,10 @@ object JpegDimensions {
       // standalone markers without a length field
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
       else {
+        // the fill-byte skip can leave fewer than 4 bytes: a trailing 0xff
+        // run with no room for a length field is a truncated stream, not
+        // an exception (the one corrupt shape the outer bound can't see)
+        if (i + 3 >= b.length) return null
         val len = (u(i + 2) << 8) | u(i + 3)
         if (len < 2 || i + 2 + len > b.length) return null
         val isSof = marker >= 0xc0 && marker <= 0xcf &&

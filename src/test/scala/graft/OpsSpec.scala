@@ -492,9 +492,14 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](0xFF.toByte, 0xC0.toByte) ++ beShort(11) ++ Array[Byte](8) ++
       beShort(1080) ++ beShort(1920) ++ Array[Byte](1, 1, 0x11, 0)
     val jpegNoSof = jpeg.take(24) ++ Array[Byte](0xFF.toByte, 0xD9.toByte) // truncated mid-COM
+    // SOI then a trailing 0xFF fill-byte run: the skip loop must not walk
+    // past the end looking for the length field (regression: AIOOBE)
+    val jpegFfRun = Array.fill[Byte](8)(0xFF.toByte)
+    jpegFfRun(1) = 0xD8.toByte
     val rows = Seq(
       (1L, png), (2L, gif), (3L, bmpTopDown), (4L, junk), (5L, truncatedPng),
-      (6L, null.asInstanceOf[Array[Byte]]), (7L, jpeg), (8L, jpegNoSof)
+      (6L, null.asInstanceOf[Array[Byte]]), (7L, jpeg), (8L, jpegNoSof),
+      (9L, jpegFfRun)
     ).toDF("media_id", "payload")
     val got = rows.select(col("media_id"),
       Multimodal.imageDimensions(col("payload")).as("dim"))
@@ -508,6 +513,7 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L) == null && got(5L) == null && got(6L) == null)
     assert(got(7L) == ("jpeg", 1920L, 1080L)) // SOF found past APP0 + COM
     assert(got(8L) == null) // truncated before any frame header
+    assert(got(9L) == null) // trailing 0xFF run: null, not AIOOBE
   }
 
   test("audioMetadata parses a real WAV header; chunk order and padding tolerated") {
