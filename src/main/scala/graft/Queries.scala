@@ -1123,6 +1123,66 @@ object Queries {
       |FROM documents, (SELECT unnest(range(0,4)) AS i) f
       |ORDER BY media_id, frame_idx""".stripMargin))
 
+  /** Synthetic-but-structurally-real MP4 round trip: BUILD a spec-shaped
+    * ISO-BMFF box tree (ftyp + moov(mvhd + trak(tkhd))) per document from
+    * doc_id-derived timing/dimension values using pure binary expressions,
+    * then PARSE it back with the native [[graft.plans.Mp4Metadata]] box
+    * walk. The oracle recomputes the same fields arithmetically — any
+    * construction/parser disagreement (offset, endianness, fixed-point,
+    * box-size bookkeeping) breaks the hash. Every 7th payload is truncated
+    * mid-moov: the parser must yield null, not a partial struct or a crash.
+    */
+  private val videoMeta: Gate = Gate(
+    (s, dir) => {
+      def be32(c: Column): Column = unhex(lpad(hex(c.cast(LongType)), 8, "0"))
+      val matrixHex = // 3x3 unity transform, 16.16/2.30 fixed point
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+      val ts = lit(600L) + (col("doc_id") % 5) * 100 // movie timescale
+      val dur = ts * ((col("doc_id") % 60) + 1) // whole seconds by construction
+      val w = ((col("doc_id") % 81) + 40) * 16
+      val h = ((col("doc_id") % 46) + 22) * 16
+      val full = concat(
+        // ftyp(20): major brand isom, minor 0x200, one compatible brand
+        unhex(lit("00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D")),
+        // moov(216 = 8 + mvhd 108 + trak 100)
+        unhex(lit("000000D8" + "6D6F6F76")),
+        // mvhd v0: ver/flags, creation, modification, then timescale+duration
+        unhex(lit("0000006C" + "6D766864" + "00000000" * 3)), be32(ts), be32(dur),
+        // rate 1.0, volume 1.0+reserved, reserved(8), matrix, predefined(24), next track id
+        unhex(lit("00010000" + "01000000" + "00000000" * 2 + matrixHex +
+          "00000000" * 6 + "00000002")),
+        unhex(lit("00000064" + "7472616B")),
+        // tkhd v0 flags=7: creation, modification, track id 1, reserved, duration
+        unhex(lit("0000005C" + "746B6864" + "00000007" + "00000000" * 2 +
+          "00000001" + "00000000")), be32(dur),
+        // reserved(8), layer/group/volume/reserved(8), matrix, then 16.16 dims
+        unhex(lit("00000000" * 4 + matrixHex)), be32(w * 65536), be32(h * 65536))
+      val payload = when(col("doc_id") % 7 === 0, substring(full, 1, 40))
+        .otherwise(full)
+      val v = Multimodal.videoMetadata(payload)
+      table(s, dir, "documents").select(col("doc_id").as("media_id"),
+          v.getField("format").as("video_format"),
+          v.getField("timescale").as("timescale"),
+          v.getField("duration").as("duration"),
+          v.getField("width").as("width"),
+          v.getField("height").as("height"),
+          round(v.getField("duration_s"), 4).as("duration_s"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+      | CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'mp4' END AS video_format,
+      | CASE WHEN doc_id % 7 = 0 THEN NULL
+      |  ELSE CAST(600 + (doc_id % 5) * 100 AS BIGINT) END AS timescale,
+      | CASE WHEN doc_id % 7 = 0 THEN NULL
+      |  ELSE CAST((600 + (doc_id % 5) * 100) * (doc_id % 60 + 1) AS BIGINT) END AS duration,
+      | CASE WHEN doc_id % 7 = 0 THEN NULL
+      |  ELSE CAST((doc_id % 81 + 40) * 16 AS BIGINT) END AS width,
+      | CASE WHEN doc_id % 7 = 0 THEN NULL
+      |  ELSE CAST((doc_id % 46 + 22) * 16 AS BIGINT) END AS height,
+      | CASE WHEN doc_id % 7 = 0 THEN NULL
+      |  ELSE round(CAST(doc_id % 60 + 1 AS DOUBLE), 4) END AS duration_s
+      |FROM documents ORDER BY media_id""".stripMargin))
+
   // =====================================================================
 
   val gates: Seq[(String, Gate)] = Seq(
@@ -1171,7 +1231,8 @@ object Queries {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_resize" -> multimodalResize,
-    "multimodal_frames" -> multimodalFrames
+    "multimodal_frames" -> multimodalFrames,
+    "video_metadata" -> videoMeta
   )
 
   def queries: Map[String, Q] = gates.map { case (n, g) => n -> g.query }.toMap

@@ -398,6 +398,18 @@ object OpStages {
           a.getField("duration_s").as("audio_duration_s")))
       })
     }
+    PipelineConfig.register("video_metadata") { (name, cfg) =>
+      val payload = cfg.getStr("payload_col").getOrElse("payload")
+      Pipeline.DataStage(name, m => {
+        val v = Multimodal.videoMetadata(col(payload))
+        appendCols(name, m.data, Seq(
+          v.getField("timescale").as("video_timescale"),
+          v.getField("duration").as("video_duration"),
+          v.getField("width").as("video_width"),
+          v.getField("height").as("video_height"),
+          v.getField("duration_s").as("video_duration_s")))
+      })
+    }
     PipelineConfig.register("media_decode") { (name, _) =>
       Pipeline.DataStage(name, m => Multimodal.decodeBatched(m.data))
     }

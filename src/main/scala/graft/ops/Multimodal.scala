@@ -99,6 +99,26 @@ object Multimodal {
         .as("duration_s")))
   }
 
+  /** REAL video-container metadata: movie timescale / duration / video-track
+    * pixel dimensions parsed from MP4 (ISO-BMFF) box trees by the native
+    * [[graft.plans.Mp4Metadata]] expression (`moov`→`mvhd` for timing,
+    * first nonzero-dimension `trak`→`tkhd` for extent; v0 and v1 full-box
+    * layouts, 64-bit largesize boxes, unknown boxes skipped). Null for
+    * non-MP4 / truncated / corrupt payloads. Duration seconds =
+    * duration / timescale, computed here as a double convenience column.
+    */
+  def videoMetadata(payload: Column): Column = {
+    val m = graft.plans.VectorExpressions.mp4Metadata(payload)
+    when(m.isNotNull, struct(
+      lit("mp4").as("format"),
+      m.getField("timescale").as("timescale"),
+      m.getField("duration").as("duration"),
+      m.getField("width").as("width"),
+      m.getField("height").as("height"),
+      (m.getField("duration").cast("double") / m.getField("timescale"))
+        .as("duration_s")))
+  }
+
   /** STUB decode: deterministic fake "image" properties derived from the
     * payload bytes. Replace the three expressions with a real codec call
     * (for PIXEL decoding; [[imageDimensions]] already parses real container

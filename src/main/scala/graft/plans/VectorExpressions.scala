@@ -566,6 +566,141 @@ object WavMetadata {
   }
 }
 
+/** MP4 / ISO-BMFF video metadata from the payload's box tree: walks the
+  * top-level boxes to `moov`, then its children to `mvhd` (movie timescale
+  * + duration, version 0 and 1 layouts) and the first `trak` whose `tkhd`
+  * carries nonzero 16.16-fixed dimensions (the video track — audio tracks
+  * encode 0×0) — the video analog of [[JpegDimensions]] / [[WavMetadata]].
+  * 64-bit `largesize` (size==1) and to-end-of-file (size==0) box headers
+  * are honored; unknown boxes are skipped by size. Returns
+  * (timescale, duration, width, height); duration seconds is
+  * duration/timescale, left to the caller. Null for non-BMFF, truncated,
+  * or structurally corrupt payloads (a bad blob must not kill the scan).
+  */
+case class Mp4Metadata(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false)))
+  override def nullable: Boolean = true // non-MP4 payloads yield null
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_mp4_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    Mp4Metadata.meta(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val r = ctx.freshName("mp4Meta")
+      s"""
+         |InternalRow $r = graft.plans.Mp4Metadata.meta($arr);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Mp4Metadata {
+  def meta(b: Array[Byte]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    if (b.length < 16) return null
+    def u(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+
+    // sniff: the first top-level box must be a known BMFF type (`ftyp` in
+    // any normal file; fast-start files may lead with `moov`) — otherwise
+    // arbitrary binary whose first 8 bytes happen to form plausible box
+    // sizes would be walked as if it were a container
+    if (!(tag(4, "ftyp") || tag(4, "styp") || tag(4, "moov") || tag(4, "moof") ||
+        tag(4, "mdat") || tag(4, "free") || tag(4, "skip") || tag(4, "wide") ||
+        tag(4, "pdin"))) return null
+
+    var corrupt = false
+    // first box of `typ` in [from, to): (contentStart, boxEnd), null if
+    // absent; a size that cannot fit its own header or overruns the
+    // enclosing box marks the stream corrupt. Callers resume scanning at
+    // the returned boxEnd to iterate same-type siblings.
+    def findBox(typ: String, from: Int, to: Int): (Int, Int) = {
+      var i = from
+      while (i + 8 <= to) {
+        val s32 = be32(i)
+        var hdr = 8
+        var size: Long = s32
+        if (s32 == 1) { // 64-bit largesize follows the type field
+          if (i + 16 > to) { corrupt = true; return null }
+          size = be64(i + 8); hdr = 16
+        } else if (s32 == 0) size = (to - i).toLong // extends to container end
+        if (size < hdr || i + size > to) { corrupt = true; return null }
+        if (tag(i + 4, typ)) return (i + hdr, (i + size).toInt)
+        i += size.toInt
+      }
+      null
+    }
+
+    val moov = findBox("moov", 0, b.length)
+    if (corrupt || moov == null) return null
+    val mvhd = findBox("mvhd", moov._1, moov._2)
+    if (corrupt || mvhd == null) return null
+    val ms = mvhd._1
+    if (mvhd._2 - ms < 4) return null
+    var timescale = 0L
+    var duration = 0L
+    u(ms) match { // full-box version: v1 widens creation/modification/duration to 64-bit
+      case 0 =>
+        if (mvhd._2 - ms < 20) return null
+        timescale = be32(ms + 12); duration = be32(ms + 16)
+      case 1 =>
+        if (mvhd._2 - ms < 32) return null
+        timescale = be32(ms + 20); duration = be64(ms + 24)
+      case _ => return null
+    }
+    if (timescale <= 0 || duration < 0) return null
+
+    // first trak whose tkhd has nonzero dimensions = the video track;
+    // an audio-only file (all 0x0 tkhds) reports 0x0, not null
+    var w = 0L
+    var h = 0L
+    var cursor = moov._1
+    var done = false
+    while (!done) {
+      val trak = findBox("trak", cursor, moov._2)
+      if (corrupt) return null
+      if (trak == null) done = true
+      else {
+        val tk = findBox("tkhd", trak._1, trak._2)
+        if (corrupt) return null
+        if (tk != null && tk._2 - tk._1 >= 4) {
+          // width/height sit after ver/flags + times + track id + reserved
+          // + duration + reserved(8) + layer/group/volume/reserved(8) +
+          // matrix(36): offset 76 in v0, 88 in v1 (wider times/duration)
+          val base = u(tk._1) match {
+            case 0 => tk._1 + 76
+            case 1 => tk._1 + 88
+            case _ => -1
+          }
+          if (base >= 0 && base + 8 <= tk._2) {
+            val tw = be32(base) >> 16 // 16.16 fixed point → integer pixels
+            val th = be32(base + 4) >> 16
+            if (tw > 0 || th > 0) { w = tw; h = th; done = true }
+          }
+        }
+        cursor = trak._2
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](timescale, duration, w, h))
+  }
+}
+
 /** All ascending-ordered id pairs of a posting list in one pass:
   * sorts a null-stripped copy of the array and emits the k·(k−1)/2
   * combinations `(id_a < id_b)` as an array of structs ready to explode.
@@ -755,6 +890,9 @@ object VectorExpressions {
 
   def wavMetadata(payload: Column): Column =
     GraftSqlBridge.column(WavMetadata(expr(payload)))
+
+  def mp4Metadata(payload: Column): Column =
+    GraftSqlBridge.column(Mp4Metadata(expr(payload)))
 
   /** Zero-norm vectors have undefined cosine → null (try_divide keeps ANSI
     * mode from throwing DIVIDE_BY_ZERO on degenerate rows).

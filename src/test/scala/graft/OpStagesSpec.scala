@@ -152,9 +152,36 @@ class OpStagesSpec extends SparkSpec {
   test("similarity/winnow/multimodal stages are registered") {
     val expected = Set("winnow_fingerprint", "embed_dedup", "knn_join",
       "sim_topk", "as_media", "media_metadata", "media_decode",
-      "media_resize", "media_frames", "media_dimensions", "sessionize",
+      "media_resize", "media_frames", "media_dimensions", "audio_metadata",
+      "video_metadata", "sessionize",
       "filter_rows", "json_extract", "normalize_text")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
+  }
+
+  test("video_metadata stage appends parsed MP4 columns; non-MP4 rows null") {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, content: Array[Byte]): Array[Byte] =
+      be32(content.length + 8L) ++ typ.getBytes ++ content
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes) ++
+      box("moov",
+        box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(50) ++ be32(150) ++
+          Array.fill[Byte](80)(0)) ++
+        box("trak", box("tkhd", be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++
+          be32(0) ++ be32(0) ++ Array.fill[Byte](16)(0) ++
+          Array.fill[Byte](36)(0) ++ be32(256L << 16) ++ be32(128L << 16))))
+    val media = spark.createDataFrame(Seq(
+      (1L, mp4), (2L, "plain text".getBytes)
+    )).toDF("media_id", "payload")
+    val out = Pipeline.run(spark, emptyMeds(media),
+      PipelineConfig.fromYaml("stages:\n  - video_metadata\n").stages).data
+    val got = out.select("media_id", "video_timescale", "video_duration",
+      "video_width", "video_height", "video_duration_s").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 50L && got(1L).getLong(2) == 150L)
+    assert(got(1L).getLong(3) == 256L && got(1L).getLong(4) == 128L)
+    assert(got(1L).getDouble(5) == 3.0)
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(5))
   }
 
   private def embRows = {

@@ -547,6 +547,75 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == null && got(3L) == null)
   }
 
+  test("videoMetadata walks real MP4 box trees; corrupt payloads yield null") {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(typ: String, content: Array[Byte]): Array[Byte] =
+      be32(content.length + 8L) ++ typ.getBytes ++ content
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isom".getBytes)
+    // full spec-length bodies (parser only reads the leading fields, but the
+    // box sizes must bookkeep exactly like a real muxer's output)
+    def mvhd0(ts: Int, dur: Int): Array[Byte] =
+      box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur) ++
+        Array.fill[Byte](80)(0))
+    def mvhd1(ts: Int, dur: Long): Array[Byte] =
+      box("mvhd", be32(0x01000000L) ++ be64(0) ++ be64(0) ++ be32(ts) ++
+        be64(dur) ++ Array.fill[Byte](80)(0))
+    def tkhd0(w: Int, h: Int): Array[Byte] =
+      box("tkhd", be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+        be32(0) ++ Array.fill[Byte](16)(0) ++ Array.fill[Byte](36)(0) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    def tkhd1(w: Int, h: Int): Array[Byte] =
+      box("tkhd", be32(0x01000007L) ++ be64(0) ++ be64(0) ++ be32(1) ++
+        be32(0) ++ be64(0) ++ Array.fill[Byte](16)(0) ++ Array.fill[Byte](36)(0) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    def trak(tkhd: Array[Byte]): Array[Byte] = box("trak", tkhd)
+
+    val v0 = ftyp ++ box("moov", mvhd0(1000, 5000) ++ trak(tkhd0(1280, 720)))
+    val v1 = ftyp ++ box("moov", mvhd1(600, 4200L) ++ trak(tkhd1(1920, 1080)))
+    // audio track (0x0) first: the walk must skip to the video trak
+    val twoTraks = ftyp ++ box("moov",
+      mvhd0(90000, 90000) ++ trak(tkhd0(0, 0)) ++ trak(tkhd0(640, 480)))
+    val audioOnly = ftyp ++ box("moov", mvhd0(48000, 96000) ++ trak(tkhd0(0, 0)))
+    // free box first, then a size==0 moov extending to end-of-payload
+    val moovContent = mvhd0(25, 100) ++ trak(tkhd0(320, 240))
+    val sizeZero = ftyp ++ box("free", Array.fill[Byte](4)(0)) ++
+      be32(0) ++ "moov".getBytes ++ moovContent
+    // size==1: 64-bit largesize follows the type field
+    val largesize = ftyp ++ be32(1) ++ "moov".getBytes ++
+      be64(moovContent.length + 16L) ++ moovContent
+    val truncated = v0.take(40) // cut mid-moov
+    val noMvhd = ftyp ++ box("moov", trak(tkhd0(100, 100)))
+    // child trak declares a size overrunning its moov parent: corrupt
+    val overrun = ftyp ++ box("moov", mvhd0(1000, 1000) ++
+      be32(1 << 20) ++ "trak".getBytes)
+    val garbage = "not remotely an mp4 container...".getBytes
+
+    val rows = Seq(
+      (1L, v0), (2L, v1), (3L, twoTraks), (4L, audioOnly), (5L, sizeZero),
+      (6L, largesize), (7L, truncated), (8L, noMvhd), (9L, overrun),
+      (10L, garbage), (11L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val got = rows.select(col("media_id"),
+      Multimodal.videoMetadata(col("payload")).as("v"))
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else {
+          val s = r.getStruct(1)
+          (s.getString(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4),
+            s.getDouble(5))
+        })
+      }.toMap
+    assert(got(1L) == ("mp4", 1000L, 5000L, 1280L, 720L, 5.0))
+    assert(got(2L) == ("mp4", 600L, 4200L, 1920L, 1080L, 7.0)) // v1 64-bit duration
+    assert(got(3L) == ("mp4", 90000L, 90000L, 640L, 480L, 1.0)) // skips 0x0 audio trak
+    assert(got(4L) == ("mp4", 48000L, 96000L, 0L, 0L, 2.0)) // audio-only: 0x0, not null
+    assert(got(5L) == ("mp4", 25L, 100L, 320L, 240L, 4.0)) // size==0 to end-of-file
+    assert(got(6L) == ("mp4", 25L, 100L, 320L, 240L, 4.0)) // 64-bit largesize header
+    assert(got(7L) == null && got(8L) == null && got(9L) == null)
+    assert(got(10L) == null && got(11L) == null)
+  }
+
   test("batched decode (mapPartitions codec) matches the expression stub bit-for-bit") {
     val docs = (0 until 50).map(i => (i.toLong, s"payload $i " * (i + 1))).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
