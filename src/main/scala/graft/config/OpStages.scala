@@ -179,9 +179,18 @@ object OpStages {
       val perStratum = cfg.getInt("per_stratum").getOrElse(throw new IllegalArgumentException(
         s"stage $name: `per_stratum` is required"))
       val seed = cfg.getLong("seed").getOrElse(42L)
-      val salts = cfg.getInt("salts").getOrElse(64) // tournament parallelism
-      Pipeline.DataStage(name, m =>
-        Sampling.stratifiedCap(m.data, id, stratum, perStratum, seed, salts))
+      // default: bounded top-k aggregate + broadcast semi-join (skew-proof,
+      // unique-id contract); `algo: window` selects the salted-window cap
+      // for corpora with duplicate ids (`salts` applies only there)
+      val algo = cfg.getStr("algo").getOrElse("topk")
+      val salts = cfg.getInt("salts").getOrElse(64)
+      Pipeline.DataStage(name, m => algo match {
+        case "topk" => Sampling.stratifiedCap(m.data, id, stratum, perStratum, seed)
+        case "window" =>
+          Sampling.stratifiedCapWindow(m.data, id, stratum, perStratum, seed, salts)
+        case other => throw new IllegalArgumentException(
+          s"stage $name: unknown algo `$other` (expected topk|window)")
+      })
     }
 
     // ---- similarity / sketch / multimodal stages -------------------------

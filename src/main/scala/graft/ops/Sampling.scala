@@ -45,21 +45,51 @@ object Sampling {
   }
 
   /** Stratified cap: keep at most `perStratum` rows per stratum, selected by
-    * hash rank (deterministic).
+    * hash rank (deterministic). Requires `idCol` to be a unique row key —
+    * the same assumption every hash-keyed method here already makes
+    * (duplicate ids were nondeterministic under the previous window
+    * implementations too: equal sort keys); use [[stratifiedCapWindow]]
+    * when ids can repeat and an exact row count matters more than plan cost.
     *
-    * TWO-PHASE TOURNAMENT, because the obvious single window partitioned by
-    * the stratum serializes each stratum into one task — and real corpora
-    * have a dominant stratum (one `source` covering most of a 100 TB crawl),
-    * which turns the cap into a single-task sort of most of the dataset.
-    * Phase 1 windows over (stratum, salt) — `salts`-way parallel even inside
-    * one stratum — keeping each salt's local top-`perStratum`; phase 2 ranks
-    * only the ≤ salts × perStratum survivors per stratum. Exact: every
-    * global top-k row is its salt bucket's top-≤k, so phase 1 never drops
-    * one. The phase-1 shuffle is the same volume the single window paid but
-    * spread over salts× more keys; phase 2 shuffles only survivors. The salt
-    * is id-derived (not round-robin), so retries re-bucket identically.
+    * BOUNDED TOP-K AGGREGATE + BROADCAST SEMI-JOIN, because any window
+    * partitioned by the stratum must co-locate each stratum's FULL row set
+    * before ranking — and real corpora have a dominant stratum (one `source`
+    * covering most of a 100 TB crawl), so that shuffle moves most of the
+    * dataset no matter how it is salted. Here the ranking state is a
+    * k-bounded priority queue with map-side partial combine
+    * ([[org.apache.spark.sql.GraftSqlBridge.collectTopK]]): each map task
+    * ships at most `perStratum` (hash, id) entries per stratum, the reduce
+    * side merges #tasks × k bounded buffers, and the full rows are never
+    * shuffled at all — the winners (≤ strata × k ids, metadata-sized by
+    * construction) broadcast back onto the source as a semi-join, keeping
+    * the big side's scan shuffle-free. Skew-proof by construction: a
+    * stratum's cost no longer depends on its row share.
     */
   def stratifiedCap(df: DataFrame, idCol: String, stratumCol: String,
+      perStratum: Int, seed: Long = 42L): DataFrame = {
+    require(perStratum >= 1, s"perStratum must be >= 1, got $perStratum")
+    import org.apache.spark.sql.GraftSqlBridge
+    // null ids have no stable hash — drop them, consistent with sample()
+    val winners = df.filter(col(idCol).isNotNull)
+      .groupBy(col(stratumCol).as("__stratum"))
+      .agg(GraftSqlBridge.collectTopK(
+        struct(unitHash(col(idCol), seed).as("h"), col(idCol).as("id")),
+        perStratum, smallest = true).as("__top"))
+      .select(col("__stratum"), explode(col("__top.id")).as("__sel_id"))
+    df.join(broadcast(winners),
+        col(stratumCol) <=> col("__stratum") && col(idCol) === col("__sel_id"),
+        "left_semi")
+  }
+
+  /** The previous two-phase salted-window cap, kept for corpora whose id
+    * column is NOT unique (it caps the row COUNT exactly even then, at the
+    * price of shuffling every row once) and as the independent oracle the
+    * aggregate path is property-tested against. Phase 1 windows over
+    * (stratum, salt) keeping each salt's local top-`perStratum`; phase 2
+    * ranks only the ≤ salts × perStratum survivors. The salt is id-derived
+    * (not round-robin), so retries re-bucket identically.
+    */
+  def stratifiedCapWindow(df: DataFrame, idCol: String, stratumCol: String,
       perStratum: Int, seed: Long = 42L, salts: Int = 64): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     val order = Seq(unitHash(col(idCol), seed), col(idCol))

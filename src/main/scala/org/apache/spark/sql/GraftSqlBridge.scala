@@ -16,6 +16,20 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Spark's internal bounded top-k collector (`private[sql]`) as a Column:
+    * an ObjectHashAggregate-capable aggregate whose partial state is a
+    * k-bounded priority queue — map-side combine caps the shuffle at k
+    * entries per group per task no matter how skewed the group is, which is
+    * exactly the property a stratified cap needs at 100 TB. With
+    * `smallest = true` returns the k minimum values ascending (struct
+    * children order lexicographically by field).
+    */
+  def collectTopK(c: Column, k: Int, smallest: Boolean): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.GraftAggBridge
+        .collectTopK(ExpressionUtils.expression(c), k, reverse = smallest)
+        .toAggregateExpression())
+
   /** Eagerly free the storage blocks behind a `localCheckpoint()`ed frame
     * (or any frame projecting one). The ContextCleaner frees them anyway
     * once the frame is driver-GC'd, but iterative operators that checkpoint

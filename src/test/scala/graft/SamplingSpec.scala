@@ -59,7 +59,7 @@ class SamplingSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSet == out2.collect().map(_.getLong(0)).toSet)
   }
 
-  test("stratified cap tournament is exact on a hot stratum, salt-count invariant") {
+  test("stratified cap is exact on a hot stratum; topk and window paths agree") {
     import spark.implicits._
     // one dominant stratum (the shape that serializes a single-window cap)
     val rows = (0 until 5000).map(i => (i.toLong, "hot")) ++
@@ -71,13 +71,23 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(0)))
     val want = hashed.toSeq.groupBy(_._1).values
       .flatMap(xs => xs.sortBy(x => (x._2, x._3)).take(10).map(_._3)).toSet
-    def run(salts: Int) = Sampling.stratifiedCap(df, "doc_id", "lang",
+    assert(Sampling.stratifiedCap(df, "doc_id", "lang", perStratum = 10)
+      .collect().map(_.getLong(0)).toSet == want) // bounded top-k aggregate
+    def runWindow(salts: Int) = Sampling.stratifiedCapWindow(df, "doc_id", "lang",
       perStratum = 10, salts = salts).collect().map(_.getLong(0)).toSet
-    assert(run(64) == want) // default
-    assert(run(1) == want) // degenerate single-phase
-    assert(run(257) == want) // more salts than survivors per stratum
+    assert(runWindow(64) == want)
+    assert(runWindow(1) == want) // degenerate single-phase
+    assert(runWindow(257) == want) // more salts than survivors per stratum
     // the cold stratum (7 < cap) survives whole
     assert((10000L until 10007L).toSet.subsetOf(want))
+    // null strata form their own capped group on both paths (null-safe join)
+    val withNullStratum = df.withColumn("lang",
+      when(col("doc_id") % 3 === 0, col("lang")))
+    val a = Sampling.stratifiedCap(withNullStratum, "doc_id", "lang", 10)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedCapWindow(withNullStratum, "doc_id", "lang", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 22) // hot:10, cold:2 (only 10002/10005), null:10
   }
 }
 
