@@ -108,10 +108,15 @@ object Main {
     if (jobs.lengthCompare(1) == 0)
       runPipeline(spark, pipelineFile, inputRoot, outputRoot, checkpointRoot,
         jobs.head, stageOnly)
-    else jobs.zipWithIndex.foreach { case (combo, i) =>
-      println(s"[graft] multirun job $i: ${combo.mkString(" ")}")
-      runPipeline(spark, pipelineFile, inputRoot, s"$outputRoot/run_$i",
-        checkpointRoot.map(r => s"$r/run_$i"), combo, stageOnly)
+    else {
+      // Hydra's multirun.yaml analog: which run_<i> was which combo —
+      // written up front so even an aborted sweep is reproducible
+      MedsIO.writeMultirunManifest(outputRoot, jobs)
+      jobs.zipWithIndex.foreach { case (combo, i) =>
+        println(s"[graft] multirun job $i: ${combo.mkString(" ")}")
+        runPipeline(spark, pipelineFile, inputRoot, s"$outputRoot/run_$i",
+          checkpointRoot.map(r => s"$r/run_$i"), combo, stageOnly)
+      }
     }
   }
 

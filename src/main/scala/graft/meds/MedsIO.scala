@@ -259,6 +259,26 @@ object MedsIO {
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
   }
 
+  /** `<sweepRoot>/multirun.json` — the analog of Hydra's `multirun.yaml`:
+    * the job-index → override-combo mapping of a `--multirun` value sweep,
+    * written BEFORE the jobs run so a crashed sweep still documents which
+    * `run_<i>` directory was which combination.
+    */
+  def writeMultirunManifest(root: String, jobs: Seq[Seq[String]]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("jobs")
+    jobs.zipWithIndex.foreach { case (combo, i) =>
+      val j = arr.addObject()
+      j.put("job", i)
+      j.put("output", s"run_$i")
+      val o = j.putArray("overrides")
+      combo.foreach(o.add)
+    }
+    writeStringFile(new org.apache.hadoop.fs.Path(s"$root/multirun.json"),
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+  }
+
   def readDatasetMetadata(root: String): Map[String, String] = {
     readStringFile(new org.apache.hadoop.fs.Path(s"$root/metadata/dataset.json"))
       .map { content =>

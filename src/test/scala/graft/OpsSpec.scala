@@ -273,6 +273,11 @@ class DedupSpec extends SparkSpec {
     assert(trueDups.subsetOf(guarded), s"missing: ${trueDups -- guarded}")
     // the guard never invents pairs and the cold block is untouched (exact)
     assert(guarded.subsetOf(unguarded))
+    // maxBlock=None is plan-level zero-cost: no sub-bucket column, no
+    // oversized-block aggregate, no guard broadcast anywhere in the plan
+    val nonePlan = Dedup.embeddingPairs(embs, "vec_id", "embedding",
+      col("label"), 0.999).queryExecution.executedPlan.toString
+    assert(!nonePlan.contains("__bucket") && !nonePlan.contains("__bn"))
   }
 }
 

@@ -197,12 +197,27 @@ class YamlConfigSpec extends SparkSpec {
     val r1 = MedsIO.read(spark, s"$tmp/sweep/run_1").data.count()
     assert(r1 == 41) // the cutoff-5 run
     assert(r0 > r1) // the cutoff-1 run keeps more rows
+    // the sweep root documents which run_<i> was which combo (Hydra's
+    // multirun.yaml analog)
+    val manifest = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$tmp/sweep/multirun.json")))
+    val jobsNode = manifest.get("jobs")
+    assert(jobsNode.size() == 2)
+    assert(jobsNode.get(0).get("output").asText == "run_0")
+    assert(jobsNode.get(0).get("overrides").get(0).asText
+      == "stages.filter_subjects.min_events_per_subject=1")
+    assert(jobsNode.get(1).get("overrides").get(0).asText
+      == "stages.filter_subjects.min_events_per_subject=5")
     // a flow-collection value is NOT a sweep even under --multirun: one job,
     // output at the root (no run_ dirs)
     Main.run(Array(p, in, s"$tmp/flow", "--multirun",
       "stages.filter_subjects.code_filters=[a,b]"), spark)
     assert(MedsIO.read(spark, s"$tmp/flow").data.count() == 41)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/flow/run_0")))
+    // single-job invocations never write a manifest
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/flow/multirun.json")))
     // without --multirun a comma value stays one literal (Hydra's exact
     // behavior) — the sweep only activates under the multirun flag
     Main.run(Array(p, in, s"$tmp/lit",
