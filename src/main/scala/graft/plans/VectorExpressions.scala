@@ -712,32 +712,72 @@ object Mp4Metadata {
   * stripped (collect_list never produces them); 0- or 1-element lists emit
   * an empty array.
   */
-case class SortedPairs(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes {
+case class SortedPairs(child: Expression) extends UnaryExpression {
 
-  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(LongType))
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType // only reachable pre-checkInputDataTypes failure
+  }
+
+  // any orderable element type, ordered EXACTLY as the binary `<` the
+  // unguarded join path uses — an ArrayType(LongType) implicit cast here
+  // would throw on string doc ids under ANSI (or null-strip them with ANSI
+  // off) and silently change pair ordering between the two paths
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(et, _)
+          if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(et) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array of an orderable type, got ${other.sql}")
+    }
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("id_a", LongType, nullable = false),
-      StructField("id_b", LongType, nullable = false))),
+      StructField("id_a", elemType, nullable = false),
+      StructField("id_b", elemType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = child.nullable
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_sorted_pairs"
 
   override def nullSafeEval(input: Any): Any =
-    SortedPairs.pairs(input.asInstanceOf[ArrayData])
+    SortedPairs.pairs(input.asInstanceOf[ArrayData], elemType)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val etRef = ctx.addReferenceObj("elemType", elemType, classOf[DataType].getName)
     nullSafeCodeGen(ctx, ev, arr =>
-      s"${ev.value} = graft.plans.SortedPairs.pairs($arr);")
+      s"${ev.value} = graft.plans.SortedPairs.pairs($arr, $etRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object SortedPairs {
-  def pairs(xs: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+  def pairs(xs: ArrayData, et: DataType): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    et match {
+      case LongType => pairsLong(xs) // primitive fast path: the hash-id hot case
+      case _ =>
+        val n0 = xs.numElements()
+        val tmp = new Array[Any](n0)
+        var k = 0
+        var i = 0
+        while (i < n0) {
+          if (!xs.isNullAt(i)) { tmp(k) = xs.get(i, et); k += 1 }
+          i += 1
+        }
+        // the same ordering Spark's BinaryComparison uses for this type, so
+        // guarded and unguarded paths emit identically-oriented pairs
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(et)
+        java.util.Arrays.sort(tmp.asInstanceOf[Array[AnyRef]], 0, k,
+          ord.asInstanceOf[java.util.Comparator[AnyRef]])
+        emit(tmp, k)
+    }
+
+  private def pairsLong(xs: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n0 = xs.numElements()
     val tmp = new Array[Long](n0)
     var k = 0
@@ -747,6 +787,13 @@ object SortedPairs {
       i += 1
     }
     java.util.Arrays.sort(tmp, 0, k)
+    val boxed = new Array[Any](k)
+    var j = 0
+    while (j < k) { boxed(j) = java.lang.Long.valueOf(tmp(j)); j += 1 }
+    emit(boxed, k)
+  }
+
+  private def emit(sorted: Array[Any], k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val out = new Array[Any](k * (k - 1) / 2)
     var p = 0
     var a = 0
@@ -754,7 +801,7 @@ object SortedPairs {
       var b = a + 1
       while (b < k) {
         out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](tmp(a), tmp(b)))
+          Array[Any](sorted(a), sorted(b)))
         p += 1
         b += 1
       }

@@ -63,6 +63,25 @@ class DedupSpec extends SparkSpec {
       threshold = 0.0, maxDf = Some(10)).count() == 1)
   }
 
+  test("ngram jaccard guarded path handles string doc ids (no LongType cast)") {
+    // non-integral ids through the guarded inverted index: the generalized
+    // SortedPairs must order them like the unguarded path's binary `<` —
+    // numeric-looking strings ("10" vs "9") are the divergence trap
+    val docs = Seq(
+      ("9", "the quick brown fox jumps over the dog"),
+      ("10", "the quick brown fox jumps over the dog"),
+      ("alpha", "completely different text with no overlap here")
+    ).toDF("doc_id", "text")
+    def run(maxDf: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        maxDf = maxDf)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val unguarded = run(None)
+    val guarded = run(Some(10))
+    assert(unguarded == guarded)
+    assert(unguarded == Set(("10", "9", 1.0))) // lexicographic: "10" < "9"
+  }
+
   test("ngram jaccard equals a brute-force Scala oracle on random corpora (both paths)") {
     // independent oracle: exact Jaccard over distinct shingle STRINGS
     // (56-bit hash collisions are impossible at this corpus size), with the

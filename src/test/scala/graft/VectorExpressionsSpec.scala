@@ -126,6 +126,25 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(stripped.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 3L)))
   }
 
+  test("SortedPairs on string ids: lexicographic, matching binary `<`") {
+    // non-integral doc ids (UUIDs, URLs) must order exactly as Spark's `<`
+    // would in the join path — numeric-looking strings are the trap case
+    // ("10" < "9" lexicographically)
+    val df = Seq((1L, Seq("9", "10", "alpha", "Beta"))).toDF("i", "ids")
+    val got = df.select(VectorExpressions.sortedPairs(col("ids")).as("p"))
+      .selectExpr("inline(p)").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val elems = Seq("9", "10", "alpha", "Beta").sorted // JVM String == UTF8String order here
+    val want = for { a <- elems.indices; b <- a + 1 until elems.size }
+      yield (elems(a), elems(b))
+    assert(got.toSeq == want)
+    // unorderable element type is rejected at analysis, not at runtime
+    val bad = Seq((1L, Seq(Map("k" -> 1L)))).toDF("i", "ids")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(VectorExpressions.sortedPairs(col("ids"))).collect()
+    }
+  }
+
   test("implicit cast: float arrays accepted") {
     val d = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     assert(d.select(VectorExpressions.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
