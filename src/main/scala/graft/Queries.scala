@@ -673,6 +673,47 @@ object Queries {
   private def sqlStopwords: String =
     TextAnalysis.DefaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** The corpus text is single-line, so the gate FABRICATES line structure
+    * deterministically (every word becomes a line via translate) and runs
+    * the real operator over it; with word-lines, the oracle's line signals
+    * reduce to word-list expressions. The n-gram signal is line-independent.
+    * Multi-line/ellipsis/bullet richness is spec-covered (TextAnalysisSpec).
+    */
+  private val textRepetition: Gate = Gate(
+    (s, dir) => TextAnalysis.repetitionSignals(
+      table(s, dir, "documents").withColumn("text", translate(col("text"), " ", "\n")),
+      "doc_id", "text")
+      .select(col("doc_id"),
+        r4(col("dup_line_fraction")).as("dup_line_fraction"),
+        r4(col("dup_line_char_fraction")).as("dup_line_char_fraction"),
+        r4(col("dup_ngram_fraction")).as("dup_ngram_fraction"),
+        r4(col("ellipsis_line_fraction")).as("ellipsis_line_fraction"),
+        r4(col("bullet_line_fraction")).as("bullet_line_fraction"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+      |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+      |  FROM documents),
+      |g AS (SELECT doc_id, ws,
+      |  CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+      |   ELSE list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')) END AS ng
+      |  FROM t)
+      |SELECT doc_id,
+      | round(CASE WHEN len(ws) > 0
+      |   THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws) ELSE 0.0 END, 4) AS dup_line_fraction,
+      | round(CASE WHEN len(ws) > 0 AND list_sum(list_transform(ws, w -> length(w))) > 0
+      |   THEN 1.0 - CAST(list_sum(list_transform(list_distinct(ws), w -> length(w))) AS DOUBLE)
+      |     / list_sum(list_transform(ws, w -> length(w))) ELSE 0.0 END, 4) AS dup_line_char_fraction,
+      | round(CASE WHEN len(ng) > 0
+      |   THEN 1.0 - CAST(len(list_distinct(ng)) AS DOUBLE)/len(ng) ELSE 0.0 END, 4) AS dup_ngram_fraction,
+      | round(CASE WHEN len(ws) > 0
+      |   THEN CAST(len(list_filter(ws, w -> w LIKE '%...' OR w LIKE '%…')) AS DOUBLE)/len(ws)
+      |   ELSE 0.0 END, 4) AS ellipsis_line_fraction,
+      | round(CASE WHEN len(ws) > 0
+      |   THEN CAST(len(list_filter(ws, w -> w LIKE '-%' OR w LIKE '*%' OR w LIKE '•%')) AS DOUBLE)/len(ws)
+      |   ELSE 0.0 END, 4) AS bullet_line_fraction
+      |FROM g ORDER BY doc_id""".stripMargin))
+
   private val langId: Gate = Gate(
     (s, dir) => TextAnalysis.languageId(table(s, dir, "documents"), "doc_id", "text")
       .select((col("doc_id") +:
@@ -1078,6 +1119,40 @@ object Queries {
       |   row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk FROM h)
       |SELECT doc_id, lang FROM r WHERE rk <= 50 ORDER BY doc_id""".stripMargin))
 
+  /** Decontamination gates: every 50th document plays the eval set, the
+    * rest the training corpus; n=4 yields sparse-but-nonzero contamination
+    * on this corpus (19/490 at sf0.01). The bloom gate runs the prefilter +
+    * exact-confirm path and must produce bit-identical output — both gates
+    * share one oracle.
+    */
+  private def decontamOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(ws)-2), i -> array_to_string(ws[i:i+3], ' '))) AS gr
+      |  FROM t WHERE len(ws) >= 4),
+      |ev AS (SELECT DISTINCT gr FROM g WHERE doc_id % 50 = 0),
+      |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gr) WHERE g.doc_id % 50 <> 0)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
+  private def decontamGate(bloom: Boolean): Gate = Gate(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 50 === 0)
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val out =
+        if (bloom) Decontaminate.decontaminateBloom(train, eval, "doc_id", "text", n = 4)
+        else Decontaminate.decontaminate(train, eval, "doc_id", "text", n = 4)
+      out.select("doc_id").orderBy("doc_id")
+    },
+    Some(decontamOracle))
+
+  private val decontaminate: Gate = decontamGate(bloom = false)
+  private val decontaminateBloom: Gate = decontamGate(bloom = true)
+
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
 
@@ -1209,10 +1284,13 @@ object Queries {
     "events_sessionize" -> eventsSessionize,
     "events_sessionize_stream" -> eventsSessionizeStream,
     "dedup_exact" -> dedupExact,
+    "decontaminate" -> decontaminate,
+    "decontaminate_bloom" -> decontaminateBloom,
     "doc_fingerprint" -> docFingerprint,
     "winnow_fingerprint" -> winnowFp,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
+    "text_repetition" -> textRepetition,
     "lang_id" -> langId,
     "ngram_jaccard" -> ngramJaccard,
     "minhash_lsh" -> minhashLsh,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dsl.Cfg
 import graft.operators.Pipeline
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Built-in training-data-hygiene stages, registered through the SAME
   * extension point third-party packages use ([[PipelineConfig.register]],
@@ -144,6 +144,33 @@ object OpStages {
       val text = cfg.getStr(TextCol).getOrElse("text")
       Pipeline.DataStage(name, m =>
         appendCols(name, m.data, TextAnalysis.langIdExprs(col(text))))
+    }
+
+    // eval-set decontamination: drop rows sharing an n-gram with the corpus
+    // at `eval_path`; `algo: bloom` probes a bloom prefilter before the
+    // exact confirm (identical output, no train-side explode)
+    PipelineConfig.register("decontaminate") { (name, cfg) =>
+      val id = cfg.getStr(IdCol).getOrElse("doc_id")
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      val n = cfg.getInt("ngram").getOrElse(8)
+      val evalPath = cfg.getStr("eval_path").getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `eval_path` is required"))
+      val algo = cfg.getStr("algo").getOrElse("exact")
+      require(algo == "exact" || algo == "bloom",
+        s"stage $name: unknown algo `$algo` (expected exact|bloom)")
+      Pipeline.DataStage(name, m => {
+        val eval = m.data.sparkSession.read.parquet(evalPath)
+        if (algo == "bloom")
+          Decontaminate.decontaminateBloom(m.data, eval, id, text, n)
+        else Decontaminate.decontaminate(m.data, eval, id, text, n)
+      })
+    }
+
+    PipelineConfig.register("text_repetition") { (name, cfg) =>
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      val n = cfg.getInt("ngram").getOrElse(3)
+      Pipeline.DataStage(name, m =>
+        appendCols(name, m.data, TextAnalysis.repetitionExprs(col(text), n)))
     }
 
     PipelineConfig.register("text_tokens") { (name, cfg) =>

@@ -41,13 +41,22 @@ object GraftFunctions {
     Seq.fill(n)((next() + 1, next()))
   }
 
+  /** The `\s` class as literal trim characters: Spark's one-arg `trim`
+    * strips SPACES ONLY, so newline/tab-edged text (any multi-line corpus)
+    * would leave edge separators behind and `split` would emit empty
+    * tokens.
+    */
+  private val WsChars = " \t\n\r\f"
+
   /** Whitespace tokenization with Polars/DuckDB-compatible edge semantics:
     * empty or all-whitespace text → empty array (Spark's split would give
-    * [""]).
+    * [""]), and ALL whitespace — not just spaces — counts as an edge.
     */
-  def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))
-      .otherwise(split(trim(text), "\\s+"))
+  def tokens(text: Column): Column = {
+    val t = trim(text, WsChars)
+    when(length(t) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(t, "\\s+"))
+  }
 
   /** Word n-gram shingles as space-joined strings: one entry per window of
     * `n` consecutive tokens. Documents shorter than n words → empty array.

@@ -93,6 +93,53 @@ object TextAnalysis {
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select((col(idCol) +: langIdExprs(col(textCol))): _*)
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1-A1.2 family):
+    * line- and n-gram-level duplication fractions plus the ellipsis/bullet
+    * line heuristics — the document-internal repetition filters a crawl
+    * pipeline applies before any cross-document dedup. Pure codegen'd
+    * array expressions over one scan; blank/short documents score 0 on
+    * every signal (no nulls — these feed threshold filters directly).
+    *
+    *  - dup_line_fraction:       1 − distinct / total over nonblank lines
+    *  - dup_line_char_fraction:  1 − chars-in-distinct-lines / line chars
+    *  - dup_ngram_fraction:      1 − distinct / total over word `n`-grams
+    *    (counted via the 56-bit shingle hash — collision-free at any real
+    *    document length)
+    *  - ellipsis_line_fraction:  lines ending in `...` or `…`
+    *  - bullet_line_fraction:    lines starting with `-`, `*`, or `•`
+    */
+  def repetitionExprs(t: Column, n: Int = 3): Seq[Column] = {
+    // "nonblank" must see tabs/CR as blank too (one-arg trim is space-only)
+    val lines = filter(split(t, "\n"), l => length(trim(l, " \t\r\f")) > 0)
+    val nLines = size(lines)
+    val dLines = array_distinct(lines)
+    val lineChars = aggregate(transform(lines, l => length(l)), lit(0), (a, x) => a + x)
+    val dLineChars = aggregate(transform(dLines, l => length(l)), lit(0), (a, x) => a + x)
+    val ws = tokens(t)
+    val totalNgrams = greatest(size(ws) - (n - 1), lit(0))
+    val distinctNgrams =
+      size(graft.plans.VectorExpressions.shingleHash56(ws, n, distinct = true))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(0.0)
+    Seq(
+      frac(nLines - size(dLines), nLines).as("dup_line_fraction"),
+      frac(lineChars - dLineChars, lineChars).as("dup_line_char_fraction"),
+      frac(totalNgrams - distinctNgrams, totalNgrams).as("dup_ngram_fraction"),
+      frac(size(filter(lines, l => {
+        val s = trim(l, " \t\r\f")
+        endswith(s, lit("...")) || endswith(s, lit("…"))
+      })), nLines).as("ellipsis_line_fraction"),
+      frac(size(filter(lines, l => {
+        val s = trim(l, " \t\r\f")
+        startswith(s, lit("-")) || startswith(s, lit("*")) || startswith(s, lit("•"))
+      })), nLines).as("bullet_line_fraction"))
+  }
+
+  /** Repetition signals projected onto the id column. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select((col(idCol) +: repetitionExprs(col(textCol), n)): _*)
+
   /** Normalized-content fingerprint (lowercase, collapse whitespace, md5). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))

@@ -30,6 +30,30 @@ object GraftSqlBridge {
         .collectTopK(ExpressionUtils.expression(c), k, reverse = smallest)
         .toAggregateExpression())
 
+  /** Spark's internal bloom-filter builder (`private[sql]`, the engine of
+    * runtime join filtering) as a Column: aggregates LONG values into one
+    * serialized `BloomFilter` (BinaryType) with map-side partial merge.
+    * The result is a single metadata-sized blob no matter the input row
+    * count — the legitimate driver-collect that [[mightContain]] then
+    * re-broadcasts as a literal predicate input.
+    */
+  def bloomFilterAgg(c: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** `might_contain(bloom, value)`: true when `value` MAY be in the filter
+    * (no false negatives), with the codegen'd implementation Spark uses for
+    * its own injected runtime filters.
+    */
+  def mightContain(bloom: Column, value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloom), ExpressionUtils.expression(value)))
+
   /** Eagerly free the storage blocks behind a `localCheckpoint()`ed frame
     * (or any frame projecting one). The ContextCleaner frees them anyway
     * once the frame is driver-GC'd, but iterative operators that checkpoint

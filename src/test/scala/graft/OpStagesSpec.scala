@@ -154,7 +154,8 @@ class OpStagesSpec extends SparkSpec {
       "sim_topk", "as_media", "media_metadata", "media_decode",
       "media_resize", "media_frames", "media_dimensions", "audio_metadata",
       "video_metadata", "sessionize",
-      "filter_rows", "json_extract", "normalize_text")
+      "filter_rows", "json_extract", "normalize_text", "text_repetition",
+      "decontaminate")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
   }
 

@@ -300,6 +300,55 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"), // shares a 4-gram with eval
+    (2L, "completely clean document with original content here"),
+    (3L, "quick brown fox leaps"), // 3-gram overlap only: NOT contaminated at n=4
+    (4L, "too short"), // < n words: can never be contaminated
+    (5L, "the quick brown fox strikes again tonight") // shares the same 4-gram
+  ).toDF("doc_id", "text")
+  private val eval = Seq(
+    (100L, "benchmark asks about the quick brown fox and more")
+  ).toDF("doc_id", "text")
+
+  test("exact n-gram decontamination drops only true 4-gram overlaps") {
+    val bad = Decontaminate.contaminatedIds(train, eval, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == Set(1L, 5L)) // "the quick brown fox"
+    val kept = Decontaminate.decontaminate(train, eval, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("bloom path is bit-identical to exact, even with a saturated filter") {
+    val exact = Decontaminate.decontaminate(train, eval, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Decontaminate.decontaminateBloom(train, eval, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    // a deliberately tiny filter (64 bits) false-positives aggressively;
+    // the exact confirm must still remove every false positive
+    val saturated = Decontaminate.decontaminateBloom(train, eval, "doc_id", "text",
+      n = 4, expectedItems = 4, numBits = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(saturated == exact)
+  }
+
+  test("empty or too-short eval corpus removes nothing (both paths)") {
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Decontaminate.decontaminate(train, emptyEval, "doc_id", "text", 4)
+      .count() == 5)
+    assert(Decontaminate.decontaminateBloom(train, emptyEval, "doc_id", "text", 4)
+      .count() == 5)
+    val shortEval = Seq((100L, "one two three")).toDF("doc_id", "text") // < n words
+    assert(Decontaminate.decontaminateBloom(train, shortEval, "doc_id", "text", 4)
+      .count() == 5)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
@@ -453,6 +502,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("n_chars") == 17)
     assert(r.getAs[Int]("n_words") == 4)
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-9) // The, the
+  }
+
+  test("repetition signals: dup lines/chars/ngrams, ellipsis and bullet lines") {
+    val doc = Seq(
+      "click here",        // dup line (x3), 10 chars each
+      "click here",
+      "click here",
+      "a unique sentence continues with more words", // 7 words
+      "- bullet one",
+      "* bullet two",
+      "read more...",
+      "").mkString("\n")   // blank line: excluded from every line count
+    val d = Seq((1L, doc), (2L, ""), (3L, "one two")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .collect().map(row => row.getLong(0) -> row).toMap
+    val doc1 = r(1L)
+    // 7 nonblank lines, 5 distinct -> 2/7
+    assert(math.abs(doc1.getDouble(1) - 2.0 / 7) < 1e-9)
+    // chars: 3x10 + 43 + 12 + 12 + 12 = 109 total; distinct drop 20 -> 20/109
+    assert(math.abs(doc1.getDouble(2) - 20.0 / 109) < 1e-9)
+    // words: lines split to 2+2+2+7+3+3+2 = 21 words -> 19 trigrams;
+    // "click here click"/"here click here" each appear twice -> 2 repeats
+    assert(math.abs(doc1.getDouble(3) - 2.0 / 19) < 1e-9)
+    assert(math.abs(doc1.getDouble(4) - 1.0 / 7) < 1e-9) // "read more..."
+    assert(math.abs(doc1.getDouble(5) - 2.0 / 7) < 1e-9) // the two bullets
+    // blank text: all-zero signals, no nulls (threshold-filter safe)
+    assert((1 to 5).forall(i => r(2L).getDouble(i) == 0.0))
+    // short text: no trigram exists -> ngram signal 0, not null
+    assert(r(3L).getDouble(3) == 0.0)
   }
 
   test("language id picks max-marker language, unknown when none") {
