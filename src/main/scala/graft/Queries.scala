@@ -1153,6 +1153,28 @@ object Queries {
   private val decontaminate: Gate = decontamGate(bloom = false)
   private val decontaminateBloom: Gate = decontamGate(bloom = true)
 
+  private val packSequences: Gate = Gate(
+    (s, dir) => Packing.packSequences(table(s, dir, "documents"),
+      "doc_id", "text", capacity = 256, shards = 8)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("offset"),
+        col("seq_idx"), col("straddles"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+      |  SELECT doc_id,
+      |   ('0x' || substr(md5(doc_id::VARCHAR || ':shard:42'),1,14))::BIGINT % 8 AS shard,
+      |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000000)/1000000000.0 AS u,
+      |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |o AS (SELECT doc_id, shard, n_tokens,
+      |   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+      |     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+      |  FROM t)
+      |SELECT doc_id, shard, n_tokens, "offset",
+      | CAST("offset" // 256 AS BIGINT) AS seq_idx,
+      | ("offset" % 256) + n_tokens > 256 AS straddles
+      |FROM o ORDER BY doc_id""".stripMargin))
+
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
 
@@ -1305,6 +1327,7 @@ object Queries {
     "sim_ivf_topk" -> simIvfTopK,
     "knn_join" -> knnJoin,
     "sample_split" -> sampleSplit,
+    "pack_sequences" -> packSequences,
     "stratified_cap" -> stratifiedCap,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dsl.Cfg
 import graft.operators.Pipeline
-import graft.ops.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Built-in training-data-hygiene stages, registered through the SAME
   * extension point third-party packages use ([[PipelineConfig.register]],
@@ -218,6 +218,19 @@ object OpStages {
         case other => throw new IllegalArgumentException(
           s"stage $name: unknown algo `$other` (expected topk|window)")
       })
+    }
+
+    // concat-then-chunk sequence packing: REPLACES data with the per-doc
+    // layout table (shard, offset, seq_idx, straddles) for loader manifests
+    PipelineConfig.register("pack_sequences") { (name, cfg) =>
+      val id = cfg.getStr(IdCol).getOrElse("doc_id")
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      val capacity = cfg.getInt("capacity").getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `capacity` is required"))
+      val shards = cfg.getInt("shards").getOrElse(256)
+      val seed = cfg.getLong("seed").getOrElse(42L)
+      Pipeline.DataStage(name, m =>
+        Packing.packSequences(m.data, id, text, capacity, shards, seed))
     }
 
     // ---- similarity / sketch / multimodal stages -------------------------

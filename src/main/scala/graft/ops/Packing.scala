@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling.unitHash
+import graft.functions.GraftFunctions.portableHash56
+
+/** Sequence packing for pre-training batch preparation: lay documents out
+  * into fixed-capacity token windows, concat-then-chunk style (the dominant
+  * practice: the corpus is one token stream per shard, cut every `capacity`
+  * tokens; documents may straddle a cut — consumers mask across the
+  * boundary). The assignment is a pure layout computation: each document
+  * gets its shard, its token offset in the shard's stream, the sequence
+  * index its first token lands in, and a straddle flag.
+  *
+  * Scale shape: documents are hash-sharded (portable id hash, so retries
+  * and engines agree), each shard's layout is one window over its own rows
+  * — `shards`-way parallel, skew-free by construction (the hash spreads
+  * docs uniformly regardless of content), and the only wide operation is
+  * the per-shard sort the window needs. No capacity-reset state: the
+  * concat-then-chunk rule makes offsets a plain cumulative sum, which is
+  * why it scales where first-fit bin packing (inherently sequential per
+  * bin set) does not.
+  */
+object Packing {
+
+  /** Per-document packing assignment.
+    *
+    * Output columns: idCol, `shard`, `n_tokens`, `offset` (first-token
+    * position in the shard's stream), `seq_idx` (= offset / capacity, the
+    * window holding the document's first token), `straddles` (true when
+    * the document crosses a window cut). Documents are ordered within a
+    * shard by (id-hash, id) — deterministic and decorrelated from input
+    * order. Empty documents occupy zero tokens but keep an assignment (the
+    * offset where they sit). Null ids are dropped (no stable hash),
+    * consistent with [[Sampling]].
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Int, shards: Int = 256, seed: Long = 42L): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val nTok = graft.ops.TextAnalysis.tokenCount(col(textCol))
+    val shard = pmod(
+      portableHash56(concat(col(idCol).cast("string"), lit(":shard:"), lit(seed.toString))),
+      lit(shards.toLong))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(unitHash(col(idCol), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), shard.as("shard"), nTok.cast("long").as("n_tokens"))
+      .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_idx", floor(col("offset") / capacity))
+      .withColumn("straddles",
+        pmod(col("offset"), lit(capacity.toLong)) + col("n_tokens") > capacity)
+  }
+
+  /** Shard/sequence-level summary of a packing layout: how many documents
+    * and tokens land in each capacity window, and the fill fraction of the
+    * FULL windows (every window but a shard's last is exactly full by
+    * construction — the straddle rule wastes zero tokens; the summary
+    * exists for sanity checks and loader manifests).
+    */
+  def packingSummary(assignments: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    assignments.groupBy("shard", "seq_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_started"),
+        max(col("offset") + col("n_tokens")).as("stream_end"))
+      .withColumn("full",
+        col("stream_end") >= (col("seq_idx") + 1) * capacity)
+  }
+}

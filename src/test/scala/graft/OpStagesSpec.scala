@@ -155,7 +155,7 @@ class OpStagesSpec extends SparkSpec {
       "media_resize", "media_frames", "media_dimensions", "audio_metadata",
       "video_metadata", "sessionize",
       "filter_rows", "json_extract", "normalize_text", "text_repetition",
-      "decontaminate")
+      "decontaminate", "pack_sequences")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
   }
 

@@ -300,6 +300,55 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pack assignment: contiguous offsets, exact window cuts, straddle flags") {
+    val docs = (0L until 200L).map(i => (i, Seq.fill(3 + (i % 17).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "doc_id", "text",
+      capacity = 64, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // per shard: offsets are a contiguous token stream in (hash, id) order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 == 0L) // stream starts at 0
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._3) // next = prev + len
+        case _ =>
+      }
+    }
+    // seq_idx and straddle are pure functions of offset/len/capacity
+    out.foreach { case (_, _, n, off, seq, straddles) =>
+      assert(seq == off / 64)
+      assert(straddles == (off % 64 + n > 64))
+    }
+    // layout is input-order independent (hash-ordered, not arrival-ordered)
+    val shuffled = Packing.packSequences(docs.repartition(7), "doc_id", "text",
+      capacity = 64, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out.map(r => (r._1, r._4)).toMap == shuffled)
+  }
+
+  test("packing summary: every window but a shard's last is exactly full") {
+    val docs = (0L until 300L).map(i => (i, Seq.fill(5 + (i % 11).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val assign = Packing.packSequences(docs, "doc_id", "text", capacity = 100, shards = 3)
+    val summary = Packing.packingSummary(assign, capacity = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5)))
+    val lastPerShard = summary.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    summary.foreach { case (shard, seq, full) =>
+      if (seq < lastPerShard(shard)) assert(full, s"window $shard/$seq not full")
+    }
+    // empty docs keep an assignment with zero tokens
+    val withEmpty = docs.union(Seq((999L, "")).toDF("doc_id", "text"))
+    val e = Packing.packSequences(withEmpty, "doc_id", "text", 100, shards = 3)
+      .filter(col("doc_id") === 999L).head()
+    assert(e.getLong(2) == 0L && !e.getBoolean(5))
+  }
+}
+
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
 
