@@ -540,6 +540,54 @@ object Queries {
     * ordering for a null timestamp (the batch path's NULLS FIRST convention
     * is a window-order artifact a watermark would drop anyway).
     */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.list(p)
+      try st.iterator().asScala.foreach(rmTree) finally st.close()
+    }
+    java.nio.file.Files.deleteIfExists(p); ()
+  }
+
+  /** Streaming exact dedup under oracle verification: the events file is
+    * streamed TWICE and unioned, so every row arrives alongside its own
+    * duplicate; `EventStream.streamingDedup` (watermark-bounded state) must
+    * drop exactly one copy of each — the surviving set is the original
+    * table, which the batch oracle states directly. Keying on the full-row
+    * content hash makes the survivor identity well-defined (duplicates are
+    * identical), so the gate is hash-exact despite parallel arrival order.
+    */
+  private val eventsDedupStream: Gate = Gate(
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+      val outDir = tmp.resolve("out").toString
+      try {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        // two independent file sources over the same glob = each row twice
+        def src = restoreTs(ss.readStream.schema(table(ss, dir, "events").schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+          .filter(col("ts").isNotNull) // watermark column must be non-null
+        val allCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        val q = EventStream.streamingDedup(src.union(src), allCols)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.coalesce(1).write.mode("overwrite").parquet(s"$outDir/b$batchId"); ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.option("recursiveFileLookup", "true").parquet(outDir)
+          .select(allCols.map(col): _*)
+          .orderBy("event_id")
+          .localCheckpoint() // free the sink/checkpoint dirs immediately
+      } finally rmTree(tmp)
+    },
+    Some("""SELECT event_id, ts, user_id, event_type, value, props
+      |FROM events WHERE ts IS NOT NULL ORDER BY event_id""".stripMargin))
+
   private val eventsSessionizeStream: Gate = Gate(
     (s, dir) => {
       import s.implicits._
@@ -547,13 +595,6 @@ object Queries {
       import scala.jdk.CollectionConverters._
       val tmp = java.nio.file.Files.createTempDirectory("graft_sessionize_stream")
       val outDir = tmp.resolve("out").toString
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.list(p)
-          try st.iterator().asScala.foreach(rm) finally st.close()
-        }
-        java.nio.file.Files.deleteIfExists(p); ()
-      }
       try {
         // a stateful streaming query pays per-state-partition overhead (one
         // HDFS-backed store + delta file per partition per batch) regardless
@@ -596,7 +637,7 @@ object Queries {
           // checkpoint dirs can be deleted NOW — repeated gate invocations
           // must not accumulate temp dirs for the host to clean up
           .localCheckpoint()
-      } finally rm(tmp)
+      } finally rmTree(tmp)
     },
     Some("""WITH p AS (
       |  SELECT user_id, ts, event_id, value,
@@ -1305,6 +1346,7 @@ object Queries {
     "events_json" -> eventsJson,
     "events_sessionize" -> eventsSessionize,
     "events_sessionize_stream" -> eventsSessionizeStream,
+    "events_dedup_stream" -> eventsDedupStream,
     "dedup_exact" -> dedupExact,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
