@@ -75,14 +75,14 @@ object Decontaminate {
         .as("__bf"))
       .head()
     if (bloomRow.isNullAt(0)) return train // empty/too-short eval: nothing to remove
-    val bloom = lit(bloomRow.getAs[Array[Byte]](0))
+    val bloomBytes = bloomRow.getAs[Array[Byte]](0)
     // per-doc early-exit probe over the in-row hash array: no explode for
-    // clean docs (the HOF lambda is interpreted per element, but each probe
-    // is a couple of hash-mixes — still far cheaper than materializing and
-    // joining the exploded grams of the whole corpus)
+    // clean docs, and the probe is a native codegen'd loop (the composable
+    // exists() + might_contain form interprets its lambda per element,
+    // which measured SLOWER than the explode it replaces — DecontamSmoke)
     val flagged = train.filter(size(tokens(col(textCol))) >= n)
-      .filter(exists(gramHashes(textCol, n),
-        h => GraftSqlBridge.mightContain(bloom, h)))
+      .filter(graft.plans.VectorExpressions.bloomAnyContain(
+        gramHashes(textCol, n), bloomBytes))
     train.join(
       broadcast(contaminatedIds(flagged, eval, idCol, textCol, n)),
       Seq(idCol), "left_anti")

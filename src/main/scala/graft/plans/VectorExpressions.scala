@@ -701,6 +701,57 @@ object Mp4Metadata {
   }
 }
 
+/** True when ANY element of a long array might be in the bloom filter —
+  * the per-document contamination probe, as one codegen'd early-exit loop
+  * over the in-row hash array. The composable `exists(arr, h =>
+  * might_contain(...))` form re-enters interpreted evaluation per element
+  * (higher-order lambdas are CodegenFallback), which at corpus scale costs
+  * more than the explode it was meant to avoid; this loop probes a
+  * partition-local deserialized filter at primitive speed. Null elements
+  * are skipped; a null array yields null.
+  */
+case class BloomAnyContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_any"
+
+  // deserialized once per (deserialized) expression instance — i.e. once
+  // per executor task set, not per row
+  @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    BloomAnyContain.anyContain(input.asInstanceOf[ArrayData], bf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloom", bf,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.BloomAnyContain.anyContain($arr, $bfRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomAnyContain {
+  def anyContain(xs: ArrayData,
+      bf: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i) && bf.mightContainLong(xs.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+}
+
 /** All ascending-ordered id pairs of a posting list in one pass:
   * sorts a null-stripped copy of the array and emits the k·(k−1)/2
   * combinations `(id_a < id_b)` as an array of structs ready to explode.
@@ -940,6 +991,9 @@ object VectorExpressions {
 
   def mp4Metadata(payload: Column): Column =
     GraftSqlBridge.column(Mp4Metadata(expr(payload)))
+
+  def bloomAnyContain(hashes: Column, bloomBytes: Array[Byte]): Column =
+    GraftSqlBridge.column(BloomAnyContain(expr(hashes), bloomBytes))
 
   /** Zero-norm vectors have undefined cosine → null (try_divide keeps ANSI
     * mode from throwing DIVIDE_BY_ZERO on degenerate rows).

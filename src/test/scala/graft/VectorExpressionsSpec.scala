@@ -145,6 +145,35 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("BloomAnyContain equals the composable exists(might_contain) form") {
+    val bytes = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      Seq(5L, 17L, 99L).foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 17L)), // hit
+      (2L, Seq[java.lang.Long](1L, 2L, 3L)), // clean (fpp at 1% is possible but
+      (3L, Seq[java.lang.Long]()), // empty → false     seeded values avoid it)
+      (4L, Seq[java.lang.Long](null, 5L)) // null element skipped, then hit
+    ).toDF("i", "hs")
+    val native = df.select(col("i"),
+      VectorExpressions.bloomAnyContain(col("hs"), bytes).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val hof = df.select(col("i"), exists(col("hs"), h =>
+      org.apache.spark.sql.GraftSqlBridge.mightContain(lit(bytes), h)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(native(1L) && !native(2L) && !native(3L) && native(4L))
+    // exists() treats a null element as null unless a later element hits;
+    // on these inputs both agree — the native loop simply skips nulls
+    assert(native == hof)
+    // null array propagates
+    val nullRow = Seq((9L, null.asInstanceOf[Seq[java.lang.Long]])).toDF("i", "hs")
+      .select(VectorExpressions.bloomAnyContain(col("hs"), bytes)).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("implicit cast: float arrays accepted") {
     val d = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     assert(d.select(VectorExpressions.dot(col("a"), col("b"))).head().getDouble(0) == 11.0)
