@@ -1194,6 +1194,52 @@ object Queries {
   private val decontaminate: Gate = decontamGate(bloom = false)
   private val decontaminateBloom: Gate = decontamGate(bloom = true)
 
+  /** The corpus text carries no PII, so the gate INJECTS synthetic
+    * identifiers deterministically (an email every 3rd doc, a phone every
+    * 5th, an IP every 7th — doc_id-derived so both engines build the same
+    * string) and verifies redaction + counts over the full redacted text
+    * hash. Real-format edge cases are spec-covered (RedactionSpec).
+    */
+  private val redactPii: Gate = Gate(
+    (s, dir) => {
+      val id = col("doc_id")
+      val withPii = concat(col("text"),
+        when(id % 3 === 0,
+          concat(lit(" contact user"), id, lit("@example.org now"))).otherwise(lit("")),
+        when(id % 5 === 0,
+          concat(lit(" or call 555-867-"), lpad((id % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(id % 7 === 0,
+          concat(lit(" from 10.0."), (id % 256).cast("string"), lit("."),
+            ((id * 7) % 256).cast("string"))).otherwise(lit("")))
+      table(s, dir, "documents")
+        .select(id, withPii.as("__t"))
+        .select((id.as("doc_id") +:
+          Redaction.redact(col("__t")).as("text_redacted") +:
+          Redaction.piiCounts(col("__t"))): _*)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+      |  SELECT doc_id, text
+      |   || CASE WHEN doc_id % 3 = 0
+      |      THEN ' contact user' || doc_id || '@example.org now' ELSE '' END
+      |   || CASE WHEN doc_id % 5 = 0
+      |      THEN ' or call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+      |   || CASE WHEN doc_id % 7 = 0
+      |      THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END
+      |   AS txt FROM documents)
+      |SELECT doc_id,
+      | regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |   '(?:\+?1[-. ])?(?:\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+      |   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+      |   '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS text_redacted,
+      | CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      | CAST(len(regexp_extract_all(txt, '(?:\+?1[-. ])?(?:\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phone,
+      | CAST(len(regexp_extract_all(txt, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+      | CAST(len(regexp_extract_all(txt, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn
+      |FROM t ORDER BY doc_id""".stripMargin))
+
   private val packSequences: Gate = Gate(
     (s, dir) => Packing.packSequences(table(s, dir, "documents"),
       "doc_id", "text", capacity = 256, shards = 8)
@@ -1355,6 +1401,7 @@ object Queries {
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
+    "redact_pii" -> redactPii,
     "lang_id" -> langId,
     "ngram_jaccard" -> ngramJaccard,
     "minhash_lsh" -> minhashLsh,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dsl.Cfg
 import graft.operators.Pipeline
-import graft.ops.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, TextAnalysis}
 
 /** Built-in training-data-hygiene stages, registered through the SAME
   * extension point third-party packages use ([[PipelineConfig.register]],
@@ -163,6 +163,19 @@ object OpStages {
         if (algo == "bloom")
           Decontaminate.decontaminateBloom(m.data, eval, id, text, n)
         else Decontaminate.decontaminate(m.data, eval, id, text, n)
+      })
+    }
+
+    // PII scrubbing: REPLACES the text column with its redacted form and
+    // appends per-kind match counts; `kinds` defaults to every known kind
+    PipelineConfig.register("redact_pii") { (name, cfg) =>
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      val kinds =
+        if (cfg.getList("kinds").nonEmpty) cfg.strings("kinds")
+        else Redaction.Patterns.map(_._1)
+      Pipeline.DataStage(name, m => {
+        val withCounts = appendCols(name, m.data, Redaction.piiCounts(col(text), kinds))
+        withCounts.withColumn(text, Redaction.redact(col(text), kinds))
       })
     }
 

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII redaction for training-data curation: scrub emails, phone numbers,
+  * IPv4 addresses, and SSN-shaped identifiers from text, replacing each
+  * with a typed sentinel token (`<EMAIL>`, `<PHONE>`, …) so downstream
+  * tokenization sees a stable vocabulary item instead of a hole.
+  *
+  * Pure `regexp_replace`/`regexp_extract_all` expressions — codegen'd, one
+  * scan, no UDFs. Patterns deliberately use the conservative common regex
+  * subset (no lookaround, no backreferences) so the same pattern strings
+  * run identically under Java regex (Spark) and RE2 (DuckDB/the oracle).
+  * Application order is FIXED (email → phone → ipv4 → ssn): earlier
+  * redactions remove their digits from later patterns' view, making the
+  * composition order-deterministic.
+  *
+  * These are curation heuristics, not a compliance guarantee: recall on
+  * adversarial formats (spelled-out digits, obfuscated at-signs) is out of
+  * scope, exactly as in the public pipeline implementations this follows.
+  */
+object Redaction {
+
+  /** kind → (pattern, sentinel), in application order. */
+  val Patterns: Seq[(String, (String, String))] = Seq(
+    "email" -> ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    // the area code is an alternation, not `\(?`: a word boundary cannot
+    // sit before an optional paren, which would leave "(" unredacted
+    "phone" -> ("(?:\\+?1[-. ])?(?:\\([0-9]{3}\\)|\\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>"),
+    "ipv4" -> ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    "ssn" -> ("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"))
+
+  private def kindsOf(kinds: Seq[String]): Seq[(String, (String, String))] = {
+    val known = Patterns.map(_._1)
+    val unknown = kinds.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"unknown PII kind(s) ${unknown.mkString(", ")} (known: ${known.mkString(", ")})")
+    Patterns.filter(p => kinds.contains(p._1)) // fixed order regardless of request order
+  }
+
+  /** `text` with every requested PII kind replaced by its sentinel. */
+  def redact(text: Column, kinds: Seq[String] = Patterns.map(_._1)): Column =
+    kindsOf(kinds).foldLeft(text) { case (t, (_, (pat, sentinel))) =>
+      regexp_replace(t, pat, sentinel)
+    }
+
+  /** Pre-redaction match counts, one `n_<kind>` column per requested kind.
+    * Counted independently per kind on the ORIGINAL text (a phone inside a
+    * larger email-ish token counts for both — counts are audit signals,
+    * not a partition of the character stream).
+    */
+  def piiCounts(text: Column, kinds: Seq[String] = Patterns.map(_._1)): Seq[Column] =
+    kindsOf(kinds).map { case (kind, (pat, _)) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long").as(s"n_$kind")
+    }
+}

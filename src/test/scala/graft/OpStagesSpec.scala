@@ -155,7 +155,7 @@ class OpStagesSpec extends SparkSpec {
       "media_resize", "media_frames", "media_dimensions", "audio_metadata",
       "video_metadata", "sessionize",
       "filter_rows", "json_extract", "normalize_text", "text_repetition",
-      "decontaminate", "pack_sequences")
+      "decontaminate", "pack_sequences", "redact_pii")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
   }
 
