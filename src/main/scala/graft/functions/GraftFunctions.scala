@@ -41,22 +41,17 @@ object GraftFunctions {
     Seq.fill(n)((next() + 1, next()))
   }
 
-  /** The `\s` class as literal trim characters: Spark's one-arg `trim`
-    * strips SPACES ONLY, so newline/tab-edged text (any multi-line corpus)
-    * would leave edge separators behind and `split` would emit empty
-    * tokens.
-    */
-  private val WsChars = " \t\n\r\f"
-
   /** Whitespace tokenization with Polars/DuckDB-compatible edge semantics:
-    * empty or all-whitespace text → empty array (Spark's split would give
-    * [""]), and ALL whitespace — not just spaces — counts as an edge.
+    * empty or all-whitespace text -> empty array, and ALL whitespace - not
+    * just spaces - counts as an edge. NOT trim+split: Spark's one-arg
+    * `trim` strips spaces only (newline/tab-edged text would emit empty
+    * tokens), and the multi-char trim variant measured ~30% slower on the
+    * shingle-hash hot path (BenchOne, winnow 0.39 vs 0.52+). `split` keeps
+    * edge separators as "" elements; one codegen'd `array_remove` pass
+    * drops them, which also covers the empty/all-whitespace cases for
+    * free.
     */
-  def tokens(text: Column): Column = {
-    val t = trim(text, WsChars)
-    when(length(t) === 0, array().cast(ArrayType(StringType)))
-      .otherwise(split(t, "\\s+"))
-  }
+  def tokens(text: Column): Column = array_remove(split(text, "\\s+"), "")
 
   /** Word n-gram shingles as space-joined strings: one entry per window of
     * `n` consecutive tokens. Documents shorter than n words → empty array.
