@@ -778,6 +778,46 @@ object Queries {
          |FROM t ORDER BY doc_id""".stripMargin
     })
 
+  /** The `quality_filter` pipeline STAGE under oracle verification: the
+    * Gopher-style composite threshold filter run through the real
+    * YAML → registry → Pipeline path. The oracle re-derives each configured
+    * signal with the same formulas the (green) `text_quality` oracle uses and
+    * applies the same inclusive keep-side bounds. Signal arithmetic is
+    * identical IEEE double ops in both engines, so the unrounded comparisons
+    * agree (threshold-clearance verified empirically at sf0.01 and sf0.1).
+    */
+  private val qualityFilterStage: Gate = Gate(
+    (s, dir) => {
+      val stages = graft.config.PipelineConfig.fromYaml(
+        """stages:
+          |  - quality_filter:
+          |      min_words: 8
+          |      min_alpha_ratio: 0.55
+          |      max_digit_ratio: 0.3
+          |      max_punct_ratio: 0.25
+          |      max_repetition_ratio: 0.6
+          |""".stripMargin).stages
+      val out = graft.operators.Pipeline.run(s,
+        graft.meds.MedsData(table(s, dir, "documents"),
+          s.emptyDataFrame, s.emptyDataFrame), stages).data
+      out.select(col("doc_id")).orderBy("doc_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |     ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+        |  FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE len(words) >= 8
+        |  AND CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)/greatest(n_chars,1) >= 0.55
+        |  AND CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)/greatest(n_chars,1) <= 0.3
+        |  AND CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)/greatest(n_chars,1) <= 0.25
+        |  AND (CASE WHEN len(words) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)/len(words)
+        |    ELSE 0.0 END) <= 0.6
+        |ORDER BY doc_id""".stripMargin))
+
   // maxDf exercises the hot-shingle guard (the production configuration at
   // web scale — boilerplate shingles otherwise fan the join key out d²);
   // the oracle prunes the same shingles and recomputes set sizes identically
@@ -1401,6 +1441,7 @@ object Queries {
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
+    "quality_filter_stage" -> qualityFilterStage,
     "redact_pii" -> redactPii,
     "lang_id" -> langId,
     "ngram_jaccard" -> ngramJaccard,

@@ -166,6 +166,51 @@ object OpStages {
       })
     }
 
+    // Gopher-style composite quality filter: AND of the threshold rules
+    // present in the config, each computed inline from the signal
+    // expressions (only the signals a rule needs are evaluated — a filter
+    // over 2 rules must not pay for all 13 signals). Rows FAILING any rule
+    // are dropped; thresholds are inclusive bounds on the keep side.
+    PipelineConfig.register("quality_filter") { (name, cfg) =>
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      Pipeline.DataStage(name, m => {
+        val t = col(text)
+        val words = TextAnalysis.tokenCount(t)
+        // signal name -> expression, keyed by the aliases the signal ops
+        // already publish (no duplicated name list to drift)
+        lazy val sigMap: Map[String, org.apache.spark.sql.Column] =
+          (TextAnalysis.qualityExprs(t) ++ TextAnalysis.repetitionExprs(t)).map { c =>
+            org.apache.spark.sql.GraftSqlBridge.aliasName(c)
+              .getOrElse(c.toString) -> c
+          }.toMap
+        def sig(colName: String): org.apache.spark.sql.Column =
+          sigMap.getOrElse(colName, throw new IllegalArgumentException(
+            s"stage $name: unknown signal `$colName`"))
+        val rules = Seq(
+          cfg.getInt("min_words").map(v => words >= v),
+          cfg.getInt("max_words").map(v => words <= v),
+          cfg.getInt("min_chars").map(v => length(t) >= v),
+          cfg.getInt("max_chars").map(v => length(t) <= v),
+          cfg.getDouble("min_mean_word_len").map(v => sig("mean_word_len") >= v),
+          cfg.getDouble("max_mean_word_len").map(v => sig("mean_word_len") <= v),
+          cfg.getDouble("min_alpha_ratio").map(v => sig("alpha_ratio") >= v),
+          cfg.getDouble("max_punct_ratio").map(v => sig("punct_ratio") <= v),
+          cfg.getDouble("max_digit_ratio").map(v => sig("digit_ratio") <= v),
+          cfg.getDouble("min_stopword_ratio").map(v => sig("stopword_ratio") >= v),
+          cfg.getDouble("max_repetition_ratio").map(v => sig("repetition_ratio") <= v),
+          cfg.getDouble("max_dup_line_fraction").map(v => sig("dup_line_fraction") <= v),
+          cfg.getDouble("max_dup_ngram_fraction").map(v => sig("dup_ngram_fraction") <= v),
+          cfg.getStr("lang").map { v =>
+            val exprs = TextAnalysis.langIdExprs(t)
+            exprs.last === v // lang_pred equality
+          }
+        ).flatten
+        require(rules.nonEmpty, s"stage $name: at least one threshold rule " +
+          "is required (min_words, max_dup_line_fraction, lang, ...)")
+        m.data.filter(rules.reduce(_ && _))
+      })
+    }
+
     // PII scrubbing: REPLACES the text column with its redacted form and
     // appends per-kind match counts; `kinds` defaults to every known kind
     PipelineConfig.register("redact_pii") { (name, cfg) =>

@@ -16,6 +16,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The alias name at the root of a Column's node AST, if any — the Spark 4
+    * `Column` wraps a `ColumnNode` tree (`private[sql]`), not a Catalyst
+    * expression, so `.as("x")` is an `internal.Alias` node.
+    */
+  def aliasName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.Alias => Some(a.name.mkString("."))
+    case _ => None
+  }
+
   /** Spark's internal bounded top-k collector (`private[sql]`) as a Column:
     * an ObjectHashAggregate-capable aggregate whose partial state is a
     * k-bounded priority queue — map-side combine caps the shuffle at k

@@ -155,8 +155,41 @@ class OpStagesSpec extends SparkSpec {
       "media_resize", "media_frames", "media_dimensions", "audio_metadata",
       "video_metadata", "sessionize",
       "filter_rows", "json_extract", "normalize_text", "text_repetition",
-      "decontaminate", "pack_sequences", "redact_pii")
+      "decontaminate", "pack_sequences", "redact_pii", "quality_filter")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
+  }
+
+  test("quality_filter: AND of configured Gopher rules; unknown/empty rejected") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "the cat and the dog walk to the park and rest there today fine"),
+      (2L, "tiny"), // fails min_words
+      (3L, "the the the the the the the the the the the the the the"), // repetition
+      (4L, "01234 56789 01234 56789 01234 56789 01234 56789 01234 56789 01234 56789 1") // digits
+    )).toDF("doc_id", "text")
+    val yaml =
+      """stages:
+        |  - quality_filter:
+        |      min_words: 5
+        |      max_repetition_ratio: 0.5
+        |      max_digit_ratio: 0.5
+        |""".stripMargin
+    val kept = Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(yaml).stages)
+      .data.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    // a rule over a repetition signal resolves through the same map
+    val y2 = "stages:\n  - quality_filter:\n      max_dup_ngram_fraction: 0.99\n"
+    assert(Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(y2).stages)
+      .data.count() >= 1)
+    // no rules or a bad lang rule: fail fast
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, emptyMeds(d),
+        PipelineConfig.fromYaml("stages:\n  - quality_filter\n").stages).data.count()
+    }
+    // lang rule keeps only predicted-language docs
+    val y3 = "stages:\n  - quality_filter:\n      lang: en\n"
+    val langKept = Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(y3).stages)
+      .data.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(langKept.contains(1L) && !langKept.contains(4L))
   }
 
   test("video_metadata stage appends parsed MP4 columns; non-MP4 rows null") {
