@@ -668,6 +668,80 @@ object Queries {
     Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Corpus-level exact line dedup over a derived MULTI-line corpus
+    * (`source \n text \n lang`): the synthetic documents are single-line, so
+    * the gate manufactures corpus-wide duplicate lines from the repeating
+    * source/lang values (20 sources, 5 langs at sf0.01 → ~480 docs lose both
+    * framing lines, first-by-(id,pos) keeps them) while every unique body
+    * line survives — removal, keep-first, and reassembly all exercised.
+    */
+  private val dedupLinesGate: Gate = Gate(
+    (s, dir) => Dedup.dedupLines(
+      table(s, dir, "documents").withColumn("text",
+        concat_ws("\n", col("source"), col("text"), col("lang"))),
+      "doc_id", "text")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id"),
+    Some("""WITH docs2 AS (
+      |  SELECT doc_id, source || chr(10) || text || chr(10) || lang AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+      |l AS (SELECT doc_id, u.pos AS pos, u.ln AS ln FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ls)+1),
+      |    i -> {'pos': i-1, 'ln': ls[i]})) AS u FROM t)),
+      |h AS (SELECT doc_id, pos, ln,
+      |  ('0x' || substr(md5(ln),1,14))::BIGINT AS h FROM l),
+      |f AS (SELECT h, min(struct_pack(d := doc_id, p := pos)) AS fr
+      |  FROM h GROUP BY 1),
+      |k AS (SELECT h.doc_id, h.pos, h.ln FROM h JOIN f USING(h)
+      |  WHERE h.doc_id = fr.d AND h.pos = fr.p),
+      |r AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS newtext
+      |  FROM k GROUP BY 1)
+      |SELECT d.doc_id, coalesce(r.newtext, '') AS text
+      |FROM docs2 d LEFT JOIN r USING(doc_id) ORDER BY doc_id""".stripMargin))
+
+  /** ExactSubstr duplicated-span detection (Lee et al. 2022 semantics):
+    * k=5 token grams; on this corpus the spans are the planted near-dup
+    * docs' shared runs (full-width spans on later copies) plus incidental
+    * repeated 5-grams — 36 spans at sf0.01. The oracle replays gram hashing,
+    * global first-occurrence exemption, and the interval merge. The oracle's
+    * first-occurrence key packs (doc_id, pos) into one BIGINT
+    * (doc_id*2^20+pos, valid while pos < 2^20 — token positions here are
+    * <1k) because DuckDB's min over a STRUCT is ~20x slower than a scalar
+    * min at sf0.1; ordering is identical to the Spark side's generic
+    * min(struct(id, pos)) for non-negative numeric ids.
+    */
+  private val dupSpans: Gate = Gate(
+    (s, dir) => Dedup.duplicateSpans(
+        table(s, dir, "documents"), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start"),
+    Some("""WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |g AS (
+      |  SELECT doc_id, u.pos AS pos, ('0x' || substr(md5(u.s),1,14))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)-3),
+      |          i -> {'pos': i-1, 's': array_to_string(ws[i:i+4], ' ')})) AS u
+      |        FROM w WHERE len(ws) >= 5)),
+      |f AS (
+      |  SELECT h, count(*) AS df, min(doc_id * 1048576 + pos) AS fr
+      |  FROM g GROUP BY 1),
+      |d AS (
+      |  SELECT g.doc_id, g.pos FROM g JOIN f USING(h)
+      |  WHERE df >= 2 AND g.doc_id * 1048576 + g.pos <> fr),
+      |m AS (
+      |  SELECT doc_id, pos, max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM d),
+      |s AS (
+      |  SELECT doc_id, pos, sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM m),
+      |spans AS (
+      |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |    CAST(max(pos)+5 AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_grams
+      |  FROM s GROUP BY doc_id, span)
+      |SELECT doc_id, span_start, span_end, n_grams
+      |FROM spans ORDER BY doc_id, span_start""".stripMargin))
+
   private val textTokens: Gate = Gate(
     (s, dir) => table(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
@@ -1434,6 +1508,8 @@ object Queries {
     "events_sessionize_stream" -> eventsSessionizeStream,
     "events_dedup_stream" -> eventsDedupStream,
     "dedup_exact" -> dedupExact,
+    "dedup_lines" -> dedupLinesGate,
+    "dup_spans" -> dupSpans,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "doc_fingerprint" -> docFingerprint,

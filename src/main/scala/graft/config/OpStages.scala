@@ -101,6 +101,25 @@ object OpStages {
           maxBucket)))
     }
 
+    // corpus-level exact line dedup (C4/RefinedWeb boilerplate hygiene):
+    // replaces the text column with only the globally-first copy of each
+    // line; other columns pass through
+    PipelineConfig.register("dedup_lines") { (name, cfg) =>
+      val (id, text) = ids(cfg)
+      Pipeline.DataStage(name, m => Dedup.dedupLines(m.data, id, text))
+    }
+
+    // ExactSubstr span removal (Lee et al. 2022): drop every corpus-wide
+    // duplicated k-gram span from the text, keeping the globally-first
+    // occurrence unless keep_first: false
+    PipelineConfig.register("remove_dup_spans") { (name, cfg) =>
+      val (id, text) = ids(cfg)
+      val k = cfg.getInt("k").getOrElse(20)
+      val keepFirst = cfg.getBool("keep_first").getOrElse(true)
+      Pipeline.DataStage(name, m =>
+        Dedup.removeDuplicateSpans(m.data, id, text, k, keepFirst))
+    }
+
     PipelineConfig.register("ngram_jaccard_dedup") { (name, cfg) =>
       val (id, text) = ids(cfg)
       val n = cfg.getInt("n").getOrElse(3)

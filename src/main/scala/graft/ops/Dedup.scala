@@ -534,4 +534,113 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Corpus-level exact line dedup (the C4 / RefinedWeb hygiene step:
+    * boilerplate lines — nav menus, cookie banners, license headers — repeat
+    * across millions of pages): keep only the globally-FIRST occurrence of
+    * each distinct line, ordered by (id, line position), and reassemble each
+    * document from its surviving lines in original order. Documents whose
+    * every line was seen earlier come back with empty text (a later
+    * `quality_filter: {min_chars: 1}` stage drops them if desired); all
+    * non-text columns pass through unchanged.
+    *
+    * Skew-proof by construction: "first occurrence" is a map-side-combinable
+    * `min(struct(id, pos))` aggregation on the 56-bit line hash, so a
+    * boilerplate line with a billion copies compresses to one candidate per
+    * task BEFORE the shuffle — the obvious `row_number() over (partition by
+    * line)` alternative co-locates every copy of the hot line in a single
+    * task (the same trap stratifiedCap's window form had). The line text
+    * itself never shuffles on the dedup key: the aggregate carries only
+    * (hash, id, pos).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "__line")))
+      .withColumn("__h", portableHash56(col("__line")))
+    val first = lines.groupBy("__h")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+    val survivors = lines.join(first, Seq("__h"))
+      .filter(col("__first")(idCol) === col(idCol) &&
+        col("__first")("pos") === col("pos"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("__line")))),
+          x => x("__line")), "\n").as("__newtext"))
+    docs.drop(textCol).join(survivors, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__newtext"), lit("")))
+      .drop("__newtext")
+  }
+
+  /** Corpus-wide duplicated-substring spans (the ExactSubstr criterion of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    * 2022 — reference semantics only, architecture is inverted-index Spark,
+    * not their suffix array): every token k-gram occurring more than once
+    * ANYWHERE in the corpus (including elsewhere in the same document) marks
+    * its k token positions as duplicated; overlapping and adjacent marked
+    * windows merge into maximal half-open token spans [span_start, span_end).
+    * With `keepFirst` (the default), the globally-first occurrence of each
+    * k-gram — min (id, pos) — is exempt, so exactly one copy of every
+    * duplicated substring survives downstream span removal instead of the
+    * text vanishing from the corpus entirely.
+    *
+    * Scale shape: one posexplode of the precomputed in-row gram-hash array
+    * (ShingleHash56 — token bytes stream into the digest once), a map-side-
+    * combined count/min aggregation on the gram hash (hot boilerplate grams
+    * compress per-task before the shuffle), one equi-join of positions
+    * against the df≥2 survivors (AQE broadcasts it when the duplicated
+    * vocabulary is small), then a per-document window whose partitions are
+    * bounded by document length — no corpus-sized window partition anywhere.
+    * The follow-up groupBy(id, span) reuses the window's hash partitioning
+    * on id (no extra exchange).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, keepFirst: Boolean = true): DataFrame = {
+    val grams = hashArrays(docs, idCol, textCol, k, distinct = false)
+      .select(col(idCol), posexplode(col("__hs")).as(Seq("pos", "__h")))
+    val dup = grams.groupBy("__h")
+      .agg(count(lit(1)).as("__df"),
+        min(struct(col(idCol), col("pos"))).as("__first"))
+      .filter(col("__df") >= 2)
+    val marked = grams.join(dup, Seq("__h"))
+    val removable =
+      if (keepFirst)
+        marked.filter(!(col("__first")(idCol) === col(idCol) &&
+          col("__first")("pos") === col("pos")))
+      else marked
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    removable
+      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd, 1)
+        .otherwise(0))
+      .withColumn("__span", sum("__new").over(w))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__span")
+  }
+
+  /** [[duplicateSpans]] applied: rebuild each document's text with every
+    * duplicated span's tokens removed (surviving tokens re-join with single
+    * spaces — the operator works on the token stream, like the reference
+    * semantics). Documents with no duplicated spans pass through with text
+    * untouched (byte-identical — the left join misses, no retokenization);
+    * non-text columns always pass through.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, keepFirst: Boolean = true): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, keepFirst)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn(textCol, when(col("__spans").isNull, col(textCol))
+        .otherwise(array_join(
+          filter(tokens(col(textCol)), (t, i) =>
+            !exists(col("__spans"), s =>
+              i >= s("span_start") && i < s("span_end"))),
+          " ")))
+      .drop("__spans")
+  }
 }

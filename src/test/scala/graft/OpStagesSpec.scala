@@ -155,8 +155,29 @@ class OpStagesSpec extends SparkSpec {
       "media_resize", "media_frames", "media_dimensions", "audio_metadata",
       "video_metadata", "sessionize",
       "filter_rows", "json_extract", "normalize_text", "text_repetition",
-      "decontaminate", "pack_sequences", "redact_pii", "quality_filter")
+      "decontaminate", "pack_sequences", "redact_pii", "quality_filter",
+      "dedup_lines", "remove_dup_spans")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
+  }
+
+  test("dedup_lines and remove_dup_spans stages run through the YAML path") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "keep me\nshared boilerplate"),
+      (2L, "shared boilerplate\nme too")
+    )).toDF("doc_id", "text")
+    val y1 = "stages:\n  - dedup_lines\n"
+    val got = Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(y1).stages)
+      .data.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got == Map(1L -> "keep me\nshared boilerplate", 2L -> "me too"))
+
+    val s = spark.createDataFrame(Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e q")
+    )).toDF("doc_id", "text")
+    val y2 = "stages:\n  - remove_dup_spans:\n      k: 3\n"
+    val got2 = Pipeline.run(spark, emptyMeds(s), PipelineConfig.fromYaml(y2).stages)
+      .data.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got2 == Map(1L -> "a b c d e f g h", 2L -> "x y q"))
   }
 
   test("quality_filter: AND of configured Gopher rules; unknown/empty rejected") {

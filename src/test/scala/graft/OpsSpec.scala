@@ -254,6 +254,71 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 40 && got.values.forall(_ == 0L))
   }
 
+  test("dedupLines: first occurrence survives, later copies drop, columns pass through") {
+    val d = Seq(
+      (1L, "alpha beta\ncommon footer\ngamma", "web"),
+      (2L, "common footer\ndelta epsilon", "web"), // footer first seen in doc 1
+      (3L, "common footer", "pdf"),                // nothing survives
+      (4L, "unique line\nunique line", "web")      // self-dup: keep first copy
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dedupLines(d, "doc_id", "text")
+    val got = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("text"), r.getAs[String]("source"))).toMap
+    assert(got == Map(
+      1L -> ("alpha beta\ncommon footer\ngamma", "web"),
+      2L -> ("delta epsilon", "web"),
+      3L -> ("", "pdf"),
+      4L -> ("unique line", "web")))
+    // skew shape: first-occurrence selection is a map-side-combinable
+    // aggregation on the line hash, never a window over the hot line
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial min"))
+    assert(!plan.contains("row_number"))
+  }
+
+  test("duplicateSpans: cross-doc run merges to one span; first occurrence exempt") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e q"), // shares the 5-token run "a b c d e" with doc 1
+      (3L, "m n o completely unique tokens here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_grams")))
+    // doc 1 holds every gram's first occurrence -> exempt; doc 2's grams
+    // (a b c)@2 (b c d)@3 (c d e)@4 merge into [2, 7)
+    assert(spans.toSeq == Seq((2L, 2L, 7L, 3L)))
+  }
+
+  test("duplicateSpans: same-document repetition; keepFirst=false covers all copies") {
+    val d = Seq((3L, "p q r s p q r s p q r")).toDF("doc_id", "text")
+    val first = Dedup.duplicateSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+    // first period [0,4) exempt per-gram; removable gram starts 4..8 -> [4, 11)
+    assert(first.toSeq == Seq((3L, 4L, 11L)))
+    val all = Dedup.duplicateSpans(d, "doc_id", "text", k = 3, keepFirst = false)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+    assert(all.toSeq == Seq((3L, 0L, 11L)))
+  }
+
+  test("removeDuplicateSpans: span tokens drop, untouched docs byte-identical") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e q"),
+      (3L, "m n o   completely unique tokens here") // odd spacing must survive
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b c d e f g h")
+    assert(got(2L) == "x y q")
+    assert(got(3L) == "m n o   completely unique tokens here") // no retokenization
+    // self-repetition keeps exactly the first copy of the repeated block
+    val rep = Seq((9L, "p q r s p q r s p q r")).toDF("doc_id", "text")
+    val cleaned = Dedup.removeDuplicateSpans(rep, "doc_id", "text", k = 3)
+      .collect().head.getString(1)
+    assert(cleaned == "p q r s")
+  }
+
   test("embedding near-dup pairs within blocks above threshold") {
     val embs = Seq(
       (0L, Array(1.0, 0.0, 0.0), 0),
