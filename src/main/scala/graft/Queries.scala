@@ -742,6 +742,30 @@ object Queries {
       |SELECT doc_id, span_start, span_end, n_grams
       |FROM spans ORDER BY doc_id, span_start""".stripMargin))
 
+  /** Per-doc top-5 TF-IDF terms. Ranking is on the 4-dp-rounded score
+    * (term tiebreak) — libm ln() implementations differ by 1 ulp on ~0.02%
+    * of inputs, so ranking raw doubles would be engine-unstable.
+    */
+  private val tfIdf: Gate = Gate(
+    (s, dir) => TextAnalysis.tfIdfTopTerms(
+        table(s, dir, "documents"), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rank"),
+    Some("""WITH wt AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |n AS (SELECT count(*) AS n FROM wt),
+      |tok AS (SELECT doc_id, unnest(ws) AS term FROM wt),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1,2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (SELECT doc_id, term, tf,
+      |    round(tf * (ln((1.0 + n.n)/(df + 1.0)) + 1.0), 4) AS score
+      |  FROM tf JOIN df USING(term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, tf, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |  FROM s)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin))
+
   private val textTokens: Gate = Gate(
     (s, dir) => table(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
@@ -1518,6 +1542,7 @@ object Queries {
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "quality_filter_stage" -> qualityFilterStage,
+    "tf_idf" -> tfIdf,
     "redact_pii" -> redactPii,
     "lang_id" -> langId,
     "ngram_jaccard" -> ngramJaccard,

@@ -378,6 +378,15 @@ object OpStages {
     // top-k selection against one query vector: brute-force exact (default),
     // sign-LSH bucketed, or IVF (over `key_col` cells when given, else
     // k-means cells) — replaces data with the k best rows + their cosine
+    // per-doc top-k TF-IDF terms (keyword extraction / domain-mix stats);
+    // REPLACES the data with the (id, term, tf, score, rank) table
+    PipelineConfig.register("tf_idf") { (name, cfg) =>
+      val (id, text) = ids(cfg)
+      val k = cfg.getInt("k").getOrElse(5)
+      Pipeline.DataStage(name, m =>
+        TextAnalysis.tfIdfTopTerms(m.data, id, text, k))
+    }
+
     PipelineConfig.register("sim_topk") { (name, cfg) =>
       val (id, vec) = vecIds(cfg)
       val query = doubleList(cfg, "query").map(_.toFloat)

@@ -141,6 +141,49 @@ object TextAnalysis {
     docs.select((col(idCol) +: repetitionExprs(col(textCol), n)): _*)
 
   /** Normalized-content fingerprint (lowercase, collapse whitespace, md5). */
+  /** Per-document top-k TF-IDF terms — the corpus-statistics curation op
+    * (keyword extraction, domain-mix diagnostics, topic balancing). Emits
+    * (id, term, tf, score, rank) with rank 1..k per doc ordered by score
+    * descending, term ascending.
+    *
+    * Formula: sklearn's smoothed idf — score = tf * (ln((1+N)/(1+df)) + 1),
+    * N = documents with at least one token. Ranking uses the 4-dp-rounded
+    * score (with the term tiebreak) so the order is engine-reproducible:
+    * ln() differs between libm implementations by 1 ulp on ~0.02% of
+    * inputs, and ranking on raw doubles would let that ulp flip an order.
+    *
+    * Scale shape: tf is one partial-agg'd shuffle of (id, term) pairs; df
+    * aggregates the already-shrunk tf table; the idf join broadcasts when
+    * the vocabulary is small (AQE decides); per-doc top-k is a k-bounded
+    * priority-queue aggregate (collectTopK) with map-side combine — no
+    * window ever holds a document's full vocabulary, and the hot-term df
+    * rows compress map-side like any aggregate.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.GraftSqlBridge
+    val withTokens = docs.filter(size(tokens(col(textCol))) > 0)
+    val n = withTokens.agg(count(lit(1)).as("__n"))
+    val tf = withTokens
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((lit(1.0) + col("__n")) / (col("__df") + lit(1.0)))
+          + lit(1.0)), 4))
+    scored
+      .groupBy(col(idCol))
+      .agg(GraftSqlBridge.collectTopK(
+        struct(negate(col("score")).as("ns"), col("term").as("term"),
+          col("tf").as("tf")), k, smallest = true).as("__top"))
+      .select(col(idCol), posexplode(array_sort(col("__top"))))
+      .select(col(idCol), col("col.term").as("term"), col("col.tf").as("tf"),
+        negate(col("col.ns")).as("score"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 

@@ -156,7 +156,7 @@ class OpStagesSpec extends SparkSpec {
       "video_metadata", "sessionize",
       "filter_rows", "json_extract", "normalize_text", "text_repetition",
       "decontaminate", "pack_sequences", "redact_pii", "quality_filter",
-      "dedup_lines", "remove_dup_spans")
+      "dedup_lines", "remove_dup_spans", "tf_idf")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
   }
 

@@ -301,6 +301,41 @@ class DedupSpec extends SparkSpec {
     assert(all.toSeq == Seq((3L, 0L, 11L)))
   }
 
+  test("duplicateSpans equals a brute-force oracle on random corpora (both keepFirst modes)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3; keepFirst <- Seq(true, false)) {
+      val vocab = Vector("a", "b", "c", "d", "e") // tiny vocab -> dense collisions
+      val k = 3
+      val corpus = (0L until 40L).map { i =>
+        i -> Vector.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+      }
+      // brute force: every k-gram's occurrence list, sorted; mark positions
+      val occ = scala.collection.mutable.Map[Seq[String], List[(Long, Int)]]()
+      for ((id, toks) <- corpus; p <- 0 to toks.size - k)
+        occ(toks.slice(p, p + k)) = occ.getOrElse(toks.slice(p, p + k), Nil) :+ (id -> p)
+      val marked = occ.values.filter(_.size >= 2).flatMap { os =>
+        val first = os.min
+        os.filter(o => !keepFirst || o != first)
+      }.toSeq
+      val expected = marked.groupBy(_._1).flatMap { case (id, ps) =>
+        // interval merge over [p, p+k)
+        val sorted = ps.map(_._2).sorted
+        val spans = scala.collection.mutable.ListBuffer[(Int, Int, Int)]()
+        for (p <- sorted) spans.lastOption match {
+          case Some((s, e, n)) if p <= e => spans(spans.size - 1) = (s, math.max(e, p + k), n + 1)
+          case _ => spans += ((p, p + k, 1))
+        }
+        spans.map { case (s, e, n) => (id, s.toLong, e.toLong, n.toLong) }
+      }.toSet
+      val df = corpus.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, "doc_id", "text", k, keepFirst)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("span_start"),
+          r.getAs[Long]("span_end"), r.getAs[Long]("n_grams"))).toSet
+      assert(got == expected, s"trial=$trial keepFirst=$keepFirst")
+    }
+  }
+
   test("removeDuplicateSpans: span tokens drop, untouched docs byte-identical") {
     val d = Seq(
       (1L, "a b c d e f g h"),
@@ -650,6 +685,29 @@ class TextAnalysisSpec extends SparkSpec {
     val d = Seq((0L, "hello, world! x2")).toDF("doc_id", "text")
     // tokens: hello , world ! x2 → 5
     assert(d.select(TextAnalysis.subwordCount(col("text"))).head().getInt(0) == 5)
+  }
+
+  test("tfIdfTopTerms: sklearn-smoothed scores, rank by rounded score then term") {
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry date"),
+      (4L, "   ") // tokenless: excluded from N and from output
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.tfIdfTopTerms(d, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("tf"),
+        r.getDouble(3), r.getAs[Long]("rank")))
+      .sortBy(t => (t._1, t._5))
+    // N=3; df: apple 2, banana 2, cherry 2, date 1
+    def score(tf: Long, df: Long): Double =
+      BigDecimal(tf * (math.log(4.0 / (df + 1.0)) + 1.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (1L, "apple", 2L, score(2, 2), 1L), (1L, "banana", 1L, score(1, 2), 2L),
+      (2L, "banana", 1L, score(1, 2), 1L), (2L, "cherry", 1L, score(1, 2), 2L),
+      // doc 3: date (df=1) outscores apple/cherry (tied -> term asc)
+      (3L, "date", 1L, score(1, 1), 1L), (3L, "apple", 1L, score(1, 2), 2L)))
   }
 
   test("quality signals compute ratios") {
