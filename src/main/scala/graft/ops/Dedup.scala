@@ -566,9 +566,13 @@ object Dedup {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("__line")))),
           x => x("__line")), "\n").as("__newtext"))
-    docs.drop(textCol).join(survivors, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("__newtext"), lit("")))
-      .drop("__newtext")
+    // null text stays null (consistent with the other dedup stages'
+    // null-row handling); a doc whose every line was seen earlier gets ""
+    docs.withColumnRenamed(textCol, "__oldtext")
+      .join(survivors, Seq(idCol), "left")
+      .withColumn(textCol, when(col("__oldtext").isNull, lit(null: String))
+        .otherwise(coalesce(col("__newtext"), lit(""))))
+      .drop("__newtext", "__oldtext")
   }
 
   /** Corpus-wide duplicated-substring spans (the ExactSubstr criterion of

@@ -259,7 +259,8 @@ class DedupSpec extends SparkSpec {
       (1L, "alpha beta\ncommon footer\ngamma", "web"),
       (2L, "common footer\ndelta epsilon", "web"), // footer first seen in doc 1
       (3L, "common footer", "pdf"),                // nothing survives
-      (4L, "unique line\nunique line", "web")      // self-dup: keep first copy
+      (4L, "unique line\nunique line", "web"),     // self-dup: keep first copy
+      (5L, null, "web")                            // null text stays null
     ).toDF("doc_id", "text", "source")
     val out = Dedup.dedupLines(d, "doc_id", "text")
     val got = out.collect().map(r =>
@@ -268,7 +269,8 @@ class DedupSpec extends SparkSpec {
       1L -> ("alpha beta\ncommon footer\ngamma", "web"),
       2L -> ("delta epsilon", "web"),
       3L -> ("", "pdf"),
-      4L -> ("unique line", "web")))
+      4L -> ("unique line", "web"),
+      5L -> (null, "web")))
     // skew shape: first-occurrence selection is a map-side-combinable
     // aggregation on the line hash, never a window over the hot line
     val plan = out.queryExecution.executedPlan.toString
