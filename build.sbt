@@ -49,9 +49,12 @@ lazy val defaultHeap: String = {
     case None => "24g" // no limit readable anywhere: the old bench-box default
     case Some(b) =>
       // ~40% of the limit with a 512m working floor, capped at 48g AND at
-      // (limit − 256m headroom) so no floor can push -Xmx past the cgroup
+      // (limit − 256m headroom). The headroom cap is applied LAST so no
+      // floor can push -Xmx past the cgroup; in a container too small for
+      // even the 64m remnant the JVM will fail loudly rather than be
+      // OOM-killed mid-run
       val want = math.min(48L * 1024, math.max(512L, b * 2 / 5 >> 20))
-      val mb = math.max(256L, math.min(want, (b >> 20) - 256L))
+      val mb = math.max(64L, math.min(math.max(256L, want), (b >> 20) - 256L))
       s"${mb}m"
   }
 }

@@ -192,6 +192,16 @@ object OpStages {
     // are dropped; thresholds are inclusive bounds on the keep side.
     PipelineConfig.register("quality_filter") { (name, cfg) =>
       val text = cfg.getStr(TextCol).getOrElse("text")
+      // a typo'd rule key must not silently disable its gate
+      val knownKeys = Set(TextCol, "min_words", "max_words", "min_chars",
+        "max_chars", "min_mean_word_len", "max_mean_word_len",
+        "min_alpha_ratio", "max_punct_ratio", "max_digit_ratio",
+        "min_stopword_ratio", "max_repetition_ratio", "max_dup_line_fraction",
+        "max_dup_ngram_fraction", "lang")
+      val unknown = cfg.obj.keySet -- knownKeys
+      require(unknown.isEmpty, s"stage $name: unknown rule key(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} (known: " +
+        s"${(knownKeys - TextCol).toSeq.sorted.mkString(", ")})")
       Pipeline.DataStage(name, m => {
         val t = col(text)
         val words = TextAnalysis.tokenCount(t)
@@ -210,8 +220,13 @@ object OpStages {
           cfg.getInt("max_words").map(v => words <= v),
           cfg.getInt("min_chars").map(v => length(t) >= v),
           cfg.getInt("max_chars").map(v => length(t) <= v),
-          cfg.getDouble("min_mean_word_len").map(v => sig("mean_word_len") >= v),
-          cfg.getDouble("max_mean_word_len").map(v => sig("mean_word_len") <= v),
+          // mean_word_len is the one signal that is NULL (not 0) on
+          // tokenless text — coalesce so empty docs fail min rules and
+          // pass max rules, like every sibling signal
+          cfg.getDouble("min_mean_word_len")
+            .map(v => coalesce(sig("mean_word_len"), lit(0.0)) >= v),
+          cfg.getDouble("max_mean_word_len")
+            .map(v => coalesce(sig("mean_word_len"), lit(0.0)) <= v),
           cfg.getDouble("min_alpha_ratio").map(v => sig("alpha_ratio") >= v),
           cfg.getDouble("max_punct_ratio").map(v => sig("punct_ratio") <= v),
           cfg.getDouble("max_digit_ratio").map(v => sig("digit_ratio") <= v),
@@ -288,8 +303,12 @@ object OpStages {
       // for corpora with duplicate ids (`salts` applies only there)
       val algo = cfg.getStr("algo").getOrElse("topk")
       val salts = cfg.getInt("salts").getOrElse(64)
+      // broadcast: false for near-unique stratum columns, where the winner
+      // set is no longer metadata-sized (see Sampling.stratifiedCap)
+      val bcast = cfg.getBool("broadcast").getOrElse(true)
       Pipeline.DataStage(name, m => algo match {
-        case "topk" => Sampling.stratifiedCap(m.data, id, stratum, perStratum, seed)
+        case "topk" =>
+          Sampling.stratifiedCap(m.data, id, stratum, perStratum, seed, bcast)
         case "window" =>
           Sampling.stratifiedCapWindow(m.data, id, stratum, perStratum, seed, salts)
         case other => throw new IllegalArgumentException(
@@ -375,9 +394,6 @@ object OpStages {
       })
     }
 
-    // top-k selection against one query vector: brute-force exact (default),
-    // sign-LSH bucketed, or IVF (over `key_col` cells when given, else
-    // k-means cells) — replaces data with the k best rows + their cosine
     // per-doc top-k TF-IDF terms (keyword extraction / domain-mix stats);
     // REPLACES the data with the (id, term, tf, score, rank) table
     PipelineConfig.register("tf_idf") { (name, cfg) =>
@@ -387,6 +403,9 @@ object OpStages {
         TextAnalysis.tfIdfTopTerms(m.data, id, text, k))
     }
 
+    // top-k selection against one query vector: brute-force exact (default),
+    // sign-LSH bucketed, or IVF (over `key_col` cells when given, else
+    // k-means cells) — replaces data with the k best rows + their cosine
     PipelineConfig.register("sim_topk") { (name, cfg) =>
       val (id, vec) = vecIds(cfg)
       val query = doubleList(cfg, "query").map(_.toFloat)

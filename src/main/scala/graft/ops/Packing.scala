@@ -60,6 +60,12 @@ object Packing {
     * FULL windows (every window but a shard's last is exactly full by
     * construction — the straddle rule wastes zero tokens; the summary
     * exists for sanity checks and loader manifests).
+    *
+    * The summary keys on the window a document STARTS in: a window fully
+    * covered by the interior of one straddling document (doc longer than
+    * `capacity`) has no starting doc and therefore NO ROW here — consumers
+    * iterating windows sequentially must treat a seq_idx gap as "continues
+    * the previous straddler", which `straddles` + `stream_end` encode.
     */
   def packingSummary(assignments: DataFrame, capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")

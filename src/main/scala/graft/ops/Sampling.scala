@@ -60,13 +60,23 @@ object Sampling {
     * ([[org.apache.spark.sql.GraftSqlBridge.collectTopK]]): each map task
     * ships at most `perStratum` (hash, id) entries per stratum, the reduce
     * side merges #tasks × k bounded buffers, and the full rows are never
-    * shuffled at all — the winners (≤ strata × k ids, metadata-sized by
-    * construction) broadcast back onto the source as a semi-join, keeping
-    * the big side's scan shuffle-free. Skew-proof by construction: a
-    * stratum's cost no longer depends on its row share.
+    * shuffled at all — the winners (≤ strata × perStratum ids) broadcast
+    * back onto the source as a semi-join, keeping the big side's scan
+    * shuffle-free. Skew-proof by construction: a stratum's cost no longer
+    * depends on its row share.
+    *
+    * "Metadata-sized" holds when the stratum column is a grouping key
+    * (source, language, shard), not a near-unique one: with S distinct
+    * strata the winner set is S × perStratum rows, and forcing that
+    * through a broadcast at S in the millions would OOM the driver. For
+    * such corpora pass `broadcastWinners = false` (stage key
+    * `broadcast: false`) — the semi-join then goes through the planner
+    * unhinted, which shuffles the big side but bounds memory — or use the
+    * window variant (`algo: window`).
     */
   def stratifiedCap(df: DataFrame, idCol: String, stratumCol: String,
-      perStratum: Int, seed: Long = 42L): DataFrame = {
+      perStratum: Int, seed: Long = 42L,
+      broadcastWinners: Boolean = true): DataFrame = {
     require(perStratum >= 1, s"perStratum must be >= 1, got $perStratum")
     import org.apache.spark.sql.GraftSqlBridge
     // null ids have no stable hash — drop them, consistent with sample()
@@ -76,7 +86,7 @@ object Sampling {
         struct(unitHash(col(idCol), seed).as("h"), col(idCol).as("id")),
         perStratum, smallest = true).as("__top"))
       .select(col("__stratum"), explode(col("__top.id")).as("__sel_id"))
-    df.join(broadcast(winners),
+    df.join(if (broadcastWinners) broadcast(winners) else winners,
         col(stratumCol) <=> col("__stratum") && col(idCol) === col("__sel_id"),
         "left_semi")
   }

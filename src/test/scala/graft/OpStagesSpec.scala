@@ -206,6 +206,24 @@ class OpStagesSpec extends SparkSpec {
       Pipeline.run(spark, emptyMeds(d),
         PipelineConfig.fromYaml("stages:\n  - quality_filter\n").stages).data.count()
     }
+    // a typo'd rule key must not silently disable its gate
+    val typoErr = intercept[IllegalArgumentException] {
+      PipelineConfig.fromYaml(
+        "stages:\n  - quality_filter:\n      min_words: 5\n      max_digits_ratio: 0.3\n")
+        .stages.head.asInstanceOf[Pipeline.DataStage]
+    }
+    assert(typoErr.getMessage.contains("max_digits_ratio"))
+    // empty docs behave like sibling signals under mean_word_len rules:
+    // fail min (dropped), pass max (kept) — never NULL-dropped by a max
+    val blank = spark.createDataFrame(Seq((1L, "abcd efgh"), (2L, "   ")))
+      .toDF("doc_id", "text")
+    def run(y: String) = Pipeline.run(spark, emptyMeds(blank),
+      PipelineConfig.fromYaml(y).stages).data.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(run("stages:\n  - quality_filter:\n      max_mean_word_len: 12.0\n")
+      == Set(1L, 2L))
+    assert(run("stages:\n  - quality_filter:\n      min_mean_word_len: 2.0\n")
+      == Set(1L))
     // lang rule keeps only predicted-language docs
     val y3 = "stages:\n  - quality_filter:\n      lang: en\n"
     val langKept = Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(y3).stages)
