@@ -152,24 +152,40 @@ object TextAnalysis {
     * ln() differs between libm implementations by 1 ulp on ~0.02% of
     * inputs, and ranking on raw doubles would let that ulp flip an order.
     *
-    * Scale shape: tf is one partial-agg'd shuffle of (id, term) pairs; df
-    * aggregates the already-shrunk tf table; the idf join broadcasts when
-    * the vocabulary is small (AQE decides); per-doc top-k is a k-bounded
-    * priority-queue aggregate (collectTopK) with map-side combine — no
-    * window ever holds a document's full vocabulary, and the hot-term df
-    * rows compress map-side like any aggregate.
+    * Scale shape: the corpus is scanned and tokenized ONCE — tf is one
+    * partial-agg'd shuffle of (id, term) pairs, and BOTH df and N are
+    * derived from tf (df = terms per group key, N = distinct ids), so
+    * AQE's ReuseExchange serves all three consumers from tf's single
+    * exchange instead of re-reading and re-splitting the text per branch;
+    * the idf join broadcasts when the vocabulary is small (AQE decides);
+    * per-doc top-k is a k-bounded priority-queue aggregate (collectTopK)
+    * with map-side combine — no window ever holds a document's full
+    * vocabulary, and the hot-term df rows compress map-side like any
+    * aggregate.
     */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.GraftSqlBridge
-    val withTokens = docs.filter(size(tokens(col(textCol))) > 0)
-    val n = withTokens.agg(count(lit(1)).as("__n"))
-    val tf = withTokens
+    val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    // N = docs with >= 1 token: explode already dropped tokenless docs, so
+    // counting tf's distinct ids equals the old filter(size(tokens)>0)
+    // count — including a null-id group, which countDistinct would drop.
+    //
+    // The `tf > 0` filter is a semantic no-op (counts are >= 1) whose one
+    // job is to REFERENCE the count column from the derived branches:
+    // without it, column pruning strips the count aggregate from the df/N
+    // subtrees, their canonical form diverges from the join branch's tf,
+    // and ReuseExchange cannot fire — the corpus then gets re-scanned and
+    // re-tokenized once per branch, tripling the dominant stage at scale.
+    // With it, all three consumers share tf's single shuffle.
+    val tfUsed = tf.where(col("tf") > 0)
+    val n = tfUsed.groupBy(col(idCol)).agg(count(lit(1)).as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    val df = tfUsed.groupBy("term").agg(count(lit(1)).as("__df"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * (log((lit(1.0) + col("__n")) / (col("__df") + lit(1.0)))
