@@ -1298,6 +1298,31 @@ object Queries {
       |   row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk FROM h)
       |SELECT doc_id, lang FROM r WHERE rk <= 50 ORDER BY doc_id""".stripMargin))
 
+  /** Target-mix resampling: src0 repeated 2.25x (every row twice, a
+    * deterministic quarter a third time), src1 kept at 25%, src2 dropped,
+    * every other source halved — exercising upsampling, downsampling, a
+    * zero rate, and the default rate in one gate. The oracle replays the
+    * identical hash arithmetic and replicates copies with unnest(range).
+    */
+  private val resampleMix: Gate = Gate(
+    (s, dir) => Sampling.resampleMix(table(s, dir, "documents"),
+      "doc_id", "source",
+      rates = Seq("src0" -> 2.25, "src1" -> 0.25, "src2" -> 0.0),
+      defaultRate = 0.5, seed = 7L)
+      .select(col("doc_id"), col("source"), col("epoch").cast(LongType).as("epoch"))
+      .orderBy("doc_id", "epoch"),
+    Some("""WITH r AS (
+      |  SELECT doc_id, source,
+      |   CASE source WHEN 'src0' THEN 2.25 WHEN 'src1' THEN 0.25
+      |    WHEN 'src2' THEN 0.0 ELSE 0.5 END AS rate,
+      |   (('0x' || substr(md5(doc_id::VARCHAR || ':7'),1,14))::BIGINT % 1000000000)/1000000000.0 AS u
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |c AS (SELECT doc_id, source,
+      |   CAST(floor(rate) AS BIGINT) +
+      |    (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END) AS copies FROM r)
+      |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+      |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin))
+
   /** Decontamination gates: every 50th document plays the eval set, the
     * rest the training corpus; n=4 yields sparse-but-nonzero contamination
     * on this corpus (19/490 at sf0.01). The bloom gate runs the prefilter +
@@ -1560,6 +1585,7 @@ object Queries {
     "sample_split" -> sampleSplit,
     "pack_sequences" -> packSequences,
     "stratified_cap" -> stratifiedCap,
+    "resample_mix" -> resampleMix,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_resize" -> multimodalResize,

@@ -291,6 +291,23 @@ object OpStages {
       Pipeline.DataStage(name, m => Sampling.assignSplits(m.data, id, splits, seed))
     }
 
+    // deterministic per-stratum resampling to a target mix: rates is a
+    // {stratum: rate} map; rate > 1 repeats rows (0-based `epoch` column
+    // distinguishes copies), rate < 1 downsamples with sample()'s hash
+    PipelineConfig.register("resample_mix") { (name, cfg) =>
+      val id = cfg.getStr(IdCol).getOrElse("doc_id")
+      val stratum = cfg.getStr("stratum_col").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `stratum_col` is required"))
+      val rates = cfg.numberMap("rates", s"stage $name").getOrElse(
+        throw new IllegalArgumentException(
+          s"stage $name: `rates` map of {stratum: rate} is required"))
+      val defaultRate = cfg.getDouble("default_rate").getOrElse(1.0)
+      val seed = cfg.getLong("seed").getOrElse(42L)
+      val epochCol = cfg.getStr("epoch_col").getOrElse("epoch")
+      Pipeline.DataStage(name, m =>
+        Sampling.resampleMix(m.data, id, stratum, rates, defaultRate, seed, epochCol))
+    }
+
     PipelineConfig.register("stratified_cap") { (name, cfg) =>
       val id = cfg.getStr(IdCol).getOrElse("doc_id")
       val stratum = cfg.getStr("stratum_col").getOrElse(throw new IllegalArgumentException(

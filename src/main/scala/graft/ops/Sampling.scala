@@ -44,6 +44,49 @@ object Sampling {
     df.withColumn("split", when(h.isNotNull, expr))
   }
 
+  /** Deterministic per-stratum resampling to a target mix (the domain-
+    * reweighting primitive behind DoReMi-style data mixing and epoch-based
+    * source repetition): each stratum keeps/repeats rows at its configured
+    * rate. A rate r emits floor(r) copies of every row plus one more when
+    * the row's unit hash falls under the fractional part — so r <= 1 is
+    * exactly [[sample]] restricted to the stratum (same hash, same seed
+    * semantics), r = 2 duplicates every row, r = 2.25 duplicates every row
+    * and keeps a deterministic quarter a third time. Copies are
+    * distinguished by `epochCol` (0-based) so downstream exact-dedup keyed
+    * on (id, epoch) does not collapse intentional repetition.
+    *
+    * Strata absent from `rates` (and null strata) use `defaultRate`. Rows
+    * with a null id are dropped, consistent with [[sample]].
+    *
+    * Scale shape: pure map-side — the rate lookup is a literal map over the
+    * config (config-sized by definition), the copy count is arithmetic on
+    * the row's hash, and the repetition is a per-row explode of a
+    * copies-long sequence. No shuffle, no join, nothing driver-sized; a
+    * rate must be < ~2^31 which any sane mix is.
+    */
+  def resampleMix(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double = 1.0,
+      seed: Long = 42L, epochCol: String = "epoch"): DataFrame = {
+    rates.foreach { case (k, r) =>
+      require(r >= 0 && !r.isNaN, s"rate for stratum `$k` must be >= 0, got $r") }
+    require(defaultRate >= 0 && !defaultRate.isNaN,
+      s"defaultRate must be >= 0, got $defaultRate")
+    require(!df.columns.contains(epochCol),
+      s"output column `$epochCol` already exists; pass a different epochCol")
+    val rateExpr = coalesce(
+      element_at(map(rates.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col(stratumCol)), // null / unlisted stratum -> null -> defaultRate
+      lit(defaultRate))
+    val u = unitHash(col(idCol), seed)
+    val copies = (floor(rateExpr).cast("long") +
+      when(u < (rateExpr - floor(rateExpr)), 1L).otherwise(0L))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn(epochCol, explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+
   /** Stratified cap: keep at most `perStratum` rows per stratum, selected by
     * hash rank (deterministic). Requires `idCol` to be a unique row key —
     * the same assumption every hash-keyed method here already makes

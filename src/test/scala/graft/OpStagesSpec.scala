@@ -149,6 +149,30 @@ class OpStagesSpec extends SparkSpec {
     }
   }
 
+  test("resample_mix stage reweights strata from YAML") {
+    // docs has doc_id 1..10; stratum = text col reused? use lang-less frame:
+    val d = spark.createDataFrame(
+      (0L until 12L).map(i => (i, if (i % 2 == 0) "web" else "books")))
+      .toDF("doc_id", "source")
+    val yaml =
+      """stages:
+        |  - resample_mix:
+        |      stratum_col: source
+        |      rates: {web: 2.0, books: 0.0}
+        |      seed: 7
+        |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(yaml).stages).data
+    assert(out.columns.contains("epoch"))
+    val rows = out.select("doc_id", "source", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.count(_._2 == "web") == 12 && !rows.exists(_._2 == "books"))
+    assert(rows.filter(_._1 == 0L).map(_._3).sorted.toSeq == Seq(0L, 1L))
+    intercept[IllegalArgumentException] { // rates map is required
+      PipelineConfig.fromYaml("stages:\n  - resample_mix:\n      stratum_col: source\n")
+        .stages.head.asInstanceOf[Pipeline.DataStage]
+    }
+  }
+
   test("similarity/winnow/multimodal stages are registered") {
     val expected = Set("winnow_fingerprint", "embed_dedup", "knn_join",
       "sim_topk", "as_media", "media_metadata", "media_decode",

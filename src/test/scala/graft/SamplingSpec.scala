@@ -89,6 +89,37 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(a == b && a.size == 22) // hot:10, cold:2 (only 10002/10005), null:10
   }
+
+  test("resample_mix: integer rates repeat exactly, fractional rates match sample()") {
+    val d = docs.withColumn("source",
+      when(col("doc_id") % 3 === 0, "a").when(col("doc_id") % 3 === 1, "b")
+        .otherwise("c"))
+    val out = Sampling.resampleMix(d, "doc_id", "source",
+      rates = Seq("a" -> 2.0, "b" -> 0.3, "c" -> 0.0), seed = 7L)
+    val byEpoch = out.groupBy("source", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // rate 2.0: every row exactly twice (epochs 0 and 1), never a third
+    assert(byEpoch(("a", 0L)) == 334 && byEpoch(("a", 1L)) == 334)
+    assert(!byEpoch.contains(("a", 2L)))
+    // rate 0.3 == sample(0.3) on the stratum: same hash, same survivors
+    val bIds = out.filter(col("source") === "b").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val sampled = Sampling.sample(d.filter(col("source") === "b"), "doc_id", 0.3, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bIds == sampled)
+    // rate 0.0 drops the stratum entirely
+    assert(!byEpoch.keys.exists(_._1 == "c"))
+    // unlisted stratum gets defaultRate; null ids are dropped
+    val extra = Seq((Some(5000L), "x"), (None, "a")).toDF("doc_id", "source")
+    val out2 = Sampling.resampleMix(extra, "doc_id", "source",
+      rates = Seq("a" -> 2.0), defaultRate = 1.0, seed = 7L).collect()
+    assert(out2.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((5000L, "x")))
+    // guard rails: negative rate and epoch-column collision fail fast
+    intercept[IllegalArgumentException] {
+      Sampling.resampleMix(d, "doc_id", "source", Seq("a" -> -1.0)) }
+    intercept[IllegalArgumentException] {
+      Sampling.resampleMix(d.withColumn("epoch", lit(0)), "doc_id", "source", Nil) }
+  }
 }
 
 class GraftExtensionsSpec extends SparkSpec {
