@@ -1177,6 +1177,33 @@ object Queries {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
       |ORDER BY 1,2""".stripMargin))
 
+  /** SemDeDup over the precomputed `label` clusters (the deterministic
+    * cluster_col path — the k-means path is engine-internal and covered by
+    * OpsSpec): within-label cosine pairs at 0.3, connected components,
+    * survivors = cluster-min ids. The oracle replays pairs + recursive
+    * reachability exactly like the minhash dedup-stage gate.
+    */
+  private val semdedupGate: Gate = Gate(
+    (s, dir) => Dedup.semDedup(
+      table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+      "vec_id", "embedding", threshold = 0.3, clusterCol = Some("label"))
+      .select(col("vec_id"), col("label")).orderBy("vec_id"),
+    Some("""WITH RECURSIVE e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      | WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      | UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      | SELECT src, dst FROM edges
+      | UNION
+      | SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+      |dropped AS (SELECT src AS id FROM reach GROUP BY src
+      | HAVING least(src, min(dst)) != src)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id FROM dropped) ORDER BY vec_id""".stripMargin))
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     table(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").collect()(0).getSeq[Float](0)
@@ -1578,6 +1605,7 @@ object Queries {
     "simhash_values" -> simhashValues,
     "simhash_pairs" -> simhashPairs,
     "embed_dup_pairs" -> embedDupPairs,
+    "semdedup" -> semdedupGate,
     "sim_topk" -> simTopK,
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,

@@ -378,6 +378,21 @@ object OpStages {
         Dedup.embeddingPairs(m.data, id, vec, col(block), threshold, maxBlock)))
     }
 
+    // SemDeDup (arXiv:2303.09540): coarse-cluster the embeddings — a
+    // precomputed `cluster_col` if the corpus has one, else `k` k-means
+    // cells over `iters` Lloyd rounds — then drop within-cluster cosine
+    // near-duplicates, keeping the cluster-min-id representative
+    PipelineConfig.register("semdedup") { (name, cfg) =>
+      val (id, vec) = vecIds(cfg)
+      val clusterCol = cfg.getStr("cluster_col")
+      val threshold = cfg.getDouble("threshold").getOrElse(0.95)
+      val k = cfg.getInt("k").getOrElse(64)
+      val iters = cfg.getInt("iters").getOrElse(1)
+      val maxBlock = cfg.getInt("max_block")
+      Pipeline.DataStage(name, m =>
+        Dedup.semDedup(m.data, id, vec, threshold, clusterCol, k, iters, maxBlock))
+    }
+
     // k-NN join: each data row gets its k nearest rows of `right_path`
     // (another parquet table; omitted = self-join) sharing `block_col`.
     // Default output appends a `knn` array column (sorted by rank) so the

@@ -535,6 +535,46 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    * embedded corpus — cluster the embeddings coarsely, then inside each
+    * cluster drop every member of a cosine-near-duplicate group except its
+    * representative. The paper keeps a random exemplar; here the surviving
+    * exemplar is the cluster-min id (via [[resolveClusters]]), the same
+    * deterministic representative rule every text-dedup stage uses.
+    *
+    * `clusterCol` names a precomputed coarse-cluster column (a topic label,
+    * an LSH bucket). When absent — the common case for an unlabeled corpus —
+    * cells come from [[Similarity.kmeansAssign]] (`k` deterministic
+    * hash-seeded cells, `iters` Lloyd rounds). Exact-duplicate embeddings
+    * always co-cluster after one Lloyd round (identical vectors score
+    * identical cell cosines), so true duplicates cannot be split across
+    * cells; near-duplicates can straddle a cell boundary — the recall trade
+    * that makes SemDeDup linear-per-cell instead of corpus-quadratic.
+    *
+    * Scale shape: kmeans is `iters` scans with only a k×dim centroid
+    * aggregation shuffled; pair generation is [[embeddingPairs]] (equi-join
+    * on the cell key, per-cell quadratic bounded by `maxBlock` sub-bucketing
+    * at ~N/k rows per cell when k ~ sqrt(N)); resolution is log-diameter
+    * pointer jumping. Nothing corpus-quadratic, nothing driver-sized.
+    */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, clusterCol: Option[String] = None,
+      k: Int = 64, iters: Int = 1, maxBlock: Option[Int] = None): DataFrame = {
+    val (clustered, cell) = clusterCol match {
+      case Some(c) =>
+        require(embs.columns.contains(c), s"cluster column `$c` not in input")
+        (embs, c)
+      case None =>
+        (Similarity.kmeansAssign(embs, idCol, vecCol, k, iters), "__cell")
+    }
+    val pairs = embeddingPairs(clustered, idCol, vecCol, col(cell),
+      threshold, maxBlock)
+    val drop = resolveClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    embs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-level exact line dedup (the C4 / RefinedWeb hygiene step:
     * boilerplate lines — nav menus, cookie banners, license headers — repeat
     * across millions of pages): keep only the globally-FIRST occurrence of

@@ -174,7 +174,7 @@ class OpStagesSpec extends SparkSpec {
   }
 
   test("similarity/winnow/multimodal stages are registered") {
-    val expected = Set("winnow_fingerprint", "embed_dedup", "knn_join",
+    val expected = Set("winnow_fingerprint", "embed_dedup", "semdedup", "knn_join",
       "sim_topk", "as_media", "media_metadata", "media_decode",
       "media_resize", "media_frames", "media_dimensions", "audio_metadata",
       "video_metadata", "sessionize",

@@ -630,6 +630,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("semDedup: kmeans path co-clusters exact dups and keeps min id") {
+    val rng = new scala.util.Random(11)
+    // 15 distinct noisy axis vectors, each emitted twice (ids 2j, 2j+1):
+    // exact-duplicate embeddings must land in the same kmeans cell after a
+    // Lloyd round (identical vectors -> identical cell cosines), so every
+    // pair collapses to its min id; distinct vectors stay (cos ~0.76 at
+    // noise 0.2, far below the 0.99 threshold)
+    val vecs = (0 until 15).map { j =>
+      val axis = j % 3
+      Array.tabulate(8)(d => (if (d == axis) 1.0 else 0.0) + rng.nextGaussian() * 0.2)
+    }
+    val rows = vecs.zipWithIndex.flatMap { case (v, j) =>
+      Seq((2L * j, v), (2L * j + 1, v)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", threshold = 0.99,
+      k = 3, iters = 2)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding")) // no __cell leak
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0 until 15).map(_ * 2L).toSet)
+    // a missing precomputed cluster column fails fast
+    intercept[IllegalArgumentException] {
+      Dedup.semDedup(df, "vec_id", "embedding", clusterCol = Some("nope")) }
+  }
+
   test("knnJoin gives each row k ranked neighbors within its block") {
     val out = Similarity.knnJoin(embsDf, embsDf, "vec_id", "embedding", "label", k = 3)
     assert(out.filter(col("id_l") === 0).count() == 3)
