@@ -778,6 +778,40 @@ object Queries {
       |   ELSE len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) END AS BIGINT) AS n_subwords
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** JSONL source round-trip: the corpus is written as JSONL and read back
+    * through the explicit-schema source path; the oracle states the
+    * round-trip contract directly — the original rows, values intact
+    * (multi-line text survives via JSON string escaping).
+    */
+  private val jsonlRoundtrip: Gate = Gate(
+    (s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_jsonl_rt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.sources.CorpusSources.writeJsonl(
+        table(s, dir, "documents").select("doc_id", "text", "lang", "source"), tmp)
+      graft.sources.CorpusSources.readJsonl(s, tmp,
+        Some("doc_id BIGINT, text STRING, lang STRING, source STRING"))
+        .select("doc_id", "text", "lang", "source").orderBy("doc_id")
+    },
+    Some("SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"))
+
+  /** Unigram entropy: the engine folds sorted-run lengths in one pass over
+    * the row's token array; the oracle recomputes H = log2(n) − Σc·log2(c)/n
+    * from exploded per-token counts — same tokenization as text_tokens.
+    */
+  private val textEntropy: Gate = Gate(
+    (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+      r4(TextAnalysis.unigramEntropy(col("text"))).as("unigram_entropy"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+      |  unnest(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS w
+      | FROM documents),
+      |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+      |e AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s FROM c GROUP BY 1)
+      |SELECT d.doc_id,
+      | round(coalesce(log2(e.n) - e.s / e.n, 0.0), 4) AS unigram_entropy
+      |FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin))
+
   private val textQuality: Gate = Gate(
     (s, dir) => TextAnalysis.qualitySignals(table(s, dir, "documents"), "doc_id", "text")
       .select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"),
@@ -1591,6 +1625,8 @@ object Queries {
     "doc_fingerprint" -> docFingerprint,
     "winnow_fingerprint" -> winnowFp,
     "text_tokens" -> textTokens,
+    "text_entropy" -> textEntropy,
+    "jsonl_roundtrip" -> jsonlRoundtrip,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "quality_filter_stage" -> qualityFilterStage,

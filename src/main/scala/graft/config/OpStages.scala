@@ -197,7 +197,7 @@ object OpStages {
         "max_chars", "min_mean_word_len", "max_mean_word_len",
         "min_alpha_ratio", "max_punct_ratio", "max_digit_ratio",
         "min_stopword_ratio", "max_repetition_ratio", "max_dup_line_fraction",
-        "max_dup_ngram_fraction", "lang")
+        "max_dup_ngram_fraction", "min_entropy", "max_entropy", "lang")
       val unknown = cfg.obj.keySet -- knownKeys
       require(unknown.isEmpty, s"stage $name: unknown rule key(s) " +
         s"${unknown.toSeq.sorted.mkString(", ")} (known: " +
@@ -234,6 +234,10 @@ object OpStages {
           cfg.getDouble("max_repetition_ratio").map(v => sig("repetition_ratio") <= v),
           cfg.getDouble("max_dup_line_fraction").map(v => sig("dup_line_fraction") <= v),
           cfg.getDouble("max_dup_ngram_fraction").map(v => sig("dup_ngram_fraction") <= v),
+          // unigram entropy (bits): min catches degenerate repetition,
+          // max catches structureless gibberish (entropy ~ log2(n_words))
+          cfg.getDouble("min_entropy").map(v => TextAnalysis.unigramEntropy(t) >= v),
+          cfg.getDouble("max_entropy").map(v => TextAnalysis.unigramEntropy(t) <= v),
           cfg.getStr("lang").map { v =>
             val exprs = TextAnalysis.langIdExprs(t)
             exprs.last === v // lang_pred equality
@@ -270,6 +274,13 @@ object OpStages {
       Pipeline.DataStage(name, m => appendCols(name, m.data, Seq(
         TextAnalysis.tokenCount(col(text)).as("n_tokens"),
         TextAnalysis.subwordCount(col(text)).as("n_subwords"))))
+    }
+
+    // unigram word entropy (bits) — the perplexity-proxy quality signal
+    PipelineConfig.register("text_entropy") { (name, cfg) =>
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      Pipeline.DataStage(name, m => appendCols(name, m.data, Seq(
+        TextAnalysis.unigramEntropy(col(text)).as("unigram_entropy"))))
     }
 
     // deterministic Bernoulli sample on the id hash (retry/engine-stable)
@@ -503,6 +514,41 @@ object OpStages {
         appendCols(name, m.data,
           schema.fieldNames.toSeq.map(f => parsed.getField(f).as(f)))
       })
+    }
+
+    // corpus source/sink stages: replace the data table with a JSONL/CSV
+    // corpus (or emit one mid-pipeline). `schema` is validated at config
+    // time — from_json/DataFrameReader only surface a bad DDL lazily.
+    def sourceCfg(name: String, cfg: Cfg): (String, Option[String]) = {
+      val path = cfg.getStr("path").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `path` is required"))
+      val ddl = cfg.getStr("schema")
+      ddl.foreach { d =>
+        try org.apache.spark.sql.types.StructType.fromDDL(d)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"stage $name: unparsable `schema` '$d': ${e.getMessage}") }
+      }
+      (path, ddl)
+    }
+
+    PipelineConfig.register("load_jsonl") { (name, cfg) =>
+      val (path, ddl) = sourceCfg(name, cfg)
+      Pipeline.DataStage(name, m =>
+        graft.sources.CorpusSources.readJsonl(m.data.sparkSession, path, ddl))
+    }
+
+    PipelineConfig.register("write_jsonl") { (name, cfg) =>
+      val (path, _) = sourceCfg(name, cfg)
+      Pipeline.DataStage(name, m => {
+        graft.sources.CorpusSources.writeJsonl(m.data, path); m.data })
+    }
+
+    PipelineConfig.register("load_csv") { (name, cfg) =>
+      val (path, ddl) = sourceCfg(name, cfg)
+      val header = cfg.getBool("header").getOrElse(true)
+      val multiLine = cfg.getBool("multiline").getOrElse(false)
+      Pipeline.DataStage(name, m => graft.sources.CorpusSources.readCsv(
+        m.data.sparkSession, path, ddl, header, multiLine))
     }
 
     // generic predicate filter over the data table — the glue stage corpus

@@ -203,6 +203,38 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Unigram word entropy in bits — the cheap perplexity proxy quality
+    * filters use to catch gibberish (entropy near log2(n): every token
+    * distinct, no language structure) and degenerate repetition (entropy
+    * near 0: one token repeated). H = log2(n) − (Σ c·log2 c)/n over the
+    * per-token counts c; 0.0 for empty/whitespace-only text.
+    *
+    * Computed in ONE pass over the row's sorted token array: sort groups
+    * equal tokens into runs, and a single fold accumulates Σ c·log2 c from
+    * run lengths — no explode, no shuffle, no per-token map lookups; at
+    * corpus scale the whole signal is a projection over one text scan.
+    */
+  def unigramEntropy(text: Column): Column = {
+    val clogc = (c: Column) =>
+      when(c > 1L, c.cast("double") * log2(c.cast("double"))).otherwise(0.0)
+    val ws = sort_array(tokens(text))
+    val n = size(ws)
+    // fold state: (current run's token, its length so far, Σ c·log2 c of
+    // completed runs); the finish step closes the last open run
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0.0).as("acc"))
+    val folded = aggregate(ws, zero,
+      (s, w) => {
+        val same = s.getField("prev") <=> w
+        struct(w.as("prev"),
+          when(same, s.getField("run") + 1L).otherwise(1L).as("run"),
+          when(same, s.getField("acc"))
+            .otherwise(s.getField("acc") + clogc(s.getField("run"))).as("acc"))
+      },
+      s => s.getField("acc") + clogc(s.getField("run")))
+    when(n > 0, log2(n.cast("double")) - folded / n).otherwise(0.0)
+  }
+
   /** Composable text normalization — the standard pre-dedup cleanup chain,
     * applied in a FIXED order regardless of the order ops are requested in
     * (lowercase → strip punctuation → collapse whitespace → trim), so two

@@ -180,7 +180,8 @@ class OpStagesSpec extends SparkSpec {
       "video_metadata", "sessionize",
       "filter_rows", "json_extract", "normalize_text", "text_repetition",
       "decontaminate", "pack_sequences", "redact_pii", "quality_filter",
-      "dedup_lines", "remove_dup_spans", "tf_idf")
+      "dedup_lines", "remove_dup_spans", "tf_idf", "text_entropy",
+      "load_jsonl", "write_jsonl", "load_csv")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
   }
 
@@ -253,6 +254,13 @@ class OpStagesSpec extends SparkSpec {
     val langKept = Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(y3).stages)
       .data.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(langKept.contains(1L) && !langKept.contains(4L))
+    // entropy bounds: min_entropy drops the one-token-repeated doc (H=0)
+    // but keeps normal prose; blank text (H=0) fails min like empty docs
+    // fail min_words
+    val yH = "stages:\n  - quality_filter:\n      min_entropy: 1.0\n"
+    val hKept = Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(yH).stages)
+      .data.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hKept.contains(1L) && !hKept.contains(3L))
   }
 
   test("video_metadata stage appends parsed MP4 columns; non-MP4 rows null") {

@@ -713,6 +713,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d.select(TextAnalysis.subwordCount(col("text"))).head().getInt(0) == 5)
   }
 
+  test("unigramEntropy: closed forms and explode/groupBy parity") {
+    val d = Seq(
+      (0L, "a a b b"),      // two tokens, equal counts -> 1 bit
+      (1L, "a b c d"),      // four distinct -> 2 bits
+      (2L, "x x x x"),      // degenerate repetition -> 0
+      (3L, "one"),          // single token -> 0
+      (4L, ""), (5L, "  ")  // empty / whitespace-only -> 0
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+      round(TextAnalysis.unigramEntropy(col("text")), 4).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 1.0, 1L -> 2.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0))
+    // parity with the shuffle-based reference formulation on messier text
+    val m = Seq((0L, "to be or not to be"), (1L, "aa aa  b\tb aa"),
+      (2L, "z")).toDF("doc_id", "text")
+    val fromCounts = m
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        round(log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c"), 6).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fold = m.select(col("doc_id"),
+      round(TextAnalysis.unigramEntropy(col("text")), 6).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fold == fromCounts)
+  }
+
   test("tfIdfTopTerms: sklearn-smoothed scores, rank by rounded score then term") {
     val d = Seq(
       (1L, "apple banana apple"),
@@ -1013,5 +1040,79 @@ class FunctionsSpec extends SparkSpec {
     val got = d.select(GraftFunctions.searchSortedRight(col("eps"), col("v")))
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(2, 0, 3)) // 3.0 equals endpoint → upper side
+  }
+}
+
+class CorpusSourcesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.CorpusSources
+
+  private def tmpDir(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_src_$tag").toString
+
+  test("JSONL round-trip is lossless for multi-line / quoted / unicode text") {
+    val d = Seq(
+      (0L, "line one\nline two\n\ttabbed", "en"),
+      (1L, "quotes \" and \\ backslash", "en"),
+      (2L, "unicode: héllo wörld — ünïcode 日本語", "ja"),
+      (3L, "", "en")
+    ).toDF("doc_id", "text", "lang")
+    val dir = tmpDir("jsonl") + "/docs"
+    CorpusSources.writeJsonl(d, dir)
+    val back = CorpusSources.readJsonl(spark, dir,
+      Some("doc_id BIGINT, text STRING, lang STRING"))
+      .select("doc_id", "text", "lang")
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      d.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("malformed JSONL line surfaces as nulls, not a failed scan") {
+    val dir = tmpDir("bad")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
+      "{\"doc_id\": 1, \"text\": \"ok\"}\nNOT JSON AT ALL\n{\"doc_id\": 2, \"text\": \"also ok\"}\n"
+        .getBytes("UTF-8"))
+    val got = CorpusSources.readJsonl(spark, dir, Some("doc_id BIGINT, text STRING"))
+      .collect()
+    assert(got.length == 3)
+    assert(got.count(r => r.isNullAt(0) && r.isNullAt(1)) == 1)
+    assert(got.filter(!_.isNullAt(0)).map(_.getString(1)).toSet == Set("ok", "also ok"))
+  }
+
+  test("CSV round-trip with header; multiLine reads quoted newlines") {
+    val d = Seq((0L, "plain", 1.5), (1L, "with\nnewline", -2.0)).toDF("id", "s", "x")
+    val dir = tmpDir("csv") + "/t"
+    CorpusSources.writeCsv(d, dir)
+    val back = CorpusSources.readCsv(spark, dir,
+      Some("id BIGINT, s STRING, x DOUBLE"), header = true, multiLine = true)
+    assert(back.orderBy("id").collect().toSeq == d.orderBy("id").collect().toSeq)
+  }
+
+  test("load_jsonl / write_jsonl stages chain through a YAML pipeline") {
+    val src = tmpDir("stage") + "/in"
+    CorpusSources.writeJsonl(
+      Seq((0L, "alpha beta"), (1L, "gamma")).toDF("doc_id", "text"), src)
+    val out = tmpDir("stage") + "/out"
+    val yaml =
+      s"""stages:
+         |  - load_jsonl:
+         |      path: $src
+         |      schema: "doc_id BIGINT, text STRING"
+         |  - text_tokens: {}
+         |  - write_jsonl:
+         |      path: $out
+         |""".stripMargin
+    val res = operators.Pipeline.run(spark,
+      meds.MedsData(spark.emptyDataFrame, spark.emptyDataFrame, spark.emptyDataFrame),
+      config.PipelineConfig.fromYaml(yaml).stages).data
+    assert(res.columns.contains("n_tokens"))
+    val written = CorpusSources.readJsonl(spark, out,
+      Some("doc_id BIGINT, text STRING, n_tokens INT, n_subwords INT"))
+    assert(written.count() == 2)
+    // config-time schema validation fails fast with the stage named
+    val bad = intercept[IllegalArgumentException] {
+      config.PipelineConfig.fromYaml(
+        "stages:\n  - load_jsonl:\n      path: /x\n      schema: \"not a ddl ((\"\n")
+    }
+    assert(bad.getMessage.contains("load_jsonl"))
   }
 }
