@@ -1540,6 +1540,55 @@ object Queries {
     * box-size bookkeeping) breaks the hash. Every 7th payload is truncated
     * mid-moov: the parser must yield null, not a partial struct or a crash.
     */
+  /** MP3 metadata: payloads synthesized from doc_id arithmetic exercise the
+    * ID3v2-skip path (default), the bare-frame path (%5==1), the false-sync
+    * resync path (%5==2 — a sync-pattern prefix with a bad bitrate index
+    * must be skipped), and corrupt truncation (%9==0 → null row). The
+    * oracle replays the frame-header table lookups as CASE arithmetic.
+    */
+  private val mp3Meta: Gate = Gate(
+    (s, dir) => {
+      val bi = (col("doc_id") % 14) + 1 // bitrate index 1..14 (MPEG1 L3)
+      val si = col("doc_id") % 3        // sample-rate index
+      val f = (col("doc_id") % 64) * 4  // filler bytes after the header
+      val tagLen = col("doc_id") % 100  // ID3v2 tag body (syncsafe 1-byte)
+      val header = concat(unhex(lit("FFFB")),
+        unhex(lpad(hex(bi * 16 + si * 4), 2, "0")), unhex(lit("C0")))
+      val frames = concat(header, unhex(repeat(lit("00"), f.cast("int"))))
+      val id3 = concat(unhex(lit("49443304000000" + "0000")),
+        unhex(lpad(hex(tagLen), 2, "0")),
+        unhex(repeat(lit("00"), tagLen.cast("int"))))
+      val payload = when(col("doc_id") % 9 === 0, unhex(lit("494433040000")))
+        .when(col("doc_id") % 5 === 1, frames)
+        .when(col("doc_id") % 5 === 2, concat(unhex(lit("FFE2F000")), frames))
+        .otherwise(concat(id3, frames))
+      val a = Multimodal.mp3Metadata(payload)
+      table(s, dir, "documents").select(col("doc_id").as("media_id"),
+          a.getField("layer").as("layer"),
+          a.getField("bitrate_kbps").as("bitrate_kbps"),
+          a.getField("sample_rate").as("sample_rate"),
+          a.getField("audio_bytes").as("audio_bytes"),
+          round(a.getField("duration_s"), 6).as("duration_s"))
+        .orderBy("media_id")
+    },
+    Some("""WITH m AS (SELECT doc_id,
+      | CASE (doc_id % 14) + 1
+      |  WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+      |  WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+      |  WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+      |  WHEN 13 THEN 256 WHEN 14 THEN 320 END AS kbps,
+      | 4 + (doc_id % 64) * 4 AS abytes FROM documents)
+      |SELECT doc_id AS media_id,
+      | CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(3 AS BIGINT) END AS layer,
+      | CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(kbps AS BIGINT) END AS bitrate_kbps,
+      | CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(CASE doc_id % 3
+      |  WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 32000 END AS BIGINT)
+      |  END AS sample_rate,
+      | CASE WHEN doc_id % 9 = 0 THEN NULL ELSE CAST(abytes AS BIGINT) END AS audio_bytes,
+      | CASE WHEN doc_id % 9 = 0 THEN NULL
+      |  ELSE round(abytes * 8.0 / (kbps * 1000.0), 6) END AS duration_s
+      |FROM m ORDER BY media_id""".stripMargin))
+
   private val videoMeta: Gate = Gate(
     (s, dir) => {
       def be32(c: Column): Column = unhex(lpad(hex(c.cast(LongType)), 8, "0"))
@@ -1654,7 +1703,8 @@ object Queries {
     "multimodal_decode" -> multimodalDecode,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
-    "video_metadata" -> videoMeta
+    "video_metadata" -> videoMeta,
+    "mp3_metadata" -> mp3Meta
   )
 
   def queries: Map[String, Q] = gates.map { case (n, g) => n -> g.query }.toMap

@@ -630,6 +630,20 @@ object OpStages {
           a.getField("duration_s").as("audio_duration_s")))
       })
     }
+
+    // MP3 sibling of audio_metadata (compressed-audio corpora): first
+    // valid frame header fields + CBR duration estimate
+    PipelineConfig.register("mp3_metadata") { (name, cfg) =>
+      val payload = cfg.getStr("payload_col").getOrElse("payload")
+      Pipeline.DataStage(name, m => {
+        val a = Multimodal.mp3Metadata(col(payload))
+        appendCols(name, m.data, Seq(
+          a.getField("layer").as("mp3_layer"),
+          a.getField("bitrate_kbps").as("mp3_bitrate_kbps"),
+          a.getField("sample_rate").as("mp3_sample_rate"),
+          a.getField("duration_s").as("mp3_duration_s")))
+      })
+    }
     PipelineConfig.register("video_metadata") { (name, cfg) =>
       val payload = cfg.getStr("payload_col").getOrElse("payload")
       Pipeline.DataStage(name, m => {

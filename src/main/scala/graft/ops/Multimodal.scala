@@ -99,6 +99,23 @@ object Multimodal {
         .as("duration_s")))
   }
 
+  /** REAL MP3 metadata: first-valid-frame header fields (ID3v2 skipped,
+    * false syncs resynced) via the codegen'd [[graft.plans.Mp3Metadata]]
+    * walk; duration_s is the CBR estimate audio_bytes·8 / bitrate. Null
+    * struct for payloads with no valid frame header.
+    */
+  def mp3Metadata(payload: Column): Column = {
+    val m = graft.plans.VectorExpressions.mp3Metadata(payload)
+    when(m.isNotNull, struct(
+      lit("mp3").as("format"),
+      m.getField("layer").as("layer"),
+      m.getField("bitrate_kbps").as("bitrate_kbps"),
+      m.getField("sample_rate").as("sample_rate"),
+      m.getField("audio_bytes").as("audio_bytes"),
+      (m.getField("audio_bytes").cast("double") * 8.0 /
+        (m.getField("bitrate_kbps").cast("double") * 1000.0)).as("duration_s")))
+  }
+
   /** REAL video-container metadata: movie timescale / duration / video-track
     * pixel dimensions parsed from MP4 (ISO-BMFF) box trees by the native
     * [[graft.plans.Mp4Metadata]] expression (`moov`→`mvhd` for timing,

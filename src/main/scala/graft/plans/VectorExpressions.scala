@@ -701,6 +701,99 @@ object Mp4Metadata {
   }
 }
 
+/** MP3 (MPEG audio) metadata from the payload's first valid frame header:
+  * skips a leading ID3v2 tag (syncsafe 28-bit size, optional footer), then
+  * scans byte-by-byte for a frame sync whose version/layer/bitrate/
+  * sample-rate fields are all valid — a sync candidate with reserved or
+  * free/bad field values is a false sync inside tag padding or junk, and
+  * the scan continues one byte later exactly as a real decoder resyncs.
+  * Returns (layer, bitrate_kbps, sample_rate, audio_bytes) where
+  * audio_bytes counts from the first valid frame header to payload end
+  * (the CBR duration estimate audio_bytes*8/bitrate is left to the
+  * caller — same integer-exact contract as [[WavMetadata]]). Null for
+  * payloads with no valid frame header (a bad blob must not kill the
+  * scan). The audio sibling of [[JpegDimensions]]/[[WavMetadata]]/
+  * [[Mp4Metadata]].
+  */
+case class Mp3Metadata(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("layer", LongType, nullable = false),
+    StructField("bitrate_kbps", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("audio_bytes", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_mp3_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    Mp3Metadata.meta(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val r = ctx.freshName("mp3Meta")
+      s"""
+         |InternalRow $r = graft.plans.Mp3Metadata.meta($arr);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Mp3Metadata {
+  // bitrate tables in kbps, indexed 1..14 (0 = free, 15 = bad → resync).
+  // Row choice: MPEG1 distinguishes all three layers; MPEG2/2.5 share one
+  // table for layers II+III. (ISO/IEC 11172-3 table B.2, 13818-3 annex.)
+  private val V1L1 = Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val V1L2 = Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val V1L3 = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val V2L1 = Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val V2L23 = Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Rates1 = Array(44100L, 48000L, 32000L)   // MPEG1
+  private val Rates2 = Array(22050L, 24000L, 16000L)   // MPEG2
+  private val Rates25 = Array(11025L, 12000L, 8000L)   // MPEG2.5
+
+  def meta(b: Array[Byte]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    def u(i: Int): Int = b(i) & 0xff
+    var start = 0
+    // ID3v2 header: "ID3" ver(2) flags(1) syncsafe-size(4); bit 4 of the
+    // flags adds a 10-byte footer after the tag body
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
+        (u(6) | u(7) | u(8) | u(9)) < 0x80 * 2) { // syncsafe bytes are < 0x80
+      val size = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+      if ((u(6) & 0x80) == 0 && (u(7) & 0x80) == 0 && (u(8) & 0x80) == 0 &&
+          (u(9) & 0x80) == 0)
+        start = 10 + size + (if ((u(5) & 0x10) != 0) 10 else 0)
+    }
+    if (start < 0 || start > b.length) return null
+    var i = start
+    while (i + 4 <= b.length) {
+      if (u(i) == 0xff && (u(i + 1) & 0xe0) == 0xe0) {
+        val ver = (u(i + 1) >> 3) & 3   // 0=2.5  1=reserved  2=MPEG2  3=MPEG1
+        val layerBits = (u(i + 1) >> 1) & 3 // 0=reserved 1=III 2=II 3=I
+        val bi = (u(i + 2) >> 4) & 0xf
+        val si = (u(i + 2) >> 2) & 3
+        if (ver != 1 && layerBits != 0 && bi >= 1 && bi <= 14 && si != 3) {
+          val layer = 4 - layerBits // 1-indexed layer number (I/II/III)
+          val table =
+            if (ver == 3) { if (layer == 1) V1L1 else if (layer == 2) V1L2 else V1L3 }
+            else { if (layer == 1) V2L1 else V2L23 }
+          val rates = if (ver == 3) Rates1 else if (ver == 2) Rates2 else Rates25
+          return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](layer.toLong, table(bi - 1).toLong, rates(si),
+              (b.length - i).toLong))
+        }
+      }
+      i += 1 // false sync: resync one byte later, like a real decoder
+    }
+    null
+  }
+}
+
 /** True when ANY element of a long array might be in the bloom filter —
   * the per-document contamination probe, as one codegen'd early-exit loop
   * over the in-row hash array. The composable `exists(arr, h =>
@@ -991,6 +1084,9 @@ object VectorExpressions {
 
   def mp4Metadata(payload: Column): Column =
     GraftSqlBridge.column(Mp4Metadata(expr(payload)))
+
+  def mp3Metadata(payload: Column): Column =
+    GraftSqlBridge.column(Mp3Metadata(expr(payload)))
 
   def bloomAnyContain(hashes: Column, bloomBytes: Array[Byte]): Column =
     GraftSqlBridge.column(BloomAnyContain(expr(hashes), bloomBytes))

@@ -177,7 +177,7 @@ class OpStagesSpec extends SparkSpec {
     val expected = Set("winnow_fingerprint", "embed_dedup", "semdedup", "knn_join",
       "sim_topk", "as_media", "media_metadata", "media_decode",
       "media_resize", "media_frames", "media_dimensions", "audio_metadata",
-      "video_metadata", "sessionize",
+      "mp3_metadata", "video_metadata", "sessionize",
       "filter_rows", "json_extract", "normalize_text", "text_repetition",
       "decontaminate", "pack_sequences", "redact_pii", "quality_filter",
       "dedup_lines", "remove_dup_spans", "tf_idf", "text_entropy",

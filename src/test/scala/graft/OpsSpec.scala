@@ -916,6 +916,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == null && got(3L) == null)
   }
 
+  test("mp3Metadata: ID3v2 skip, false-sync resync, CBR duration; corrupt null") {
+    // MPEG1 Layer III 128kbps 44100Hz no-CRC header: FF FB 90 C0
+    val header = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0xC0.toByte)
+    val frames = header ++ Array.fill[Byte](996)(0) // 1000 audio bytes
+    // ID3v2.4 tag, 200-byte body (syncsafe 0x00 0x00 0x01 0x48)
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 1, 0x48) ++
+      Array.fill[Byte](200)(0)
+    // tag body containing a false sync with a bad bitrate index (0xF)
+    val falseSync = Array[Byte](0xFF.toByte, 0xE2.toByte, 0xF0.toByte, 0)
+    val rows = Seq(
+      (1L, id3 ++ frames),               // tag skipped
+      (2L, frames),                      // bare frame stream
+      (3L, falseSync ++ frames),         // resync past the bad candidate
+      (4L, "ID3  ".getBytes), // truncated tag, no frames
+      (5L, Array.fill[Byte](64)(0x11))   // no sync at all
+    ).toDF("media_id", "payload")
+    val got = rows.select(col("media_id"),
+      Multimodal.mp3Metadata(col("payload")).as("a"))
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else {
+          val s = r.getStruct(1)
+          (s.getString(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4),
+            s.getDouble(5))
+        })
+      }.toMap
+    val expect = ("mp3", 3L, 128L, 44100L, 1000L, 1000 * 8.0 / 128000.0)
+    assert(got(1L) == expect)
+    assert(got(2L) == expect)
+    assert(got(3L) == expect) // audio_bytes counts from the REAL header
+    assert(got(4L) == null && got(5L) == null)
+    // MPEG2 Layer II uses the shared V2 table and the MPEG2 rate row:
+    // FF F4 50 C0 = MPEG2, Layer II, idx 5 -> 40kbps, idx 0 -> 22050Hz
+    val v2 = Seq((1L, Array[Byte](0xFF.toByte, 0xF4.toByte, 0x50.toByte,
+      0xC0.toByte) ++ Array.fill[Byte](96)(0))).toDF("media_id", "payload")
+    val s2 = v2.select(Multimodal.mp3Metadata(col("payload")).as("a"))
+      .head().getStruct(0)
+    assert((s2.getLong(1), s2.getLong(2), s2.getLong(3)) == ((2L, 40L, 22050L)))
+  }
+
   test("videoMetadata walks real MP4 box trees; corrupt payloads yield null") {
     def be32(v: Long): Array[Byte] = Array(
       (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)

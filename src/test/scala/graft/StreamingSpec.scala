@@ -159,4 +159,27 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("text hygiene signals run unchanged on a streaming corpus") {
+    // every curation signal is a pure projection, so the SAME expressions
+    // run on readStream without modification — streaming ingest hygiene
+    // (score documents as they land) is the batch code, not a parallel
+    // implementation
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val exprs = Seq(col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      round(graft.ops.TextAnalysis.unigramEntropy(col("text")), 4).as("h"),
+      graft.ops.TextAnalysis.langIdExprs(col("text")).last,
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val batch = raw.select(exprs: _*).collect().map(_.toSeq).toSet
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = stream.select(exprs: _*).writeStream.outputMode("append")
+      .format("memory").queryName("hygiene_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("hygiene_stream").collect().map(_.toSeq).toSet == batch)
+    } finally q.stop()
+  }
 }
