@@ -778,6 +778,65 @@ object Queries {
       |   ELSE len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) END AS BIGINT) AS n_subwords
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Corpus statistics per (source, lang): totals plus a nearest-rank token
+    * median computed by the order-statistics window (same rank arithmetic
+    * as the MEDS quantile gate), which the oracle replays exactly.
+    */
+  private val corpusStatsGate: Gate = Gate(
+    (s, dir) => TextAnalysis.corpusStats(
+      table(s, dir, "documents"), "text", Seq("source", "lang"))
+      .orderBy("source", "lang"),
+    Some("""WITH b AS (SELECT source, lang, length(text) AS chars,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |   ELSE len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''))
+      |   END AS toks
+      | FROM documents),
+      |r AS (SELECT *,
+      |  row_number() OVER (PARTITION BY source, lang ORDER BY toks) AS rn,
+      |  count(*) OVER (PARTITION BY source, lang) AS n FROM b)
+      |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(chars) AS BIGINT) AS total_chars,
+      | CAST(sum(toks) AS BIGINT) AS total_tokens,
+      | round(avg(toks), 4) AS mean_tokens,
+      | CAST(min(toks) AS BIGINT) AS min_tokens,
+      | CAST(max(toks) AS BIGINT) AS max_tokens,
+      | CAST(max(CASE WHEN rn = floor(0.5 * (n - 1) + 0.5) + 1 THEN toks END)
+      |   AS BIGINT) AS median_tokens
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** C4 page cleanup over a multi-line corpus derived in-gate (the base
+    * documents are single-line): six constructed lines exercise every rule —
+    * terminal-punctuation retention, the min-word line floor, the
+    * javascript line drop, the lorem-ipsum page drop (%7), the curly-brace
+    * page drop (%11), and the min-lines page floor (%5==3 swaps a kept line
+    * for an unpunctuated one). Survivorship and surviving text are pure
+    * doc_id arithmetic, which the oracle replays: substr stays word-safe
+    * because text is always >= 44 chars of <= 8-char tokens, so 40 chars
+    * carry >= 5 words.
+    */
+  private val c4Filter: Gate = Gate(
+    (s, dir) => {
+      val d = table(s, dir, "documents").withColumn("text", concat_ws("\n",
+        concat(substring(col("text"), 1, 40), lit(".")),
+        lit("short line."),
+        concat(col("source"), lit(" uses javascript on every page today.")),
+        when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit amet."))
+          .when(col("doc_id") % 5 === 3, lit("no terminal punctuation here at all"))
+          .otherwise(concat(col("lang"), lit(" words fill this line nicely fine."))),
+        when(col("doc_id") % 11 === 0, lit("a code { block } appears."))
+          .otherwise(lit("normal ending line with words here.")),
+        substring(col("text"), 1, 60)))
+      TextAnalysis.c4Filters(d, "doc_id", "text")
+        .select(col("doc_id"), col("text")).orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      | substr(text, 1, 40) || '.' || chr(10) ||
+      |  lang || ' words fill this line nicely fine.' || chr(10) ||
+      |  'normal ending line with words here.' AS text
+      |FROM documents
+      |WHERE doc_id % 7 != 0 AND doc_id % 11 != 0 AND doc_id % 5 != 3
+      |ORDER BY doc_id""".stripMargin))
+
   /** JSONL source round-trip: the corpus is written as JSONL and read back
     * through the explicit-schema source path; the oracle states the
     * round-trip contract directly — the original rows, values intact
@@ -1676,6 +1735,8 @@ object Queries {
     "text_tokens" -> textTokens,
     "text_entropy" -> textEntropy,
     "jsonl_roundtrip" -> jsonlRoundtrip,
+    "c4_filter" -> c4Filter,
+    "corpus_stats" -> corpusStatsGate,
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "quality_filter_stage" -> qualityFilterStage,

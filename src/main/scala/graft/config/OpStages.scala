@@ -276,6 +276,29 @@ object OpStages {
         TextAnalysis.subwordCount(col(text)).as("n_subwords"))))
     }
 
+    // dataset-card diagnostics: REPLACES data with the per-group stats table
+    PipelineConfig.register("corpus_stats") { (name, cfg) =>
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      val groups = if (cfg.obj.contains("group_cols"))
+        cfg.getList("group_cols").collect { case Cfg.S(s) => s }
+      else Seq("source")
+      require(groups.nonEmpty, s"stage $name: `group_cols` must be non-empty")
+      Pipeline.DataStage(name, m => TextAnalysis.corpusStats(m.data, text, groups))
+    }
+
+    // C4-style page cleanup (Raffel et al. 2020 §2.2): terminal-punctuation
+    // line retention + page-level phrase/brace drops; replaces the text col
+    PipelineConfig.register("c4_filter") { (name, cfg) =>
+      val (id, text) = ids(cfg)
+      val minLineWords = cfg.getInt("min_line_words").getOrElse(5)
+      val minLines = cfg.getInt("min_lines").getOrElse(3)
+      val phrases = if (cfg.obj.contains("drop_phrases"))
+        cfg.getList("drop_phrases").collect { case Cfg.S(s) => s }
+      else Seq("lorem ipsum", "{")
+      Pipeline.DataStage(name, m =>
+        TextAnalysis.c4Filters(m.data, id, text, minLineWords, minLines, phrases))
+    }
+
     // unigram word entropy (bits) — the perplexity-proxy quality signal
     PipelineConfig.register("text_entropy") { (name, cfg) =>
       val text = cfg.getStr(TextCol).getOrElse("text")

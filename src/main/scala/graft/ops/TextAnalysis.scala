@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -202,6 +203,73 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Per-group corpus statistics — the dataset-card / mix-diagnostics table
+    * (doc counts, token and char totals, token distribution) a curation
+    * pipeline reports per source/language slice. Median is the NEAREST-RANK
+    * order statistic, computed from the per-group TOKEN-COUNT HISTOGRAM:
+    * the corpus aggregates map-side into (group, n_tokens) rows first, so a
+    * group with a billion documents shuffles only its distinct token-count
+    * values (bounded by the longest document, not the corpus), and the
+    * cumulative-rank window runs over that small histogram — never a
+    * per-group sort of full rows, the single-task trap the stratified-cap
+    * rewrite removed. One map-side-combined shuffle; the windowed second
+    * pass is histogram-sized.
+    */
+  def corpusStats(docs: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusStats needs at least one group column")
+    val g = groupCols.map(col)
+    val hist = docs.select(g ++ Seq(
+      length(col(textCol)).cast("long").as("__chars"),
+      tokenCount(col(textCol)).cast("long").as("__toks")): _*)
+      .groupBy((g :+ col("__toks")): _*)
+      .agg(count(lit(1)).as("__cnt"), sum("__chars").as("__chars_sum"))
+    val cum = hist
+      .withColumn("__cum", sum("__cnt").over(
+        Window.partitionBy(g: _*).orderBy(col("__toks"))))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(g: _*)))
+    // nearest-rank target, identical to the MEDS quantile arithmetic; the
+    // median is the first histogram value whose cumulative count reaches it
+    val target = floor(lit(0.5) * (col("__n") - 1) + 0.5) + 1
+    cum.groupBy(g: _*).agg(
+      sum("__cnt").as("n_docs"),
+      sum("__chars_sum").as("total_chars"),
+      sum(col("__toks") * col("__cnt")).as("total_tokens"),
+      round(sum(col("__toks") * col("__cnt")).cast("double") / sum("__cnt"), 4)
+        .as("mean_tokens"),
+      min("__toks").as("min_tokens"),
+      max("__toks").as("max_tokens"),
+      min(when(col("__cum") >= target, col("__toks"))).as("median_tokens"))
+  }
+
+  /** C4-style page cleanup (Raffel et al. 2020 §2.2, the heuristics behind
+    * the C4 corpus): line level, keep only lines that end in a terminal
+    * punctuation mark, carry at least `minLineWords` words, and do not
+    * mention "javascript"; page level, drop documents whose surviving text
+    * has fewer than `minLines` lines or whose ORIGINAL text contains any of
+    * `dropPhrases` (C4 drops pages with "lorem ipsum" or a curly brace).
+    * Surviving documents get `textCol` REPLACED by the retained lines.
+    *
+    * One projection + one filter over a single scan — the line logic is
+    * in-row array work, the phrase rules are substring probes; nothing
+    * shuffles, and Catalyst prunes the scan to the referenced columns.
+    */
+  def c4Filters(docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minLines: Int = 3,
+      dropPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(minLineWords >= 0 && minLines >= 0, "thresholds must be >= 0")
+    val keptLines = filter(split(col(textCol), "\n"), l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(array_remove(split(l, "\\s+"), "")) >= minLineWords &&
+        !contains(lower(l), lit("javascript")))
+    val phraseHit = dropPhrases.map(p => contains(lower(col(textCol)),
+      lit(p.toLowerCase))).reduceOption(_ || _).getOrElse(lit(false))
+    docs.withColumn("__c4_kept", keptLines)
+      .filter(size(col("__c4_kept")) >= minLines && !phraseHit)
+      .withColumn(textCol, array_join(col("__c4_kept"), "\n"))
+      .drop("__c4_kept")
+  }
 
   /** Unigram word entropy in bits — the cheap perplexity proxy quality
     * filters use to catch gibberish (entropy near log2(n): every token

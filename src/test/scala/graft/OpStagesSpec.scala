@@ -173,6 +173,31 @@ class OpStagesSpec extends SparkSpec {
     }
   }
 
+  test("c4_filter and corpus_stats stages chain through YAML") {
+    val d = spark.createDataFrame(Seq(
+      (0L, "web", "First line with plenty of words here.\nsecond keeper line with enough words too.\nthird fine line with many words kept."),
+      (1L, "web", "lorem ipsum dolor sit amet consectetur now.\nmore text with plenty of words here.\nthird line also has enough words kept."),
+      (2L, "book", "One good line with enough words stays.\nsecond good line with enough words stays.\nthird good line with enough words stays.")
+    )).toDF("doc_id", "source", "text")
+    val yaml =
+      """stages:
+        |  - c4_filter:
+        |      min_lines: 2
+        |  - corpus_stats:
+        |      group_cols: [source]
+        |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(yaml).stages).data
+      .orderBy("source").collect()
+    // lorem page dropped before stats: web has 1 doc, book 1 doc
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("n_docs"))).toSeq ==
+      Seq(("book", 1L), ("web", 1L)))
+    // empty group_cols fails fast
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromYaml("stages:\n  - corpus_stats:\n      group_cols: []\n")
+        .stages.head.asInstanceOf[Pipeline.DataStage]
+    }
+  }
+
   test("similarity/winnow/multimodal stages are registered") {
     val expected = Set("winnow_fingerprint", "embed_dedup", "semdedup", "knn_join",
       "sim_topk", "as_media", "media_metadata", "media_decode",
@@ -181,7 +206,7 @@ class OpStagesSpec extends SparkSpec {
       "filter_rows", "json_extract", "normalize_text", "text_repetition",
       "decontaminate", "pack_sequences", "redact_pii", "quality_filter",
       "dedup_lines", "remove_dup_spans", "tf_idf", "text_entropy",
-      "load_jsonl", "write_jsonl", "load_csv")
+      "load_jsonl", "write_jsonl", "load_csv", "c4_filter", "corpus_stats")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
   }
 

@@ -713,6 +713,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d.select(TextAnalysis.subwordCount(col("text"))).head().getInt(0) == 5)
   }
 
+  test("corpusStats: totals + nearest-rank median per group") {
+    val d = Seq(
+      (0L, "a", "one two three"),        // 3 toks
+      (1L, "a", "one two three four five"), // 5
+      (2L, "a", "one"),                  // 1
+      (3L, "a", "one two"),              // 2  -> a: n=4, median rank floor(.5*3+.5)+1=3 -> toks 3
+      (4L, "b", "x y z")                 // b: n=1, median 3
+    ).toDF("doc_id", "src", "text")
+    val got = TextAnalysis.corpusStats(d, "text", Seq("src"))
+      .orderBy("src").collect()
+    val a = got(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 4 && a.getLong(3) == 11)
+    assert(a.getLong(5) == 1 && a.getLong(6) == 5) // min/max
+    assert(a.getAs[Long]("median_tokens") == 3)
+    assert(got(1).getAs[Long]("median_tokens") == 3)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.corpusStats(d, "text", Nil) }
+  }
+
+  test("c4Filters: line retention rules + page-level drops") {
+    val d = Seq(
+      (0L, "This line has enough words to stay here.\nshort one.\nanother line with plenty of words inside!\nno punctuation on this trailing line"),
+      (1L, "Good first line with many words right here.\nthe javascript line has many words too.\nsecond good line with lots of words kept.\nthird good line also has enough words."),
+      (2L, "lorem ipsum dolor sit amet consectetur adipiscing.\nmore perfectly fine text with words here.\nthird line with plenty of words too.\nfourth lovely line with many words stays."),
+      (3L, "A page with a { brace should vanish entirely.\nsecond line with plenty of words here.\nthird line with plenty of words also."),
+      (4L, "Only one surviving line with enough words.\nshort.\nnope")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filters(d, "doc_id", "text", minLineWords = 5,
+      minLines = 2).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 0: two qualifying lines survive, short/unpunctuated dropped
+    assert(out(0L) == "This line has enough words to stay here.\nanother line with plenty of words inside!")
+    // doc 1: javascript line dropped, three kept
+    assert(out(1L).linesIterator.size == 3 && !out(1L).contains("javascript"))
+    // doc 2 (lorem ipsum) and doc 3 (brace) dropped page-level;
+    // doc 4 falls under minLines
+    assert(out.keySet == Set(0L, 1L))
+    // custom phrase list replaces the default: "lovely" now drops doc 2,
+    // while the brace page (doc 3) survives
+    val custom = TextAnalysis.c4Filters(d, "doc_id", "text", minLineWords = 2,
+      minLines = 1, dropPhrases = Seq("lovely"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(custom == Set(0L, 1L, 3L, 4L))
+  }
+
   test("unigramEntropy: closed forms and explode/groupBy parity") {
     val d = Seq(
       (0L, "a a b b"),      // two tokens, equal counts -> 1 bit
