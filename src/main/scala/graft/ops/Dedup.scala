@@ -428,15 +428,65 @@ object Dedup {
     * `spark.dynamicAllocation.cachedExecutorIdleTimeout=infinity` (the
     * default) so executors holding these blocks are not reaped mid-loop.
     */
-  def resolveClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame =
-    resolveClustersStats(pairs, maxIters)._1
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 25,
+      smallGraphEdges: Int = 500000): DataFrame =
+    resolveClustersStats(pairs, maxIters, smallGraphEdges)._1
 
   /** [[resolveClusters]] plus the number of propagation rounds it ran — the
     * observable for the O(log diameter) pointer-jumping claim (ClusterSmoke
-    * measures rounds against known-diameter graphs).
+    * measures rounds against known-diameter graphs). The fast path reports
+    * 0 rounds.
+    *
+    * Small-graph fast path: pair graphs are usually tiny next to the corpus
+    * that produced them (near-dup edges, not documents), while the
+    * distributed loop pays a fixed floor of several jobs per round
+    * regardless of size. A `limit(n+1)` probe collects the edge list ONCE;
+    * when it fits `smallGraphEdges` (metadata-sized by declaration, the
+    * same category as centroid/offset collects elsewhere), a driver-side
+    * min-root union-find resolves the components in milliseconds with
+    * IDENTICAL semantics (the root kept at every union is the smaller
+    * label, so each final root is its component's minimum). Larger graphs
+    * take the distributed pointer-jumping loop below; the probe cost is
+    * bounded by the limit's early exit. Pass `smallGraphEdges = 0` to force
+    * the distributed path.
     */
   private[graft] def resolveClustersStats(
-      pairs: DataFrame, maxIters: Int = 25): (DataFrame, Int) = {
+      pairs: DataFrame, maxIters: Int = 25,
+      smallGraphEdges: Int = 500000): (DataFrame, Int) = {
+    if (smallGraphEdges > 0) {
+      val probe = pairs.select(col("id_a"), col("id_b"))
+        .limit(smallGraphEdges + 1).collect()
+      if (probe.length <= smallGraphEdges) {
+        val idType = pairs.schema("id_a").dataType
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        @inline def lt(a: Any, b: Any): Boolean =
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        probe.foreach { row =>
+          val a = row.get(0); val b = row.get(1)
+          if (a != null && b != null) {
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+          }
+        }
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+        val it = parent.keySet().iterator()
+        while (it.hasNext) { val id = it.next(); rows.add(
+          org.apache.spark.sql.Row(id, find(id))) }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("cluster_id", idType)))
+        return (pairs.sparkSession.createDataFrame(rows, schema), 0)
+      }
+    }
     // pre-partition on the lookup key and materialize once: localCheckpoint
     // preserves outputPartitioning, so the per-round join against `edges`
     // never re-shuffles the edge table (ContextCleaner frees the blocks when

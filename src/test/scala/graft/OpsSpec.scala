@@ -225,10 +225,14 @@ class DedupSpec extends SparkSpec {
   test("resolveClusters: transitive pairs collapse to min-id components") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 9L))
       .toDF("id_a", "id_b")
-    val got = Dedup.resolveClusters(pairs).collect()
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L)
+    // {1,2,3,8,9} chain through 3-9; {5,6} separate — identical through the
+    // union-find fast path (default) and the distributed loop (forced)
+    val fast = Dedup.resolveClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // {1,2,3,8,9} chain through 3-9; {5,6} separate
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    val dist = Dedup.resolveClusters(pairs, smallGraphEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == expect && dist == expect)
   }
 
   test("resolveClusters: string ids merge across diameter > 2 (no numeric-cast shortcut)") {
@@ -237,10 +241,16 @@ class DedupSpec extends SparkSpec {
     // after one round and leave the chain under-merged
     val pairs = Seq(("d0", "d1"), ("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("x9", "x8"))
       .toDF("id_a", "id_b")
-    val got = Dedup.resolveClusters(pairs).collect()
+    val expect = Map("d0" -> "d0", "d1" -> "d0", "d2" -> "d0", "d3" -> "d0",
+      "d4" -> "d0", "x8" -> "x8", "x9" -> "x8")
+    // distributed path: the cast hazard under test lives there
+    val got = Dedup.resolveClusters(pairs, smallGraphEdges = 0).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got == Map("d0" -> "d0", "d1" -> "d0", "d2" -> "d0", "d3" -> "d0",
-      "d4" -> "d0", "x8" -> "x8", "x9" -> "x8"))
+    assert(got == expect)
+    // string ids take the fast path too (Comparable min-root union-find)
+    val fast = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fast == expect)
   }
 
   test("resolveClusters: long chain converges in O(log d) rounds (pointer jumping)") {
@@ -249,9 +259,18 @@ class DedupSpec extends SparkSpec {
     // pointer jumping needs ~log2(39) ≈ 6-8 — converging under the default
     // cap IS the behavioral assertion
     val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.resolveClusters(pairs, maxIters = 12).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // smallGraphEdges = 0 forces the distributed loop (the fast path would
+    // bypass the pointer-jumping behavior under test)
+    val got = Dedup.resolveClusters(pairs, maxIters = 12, smallGraphEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 40 && got.values.forall(_ == 0L))
+    // probe boundary: exactly at the threshold the fast path still answers;
+    // one below, the probe overflows and falls through to the loop
+    val atLimit = Dedup.resolveClusters(pairs, smallGraphEdges = 39).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val below = Dedup.resolveClusters(pairs, maxIters = 12, smallGraphEdges = 38)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atLimit == got && below == got)
   }
 
   test("dedupLines: first occurrence survives, later copies drop, columns pass through") {
@@ -973,7 +992,7 @@ class MultimodalSpec extends SparkSpec {
       (1L, id3 ++ frames),               // tag skipped
       (2L, frames),                      // bare frame stream
       (3L, falseSync ++ frames),         // resync past the bad candidate
-      (4L, "ID3  ".getBytes), // truncated tag, no frames
+      (4L, "ID3\u0004\u0000\u0000".getBytes), // truncated tag, no frames
       (5L, Array.fill[Byte](64)(0x11))   // no sync at all
     ).toDF("media_id", "payload")
     val got = rows.select(col("media_id"),
