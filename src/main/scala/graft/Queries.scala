@@ -38,16 +38,22 @@ object Queries {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `ts` restored to a microsecond timestamp (the parquet stores nanos,
-    * read as raw longs under the legacy conf; integral `div` keeps exactness
-    * — a double division would lose precision above 2^53). ONE definition
-    * for the batch and streaming reads of the events table: the conversion
-    * convention must not be able to drift between the two.
+  /** `ts` normalized to a microsecond TIMESTAMP whatever the parquet stores:
+    * TIMESTAMP(NANOS) read as raw longs under the legacy conf (integral `div`
+    * keeps exactness — a double division would lose precision above 2^53), or
+    * TIMESTAMP_NTZ cast to TIMESTAMP (value-preserving under the UTC session
+    * timezone; watermarks and time windows require the LTZ type). ONE
+    * definition for the batch and streaming reads of the events table: the
+    * conversion convention must not be able to drift between the two.
     */
-  private def restoreTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+  private[graft] def restoreTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
 
   private def eventsTable(s: SparkSession, dir: String): DataFrame =
     restoreTs(table(s, dir, "events"))

@@ -27,14 +27,13 @@ class SessionizeSpec extends SparkSpec {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val batchEvents = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEvents = Queries.restoreTs(raw)
     val expected = Sessionize.batch(batchEvents, 30)
       .select("user_id", "session_idx", "n_events")
       .collect().map(_.toSeq).toSet
 
-    val stream = spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet("/root/testdata/sf0.001")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Queries.restoreTs(spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet("/root/testdata/sf0.001"))
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[Sessionize.Ev]
     val q = Sessionize.streaming(stream, 30).writeStream
@@ -85,9 +84,8 @@ class StreamingSpec extends SparkSpec {
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val schema = raw.schema
     val distinctTypes = raw.select("event_type").distinct().count()
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet("/root/testdata/sf0.001")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Queries.restoreTs(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet("/root/testdata/sf0.001"))
     val q = EventStream.streamingDedup(stream, Seq("event_type"))
       .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
     try {
@@ -136,15 +134,15 @@ class StreamingSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val batchEvents = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEvents = Queries.restoreTs(raw)
     val batch = EventStream.windowedAgg(batchEvents, "1 hour")
       .select("window_start", "event_type", "n_events")
       .collect().map(_.toSeq).toSet
 
-    // stream the same parquet through readStream with the nanos→ts conversion
-    val stream = spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // stream the same parquet through readStream with the shared ts-restore
+    // convention (no-op when the parquet already stores timestamps)
+    val stream = Queries.restoreTs(spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val agg = stream
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
