@@ -167,19 +167,28 @@ object OpStages {
 
     // eval-set decontamination: drop rows sharing an n-gram with the corpus
     // at `eval_path`; `algo: bloom` probes a bloom prefilter before the
-    // exact confirm (identical output, no train-side explode)
+    // exact confirm (identical output, no train-side explode); `algo: auto`
+    // (the default) picks bloom once the train side's Catalyst-estimated
+    // size crosses `auto_bloom_min_bytes` — the measured crossover is
+    // ~tens of millions of train grams (DecontamCrossover evidence in
+    // SMOKE.md: exact 11.5 s vs bloom 4.9 s at ~45M grams; parity below),
+    // so the default threshold is 256 MiB of estimated train bytes.
     PipelineConfig.register("decontaminate") { (name, cfg) =>
       val id = cfg.getStr(IdCol).getOrElse("doc_id")
       val text = cfg.getStr(TextCol).getOrElse("text")
       val n = cfg.getInt("ngram").getOrElse(8)
       val evalPath = cfg.getStr("eval_path").getOrElse(
         throw new IllegalArgumentException(s"stage $name: `eval_path` is required"))
-      val algo = cfg.getStr("algo").getOrElse("exact")
-      require(algo == "exact" || algo == "bloom",
-        s"stage $name: unknown algo `$algo` (expected exact|bloom)")
+      val algo = cfg.getStr("algo").getOrElse("auto")
+      require(algo == "exact" || algo == "bloom" || algo == "auto",
+        s"stage $name: unknown algo `$algo` (expected exact|bloom|auto)")
+      val autoMinBytes = cfg.getLong("auto_bloom_min_bytes")
+        .getOrElse(256L << 20)
       Pipeline.DataStage(name, m => {
         val eval = m.data.sparkSession.read.parquet(evalPath)
-        if (algo == "bloom")
+        val useBloom = algo == "bloom" || (algo == "auto" &&
+          m.data.queryExecution.optimizedPlan.stats.sizeInBytes >= autoMinBytes)
+        if (useBloom)
           Decontaminate.decontaminateBloom(m.data, eval, id, text, n)
         else Decontaminate.decontaminate(m.data, eval, id, text, n)
       })

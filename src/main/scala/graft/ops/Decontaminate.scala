@@ -49,9 +49,18 @@ object Decontaminate {
     */
   def contaminatedIds(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame =
+    contaminatedIdsVs(train, evalGrams(eval, textCol, n), idCol, textCol, n)
+
+  /** [[contaminatedIds]] against an already-derived one-column (`__g`)
+    * frame of distinct eval gram hashes — lets the bloom path reuse the
+    * gram derivation it has already counted instead of re-deriving from
+    * the raw eval corpus.
+    */
+  private def contaminatedIdsVs(train: DataFrame, grams: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
     train.filter(size(tokens(col(textCol))) >= n)
       .select(col(idCol), explode(gramHashes(textCol, n)).as("__g"))
-      .join(broadcast(evalGrams(eval, textCol, n)), Seq("__g"), "left_semi")
+      .join(broadcast(grams), Seq("__g"), "left_semi")
       .select(idCol).distinct()
 
   /** `train` minus every document sharing an n-gram with `eval` (exact). */
@@ -60,31 +69,89 @@ object Decontaminate {
     train.join(broadcast(contaminatedIds(train, eval, idCol, textCol, n)),
       Seq(idCol), "left_anti")
 
+  /** Bits per eval gram when auto-sizing the bloom filter: 10 bits/item
+    * with the optimal hash count is ≈0.9% false-positive rate — false
+    * positives only cost extra exact-confirm work, never correctness.
+    */
+  val AutoBitsPerGram = 10L
+
   /** [[decontaminate]] with a bloom prefilter: identical output (the exact
     * confirm removes false positives; bloom filters have no false
     * negatives), but the train corpus is never exploded — only flagged
-    * docs are. `expectedItems`/`numBits` size the filter (defaults: 4M
-    * grams at 8 bits/item ≈ 2% fpp); oversize `expectedItems` rather than
-    * undersize, the filter degrades to more confirm work, never to misses.
+    * docs are. With the default `expectedItems = 0` the filter is sized
+    * from the ACTUAL distinct eval-gram count (one metadata-sized count
+    * job over the eval side — benchmarks, not crawls): a fixed-size
+    * filter over-provisioned for a small eval set pays its full byte cost
+    * in every map-side partial merge and in every probe task's reference
+    * blob regardless of how few grams it holds (the prior fixed 4 MiB
+    * default cost ~0.5 s/gate at sf0.1 on filter plumbing alone).
+    * Explicit `expectedItems`/`numBits` skip the count job; oversize
+    * `expectedItems` rather than undersize — the filter degrades to more
+    * confirm work, never to misses.
     */
+  /** Auto-sized eval-gram sets at or below this collect to the driver: ONE
+    * metadata-sized job yields the gram longs, from which both the filter
+    * and the confirm join's local relation are built driver-side — vs
+    * three eval-side jobs (count, filter agg, confirm broadcast re-scan)
+    * on the distributed path. 4M longs = 32 MB on the driver; bounded by
+    * a `limit(MaxDriverGrams+1)` probe, never a blind collect.
+    */
+  val MaxDriverGrams: Int = 4 << 20
+
   def decontaminateBloom(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 8, expectedItems: Long = 4L << 20,
-      numBits: Long = 32L << 20): DataFrame = {
-    val bloomRow = evalGrams(eval, textCol, n)
-      .agg(GraftSqlBridge.bloomFilterAgg(col("__g"), expectedItems, numBits)
-        .as("__bf"))
+      textCol: String, n: Int = 8, expectedItems: Long = 0L,
+      numBits: Long = 0L): DataFrame = {
+    val grams = evalGrams(eval, textCol, n)
+    if (expectedItems <= 0) {
+      val local = grams.limit(MaxDriverGrams + 1).collect()
+      if (local.isEmpty) return train // empty/too-short eval: nothing to remove
+      if (local.length <= MaxDriverGrams) {
+        val hashes = local.map(_.getLong(0))
+        val bits =
+          if (numBits > 0) numBits
+          else math.max(hashes.length * AutoBitsPerGram, 1L << 10)
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(hashes.length.toLong, bits)
+        hashes.foreach(bf.putLong)
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        val spark = train.sparkSession
+        import spark.implicits._
+        return probeAndConfirm(train,
+          hashes.toSeq.toDF("__g"), out.toByteArray, idCol, textCol, n)
+      }
+      // fell through: a genuinely large eval set — distributed build below
+    }
+    val items =
+      if (expectedItems > 0) expectedItems
+      else grams.count() // metadata-sized job: eval sets are benchmarks
+    if (items == 0) return train
+    val bits =
+      if (numBits > 0) numBits
+      else math.max(items * AutoBitsPerGram, 1L << 10)
+    val bloomRow = grams
+      .agg(GraftSqlBridge.bloomFilterAgg(col("__g"), items, bits).as("__bf"))
       .head()
-    if (bloomRow.isNullAt(0)) return train // empty/too-short eval: nothing to remove
-    val bloomBytes = bloomRow.getAs[Array[Byte]](0)
-    // per-doc early-exit probe over the in-row hash array: no explode for
-    // clean docs, and the probe is a native codegen'd loop (the composable
-    // exists() + might_contain form interprets its lambda per element,
-    // which measured SLOWER than the explode it replaces — DecontamSmoke)
+    if (bloomRow.isNullAt(0)) return train
+    probeAndConfirm(train, grams, bloomRow.getAs[Array[Byte]](0),
+      idCol, textCol, n)
+  }
+
+  /** Shared back half of the bloom path: flag candidate docs with the
+    * codegen'd early-exit probe over the in-row hash array — no explode
+    * for the overwhelmingly-clean majority (the composable exists() +
+    * might_contain form interprets its lambda per element, which measured
+    * SLOWER than the explode it replaces — DecontamSmoke) — then run the
+    * exact confirm on the flagged sliver only.
+    */
+  private def probeAndConfirm(train: DataFrame, grams: DataFrame,
+      bloomBytes: Array[Byte], idCol: String, textCol: String,
+      n: Int): DataFrame = {
     val flagged = train.filter(size(tokens(col(textCol))) >= n)
       .filter(graft.plans.VectorExpressions.bloomAnyContain(
         gramHashes(textCol, n), bloomBytes))
     train.join(
-      broadcast(contaminatedIds(flagged, eval, idCol, textCol, n)),
+      broadcast(contaminatedIdsVs(flagged, grams, idCol, textCol, n)),
       Seq(idCol), "left_anti")
   }
 }
