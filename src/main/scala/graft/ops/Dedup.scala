@@ -701,18 +701,48 @@ object Dedup {
         marked.filter(!(col("__first")(idCol) === col(idCol) &&
           col("__first")("pos") === col("pos")))
       else marked
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val prevEnd = max(col("pos") + k)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    // span assembly: ONE hash aggregation per document (collect positions,
+    // no sort-before-aggregate) + a per-row fold over the sorted position
+    // array — positions are ascending, so the running exclusive end of the
+    // current span is simply prev_pos + k, and a gram starts a new span iff
+    // pos > that end. Replaces the earlier two-window-pass + regroup plan
+    // (hash exchange + per-partition SORT + two window evaluations + a
+    // second aggregation) with exchange + hash agg + fold: wall-clock
+    // parity at gate scale (1.43 vs 1.40 s min-of-5, SMOKE.md — the
+    // 4-stage chain's scheduler floor dominates, the A/B is committed
+    // floor evidence), fewer passes over the marked rows at scale. Memory
+    // per group is bounded by document length — the same bound the window
+    // partition had.
+    val spanType = "array<struct<span_start:bigint,span_end:bigint,n_grams:bigint>>"
+    val fold = expr(s"""
+      aggregate(
+        __ps,
+        named_struct(
+          'spans', cast(array() as $spanType),
+          'cs', cast(-1 as bigint), 'ce', cast(-1 as bigint),
+          'cn', cast(0 as bigint)),
+        (acc, p) -> CASE
+          WHEN acc.cn = 0 THEN named_struct(
+            'spans', acc.spans,
+            'cs', cast(p as bigint), 'ce', cast(p + $k as bigint),
+            'cn', cast(1 as bigint))
+          WHEN p <= acc.ce THEN named_struct(
+            'spans', acc.spans,
+            'cs', acc.cs, 'ce', cast(p + $k as bigint), 'cn', acc.cn + 1)
+          ELSE named_struct(
+            'spans', array_append(acc.spans, named_struct(
+              'span_start', acc.cs, 'span_end', acc.ce, 'n_grams', acc.cn)),
+            'cs', cast(p as bigint), 'ce', cast(p + $k as bigint),
+            'cn', cast(1 as bigint)) END,
+        acc -> IF(acc.cn = 0, acc.spans,
+          array_append(acc.spans, named_struct(
+            'span_start', acc.cs, 'span_end', acc.ce, 'n_grams', acc.cn))))""")
     removable
-      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd, 1)
-        .otherwise(0))
-      .withColumn("__span", sum("__new").over(w))
-      .groupBy(col(idCol), col("__span"))
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + k).cast("long").as("span_end"),
-        count(lit(1)).as("n_grams"))
-      .drop("__span")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col(idCol), explode(fold).as("__s"))
+      .select(col(idCol), col("__s.span_start").as("span_start"),
+        col("__s.span_end").as("span_end"), col("__s.n_grams").as("n_grams"))
   }
 
   /** [[duplicateSpans]] applied: rebuild each document's text with every
