@@ -41,16 +41,40 @@ object Queries {
   /** `ts` normalized to a microsecond TIMESTAMP whatever the parquet stores:
     * TIMESTAMP(NANOS) read as raw longs under the legacy conf (integral `div`
     * keeps exactness — a double division would lose precision above 2^53), or
-    * TIMESTAMP_NTZ cast to TIMESTAMP (value-preserving under the UTC session
-    * timezone; watermarks and time windows require the LTZ type). ONE
-    * definition for the batch and streaming reads of the events table: the
-    * conversion convention must not be able to drift between the two.
+    * TIMESTAMP_NTZ cast to TIMESTAMP (value-preserving ONLY under a
+    * zero-offset session timezone, asserted below; watermarks and time
+    * windows require the LTZ type). ONE definition for the batch and
+    * streaming reads of the events table: the conversion convention must not
+    * be able to drift between the two.
+    *
+    * The LongType branch ASSUMES the raw longs are nanoseconds (that is the
+    * only way Spark hands TIMESTAMP(NANOS) out, via
+    * `spark.sql.legacy.parquet.nanosAsLong`) — guarded per row: any epoch
+    * after ~1970-04 is ≥ 1e16 in nanos, while plain INT64 micros stay below
+    * 1e16 until the year ~2262, so a future testdata regeneration that
+    * stores un-annotated micros raises instead of silently dividing
+    * timestamps by 1000. The guard is a codegen'd comparison; `raise_error`
+    * is only evaluated on offending rows.
     */
   private[graft] def restoreTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        raw.withColumn("ts", timestamp_micros(expr(
+          """CASE WHEN ts IS NULL THEN NULL
+            |     WHEN abs(ts) >= 10000000000000000 THEN ts div 1000
+            |     ELSE raise_error(concat('restoreTs: raw long ts ',
+            |       cast(ts as string), ' is too small in magnitude to be ',
+            |       'nanoseconds — was the testdata regenerated with a ',
+            |       'different timestamp physical type?'))
+            |END""".stripMargin)))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone")
+        val rules = java.time.ZoneId.of(tz).getRules
+        require(rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+          s"restoreTs: the NTZ->TIMESTAMP cast is only value-preserving " +
+            s"under a zero-offset session timezone; found `$tz` — set " +
+            "spark.sql.session.timeZone=UTC on the session")
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }

@@ -181,3 +181,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Guards on the shared ts-normalization helper (ADVICE round 8): the
+  * LongType branch must reject values that cannot be nanoseconds, and the
+  * NTZ branch must refuse to cast under a non-zero-offset session timezone.
+  */
+class RestoreTsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  private def rootMessages(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
+  test("long ts restores as nanos; micros-magnitude values raise; null passes") {
+    import spark.implicits._
+    val ok = Queries.restoreTs(Seq(1_600_000_000_000_000_000L).toDF("ts"))
+    assert(ok.collect().head.getTimestamp(0) ===
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1_600_000_000L)))
+    val micros = Seq(1_600_000_000_000_000L).toDF("ts") // plain INT64 micros
+    val e = intercept[Exception](Queries.restoreTs(micros).collect())
+    assert(rootMessages(e).exists(_.contains("nanoseconds")))
+    val withNull = Seq(Some(1_600_000_000_000_000_000L), None).toDF("ts")
+    assert(Queries.restoreTs(withNull).collect().count(_.isNullAt(0)) === 1)
+  }
+
+  test("NTZ restore requires a zero-offset session timezone") {
+    val df = spark.range(1)
+      .selectExpr("timestamp_ntz'2024-01-01 00:00:00' as ts")
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException](Queries.restoreTs(df))
+      assert(e.getMessage.contains("zero-offset"))
+      // a zero-offset zone under any spelling is accepted
+      spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+      assert(Queries.restoreTs(df).schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
+}
