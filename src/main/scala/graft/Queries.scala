@@ -1587,6 +1587,188 @@ object Queries {
       | ("offset" % 256) + n_tokens > 256 AS straddles
       |FROM o ORDER BY doc_id""".stripMargin))
 
+  /** The corpus the composed curation gate (and its spec) runs on: the c4
+    * gate's proven multi-line construction — six lines exercising every C4
+    * rule arithmetically — which ALSO manufactures corpus-level duplicate
+    * lines (the shared framing lines) for dedup_lines, shared n-grams for
+    * decontamination, and near-identical single-line survivors for the
+    * MinHash stage. ONE definition: the gate's oracle replays it in SQL
+    * (`base` CTE) and a drift between the two would desynchronize them.
+    */
+  private[graft] def curationCorpus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").withColumn("text", concat_ws("\n",
+      concat(substring(col("text"), 1, 40), lit(".")),
+      lit("short line."),
+      concat(col("source"), lit(" uses javascript on every page today.")),
+      when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit amet."))
+        .when(col("doc_id") % 5 === 3, lit("no terminal punctuation here at all"))
+        .otherwise(concat(col("lang"), lit(" words fill this line nicely fine."))),
+      when(col("doc_id") % 11 === 0, lit("a code { block } appears."))
+        .otherwise(lit("normal ending line with words here.")),
+      substring(col("text"), 1, 60)))
+      .select("doc_id", "text", "lang", "source")
+
+  /** Stage the curation pipeline's per-run inputs under `tmp` and return
+    * the Hydra-style overrides pointing the committed YAML at them — shared
+    * by the gate below and CurationPipelineSpec.
+    */
+  private[graft] def stageCurationInputs(s: SparkSession, dir: String,
+      tmp: String): Seq[String] = {
+    val corpus = curationCorpus(s, dir)
+    graft.sources.CorpusSources.writeJsonl(corpus, s"$tmp/corpus")
+    corpus.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/eval")
+    // the runner contract needs SOME input root; the first stage replaces
+    // it with the JSONL corpus (metadata tables: empty, at their schemas —
+    // parquet cannot write a zero-column frame)
+    def empty(schema: org.apache.spark.sql.types.StructType) =
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    graft.meds.MedsIO.write(graft.meds.MedsData(corpus.limit(1),
+      empty(graft.meds.MedsSchema.codesSchema),
+      empty(graft.meds.MedsSchema.splitsSchema)), s"$tmp/in")
+    Seq(s"stages.load_jsonl.path=$tmp/corpus",
+      s"stages.decontaminate.eval_path=$tmp/eval")
+  }
+
+  private[graft] val CurationYaml: String =
+    Seq("config/curation_pipeline.yaml",
+      "/root/repo/config/curation_pipeline.yaml")
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse("config/curation_pipeline.yaml")
+
+  /** The COMPLETE curation pipeline as ONE composed gate — the committed
+    * `config/curation_pipeline.yaml` (JSONL source → quality_filter →
+    * c4_filter → dedup_lines → minhash_lsh_dedup → decontaminate →
+    * resample_mix → pack_sequences) executed through the real CLI path:
+    * graft.Main with per-run path overrides, MEDS dataset root write +
+    * read-back. The oracle replays the ENTIRE chain in SQL, reusing the
+    * per-stage gates' verified fragments CTE-by-CTE — any drift in any
+    * stage's semantics, in stage composition order, or in the runner's
+    * round-trip changes survivorship and breaks the hash. This is the
+    * curation-layer analog of the MEDS example-pipeline e2e (reference
+    * runner semantics: runner.py:291-370).
+    */
+  private val curationPipeline: Gate = Gate(
+    (s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_curation_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      rmTree(java.nio.file.Paths.get(tmp))
+      val overrides = stageCurationInputs(s, dir, tmp)
+      Main.run(Array(CurationYaml, s"$tmp/in", s"$tmp/out") ++ overrides, s)
+      graft.meds.MedsIO.read(s, s"$tmp/out").data
+        .select(col("doc_id"), col("pack_shard").cast(LongType).as("shard"),
+          col("n_tokens"), col("offset"), col("seq_idx"), col("straddles"))
+        .orderBy("doc_id")
+    },
+    Some(curationOracle))
+
+  /** One SQL replay of the full curation chain. Fragment reuse: the
+    * quality rules are the (verified) quality_filter_stage formulas, the
+    * line dedup is the dedup_lines gate's CTE shape, the near-dup closure
+    * is the minhash_lsh_dedup_stage oracle with [[shingleHashCtes]] /
+    * [[minhashCandCtes]] retargeted from `documents` to the line-deduped
+    * corpus, decontamination is the decontaminate gates' gram replay
+    * (n=4), and resampling/packing replay the Sampling/Packing hash
+    * arithmetic their own gates verify.
+    */
+  private lazy val curationOracle: String = {
+    val head =
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, source,
+        |   substr(text,1,40) || '.' || chr(10) ||
+        |   'short line.' || chr(10) ||
+        |   source || ' uses javascript on every page today.' || chr(10) ||
+        |   (CASE WHEN doc_id%7=0 THEN 'lorem ipsum dolor sit amet.'
+        |         WHEN doc_id%5=3 THEN 'no terminal punctuation here at all'
+        |         ELSE lang || ' words fill this line nicely fine.' END) || chr(10) ||
+        |   (CASE WHEN doc_id%11=0 THEN 'a code { block } appears.'
+        |         ELSE 'normal ending line with words here.' END) || chr(10) ||
+        |   substr(text,1,60) AS text
+        |  FROM documents),
+        |qw AS (SELECT doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |     ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM base),
+        |q AS (SELECT doc_id FROM qw
+        |  WHERE len(words) >= 40
+        |    AND (CASE WHEN len(words) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)/len(words)
+        |      ELSE 0.0 END) <= 0.6),
+        |c4 AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |   substr(d.text,1,40) || '.' || chr(10) ||
+        |   d.lang || ' words fill this line nicely fine.' || chr(10) ||
+        |   'normal ending line with words here.' AS text
+        |  FROM documents d JOIN q USING(doc_id)
+        |  WHERE d.doc_id % 7 != 0 AND d.doc_id % 11 != 0 AND d.doc_id % 5 != 3),
+        |lt AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM c4),
+        |ll AS (SELECT doc_id, u.pos AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ls)+1),
+        |    i -> {'pos': i-1, 'ln': ls[i]})) AS u FROM lt)),
+        |lh AS (SELECT doc_id, pos, ln,
+        |  ('0x' || substr(md5(ln),1,14))::BIGINT AS lhash FROM ll),
+        |lf AS (SELECT lhash, min(struct_pack(d := doc_id, p := pos)) AS fr
+        |  FROM lh GROUP BY 1),
+        |lk AS (SELECT lh.doc_id, lh.pos, lh.ln FROM lh JOIN lf USING(lhash)
+        |  WHERE lh.doc_id = fr.d AND lh.pos = fr.p),
+        |dl AS (SELECT c4.doc_id, c4.lang, c4.source, coalesce(lr.newtext, '') AS text
+        |  FROM c4 LEFT JOIN (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS newtext
+        |    FROM lk GROUP BY 1) lr USING(doc_id)),""".stripMargin
+    val tail =
+      """pairs AS (
+        |  SELECT cand.id_a, cand.id_b
+        |  FROM cand
+        |  JOIN sigs sa ON sa.doc_id = cand.id_a
+        |  JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.perm = sa.perm
+        |  GROUP BY 1,2
+        |  HAVING avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |dropped AS (
+        |  SELECT src AS id FROM reach GROUP BY src
+        |  HAVING least(src, min(dst)) != src),
+        |mh AS (SELECT * FROM dl WHERE doc_id NOT IN (SELECT id FROM dropped)),
+        |tg AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws)-2), i -> array_to_string(ws[i:i+3], ' '))) AS gr
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM mh)
+        |  WHERE len(ws) >= 4),
+        |eg AS (SELECT DISTINCT
+        |  unnest(list_transform(range(1, len(ws)-2), i -> array_to_string(ws[i:i+3], ' '))) AS gr
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        |        FROM base WHERE doc_id % 50 = 0)
+        |  WHERE len(ws) >= 4),
+        |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING(gr)),
+        |dec AS (SELECT * FROM mh WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |rs AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text,
+        |   CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |    WHEN 'src2' THEN 0.0 ELSE 1.0 END AS rate,
+        |   (('0x' || substr(md5(doc_id::VARCHAR || ':7'),1,14))::BIGINT % 1000000000)/1000000000.0 AS u
+        |  FROM dec WHERE doc_id IS NOT NULL)
+        |  WHERE CAST(floor(rate) AS BIGINT) +
+        |    (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END) > 0),
+        |pk AS (SELECT doc_id,
+        |   ('0x' || substr(md5(doc_id::VARCHAR || ':shard:42'),1,14))::BIGINT % 4 AS shard,
+        |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000000)/1000000000.0 AS u,
+        |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM rs),
+        |pko AS (SELECT doc_id, shard, n_tokens,
+        |   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+        |     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+        |  FROM pk)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, "offset",
+        | CAST("offset" // 128 AS BIGINT) AS seq_idx,
+        | ("offset" % 128) + n_tokens > 128 AS straddles
+        |FROM pko ORDER BY doc_id""".stripMargin
+    head + "\n" +
+      shingleHashCtes.replace("FROM documents", "FROM dl") + ",\n" +
+      minhashCandCtes + ",\n" + tail
+  }
+
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
 
@@ -1800,6 +1982,7 @@ object Queries {
     "knn_join" -> knnJoin,
     "sample_split" -> sampleSplit,
     "pack_sequences" -> packSequences,
+    "curation_pipeline" -> curationPipeline,
     "stratified_cap" -> stratifiedCap,
     "resample_mix" -> resampleMix,
     "multimodal_meta" -> multimodalMeta,

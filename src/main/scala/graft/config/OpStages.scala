@@ -385,8 +385,15 @@ object OpStages {
         throw new IllegalArgumentException(s"stage $name: `capacity` is required"))
       val shards = cfg.getInt("shards").getOrElse(256)
       val seed = cfg.getLong("seed").getOrElse(42L)
-      Pipeline.DataStage(name, m =>
-        Packing.packSequences(m.data, id, text, capacity, shards, seed))
+      // `shard` is also the MEDS dataset-layout provenance column, which
+      // MedsIO.write strips on the way to disk — a pipeline that ends in
+      // packing and flows into a dataset root must rename the packing
+      // shard (`shard_col: pack_shard`) to keep it
+      val shardCol = cfg.getStr("shard_col").getOrElse("shard")
+      Pipeline.DataStage(name, m => {
+        val out = Packing.packSequences(m.data, id, text, capacity, shards, seed)
+        if (shardCol == "shard") out else out.withColumnRenamed("shard", shardCol)
+      })
     }
 
     // ---- similarity / sketch / multimodal stages -------------------------
