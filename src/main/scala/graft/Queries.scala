@@ -753,11 +753,12 @@ object Queries {
     * min at sf0.1; ordering is identical to the Spark side's generic
     * min(struct(id, pos)) for non-negative numeric ids.
     */
-  private val dupSpans: Gate = Gate(
-    (s, dir) => Dedup.duplicateSpans(
-        table(s, dir, "documents"), "doc_id", "text", k = 5)
-      .orderBy("doc_id", "span_start"),
-    Some("""WITH w AS (
+  /** Shared oracle fragment for the ExactSubstr gates: gram hashes → df≥2
+    * survivors with global first-occurrence exemption → merged maximal
+    * spans (`spans(doc_id, span_start, span_end, n_grams)`), k=5.
+    */
+  private lazy val dupSpanCtes: String =
+    """w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
       |  FROM documents WHERE length(trim(text)) > 0),
       |g AS (
@@ -780,9 +781,42 @@ object Queries {
       |spans AS (
       |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
       |    CAST(max(pos)+5 AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_grams
-      |  FROM s GROUP BY doc_id, span)
+      |  FROM s GROUP BY doc_id, span)""".stripMargin
+
+  private val dupSpans: Gate = Gate(
+    (s, dir) => Dedup.duplicateSpans(
+        table(s, dir, "documents"), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start"),
+    Some(s"""WITH $dupSpanCtes
       |SELECT doc_id, span_start, span_end, n_grams
       |FROM spans ORDER BY doc_id, span_start""".stripMargin))
+
+  /** [[dupSpans]] APPLIED — the `remove_dup_spans` stage's rebuild
+    * semantics under oracle verification: marked token spans removed,
+    * survivors re-joined with single spaces, span-free documents
+    * byte-identical. The oracle filters each document's token array by
+    * position against its span list (1-based lambda index → 0-based token
+    * position).
+    */
+  private val dupSpansRemoved: Gate = Gate(
+    (s, dir) => Dedup.removeDuplicateSpans(
+        table(s, dir, "documents"), "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $dupSpanCtes,
+      |sp AS (SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS sps
+      |  FROM spans GROUP BY 1)
+      |SELECT doc.doc_id,
+      | CASE WHEN sp.doc_id IS NULL THEN doc.text
+      |  -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+      |  -- array_join of an empty array is '' (fully-spanned documents)
+      |  ELSE coalesce(array_to_string(list_filter(
+      |    regexp_split_to_array(trim(doc.text), '\\s+'),
+      |    (x, i) -> len(list_filter(sp.sps,
+      |      r -> i-1 >= r.s AND i-1 < r.e)) = 0), ' '), '')
+      | END AS text
+      |FROM documents doc LEFT JOIN sp ON doc.doc_id = sp.doc_id
+      |ORDER BY doc.doc_id""".stripMargin))
 
   /** Per-doc top-5 TF-IDF terms. Ranking is on the 4-dp-rounded score
     * (term tiebreak) — libm ln() implementations differ by 1 ulp on ~0.02%
@@ -1952,6 +1986,7 @@ object Queries {
     "dedup_exact" -> dedupExact,
     "dedup_lines" -> dedupLinesGate,
     "dup_spans" -> dupSpans,
+    "dup_spans_removed" -> dupSpansRemoved,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "doc_fingerprint" -> docFingerprint,
