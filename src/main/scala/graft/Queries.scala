@@ -710,6 +710,35 @@ object Queries {
     Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Incremental cross-corpus dedup under oracle verification: every 10th
+    * document plays the previous corpus release, REFORMATTED (uppercased,
+    * doubled internal spaces, padded) so only the shared fingerprint
+    * normalization can match it back to its original — the "dedup the new
+    * crawl against the last release" semantics, exercised through the
+    * normalization path. Null-fingerprint reference rows and null-text
+    * input rows are handled on both sides (null matches nothing).
+    */
+  private val dedupAgainstGate: Gate = Gate(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 10 === 0)
+        .select(concat(lit("  "),
+          upper(regexp_replace(col("text"), " ", "  ")), lit(" ")).as("text"))
+      Dedup.dedupAgainst(docs, "doc_id", "text", ref, "text")
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some("""WITH r AS (
+      |  SELECT md5(regexp_replace(lower(trim(
+      |    '  ' || upper(regexp_replace(text, ' ', '  ', 'g')) || ' ')),
+      |    '\s+', ' ', 'g')) AS fp
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |d AS (SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents)
+      |SELECT doc_id FROM d
+      |WHERE fp IS NULL OR fp NOT IN (SELECT fp FROM r WHERE fp IS NOT NULL)
+      |ORDER BY doc_id""".stripMargin))
+
   /** Corpus-level exact line dedup over a derived MULTI-line corpus
     * (`source \n text \n lang`): the synthetic documents are single-line, so
     * the gate manufactures corpus-wide duplicate lines from the repeating
@@ -1984,6 +2013,7 @@ object Queries {
     "events_sessionize_stream" -> eventsSessionizeStream,
     "events_dedup_stream" -> eventsDedupStream,
     "dedup_exact" -> dedupExact,
+    "dedup_against" -> dedupAgainstGate,
     "dedup_lines" -> dedupLinesGate,
     "dup_spans" -> dupSpans,
     "dup_spans_removed" -> dupSpansRemoved,

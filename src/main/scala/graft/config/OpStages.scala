@@ -68,6 +68,19 @@ object OpStages {
 
     // keep the min-id row per normalized fingerprint (case/whitespace-
     // insensitive copies collapse too)
+    // incremental / cross-corpus dedup: drop rows whose (normalized by
+    // default) text fingerprint appears in the reference corpus at
+    // `ref_path` — dedup the new crawl against the previous release
+    PipelineConfig.register("dedup_against") { (name, cfg) =>
+      val (id, text) = ids(cfg)
+      val refPath = cfg.getStr("ref_path").getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `ref_path` is required"))
+      val refText = cfg.getStr("ref_text_col").getOrElse(text)
+      val normalize = cfg.getBool("normalize").getOrElse(true)
+      Pipeline.DataStage(name, m => Dedup.dedupAgainst(m.data, id, text,
+        m.data.sparkSession.read.parquet(refPath), refText, normalize))
+    }
+
     PipelineConfig.register("dedup_fingerprint") { (name, cfg) =>
       val (id, text) = ids(cfg)
       Pipeline.DataStage(name, m => {

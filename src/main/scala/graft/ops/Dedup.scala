@@ -35,6 +35,41 @@ object Dedup {
     docs.select(col(idCol),
       graft.ops.TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
 
+  /** Incremental / cross-corpus dedup: drop documents whose content already
+    * appears in a REFERENCE corpus — the "dedup the new crawl against the
+    * previous release" step an evolving training set runs on every refresh,
+    * without re-clustering the union. `normalize = true` (default) matches
+    * on the shared [[fingerprint]] normalization (lowercase +
+    * whitespace-collapse), so trivially-reformatted recrawls still match;
+    * `false` matches exact bytes. Null-text rows are never dropped (a null
+    * fingerprint matches nothing), consistent with the other dedup stages.
+    *
+    * Scale shape: both sides reduce to (id, hash) / (hash) projections
+    * before anything wide happens — the reference corpus ships only its
+    * distinct 16-byte fingerprints into the semi-join (broadcast when the
+    * reference is small, narrow hash-partitioned SMJ when it is another
+    * 100 TB release — either way no document text ever shuffles), and the
+    * matched ids anti-join back onto the unprojected input. Unlike
+    * decontamination's gram explode, this is one hash per document per
+    * side: the whole operator is two narrow joins.
+    */
+  def dedupAgainst(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      normalize: Boolean = true): DataFrame = {
+    val fp: Column => Column =
+      if (normalize) graft.ops.TextAnalysis.fingerprint
+      else md5(_)
+    val refFps = ref
+      .select(fp(col(refTextCol)).as("__fp"))
+      .filter(col("__fp").isNotNull)
+      .distinct()
+    val dupIds = docs
+      .select(col(idCol), fp(col(textCol)).as("__fp"))
+      .join(refFps, Seq("__fp"), "left_semi")
+      .select(idCol)
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Per-document shingle-hash arrays, assembled entirely in-row (zip_with /
     * slice in argument position, so the token array is built once per row):
     * tokens → word n-grams → 56-bit portable hashes. No window, no shuffle —

@@ -206,8 +206,31 @@ class OpStagesSpec extends SparkSpec {
       "filter_rows", "json_extract", "normalize_text", "text_repetition",
       "decontaminate", "pack_sequences", "redact_pii", "quality_filter",
       "dedup_lines", "remove_dup_spans", "tf_idf", "text_entropy",
-      "load_jsonl", "write_jsonl", "load_csv", "c4_filter", "corpus_stats")
+      "load_jsonl", "write_jsonl", "load_csv", "c4_filter", "corpus_stats",
+      "dedup_against")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
+  }
+
+  test("dedup_against: reformatted reference copies match via normalization; exact mode does not") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_against").toString
+    spark.createDataFrame(Seq(
+      Tuple1("  THE Quick  Brown fox "), // normalizes to doc 1's text
+      Tuple1("something unrelated entirely")
+    )).toDF("text").write.mode("overwrite").parquet(s"$tmp/ref")
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox"),
+      (2L, "a different document"),
+      (3L, null.asInstanceOf[String]) // null text must never be dropped
+    )).toDF("doc_id", "text")
+    val y = s"stages:\n  - dedup_against:\n      ref_path: $tmp/ref\n"
+    val kept = Pipeline.run(spark, emptyMeds(docs), PipelineConfig.fromYaml(y).stages)
+      .data.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 3L))
+    val yExact = s"stages:\n  - dedup_against:\n      ref_path: $tmp/ref\n      normalize: false\n"
+    val keptExact = Pipeline.run(spark, emptyMeds(docs),
+      PipelineConfig.fromYaml(yExact).stages)
+      .data.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptExact == Set(1L, 2L, 3L)) // bytes differ -> exact mode keeps all
   }
 
   test("dedup_lines and remove_dup_spans stages run through the YAML path") {
