@@ -98,6 +98,43 @@ object Decontaminate {
     */
   val MaxDriverGrams: Int = 4 << 20
 
+  /** Serialized bloom filter over gram hashes, built driver-side. */
+  private def driverBloom(hashes: Array[Long], numBits: Long): Array[Byte] = {
+    val bits =
+      if (numBits > 0) numBits
+      else math.max(hashes.length * AutoBitsPerGram, 1L << 10)
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(hashes.length.toLong, bits)
+    hashes.foreach(bf.putLong)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** The per-document contamination probe as a reusable STATELESS Column
+    * predicate: true when the document MIGHT share a word n-gram with
+    * `eval` (bloom false positives only — never false negatives). Built
+    * ONCE, batch-side, from the eval corpus (one metadata-sized job); the
+    * returned expression closes over the serialized filter as a plan
+    * constant, so it applies unchanged to a `readStream` ingest — the
+    * streaming pre-filter shape of decontamination (flag or drop
+    * contaminated documents as they land; StreamingSpec locks parity with
+    * the batch probe). None when the eval corpus has no grams.
+    */
+  def contaminationProbe(eval: DataFrame, textCol: String,
+      n: Int = 8): Option[Column] = {
+    val local = evalGrams(eval, textCol, n)
+      .limit(MaxDriverGrams + 1).collect()
+    if (local.isEmpty) return None
+    require(local.length <= MaxDriverGrams,
+      s"contaminationProbe: eval corpus exceeds $MaxDriverGrams distinct " +
+        "grams — use decontaminateBloom's distributed path instead")
+    val bloomBytes = driverBloom(local.map(_.getLong(0)), 0L)
+    Some(size(tokens(col(textCol))) >= n &&
+      graft.plans.VectorExpressions.bloomAnyContain(
+        gramHashes(textCol, n), bloomBytes))
+  }
+
   def decontaminateBloom(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 8, expectedItems: Long = 0L,
       numBits: Long = 0L): DataFrame = {
@@ -107,18 +144,11 @@ object Decontaminate {
       if (local.isEmpty) return train // empty/too-short eval: nothing to remove
       if (local.length <= MaxDriverGrams) {
         val hashes = local.map(_.getLong(0))
-        val bits =
-          if (numBits > 0) numBits
-          else math.max(hashes.length * AutoBitsPerGram, 1L << 10)
-        val bf = org.apache.spark.util.sketch.BloomFilter
-          .create(hashes.length.toLong, bits)
-        hashes.foreach(bf.putLong)
-        val out = new java.io.ByteArrayOutputStream()
-        bf.writeTo(out)
         val spark = train.sparkSession
         import spark.implicits._
         return probeAndConfirm(train,
-          hashes.toSeq.toDF("__g"), out.toByteArray, idCol, textCol, n)
+          hashes.toSeq.toDF("__g"), driverBloom(hashes, numBits),
+          idCol, textCol, n)
       }
       // fell through: a genuinely large eval set — distributed build below
     }

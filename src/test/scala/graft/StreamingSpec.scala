@@ -180,6 +180,36 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("hygiene_stream").collect().map(_.toSeq).toSet == batch)
     } finally q.stop()
   }
+
+  test("the contamination probe is a stateless streaming-compatible filter") {
+    // decontamination at ingest time: the bloom probe is built ONCE from
+    // the (batch) eval corpus and closes over the serialized filter as a
+    // plan constant — the identical Column predicate then filters a
+    // readStream corpus with no state, no join, no modification
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val eval = raw.filter(col("doc_id") % 50 === 0)
+    val probe = graft.ops.Decontaminate.contaminationProbe(eval, "text", n = 4).get
+    val batch = raw.filter(!probe).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && batch.size < raw.count()) // probe actually flags
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = stream.filter(!probe).select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decontam_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("decontam_stream").collect()
+        .map(_.getLong(0)).toSet == batch)
+    } finally q.stop()
+  }
+
+  test("contaminationProbe: empty eval corpus yields no probe") {
+    import spark.implicits._
+    assert(graft.ops.Decontaminate.contaminationProbe(
+      Seq.empty[String].toDF("text"), "text", n = 4).isEmpty)
+  }
 }
 
 /** Guards on the shared ts-normalization helper (ADVICE round 8): the
