@@ -202,4 +202,30 @@ class PlanSpec extends SparkSpec {
         s"sketch stage should be a pure per-row projection, found $shuffles shuffles:\n${plan(q)}")
     }
   }
+
+  test("dedup_against never shuffles document text — both joins are broadcast") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 10 === 0).select("text")
+    val q = graft.ops.Dedup.dedupAgainst(docs, "doc_id", "text", ref, "text")
+    q.collect() // finalize AQE
+    def finalNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => finalNodes(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => finalNodes(qs.plan)
+        case _ => p.children.flatMap(finalNodes)
+      }
+      p +: inner
+    }
+    val nodes = finalNodes(q.queryExecution.executedPlan)
+    // the only permitted exchange is the ref-side fingerprint distinct —
+    // 16-byte hashes, never rows. A shuffle whose output carries `text`
+    // means full documents moved on a hash key: the shape this operator
+    // exists to avoid (both its joins must stay broadcast here).
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.forall(s => !s.output.exists(_.name == "text")),
+      s"document text shuffled:\n${q.queryExecution.executedPlan}")
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]))
+  }
 }
