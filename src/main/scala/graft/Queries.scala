@@ -1832,6 +1832,60 @@ object Queries {
       minhashCandCtes + ",\n" + tail
   }
 
+  /** Per-(shard, window) packing summary over the same layout the
+    * pack_sequences gate verifies — doc/token counts per capacity window
+    * plus the stream-end/fullness invariants a loader manifest needs.
+    */
+  private val packingSummaryGate: Gate = Gate(
+    (s, dir) => Packing.packingSummary(
+      Packing.packSequences(table(s, dir, "documents"),
+        "doc_id", "text", capacity = 256, shards = 8), capacity = 256)
+      .select(col("shard"), col("seq_idx"), col("n_docs"),
+        col("n_tokens_started"), col("stream_end"), col("full"))
+      .orderBy("shard", "seq_idx"),
+    Some("""WITH t AS (
+      |  SELECT doc_id,
+      |   ('0x' || substr(md5(doc_id::VARCHAR || ':shard:42'),1,14))::BIGINT % 8 AS shard,
+      |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000000)/1000000000.0 AS u,
+      |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |o AS (SELECT doc_id, shard, n_tokens,
+      |   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+      |     ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
+      |  FROM t),
+      |g AS (SELECT shard, CAST("offset" // 256 AS BIGINT) AS seq_idx,
+      |   CAST(count(*) AS BIGINT) AS n_docs,
+      |   CAST(sum(n_tokens) AS BIGINT) AS n_tokens_started,
+      |   CAST(max("offset" + n_tokens) AS BIGINT) AS stream_end
+      |  FROM o GROUP BY 1, 2)
+      |SELECT shard, seq_idx, n_docs, n_tokens_started, stream_end,
+      | stream_end >= (seq_idx + 1) * 256 AS full
+      |FROM g ORDER BY shard, seq_idx""".stripMargin))
+
+  /** Token-budget cap under oracle verification: 2000 tokens per `lang`
+    * stratum (cuts at every SF — per-lang corpora run ~4k tokens at
+    * sf0.01), straddler-kept semantics, hash-order determinism replayed by
+    * the oracle's identical cumulative-sum arithmetic.
+    */
+  private val tokenBudgetCap: Gate = Gate(
+    (s, dir) => Sampling.tokenBudgetCap(table(s, dir, "documents"),
+      "doc_id", "text", budgetTokens = 2000L, stratumCol = Some("lang"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+      |  SELECT doc_id, lang,
+      |   (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT % 1000000000)/1000000000.0 AS u,
+      |   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |c AS (SELECT doc_id, lang,
+      |   sum(tok) OVER (PARTITION BY lang ORDER BY u, doc_id
+      |     ROWS UNBOUNDED PRECEDING) - tok AS pre
+      |  FROM t)
+      |SELECT doc_id, lang FROM c WHERE pre < 2000
+      |ORDER BY doc_id""".stripMargin))
+
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.asMediaTable(table(s, dir, "documents"), "doc_id", "text")
 
@@ -2047,8 +2101,10 @@ object Queries {
     "knn_join" -> knnJoin,
     "sample_split" -> sampleSplit,
     "pack_sequences" -> packSequences,
+    "packing_summary" -> packingSummaryGate,
     "curation_pipeline" -> curationPipeline,
     "stratified_cap" -> stratifiedCap,
+    "token_budget_cap" -> tokenBudgetCap,
     "resample_mix" -> resampleMix,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,

@@ -364,6 +364,21 @@ object OpStages {
         Sampling.resampleMix(m.data, id, stratum, rates, defaultRate, seed, epochCol))
     }
 
+    // token-budget cap: keep docs in deterministic hash order until the
+    // (per-stratum) cumulative token count reaches `budget_tokens`
+    PipelineConfig.register("token_budget_cap") { (name, cfg) =>
+      val id = cfg.getStr(IdCol).getOrElse("doc_id")
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      val budget = cfg.getLong("budget_tokens").getOrElse(
+        throw new IllegalArgumentException(
+          s"stage $name: `budget_tokens` is required"))
+      val stratum = cfg.getStr("stratum_col")
+      val seed = cfg.getLong("seed").getOrElse(42L)
+      val bcast = cfg.getBool("broadcast").getOrElse(true)
+      Pipeline.DataStage(name, m =>
+        Sampling.tokenBudgetCap(m.data, id, text, budget, stratum, seed, bcast))
+    }
+
     PipelineConfig.register("stratified_cap") { (name, cfg) =>
       val id = cfg.getStr(IdCol).getOrElse("doc_id")
       val stratum = cfg.getStr("stratum_col").getOrElse(throw new IllegalArgumentException(

@@ -142,6 +142,44 @@ object Sampling {
     * ranks only the ≤ salts × perStratum survivors. The salt is id-derived
     * (not round-robin), so retries re-bucket identically.
     */
+  /** Token-budget cap: keep documents, in deterministic hash order, until a
+    * stratum's CUMULATIVE TOKEN count reaches `budgetTokens` — the
+    * "assemble an N-token mix" selection, the token-weighted sibling of
+    * [[stratifiedCap]]'s row-count cap (a row cap over wildly-varying
+    * document lengths over/under-shoots the token budget by the length
+    * skew). The document that crosses the budget line is KEPT (budgets are
+    * targets; always dropping the straddler would systematically
+    * under-fill every stratum by half a document), later ones are dropped.
+    * No `stratumCol` = one global budget. Null ids are dropped (no stable
+    * hash), consistent with [[sample]].
+    *
+    * Scale shape: stats-pass + apply-pass. The cumulative sum windows over
+    * a 3-column (id, stratum, n_tokens) PROJECTION — document text never
+    * shuffles — and the winner ids (≈ budget / mean_tokens rows per
+    * stratum, metadata-sized for any practical budget) broadcast back as a
+    * semi-join. The projection window still co-locates a stratum's
+    * triplets (the [[stratifiedCapWindow]] caveat); for a dominant stratum
+    * at extreme scale, pre-thin with [[sample]] at a fraction safely above
+    * budget/corpus_tokens first.
+    */
+  def tokenBudgetCap(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, stratumCol: Option[String] = None,
+      seed: Long = 42L, broadcastWinners: Boolean = true): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val stratum = stratumCol.map(col).getOrElse(lit(""))
+    val w = Window.partitionBy(col("__stratum"))
+      .orderBy(unitHash(col(idCol), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winners = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), stratum.as("__stratum"),
+        graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long").as("__tok"))
+      .withColumn("__pre", sum(col("__tok")).over(w) - col("__tok"))
+      .filter(col("__pre") < budgetTokens) // the straddler's pre-sum is under budget
+      .select(idCol)
+    df.join(if (broadcastWinners) broadcast(winners) else winners,
+      Seq(idCol), "left_semi")
+  }
+
   def stratifiedCapWindow(df: DataFrame, idCol: String, stratumCol: String,
       perStratum: Int, seed: Long = 42L, salts: Int = 64): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")

@@ -207,8 +207,32 @@ class OpStagesSpec extends SparkSpec {
       "decontaminate", "pack_sequences", "redact_pii", "quality_filter",
       "dedup_lines", "remove_dup_spans", "tf_idf", "text_entropy",
       "load_jsonl", "write_jsonl", "load_csv", "c4_filter", "corpus_stats",
-      "dedup_against")
+      "dedup_against", "token_budget_cap")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
+  }
+
+  test("token_budget_cap: straddler kept, later docs dropped, global and per-stratum") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a", "one two three"),     // 3 tokens
+      (2L, "a", "one two three four"),// 4 tokens
+      (3L, "a", "one two"),           // 2 tokens
+      (4L, "b", "one")                // separate stratum
+    )).toDF("doc_id", "lang", "text")
+    // global budget 1: exactly the hash-first doc survives (straddler kept)
+    val first = Pipeline.run(spark, emptyMeds(docs), PipelineConfig.fromYaml(
+      "stages:\n  - token_budget_cap:\n      budget_tokens: 1\n").stages)
+      .data.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(first.size == 1)
+    // per-stratum: budget 1 keeps one doc per lang
+    val perLang = Pipeline.run(spark, emptyMeds(docs), PipelineConfig.fromYaml(
+      "stages:\n  - token_budget_cap:\n      budget_tokens: 1\n      stratum_col: lang\n").stages)
+      .data.collect().map(r => r.getAs[String]("lang")).toSeq
+    assert(perLang.sorted == Seq("a", "b"))
+    // a budget covering everything keeps everything
+    val all = Pipeline.run(spark, emptyMeds(docs), PipelineConfig.fromYaml(
+      "stages:\n  - token_budget_cap:\n      budget_tokens: 1000\n").stages)
+      .data.count()
+    assert(all == 4)
   }
 
   test("dedup_against: reformatted reference copies match via normalization; exact mode does not") {
