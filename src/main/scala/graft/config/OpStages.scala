@@ -77,8 +77,12 @@ object OpStages {
         throw new IllegalArgumentException(s"stage $name: `ref_path` is required"))
       val refText = cfg.getStr("ref_text_col").getOrElse(text)
       val normalize = cfg.getBool("normalize").getOrElse(true)
+      // bloom_items > 0 switches on the prefilter for 100 TB-vs-100 TB
+      // releases (size it to the reference's distinct doc count)
+      val bloomItems = cfg.getLong("bloom_items").getOrElse(0L)
       Pipeline.DataStage(name, m => Dedup.dedupAgainst(m.data, id, text,
-        m.data.sparkSession.read.parquet(refPath), refText, normalize))
+        m.data.sparkSession.read.parquet(refPath), refText, normalize,
+        bloomItems))
     }
 
     PipelineConfig.register("dedup_fingerprint") { (name, cfg) =>

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
@@ -55,7 +55,7 @@ object Dedup {
     */
   def dedupAgainst(docs: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String,
-      normalize: Boolean = true): DataFrame = {
+      normalize: Boolean = true, bloomItems: Long = 0L): DataFrame = {
     val fp: Column => Column =
       if (normalize) graft.ops.TextAnalysis.fingerprint
       else md5(_)
@@ -63,8 +63,29 @@ object Dedup {
       .select(fp(col(refTextCol)).as("__fp"))
       .filter(col("__fp").isNotNull)
       .distinct()
-    val dupIds = docs
-      .select(col(idCol), fp(col(textCol)).as("__fp"))
+    // with `bloomItems` > 0, a bloom prefilter (sized for that many
+    // reference fingerprints at ~1% fpp) keeps the overwhelmingly-clean
+    // majority of a recrawl out of the exact semi-join entirely: only
+    // probe-flagged (id, fp) pairs reach the join, and false positives are
+    // removed by the exact confirm — identical output, for the regime
+    // where BOTH releases are 100 TB and the semi-join's hash exchange on
+    // the docs side is the dominant cost. The fp hash is md5 hex; probing
+    // on its first 56 bits keeps filter arithmetic in longs.
+    val probed =
+      if (bloomItems <= 0) docs.select(col(idCol), fp(col(textCol)).as("__fp"))
+      else {
+        val fp56 = (c: Column) => conv(substring(c, 1, 14), 16, 10).cast("long")
+        val bloomRow = refFps
+          .agg(GraftSqlBridge.bloomFilterAgg(fp56(col("__fp")), bloomItems,
+            math.max(bloomItems * Decontaminate.AutoBitsPerGram, 1L << 10))
+            .as("__bf"))
+          .head()
+        if (bloomRow.isNullAt(0)) return docs
+        val bloom = lit(bloomRow.getAs[Array[Byte]](0))
+        docs.select(col(idCol), fp(col(textCol)).as("__fp"))
+          .filter(GraftSqlBridge.mightContain(bloom, fp56(col("__fp"))))
+      }
+    val dupIds = probed
       .join(refFps, Seq("__fp"), "left_semi")
       .select(idCol)
     docs.join(dupIds, Seq(idCol), "left_anti")

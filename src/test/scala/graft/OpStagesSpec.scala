@@ -255,6 +255,18 @@ class OpStagesSpec extends SparkSpec {
       PipelineConfig.fromYaml(yExact).stages)
       .data.collect().map(_.getAs[Long]("doc_id")).toSet
     assert(keptExact == Set(1L, 2L, 3L)) // bytes differ -> exact mode keeps all
+    // the bloom prefilter path is output-identical (exact confirm removes
+    // false positives) — verified on the sf0.001 corpus with a reformatted
+    // reference slice, where both matches and non-matches occur
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = corpus.filter(col("doc_id") % 10 === 0)
+      .select(upper(col("text")).as("text"))
+    val plain = graft.ops.Dedup.dedupAgainst(corpus, "doc_id", "text", ref, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = graft.ops.Dedup.dedupAgainst(corpus, "doc_id", "text", ref, "text",
+      bloomItems = 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain == bloomed && plain.nonEmpty)
   }
 
   test("dedup_lines and remove_dup_spans stages run through the YAML path") {
