@@ -1459,6 +1459,28 @@ object Queries {
       |ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
       |LIMIT 10""".stripMargin))
 
+  /** The persisted-IVF-index path under oracle verification: the index
+    * (label cells + centroids) is BUILT once into parquet, and the query
+    * runs entirely off the stored index — probe selection from stored
+    * centroids, candidate ids from stored assignments — sharing
+    * [[simIvfTopK]]'s oracle because the results must be identical to the
+    * rebuild-per-query path. Build-once/query-many is the ANN deployment
+    * shape at 100 TB; re-deriving cells per query is not.
+    */
+  private val simIvfIndexed: Gate = Gate(
+    (s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_ivf_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val embs = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.buildIvfIndex(embs, "vec_id", "label", "embedding", tmp)
+      Similarity.ivfTopKIndexed(embs, "vec_id", "embedding", tmp,
+        queryVec(s, dir), k = 10, nProbe = 2)
+        .select(col("vec_id"), r4(col("cos")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+    },
+    simIvfTopK.oracle)
+
   // the hot-block guard is on (production configuration); no label block
   // exceeds the cap at tested scales, so results stay exact vs the oracle
   private val knnJoin: Gate = Gate(
@@ -2098,6 +2120,7 @@ object Queries {
     "sim_topk" -> simTopK,
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
+    "sim_ivf_indexed" -> simIvfIndexed,
     "knn_join" -> knnJoin,
     "sample_split" -> sampleSplit,
     "pack_sequences" -> packSequences,

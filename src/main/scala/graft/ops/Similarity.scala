@@ -137,6 +137,54 @@ object Similarity {
     ivfTopK(kmeansAssign(embs, idCol, vecCol, nCells, iters),
       idCol, "__cell", vecCol, query, k, nProbe)
 
+  /** Persist an IVF index under `path`: `assignments/` (id, __cell) and
+    * `centroids/` (__cell, centroid) parquet — built ONCE over the corpus
+    * and reused by every [[ivfTopKIndexed]] query. This is the
+    * build-once/query-many deployment shape: per-query [[ivfTopKKmeans]]
+    * re-scans the corpus `iters + 1` times to re-derive the same cells,
+    * which is the right tool for an ad-hoc query but not for a query
+    * service. `keyCol` is any existing partition key (label, cluster);
+    * [[buildIvfIndexKmeans]] derives one when none exists.
+    */
+  def buildIvfIndex(embs: DataFrame, idCol: String, keyCol: String,
+      vecCol: String, path: String): Unit = {
+    embs.select(col(idCol), col(keyCol).as("__cell"))
+      .write.mode("overwrite").parquet(s"$path/assignments")
+    centroids(embs, keyCol, vecCol)
+      .withColumnRenamed(keyCol, "__cell")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** [[buildIvfIndex]] over k-means-lite cells ([[kmeansAssign]]). */
+  def buildIvfIndexKmeans(embs: DataFrame, idCol: String, vecCol: String,
+      path: String, nCells: Int, iters: Int = 2): Unit =
+    buildIvfIndex(kmeansAssign(embs, idCol, vecCol, nCells, iters),
+      idCol, "__cell", vecCol, path)
+
+  /** Query a persisted IVF index: probe cells are chosen from the STORED
+    * centroids (a metadata-sized read — the corpus is not touched), the
+    * stored assignments of the probed cells semi-join the corpus (ids
+    * only; broadcast when nProbe·cell size is small), and only those rows
+    * are scored exactly. Identical results to [[ivfTopK]] over the same
+    * cell assignment.
+    */
+  def ivfTopKIndexed(embs: DataFrame, idCol: String, vecCol: String,
+      path: String, query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = embs.sparkSession
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val probeCells = spark.read.parquet(s"$path/centroids")
+      .withColumn("qcos", cosine(col("centroid"), q))
+      .orderBy(col("qcos").desc, col("__cell")).limit(nProbe)
+      .select("__cell")
+    val candIds = spark.read.parquet(s"$path/assignments")
+      .join(broadcast(probeCells), Seq("__cell"), "left_semi")
+      .select(idCol)
+    bruteForceScores(embs.join(candIds, Seq(idCol), "left_semi"),
+      idCol, vecCol, query)
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs k-NN join within blocks (each left row gets its k nearest
     * right rows sharing the block key). Window-ranked, shuffle bounded by
     * block sizes.

@@ -647,6 +647,15 @@ class SimilaritySpec extends SparkSpec {
     val brute = Similarity.topK(df, "vec_id", "embedding", q, 5)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ivf == brute)
+    // persisted index round-trip: build once (same kmeans cells), query off
+    // the stored centroids/assignments — identical to the rebuild path
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.buildIvfIndexKmeans(df, "vec_id", "embedding", tmp,
+      nCells = 3, iters = 3)
+    val indexed = Similarity.ivfTopKIndexed(df, "vec_id", "embedding", tmp,
+      q, k = 5, nProbe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == brute)
   }
 
   test("semDedup: kmeans path co-clusters exact dups and keeps min id") {
