@@ -959,6 +959,25 @@ object Queries {
     },
     Some("SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"))
 
+  /** CSV source round-trip (the load_csv stage's read path): corpus written
+    * as headered CSV, read back through the explicit-DDL source — original
+    * rows intact. `emptyValue` is set to a quoted empty field on write so
+    * a "" text round-trips as "" (Spark's CSV default reads an unquoted
+    * empty field as null).
+    */
+  private val csvRoundtrip: Gate = Gate(
+    (s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_csv_rt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      table(s, dir, "documents").select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").option("header", true)
+        .option("emptyValue", "\"\"").csv(tmp)
+      graft.sources.CorpusSources.readCsv(s, tmp,
+        Some("doc_id BIGINT, text STRING, lang STRING, source STRING"))
+        .select("doc_id", "text", "lang", "source").orderBy("doc_id")
+    },
+    Some("SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"))
+
   /** Unigram entropy: the engine folds sorted-run lengths in one pass over
     * the row's token array; the oracle recomputes H = log2(n) − Σc·log2(c)/n
     * from exploded per-token counts — same tokenization as text_tokens.
@@ -2100,6 +2119,7 @@ object Queries {
     "text_tokens" -> textTokens,
     "text_entropy" -> textEntropy,
     "jsonl_roundtrip" -> jsonlRoundtrip,
+    "csv_roundtrip" -> csvRoundtrip,
     "c4_filter" -> c4Filter,
     "corpus_stats" -> corpusStatsGate,
     "text_quality" -> textQuality,
