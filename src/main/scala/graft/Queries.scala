@@ -978,6 +978,35 @@ object Queries {
     },
     Some("SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"))
 
+  /** The generic `join_table` enrichment stage under oracle verification:
+    * documents LEFT-joined with the embeddings table (key rename
+    * doc_id↔vec_id) through the YAML → registry → Pipeline path; the
+    * output carries a right-side scalar and a derived array stat so both
+    * matched and unmatched (null) rows are hash-checked.
+    */
+  private val joinTableStage: Gate = Gate(
+    (s, dir) => {
+      val stages = graft.config.PipelineConfig.fromYaml(
+        s"""stages:
+           |  - join_table:
+           |      path: $dir/embeddings.parquet
+           |      keys: [doc_id]
+           |      right_keys: [vec_id]
+           |      how: left
+           |""".stripMargin).stages
+      val out = graft.operators.Pipeline.run(s,
+        graft.meds.MedsData(table(s, dir, "documents"),
+          s.emptyDataFrame, s.emptyDataFrame), stages).data
+      out.select(col("doc_id"),
+        size(col("embedding")).cast(LongType).as("n_dims"),
+        col("label").cast(LongType).as("label"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT d.doc_id, CAST(len(e.embedding) AS BIGINT) AS n_dims,
+      | CAST(e.label AS BIGINT) AS label
+      |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY d.doc_id""".stripMargin))
+
   /** Unigram entropy: the engine folds sorted-run lengths in one pass over
     * the row's token array; the oracle recomputes H = log2(n) − Σc·log2(c)/n
     * from exploded per-token counts — same tokenization as text_tokens.
@@ -2120,6 +2149,7 @@ object Queries {
     "text_entropy" -> textEntropy,
     "jsonl_roundtrip" -> jsonlRoundtrip,
     "csv_roundtrip" -> csvRoundtrip,
+    "join_table" -> joinTableStage,
     "c4_filter" -> c4Filter,
     "corpus_stats" -> corpusStatsGate,
     "text_quality" -> textQuality,

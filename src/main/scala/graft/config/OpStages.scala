@@ -627,6 +627,40 @@ object OpStages {
     // `lang_pred = 'en' AND n_tokens > 100` after lang_id/text_tokens).
     // The predicate is a Spark SQL boolean expression; it fails at
     // config-parse time if unparsable, at analysis time if columns miss.
+    // generic enrichment join against an external parquet table (attach
+    // embeddings / metadata / scores to the flowing corpus, or subset it
+    // with a semi/anti join). `keys` maps flowing-side columns to the
+    // right table's (same names; use `right_keys` when they differ);
+    // `broadcast: true` (default) hints the external side — enrichment
+    // tables are usually the small side, and a 100 TB right side should
+    // flow through the corpus-side join key partitioning instead.
+    PipelineConfig.register("join_table") { (name, cfg) =>
+      val path = cfg.getStr("path").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `path` is required"))
+      val keys = cfg.strings("keys")
+      require(keys.nonEmpty, s"stage $name: `keys` is required")
+      val rightKeys =
+        if (cfg.getList("right_keys").nonEmpty) cfg.strings("right_keys") else keys
+      require(rightKeys.length == keys.length,
+        s"stage $name: `right_keys` must match `keys` in length")
+      val how = cfg.getStr("how").getOrElse("left")
+      val allowed = Set("inner", "left", "left_semi", "left_anti")
+      require(allowed(how),
+        s"stage $name: unknown how `$how` (expected ${allowed.mkString("|")})")
+      val bcast = cfg.getBool("broadcast").getOrElse(true)
+      Pipeline.DataStage(name, m => {
+        val right0 = m.data.sparkSession.read.parquet(path)
+        val right = keys.zip(rightKeys).foldLeft(right0) {
+          case (df, (l, r)) => if (l == r) df else df.withColumnRenamed(r, l)
+        }
+        val clash = right.columns.toSet -- keys.toSet intersect m.data.columns.toSet
+        require(how == "left_semi" || how == "left_anti" || clash.isEmpty,
+          s"stage $name: right column(s) ${clash.toSeq.sorted.mkString(", ")} " +
+            "already exist in the input — project or rename the right table")
+        m.data.join(if (bcast) broadcast(right) else right, keys, how)
+      })
+    }
+
     PipelineConfig.register("filter_rows") { (name, cfg) =>
       val predicate = cfg.getStr("predicate").getOrElse(throw new IllegalArgumentException(
         s"stage $name: `predicate` (a SQL boolean expression) is required"))

@@ -90,6 +90,37 @@ class SamplingSpec extends SparkSpec {
     assert(a == b && a.size == 22) // hot:10, cold:2 (only 10002/10005), null:10
   }
 
+  test("token_budget_cap invariants: kept iff pre-budget, straddler kept, idempotent") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(5)
+    val docs = spark.createDataFrame((1L to 200L).map { i =>
+      (i, if (i % 3 == 0) "x" else "y",
+        Seq.fill(1 + rng.nextInt(30))("w").mkString(" "))
+    }).toDF("doc_id", "lang", "text")
+    val budget = 300L
+    val kept = graft.ops.Sampling.tokenBudgetCap(docs, "doc_id", "text",
+      budget, Some("lang")).select("doc_id").collect().map(_.getLong(0)).toSet
+    // replay the selection rule independently: hash-order cumsum per lang
+    val rows = docs.select(col("doc_id"), col("lang"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"),
+      graft.ops.Sampling.unitHash(col("doc_id")).as("u"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val sorted = g.sortBy(r => (r._4, r._1))
+      val pres = sorted.scanLeft(0L)(_ + _._3).init
+      sorted.zip(pres).collect { case (r, pre) if pre < budget => r._1 }
+    }.toSet
+    assert(kept == expect)
+    // every stratum is actually budget-bound (straddler kept, next dropped)
+    assert(kept.size < rows.length)
+    // idempotence: capping the capped set changes nothing (all pre-sums
+    // shrink or stay when rows are removed, so survivors survive again)
+    val again = graft.ops.Sampling.tokenBudgetCap(
+      docs.filter(col("doc_id").isin(kept.toSeq: _*)), "doc_id", "text",
+      budget, Some("lang")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("resample_mix: integer rates repeat exactly, fractional rates match sample()") {
     val d = docs.withColumn("source",
       when(col("doc_id") % 3 === 0, "a").when(col("doc_id") % 3 === 1, "b")
