@@ -969,9 +969,8 @@ object Queries {
     (s, dir) => {
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_csv_rt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-      table(s, dir, "documents").select("doc_id", "text", "lang", "source")
-        .write.mode("overwrite").option("header", true)
-        .option("emptyValue", "\"\"").csv(tmp)
+      graft.sources.CorpusSources.writeCsv(
+        table(s, dir, "documents").select("doc_id", "text", "lang", "source"), tmp)
       graft.sources.CorpusSources.readCsv(s, tmp,
         Some("doc_id BIGINT, text STRING, lang STRING, source STRING"))
         .select("doc_id", "text", "lang", "source").orderBy("doc_id")

@@ -614,6 +614,39 @@ object OpStages {
         graft.sources.CorpusSources.writeJsonl(m.data, path); m.data })
     }
 
+    PipelineConfig.register("write_csv") { (name, cfg) =>
+      val (path, _) = sourceCfg(name, cfg)
+      Pipeline.DataStage(name, m => {
+        graft.sources.CorpusSources.writeCsv(m.data, path); m.data })
+    }
+
+    // fail-fast schema contract: every (name, type) in the DDL must be
+    // present in the flowing data — a pipeline typo (renamed column,
+    // wrong cast) dies HERE with a readable message instead of twelve
+    // stages later inside an analyzer error
+    PipelineConfig.register("expect_schema") { (name, cfg) =>
+      val ddl = cfg.getStr("schema").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `schema` (DDL) is required"))
+      val expected =
+        try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"stage $name: unparsable `schema` '$ddl': ${e.getMessage}") }
+      Pipeline.DataStage(name, m => {
+        val actual = m.data.schema
+        val problems = expected.fields.flatMap { f =>
+          actual.fields.find(_.name == f.name) match {
+            case None => Some(s"missing column `${f.name}`")
+            case Some(a) if a.dataType != f.dataType =>
+              Some(s"column `${f.name}` is ${a.dataType.sql}, expected ${f.dataType.sql}")
+            case _ => None
+          }
+        }
+        require(problems.isEmpty,
+          s"stage $name: schema contract violated: ${problems.mkString("; ")}")
+        m.data
+      })
+    }
+
     PipelineConfig.register("load_csv") { (name, cfg) =>
       val (path, ddl) = sourceCfg(name, cfg)
       val header = cfg.getBool("header").getOrElse(true)

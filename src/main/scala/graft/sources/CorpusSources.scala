@@ -42,14 +42,24 @@ object CorpusSources {
     */
   def readCsv(spark: SparkSession, path: String, ddl: Option[String] = None,
       header: Boolean = true, multiLine: Boolean = false): DataFrame = {
+    // explicit null sentinel (matching writeCsv): with the default
+    // nullValue="" an empty string field reads back as null — CSV's
+    // classic lossy-empty trap
     val r = spark.read.option("header", header).option("multiLine", multiLine)
+      .option("nullValue", "\\N")
     ddl match {
       case Some(d) => r.schema(StructType.fromDDL(d)).csv(path)
       case None => r.option("inferSchema", true).csv(path)
     }
   }
 
+  /** Nulls are written as the `\N` sentinel (and read back as null by
+    * [[readCsv]]) so empty strings — written as quoted `""` — round-trip
+    * as "" instead of collapsing into null (CSV's classic lossy-empty
+    * trap under the default nullValue="").
+    */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite",
       header: Boolean = true): Unit =
-    df.write.mode(mode).option("header", header).csv(path)
+    df.write.mode(mode).option("header", header)
+      .option("nullValue", "\\N").option("emptyValue", "\"\"").csv(path)
 }

@@ -207,8 +207,37 @@ class OpStagesSpec extends SparkSpec {
       "decontaminate", "pack_sequences", "redact_pii", "quality_filter",
       "dedup_lines", "remove_dup_spans", "tf_idf", "text_entropy",
       "load_jsonl", "write_jsonl", "load_csv", "c4_filter", "corpus_stats",
-      "dedup_against", "token_budget_cap")
+      "dedup_against", "token_budget_cap", "join_table", "write_csv",
+      "expect_schema")
     assert(expected.subsetOf(PipelineConfig.registeredStages))
+  }
+
+  test("write_csv round-trips through load_csv; expect_schema passes and fails correctly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_stage").toString
+    val docs = spark.createDataFrame(Seq(
+      (1L, "plain text"), (2L, ""), (3L, "commas, \"quotes\" and all"),
+      (4L, null.asInstanceOf[String])
+    )).toDF("doc_id", "text")
+    val y =
+      s"""stages:
+         |  - expect_schema:
+         |      schema: "doc_id BIGINT, text STRING"
+         |  - write_csv:
+         |      path: $tmp/out
+         |  - load_csv:
+         |      path: $tmp/out
+         |      schema: "doc_id BIGINT, text STRING"
+         |""".stripMargin
+    val back = Pipeline.run(spark, emptyMeds(docs), PipelineConfig.fromYaml(y).stages)
+      .data.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(back == Map(1L -> "plain text", 2L -> "",
+      3L -> "commas, \"quotes\" and all", 4L -> null))
+    // contract violations die with a readable message
+    val bad = "stages:\n  - expect_schema:\n      schema: \"doc_id STRING, nope INT\"\n"
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, emptyMeds(docs), PipelineConfig.fromYaml(bad).stages)
+    }
+    assert(e.getMessage.contains("doc_id") && e.getMessage.contains("nope"))
   }
 
   test("token_budget_cap: straddler kept, later docs dropped, global and per-stratum") {
