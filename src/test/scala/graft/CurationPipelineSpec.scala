@@ -54,8 +54,9 @@ class CurationPipelineSpec extends SparkSpec {
     val overrides = Queries.stageCurationInputs(spark, dir, tmp)
     Main.run(Array(Queries.CurationYaml, s"$tmp/in", s"$tmp/full") ++ overrides,
       spark)
-    val stages = Seq("load_jsonl", "quality_filter", "c4_filter", "dedup_lines",
-      "minhash_lsh_dedup", "decontaminate", "resample_mix", "pack_sequences")
+    val stages = Seq("load_jsonl", "expect_schema", "quality_filter",
+      "c4_filter", "dedup_lines", "minhash_lsh_dedup", "decontaminate",
+      "resample_mix", "pack_sequences")
     val last = stages.zipWithIndex.foldLeft(s"$tmp/in") { case (in, (st, i)) =>
       val out = s"$tmp/s$i"
       Main.run(Array(Queries.CurationYaml, in, out, s"--stage=$st") ++ overrides,
