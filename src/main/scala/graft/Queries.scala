@@ -1023,6 +1023,92 @@ object Queries {
       | round(coalesce(log2(e.n) - e.s / e.n, 0.0), 4) AS unigram_entropy
       |FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin))
 
+  /** Bigram-LM perplexity (CCNet-style), trained on the even-doc_id half of
+    * the corpus and scored over ALL docs — the split makes the score set
+    * exercise unseen bigrams AND unseen contexts (OOV smoothing), which a
+    * self-trained LM never hits. Scaled-integer log sums keep the scores
+    * engine-exact; avg_nll stays the raw (bit-identical) integer quotient
+    * and only ppl rounds, to absorb the 1-ulp libm exp() spread.
+    */
+  private val lmPerplexity: Gate = Gate(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val lm = graft.ops.LanguageModel.bigramCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      graft.ops.LanguageModel.perplexity(docs, "doc_id", "text", lm)
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      | FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |  i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+      | FROM w WHERE len(ws) >= 2),
+      |gr AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS k
+      | FROM bg GROUP BY 1,2,3),
+      |lm AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cnt FROM bg
+      | WHERE doc_id % 2 = 0 GROUP BY 1,2),
+      |ctx AS (SELECT w1, sum(cnt) AS ctx FROM lm GROUP BY 1),
+      |v AS (SELECT count(DISTINCT wd) AS v FROM (
+      | SELECT w1 AS wd FROM lm UNION ALL SELECT w2 FROM lm)),
+      |sc AS (SELECT gr.doc_id, sum(gr.k) AS n_bigrams,
+      |  coalesce(sum(CASE WHEN lm.cnt IS NULL THEN gr.k END), 0) AS oov_bigrams,
+      |  sum(gr.k * CAST(round((ln(coalesce(lm.cnt,0)+1.0)
+      |    - ln(coalesce(ctx.ctx,0)+v.v)) * 1000000) AS BIGINT)) AS s_e6
+      | FROM gr LEFT JOIN lm USING (w1, w2) LEFT JOIN ctx USING (w1)
+      | CROSS JOIN v GROUP BY 1)
+      |SELECT d.doc_id,
+      | CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      | CAST(coalesce(sc.oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
+      | -sc.s_e6 / (sc.n_bigrams * 1000000.0) AS avg_nll,
+      | round(exp(-sc.s_e6 / (sc.n_bigrams * 1000000.0)), 2) AS ppl
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin))
+
+  /** Naive Bayes classifier gate: train on the corpus with `lang` as the
+    * label, emit the per-(doc, class) joint log-probability table plus the
+    * argmax prediction — the full model replayed in SQL (counts + logs),
+    * so any drift in smoothing, priors, vocabulary, or the exact-integer
+    * argmax tiebreak breaks the hash.
+    */
+  private val nbClassifyGate: Gate = Gate(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val (tc, priors) = graft.ops.Classifier.trainNaiveBayes(docs, "text", "lang")
+      graft.ops.Classifier.nbScores(docs, "doc_id", "text", tc, priors)
+        .orderBy("doc_id", "label")
+    },
+    Some("""WITH w AS (SELECT doc_id, lang,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      | FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(ws) AS token FROM w),
+      |tc AS (SELECT lang AS label, token, count(*) AS cnt FROM tok GROUP BY 1,2),
+      |pri AS (SELECT lang AS label, count(*) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (SELECT label, sum(cnt) AS tot FROM tc GROUP BY 1),
+      |v AS (SELECT count(DISTINCT token) AS v FROM tc),
+      |n AS (SELECT sum(n_docs) AS n FROM pri),
+      |cls AS (SELECT pri.label,
+      |  CAST(round((ln(pri.n_docs) - ln(n.n)) * 1000000) AS BIGINT) AS prior_e6,
+      |  coalesce(tot.tot, 0) AS tot, v.v AS v
+      | FROM pri LEFT JOIN tot USING (label) CROSS JOIN v CROSS JOIN n),
+      |g AS (SELECT doc_id, token, count(*) AS k FROM tok GROUP BY 1,2),
+      |lik AS (SELECT g.doc_id, cls.label,
+      |  sum(g.k * CAST(round((ln(coalesce(tc.cnt,0)+1.0)
+      |    - ln(cls.tot + cls.v)) * 1000000) AS BIGINT)) AS lik_e6
+      | FROM g CROSS JOIN cls
+      | LEFT JOIN tc ON tc.token = g.token AND tc.label = cls.label
+      | GROUP BY 1,2),
+      |sc AS (SELECT d.doc_id, cls.label,
+      |  cls.prior_e6 + coalesce(lik.lik_e6, 0) AS s_e6
+      | FROM documents d CROSS JOIN cls
+      | LEFT JOIN lik ON lik.doc_id = d.doc_id AND lik.label = cls.label),
+      |best AS (SELECT doc_id, min(struct_pack(ns := -s_e6, l := label)) AS b
+      | FROM sc GROUP BY 1)
+      |SELECT sc.doc_id, sc.label, s_e6 / 1000000.0 AS score,
+      | best.b.l AS pred
+      |FROM sc JOIN best USING (doc_id)
+      |ORDER BY doc_id, label""".stripMargin))
+
   private val textQuality: Gate = Gate(
     (s, dir) => TextAnalysis.qualitySignals(table(s, dir, "documents"), "doc_id", "text")
       .select(col("doc_id"), col("n_chars").cast(LongType).as("n_chars"),
@@ -2146,6 +2232,8 @@ object Queries {
     "winnow_fingerprint" -> winnowFp,
     "text_tokens" -> textTokens,
     "text_entropy" -> textEntropy,
+    "lm_perplexity" -> lmPerplexity,
+    "nb_classify" -> nbClassifyGate,
     "jsonl_roundtrip" -> jsonlRoundtrip,
     "csv_roundtrip" -> csvRoundtrip,
     "join_table" -> joinTableStage,

@@ -332,6 +332,51 @@ object OpStages {
         TextAnalysis.unigramEntropy(col(text)).as("unigram_entropy"))))
     }
 
+    // bigram-LM perplexity (CCNet-style): score each doc against a model
+    // trained on the corpus at `lm_path` (self-trained when omitted);
+    // appends n_bigrams / oov_bigrams / avg_nll / ppl via an id join
+    PipelineConfig.register("lm_perplexity") { (name, cfg) =>
+      val (id, text) = ids(cfg)
+      val lmPath = cfg.getStr("lm_path")
+      val lmText = cfg.getStr("lm_text_col").getOrElse(text)
+      Pipeline.DataStage(name, m => {
+        val lm = lmPath match {
+          case Some(p) => graft.ops.LanguageModel.bigramCounts(
+            m.data.sparkSession.read.parquet(p), lmText)
+          case None => graft.ops.LanguageModel.bigramCounts(m.data, text)
+        }
+        val scores = graft.ops.LanguageModel.perplexity(m.data, id, text, lm)
+        val clash = scores.columns.toSeq.filterNot(_ == id)
+          .intersect(m.data.columns.toSeq)
+        require(clash.isEmpty, s"stage $name: output column(s) " +
+          s"${clash.mkString(", ")} already exist in the input")
+        m.data.join(scores, Seq(id), "left")
+      })
+    }
+
+    // Naive Bayes classifier: train on the labeled corpus at `train_path`
+    // (default: the data itself) with `label_col`, append the predicted
+    // class as `output_col` (default `nb_pred`)
+    PipelineConfig.register("nb_classify") { (name, cfg) =>
+      val (id, text) = ids(cfg)
+      val labelCol = cfg.getStr("label_col").getOrElse("label")
+      val outCol = cfg.getStr("output_col").getOrElse("nb_pred")
+      val trainPath = cfg.getStr("train_path")
+      val trainText = cfg.getStr("train_text_col").getOrElse(text)
+      Pipeline.DataStage(name, m => {
+        require(!m.data.columns.contains(outCol),
+          s"stage $name: output column $outCol already exists in the input")
+        val seed = trainPath match {
+          case Some(p) => m.data.sparkSession.read.parquet(p)
+          case None => m.data
+        }
+        val (tc, priors) = graft.ops.Classifier.trainNaiveBayes(seed, trainText, labelCol)
+        val preds = graft.ops.Classifier.nbClassify(m.data, id, text, tc, priors)
+          .withColumnRenamed("pred", outCol)
+        m.data.join(preds, Seq(id), "left")
+      })
+    }
+
     // deterministic Bernoulli sample on the id hash (retry/engine-stable)
     PipelineConfig.register("sample") { (name, cfg) =>
       val id = cfg.getStr(IdCol).getOrElse("doc_id")

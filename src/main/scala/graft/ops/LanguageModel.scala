@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.GraftFunctions.tokens
+
+/** Statistical-language-model perplexity scoring — the CCNet-style quality
+  * signal (Wenzek et al. 2020): score every document by how surprising its
+  * text is under an n-gram model trained on a trusted reference corpus, then
+  * filter/bucket on the score. High perplexity ⇒ gibberish, boilerplate
+  * soup, or the wrong language; near-zero ⇒ degenerate repetition of the
+  * reference's most common patterns.
+  *
+  * The model here is a word-BIGRAM model with add-one (Laplace) smoothing —
+  * deterministic, engine-portable (counts + natural logs, no external
+  * binary), and entirely expressible as Catalyst plans, where CCNet shells
+  * out to a KenLM binary. The smoothing vocabulary V is the number of
+  * distinct words observed in the model's bigram table (union of context and
+  * successor positions), so the whole model derives from ONE artifact — the
+  * (w1, w2, cnt) count table — and an LM trained in any SQL engine scores
+  * identically.
+  *
+  * Scale shape: training is one scan of the reference corpus — in-row bigram
+  * assembly (`zip_with` over the token array, no self-join), explode, and a
+  * map-side-combined count aggregate, so the hot bigrams ("of the") collapse
+  * per task before the single shuffle. Scoring is one scan of the target
+  * corpus: per-document bigram counts aggregate map-side on (id, w1, w2) —
+  * bounded by document length — then join the vocab-sized count table on the
+  * bigram key (AQE broadcasts a small LM, splits skewed hot-gram keys
+  * otherwise); the context marginal and vocabulary size are DERIVED from the
+  * count table's own aggregation, so the reference corpus is never
+  * re-scanned. Per-bigram log-probabilities are rounded to 1e-6 and summed
+  * as exact integers — the document score is order-independent, so the same
+  * LM gives the same scores at any parallelism in any engine.
+  */
+object LanguageModel {
+
+  /** In-row bigram structs of a text column: [(w1,w2), ...], empty below 2
+    * tokens. Pure array expression — no explode until the caller needs rows.
+    */
+  private def bigramStructs(text: Column): Column = {
+    val ws = tokens(text)
+    zip_with(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Train: corpus-wide bigram count table (w1, w2, cnt) — the single model
+    * artifact. Persist with `write.parquet` for build-once/score-many.
+    */
+  def bigramCounts(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(explode(bigramStructs(col(textCol))).as("__b"))
+      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-document average negative log-likelihood (nats/bigram) and
+    * perplexity under the bigram model `lm` (a [[bigramCounts]] frame).
+    * Emits one row per input document:
+    *
+    *  - `n_bigrams`:   scored bigram occurrences (0 for docs under 2 tokens)
+    *  - `oov_bigrams`: occurrences of bigrams absent from the model
+    *  - `avg_nll`:     −(Σ ln P(w2|w1))/n_bigrams; null when n=0
+    *  - `ppl`:         exp(avg_nll), 2 dp; null when n=0
+    *
+    * P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V): add-one smoothing over the model
+    * vocabulary; an unseen context degrades to the uniform 1/V. The context
+    * marginal c(w1) and V are derived from `lm` itself (the `cnt > 0`
+    * predicate is a semantic no-op that keeps the derived branches'
+    * canonical plans equal to the join branch so ReuseExchange serves all
+    * consumers from one aggregation — without it a self-trained LM would
+    * re-scan and re-tokenize the corpus per branch).
+    */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame): DataFrame = {
+    val lmUsed = lm.where(col("cnt") > 0)
+    val ctx = lmUsed.groupBy("w1").agg(sum("cnt").as("__ctx"))
+    val vocab = lmUsed
+      .select(explode(array(col("w1"), col("w2"))).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+
+    val grams = docs
+      .select(col(idCol), explode(bigramStructs(col(textCol))).as("__b"))
+      .groupBy(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("__k"))
+
+    // ln P rounded to 1e-6 as an exact integer: the per-document sum is
+    // order-independent, so scores are stable under any row distribution
+    val lpE6 = round((log(coalesce(col("cnt"), lit(0L)) + lit(1.0)) -
+      log(coalesce(col("__ctx"), lit(0L)) + col("__v"))) * lit(1e6))
+      .cast(LongType)
+    val scored = grams
+      .join(lmUsed, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(sum("__k").as("n_bigrams"),
+        coalesce(sum(when(col("cnt").isNull, col("__k"))), lit(0L))
+          .as("oov_bigrams"),
+        sum(col("__k") * lpE6).as("__sum_e6"))
+
+    // avg_nll stays the raw division result: both operands derive exactly
+    // from integers, so the correctly-rounded IEEE quotient is bit-identical
+    // in any engine — a decimal re-round would reintroduce engine-specific
+    // boundary behavior (Spark rounds the shortest decimal repr, SQL engines
+    // the binary value). ppl rounds to 2 dp only to absorb the 1-ulp libm
+    // exp() spread, far below that resolution.
+    val avgNll = -col("__sum_e6") / (col("n_bigrams") * lit(1e6))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("oov_bigrams"), lit(0L)).as("oov_bigrams"),
+        avgNll.as("avg_nll"),
+        round(exp(avgNll), 2).as("ppl"))
+  }
+
+  /** Self-perplexity: train on the corpus being scored (the no-reference
+    * mode — flags documents unusual RELATIVE TO THE CORPUS ITSELF; with a
+    * trusted reference, pass its [[bigramCounts]] to [[perplexity]]).
+    */
+  def selfPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    perplexity(docs, idCol, textCol, bigramCounts(docs, textCol))
+}

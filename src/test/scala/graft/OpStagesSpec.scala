@@ -651,6 +651,53 @@ class OpStagesSpec extends SparkSpec {
     assert(splits.subsetOf(Set("train", "held_out")) && splits.nonEmpty)
   }
 
+  test("lm_perplexity stage appends scores; self-trained vs lm_path reference") {
+    val yaml = "stages:\n  - lm_perplexity\n"
+    val out = Pipeline.run(spark, emptyMeds(docs),
+      PipelineConfig.fromYaml(yaml).stages).data
+    assert(out.count() === docs.count())
+    assert(Seq("n_bigrams", "oov_bigrams", "avg_nll", "ppl")
+      .forall(out.columns.contains))
+    // self-trained: every scored bigram is in the model -> zero OOV
+    assert(out.agg(sum("oov_bigrams")).collect()(0).getLong(0) === 0L)
+
+    // external reference corpus via lm_path: doc 5's vocabulary is absent
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    docs.filter(col("doc_id") <= 4).write.mode("overwrite").parquet(s"$tmp/ref")
+    val y2 = s"stages:\n  - lm_perplexity:\n      lm_path: $tmp/ref\n"
+    val ext = Pipeline.run(spark, emptyMeds(docs),
+      PipelineConfig.fromYaml(y2).stages).data
+    val d5 = ext.filter(col("doc_id") === 5L).collect()(0)
+    assert(d5.getAs[Long]("oov_bigrams") === d5.getAs[Long]("n_bigrams"))
+  }
+
+  test("nb_classify stage trains on train_path and appends the prediction") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    docs.withColumn("label", when(col("source") === "web", "w").otherwise("b"))
+      .write.mode("overwrite").parquet(s"$tmp/seed")
+    val yaml =
+      s"""stages:
+         |  - nb_classify:
+         |      train_path: $tmp/seed
+         |      output_col: guessed
+         |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(docs),
+      PipelineConfig.fromYaml(yaml).stages).data
+    assert(out.count() === docs.count())
+    // the seed docs themselves classify back to their own label
+    val got = out.select("doc_id", "guessed").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(5L) === "b" && got(6L) === "w")
+    // collision guard: appending over an existing column fails fast
+    val clash = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, emptyMeds(docs.withColumn("nb_pred", lit("x"))),
+        PipelineConfig.fromYaml(
+          s"stages:\n  - nb_classify:\n      train_path: $tmp/seed\n").stages)
+        .data.count()
+    }
+    assert(clash.getMessage.contains("nb_pred"))
+  }
+
   test("hygiene stages honor train_only orchestration") {
     // train_only resolves splits per subject_id — documents pipelines carry
     // one (here 1:1 with doc_id)
