@@ -86,24 +86,44 @@ object Classifier {
     */
   private def scoredFrames(docs: DataFrame, idCol: String, textCol: String,
       tokenCounts: DataFrame, priors: DataFrame): (DataFrame, DataFrame) = {
-    val tcUsed = tokenCounts.where(col("cnt") > 0)
+    // cnt>0 is a semantic no-op and the isnotnull filters only drop
+    // degenerate null-keyed model rows; their real job is PLAN CONVERGENCE:
+    // downstream joins infer exactly these constraints and push a different
+    // subset into each copy of this subtree, and any pushed-filter
+    // difference breaks the canonical equality AQE stage reuse needs —
+    // stating the superset explicitly keeps self-training to one seed scan
+    val tcUsed = tokenCounts.where(col("cnt") > 0 &&
+      col("token").isNotNull && col("label").isNotNull)
     // per-class token totals and the shared smoothing vocabulary, derived
-    // from the model table itself (cnt>0 keeps canonical plans equal so
-    // ReuseExchange serves the join and both derivations from one shuffle)
+    // from the model table itself
     val classTotals = tcUsed.groupBy("label").agg(sum("cnt").as("__tot"))
     val vocab = tcUsed.agg(count_distinct(col("token")).as("__v"))
-    val nTotal = priors.agg(sum("n_docs").as("__n"))
-    val classes = priors.join(classTotals, Seq("label"), "left")
+    // unlabeled (null-label) seed rows are ignored by training ENTIRELY —
+    // they are no class and do not count toward N; filtering the shared
+    // priors frame once also keeps the nTotal branch's subtree identical
+    // to the class-list branch's, so the seed aggregation is reused
+    val priUsed = priors.where(col("label").isNotNull)
+    val nTotal = priUsed.agg(sum("n_docs").as("__n"))
+    val classes = priUsed.join(classTotals, Seq("label"), "left")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nTotal))
       .select(col("label"),
         round((log(col("n_docs")) - log(col("__n"))) * lit(1e6))
           .cast(LongType).as("__prior_e6"),
         coalesce(col("__tot"), lit(0L)).as("__tot"), col("__v"))
+      // always true (n_docs <= N ⇒ ln prior <= 0; a null label would be a
+      // degenerate null class): pins __prior_e6 — and transitively
+      // priors/nTotal — into BOTH consumers' column sets and states the
+      // constraint the outer join would infer on only one copy, so the two
+      // copies of this frame prune and filter identically and the priors
+      // aggregation is computed once instead of re-scanning the seed as a
+      // pruned distinct + a rows-only count
+      .where(col("__prior_e6") <= 0L && col("label").isNotNull)
 
     val grams = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("__k"))
+      .where(col(idCol).isNotNull && col("token").isNotNull)
 
     val termE6 = round((log(coalesce(col("cnt"), lit(0L)) + lit(1.0)) -
       log(col("__tot") + col("__v"))) * lit(1e6)).cast(LongType)

@@ -72,17 +72,40 @@ object LanguageModel {
     * re-scan and re-tokenize the corpus per branch).
     */
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
-      lm: DataFrame): DataFrame = {
-    val lmUsed = lm.where(col("cnt") > 0)
+      lm: DataFrame): DataFrame =
+    perplexityOfGrams(docs, idCol, docGramCounts(docs, idCol, textCol), lm)
+
+  /** Per-document bigram occurrence counts (id, w1, w2, __k). The trailing
+    * isnotnull filters are semantic no-ops (w1/w2 come from split, a null id
+    * would never match the outer reattachment join) whose job is PLAN
+    * CONVERGENCE: the downstream joins INFER exactly these constraints and
+    * push a different subset into each copy of this subtree, and any
+    * difference in pushed filters breaks canonical-plan equality — without
+    * them, AQE stage reuse never fires and a self-trained LM re-scans the
+    * corpus once per derived branch. Stating the superset explicitly makes
+    * every copy identical (inference adds nothing), so the scan+exchange
+    * here serves all consumers once.
+    */
+  private def docGramCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(bigramStructs(col(textCol))).as("__b"))
+      .groupBy(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("__k"))
+      .where(col(idCol).isNotNull && col("w1").isNotNull && col("w2").isNotNull)
+
+  private def perplexityOfGrams(docs: DataFrame, idCol: String,
+      grams: DataFrame, lm: DataFrame): DataFrame = {
+    // cnt>0 is a semantic no-op; the key isnotnull filters (null-keyed model
+    // rows could only come from a hand-built table and could never match)
+    // converge the three lm consumers' inferred-constraint sets so the
+    // model aggregation is computed once (see docGramCounts)
+    val lmUsed = lm.where(col("cnt") > 0 &&
+      col("w1").isNotNull && col("w2").isNotNull)
     val ctx = lmUsed.groupBy("w1").agg(sum("cnt").as("__ctx"))
     val vocab = lmUsed
       .select(explode(array(col("w1"), col("w2"))).as("__w"))
       .agg(count_distinct(col("__w")).as("__v"))
-
-    val grams = docs
-      .select(col(idCol), explode(bigramStructs(col(textCol))).as("__b"))
-      .groupBy(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-      .agg(count(lit(1)).as("__k"))
 
     // ln P rounded to 1e-6 as an exact integer: the per-document sum is
     // order-independent, so scores are stable under any row distribution
@@ -118,7 +141,16 @@ object LanguageModel {
   /** Self-perplexity: train on the corpus being scored (the no-reference
     * mode — flags documents unusual RELATIVE TO THE CORPUS ITSELF; with a
     * trusted reference, pass its [[bigramCounts]] to [[perplexity]]).
+    *
+    * Single-scan shape: the model is derived FROM the per-document gram
+    * counts (cnt = Σ_docs k, identical to [[bigramCounts]]) instead of
+    * re-tokenizing — the gram aggregation's scan and exchange serve both
+    * the scoring join and the model branch via ReuseExchange, so the
+    * corpus is read once however large it is.
     */
-  def selfPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    perplexity(docs, idCol, textCol, bigramCounts(docs, textCol))
+  def selfPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = docGramCounts(docs, idCol, textCol).where(col("__k") > 0)
+    val lm = grams.groupBy("w1", "w2").agg(sum("__k").as("cnt"))
+    perplexityOfGrams(docs, idCol, grams, lm)
+  }
 }

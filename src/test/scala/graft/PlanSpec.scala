@@ -228,4 +228,55 @@ class PlanSpec extends SparkSpec {
       s"document text shuffled:\n${q.queryExecution.executedPlan}")
     assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]))
   }
+
+  /** Identity-deduped physical scan count: reused stages/exchanges count as
+    * the one scan they execute (the ScanAudit walk).
+    */
+  private def distinctScans(df: DataFrame): Int = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    var scans = 0
+    def walk(p: SparkPlan): Unit = {
+      if (!seen.add(p)) return
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(qs.plan)
+        case re: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(re.child)
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => scans += 1
+        case other => other.children.foreach(walk)
+      }
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    scans
+  }
+
+  test("self-trained LM and NB plans reuse the corpus aggregations (no per-branch re-scan)") {
+    // Shared-frame consumers (model join / marginals / vocabulary) must be
+    // served from ONE scan+exchange via AQE stage reuse. This breaks
+    // silently whenever a join's INFERRED isnotnull constraints push into
+    // one copy of the shared subtree and not another (canonical plans
+    // diverge) — the operators state those constraints explicitly, and this
+    // test pins the resulting scan counts.
+    val dir = java.nio.file.Files.createTempDirectory("graft_reuse").toString
+    import spark.implicits._
+    (0L until 200L).map(i =>
+      (i, s"tok${i % 7} tok${(i + 1) % 5} tok${i % 3}", s"L${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(dir)
+    val d = spark.read.parquet(dir)
+
+    val lm = graft.ops.LanguageModel.selfPerplexity(d, "doc_id", "text")
+    lm.collect()
+    // 2 = the gram aggregation (reused by model/contexts/vocabulary) + the
+    // id-only reattachment scan for short documents
+    assert(distinctScans(lm) === 2, s"selfPerplexity scans:\n${lm.queryExecution.executedPlan}")
+
+    val (tc, priors) = graft.ops.Classifier.trainNaiveBayes(d, "text", "lang")
+    val nb = graft.ops.Classifier.nbScores(d, "doc_id", "text", tc, priors)
+    nb.collect()
+    // 4 = token-class counts (reused by totals/vocabulary), per-doc grams,
+    // priors (reused by class list/N), id-only scan
+    assert(distinctScans(nb) === 4, s"nbScores scans:\n${nb.queryExecution.executedPlan}")
+  }
 }
