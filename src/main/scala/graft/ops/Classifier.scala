@@ -55,14 +55,18 @@ object Classifier {
   def nbScores(docs: DataFrame, idCol: String, textCol: String,
       tokenCounts: DataFrame, priors: DataFrame): DataFrame = {
     val (scoredE6, _) = scoredFrames(docs, idCol, textCol, tokenCounts, priors)
-    val best = argmax(scoredE6, idCol)
-    // score = exact integer / 1e6: IEEE division of identical integers is
-    // correctly rounded, so the double is BIT-IDENTICAL in any engine — a
-    // decimal re-round here would reintroduce engine-specific boundary
-    // behavior on values landing exactly on x.xxxx5
-    scoredE6.join(best, Seq(idCol))
+    // the argmax rides a per-document window (class-count rows per
+    // partition) instead of a groupBy+self-join — one pass, no duplicated
+    // stage chain. score = exact integer / 1e6: IEEE division of identical
+    // integers is correctly rounded, so the double is BIT-IDENTICAL in any
+    // engine — a decimal re-round here would reintroduce engine-specific
+    // boundary behavior on values landing exactly on x.xxxx5
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    scoredE6
+      .withColumn("__b", min(struct((-col("__s_e6")).as("ns"),
+        col("label").as("l"))).over(w))
       .select(col(idCol), col("label"),
-        (col("__s_e6") / lit(1e6)).as("score"), col("pred"))
+        (col("__s_e6") / lit(1e6)).as("score"), col("__b.l").as("pred"))
   }
 
   /** Classify: one row per document — (id, pred). */
