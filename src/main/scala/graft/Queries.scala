@@ -1089,25 +1089,112 @@ object Queries {
       |n AS (SELECT sum(n_docs) AS n FROM pri),
       |cls AS (SELECT pri.label,
       |  CAST(round((ln(pri.n_docs) - ln(n.n)) * 1000000) AS BIGINT) AS prior_e6,
-      |  coalesce(tot.tot, 0) AS tot, v.v AS v
+      |  CAST(round(ln(coalesce(tot.tot, 0) + v.v) * 1000000) AS BIGINT) AS lnt_e6
       | FROM pri LEFT JOIN tot USING (label) CROSS JOIN v CROSS JOIN n),
+      |tcs AS (SELECT token, label,
+      |  CAST(round(ln(cnt + 1.0) * 1000000) AS BIGINT) AS lnc_e6 FROM tc),
       |g AS (SELECT doc_id, token, count(*) AS k FROM tok GROUP BY 1,2),
-      |lik AS (SELECT g.doc_id, cls.label,
-      |  sum(g.k * CAST(round((ln(coalesce(tc.cnt,0)+1.0)
-      |    - ln(cls.tot + cls.v)) * 1000000) AS BIGINT)) AS lik_e6
-      | FROM g CROSS JOIN cls
-      | LEFT JOIN tc ON tc.token = g.token AND tc.label = cls.label
-      | GROUP BY 1,2),
+      |sums AS (SELECT g.doc_id, t.label, sum(g.k * t.lnc_e6) AS sum_e6
+      | FROM g JOIN tcs t USING (token) GROUP BY 1,2),
+      |kt AS (SELECT doc_id, sum(k) AS kk FROM g GROUP BY 1),
+      |sc0 AS (SELECT kt.doc_id, cls.label,
+      |  cls.prior_e6 + coalesce(sums.sum_e6, 0) - kt.kk * cls.lnt_e6 AS s_e6
+      | FROM kt CROSS JOIN cls
+      | LEFT JOIN sums ON sums.doc_id = kt.doc_id AND sums.label = cls.label),
       |sc AS (SELECT d.doc_id, cls.label,
-      |  cls.prior_e6 + coalesce(lik.lik_e6, 0) AS s_e6
+      |  coalesce(sc0.s_e6, cls.prior_e6) AS s_e6
       | FROM documents d CROSS JOIN cls
-      | LEFT JOIN lik ON lik.doc_id = d.doc_id AND lik.label = cls.label),
+      | LEFT JOIN sc0 ON sc0.doc_id = d.doc_id AND sc0.label = cls.label),
       |best AS (SELECT doc_id, min(struct_pack(ns := -s_e6, l := label)) AS b
       | FROM sc GROUP BY 1)
       |SELECT sc.doc_id, sc.label, s_e6 / 1000000.0 AS score,
       | best.b.l AS pred
       |FROM sc JOIN best USING (doc_id)
       |ORDER BY doc_id, label""".stripMargin))
+
+  /** NB train/test evaluation: model trained on the even-doc_id half,
+    * confusion table from classifying the odd half against its true lang
+    * labels — the accuracy loop, replayed end-to-end (train counts →
+    * smoothed scores → exact-integer argmax → confusion counts) in SQL.
+    */
+  private val nbConfusionGate: Gate = Gate(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val (tc, priors) = graft.ops.Classifier.trainNaiveBayes(
+        docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+      graft.ops.Classifier.nbConfusion(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", "lang", tc, priors)
+        .orderBy("label", "pred")
+    },
+    Some("""WITH w AS (SELECT doc_id, lang,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      | FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(ws) AS token FROM w),
+      |tc AS (SELECT lang AS label, token, count(*) AS cnt FROM tok
+      | WHERE doc_id % 2 = 0 GROUP BY 1,2),
+      |pri AS (SELECT lang AS label, count(*) AS n_docs FROM documents
+      | WHERE doc_id % 2 = 0 GROUP BY 1),
+      |tot AS (SELECT label, sum(cnt) AS tot FROM tc GROUP BY 1),
+      |v AS (SELECT count(DISTINCT token) AS v FROM tc),
+      |n AS (SELECT sum(n_docs) AS n FROM pri),
+      |cls AS (SELECT pri.label,
+      |  CAST(round((ln(pri.n_docs) - ln(n.n)) * 1000000) AS BIGINT) AS prior_e6,
+      |  CAST(round(ln(coalesce(tot.tot, 0) + v.v) * 1000000) AS BIGINT) AS lnt_e6
+      | FROM pri LEFT JOIN tot USING (label) CROSS JOIN v CROSS JOIN n),
+      |tcs AS (SELECT token, label,
+      |  CAST(round(ln(cnt + 1.0) * 1000000) AS BIGINT) AS lnc_e6 FROM tc),
+      |g AS (SELECT doc_id, token, count(*) AS k FROM tok
+      | WHERE doc_id % 2 = 1 GROUP BY 1,2),
+      |sums AS (SELECT g.doc_id, t.label, sum(g.k * t.lnc_e6) AS sum_e6
+      | FROM g JOIN tcs t USING (token) GROUP BY 1,2),
+      |kt AS (SELECT doc_id, sum(k) AS kk FROM g GROUP BY 1),
+      |sc0 AS (SELECT kt.doc_id, cls.label,
+      |  cls.prior_e6 + coalesce(sums.sum_e6, 0) - kt.kk * cls.lnt_e6 AS s_e6
+      | FROM kt CROSS JOIN cls
+      | LEFT JOIN sums ON sums.doc_id = kt.doc_id AND sums.label = cls.label),
+      |best AS (SELECT doc_id,
+      |  (min(struct_pack(ns := -s_e6, l := label))).l AS pred
+      | FROM sc0 GROUP BY 1),
+      |pa AS (SELECT (min(struct_pack(ns := -prior_e6, l := label))).l AS p
+      | FROM cls)
+      |SELECT d.lang AS label, coalesce(best.pred, pa.p) AS pred,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM documents d LEFT JOIN best USING (doc_id) CROSS JOIN pa
+      |WHERE d.doc_id % 2 = 1
+      |GROUP BY 1, 2
+      |ORDER BY label, pred""".stripMargin))
+
+  /** Per-source unigram JS divergence to the whole corpus — the mix-shift
+    * monitor. The closed-form out-of-support correction (1 − Q(supp P))
+    * and the exact scaled-integer term sums are both replayed in SQL.
+    */
+  private val jsDivergenceGate: Gate = Gate(
+    (s, dir) => graft.ops.Divergence.jsDivergence(
+      table(s, dir, "documents"), "source", "text")
+      .orderBy("source"),
+    Some("""WITH gw AS (SELECT source AS g,
+      |  unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+      | FROM documents WHERE source IS NOT NULL),
+      |c AS (SELECT g, w, count(*) AS c FROM gw GROUP BY 1,2),
+      |tg AS (SELECT g, sum(c) AS tg FROM c GROUP BY 1),
+      |cw AS (SELECT w, sum(c) AS cw FROM c GROUP BY 1),
+      |t AS (SELECT sum(cw) AS t FROM cw),
+      |j AS (SELECT c.g, max(tg.tg) AS n_tokens, count(*) AS n_terms,
+      |  sum(CAST(round((CAST(c.c AS DOUBLE)/tg.tg)
+      |    * log2(2.0*(CAST(c.c AS DOUBLE)/tg.tg)
+      |      / ((CAST(c.c AS DOUBLE)/tg.tg)+(CAST(cw.cw AS DOUBLE)/t.t)))
+      |    * 1000000000) AS BIGINT)) AS sp,
+      |  sum(CAST(round((CAST(cw.cw AS DOUBLE)/t.t)
+      |    * log2(2.0*(CAST(cw.cw AS DOUBLE)/t.t)
+      |      / ((CAST(c.c AS DOUBLE)/tg.tg)+(CAST(cw.cw AS DOUBLE)/t.t)))
+      |    * 1000000000) AS BIGINT)) AS sq,
+      |  sum(CAST(round((CAST(cw.cw AS DOUBLE)/t.t) * 1000000000) AS BIGINT)) AS qcov
+      | FROM c JOIN cw USING (w) JOIN tg USING (g) CROSS JOIN t
+      | GROUP BY 1)
+      |SELECT g AS source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      | CAST(n_terms AS BIGINT) AS n_terms,
+      | (sp + sq + 1000000000 - qcov) / 2e9 AS js_bits
+      |FROM j ORDER BY source""".stripMargin))
 
   private val textQuality: Gate = Gate(
     (s, dir) => TextAnalysis.qualitySignals(table(s, dir, "documents"), "doc_id", "text")
@@ -2234,6 +2321,8 @@ object Queries {
     "text_entropy" -> textEntropy,
     "lm_perplexity" -> lmPerplexity,
     "nb_classify" -> nbClassifyGate,
+    "nb_confusion" -> nbConfusionGate,
+    "js_divergence" -> jsDivergenceGate,
     "jsonl_roundtrip" -> jsonlRoundtrip,
     "csv_roundtrip" -> csvRoundtrip,
     "join_table" -> joinTableStage,

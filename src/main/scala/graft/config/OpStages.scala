@@ -377,6 +377,33 @@ object OpStages {
       })
     }
 
+    // NB train/test evaluation: REPLACES the data with the confusion table
+    // (label, pred, n) of classifying it against a model trained on
+    // `train_path` (required — evaluating a self-trained model on its own
+    // training set only reports resubstitution accuracy)
+    PipelineConfig.register("nb_eval") { (name, cfg) =>
+      val (id, text) = ids(cfg)
+      val labelCol = cfg.getStr("label_col").getOrElse("label")
+      val trainPath = cfg.getStr("train_path").getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `train_path` is required"))
+      val trainText = cfg.getStr("train_text_col").getOrElse(text)
+      val trainLabel = cfg.getStr("train_label_col").getOrElse(labelCol)
+      Pipeline.DataStage(name, m => {
+        val (tc, priors) = graft.ops.Classifier.trainNaiveBayes(
+          m.data.sparkSession.read.parquet(trainPath), trainText, trainLabel)
+        graft.ops.Classifier.nbConfusion(m.data, id, text, labelCol, tc, priors)
+      })
+    }
+
+    // per-group unigram JS divergence to the whole corpus (mix-shift
+    // monitoring); REPLACES the data with the per-group divergence table
+    PipelineConfig.register("js_divergence") { (name, cfg) =>
+      val text = cfg.getStr(TextCol).getOrElse("text")
+      val group = cfg.getStr("group_col").getOrElse("source")
+      Pipeline.DataStage(name, m =>
+        graft.ops.Divergence.jsDivergence(m.data, group, text))
+    }
+
     // deterministic Bernoulli sample on the id hash (retry/engine-stable)
     PipelineConfig.register("sample") { (name, cfg) =>
       val id = cfg.getStr(IdCol).getOrElse("doc_id")

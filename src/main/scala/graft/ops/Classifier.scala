@@ -54,7 +54,13 @@ object Classifier {
     */
   def nbScores(docs: DataFrame, idCol: String, textCol: String,
       tokenCounts: DataFrame, priors: DataFrame): DataFrame = {
-    val (scoredE6, _) = scoredFrames(docs, idCol, textCol, tokenCounts, priors)
+    val (likScores, classes) = scoredFrames(docs, idCol, textCol, tokenCounts, priors)
+    // the (doc × class) table, empty docs included: every doc id against
+    // every class, with the prior alone where no token row exists
+    val scoredE6 = docs.select(col(idCol)).crossJoin(broadcast(classes))
+      .join(likScores, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        coalesce(col("__s_e6"), col("__prior_e6")).as("__s_e6"))
     // the argmax rides a per-document window (class-count rows per
     // partition) instead of a groupBy+self-join — one pass, no duplicated
     // stage chain. score = exact integer / 1e6: IEEE division of identical
@@ -69,11 +75,34 @@ object Classifier {
         (col("__s_e6") / lit(1e6)).as("score"), col("__b.l").as("pred"))
   }
 
-  /** Classify: one row per document — (id, pred). */
+  /** Classify: one row per document — (id, pred). Tokenless documents get
+    * the prior argmax (a single broadcast constant), so the expensive
+    * per-(doc, class) expansion only runs over token-bearing documents.
+    */
   def nbClassify(docs: DataFrame, idCol: String, textCol: String,
       tokenCounts: DataFrame, priors: DataFrame): DataFrame = {
-    val (scoredE6, _) = scoredFrames(docs, idCol, textCol, tokenCounts, priors)
-    argmax(scoredE6, idCol)
+    val (likScores, classes) = scoredFrames(docs, idCol, textCol, tokenCounts, priors)
+    docs.select(col(idCol))
+      .join(argmax(likScores, idCol), Seq(idCol), "left")
+      .crossJoin(broadcast(priorArgmax(classes)))
+      .select(col(idCol), coalesce(col("pred"), col("__prior_pred")).as("pred"))
+  }
+
+  /** Train/test evaluation: the confusion table (label, pred, n) from
+    * classifying an eval corpus that carries true labels — the accuracy
+    * loop that decides whether a trained filter ships. Exact counts only,
+    * so the whole evaluation replays in any engine. One chain: likelihood
+    * aggregation → per-doc argmax → label join → count; the true-label
+    * projection doubles as the universe of ids, so no separate id scan.
+    */
+  def nbConfusion(eval: DataFrame, idCol: String, textCol: String,
+      labelCol: String, tokenCounts: DataFrame, priors: DataFrame): DataFrame = {
+    val (likScores, classes) = scoredFrames(eval, idCol, textCol, tokenCounts, priors)
+    eval.select(col(idCol), col(labelCol).as("label"))
+      .join(argmax(likScores, idCol), Seq(idCol), "left")
+      .crossJoin(broadcast(priorArgmax(classes)))
+      .groupBy(col("label"), coalesce(col("pred"), col("__prior_pred")).as("pred"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** argmax over exact integers: min of (−score, label) ⇒ highest score,
@@ -85,8 +114,31 @@ object Classifier {
         .as("__b"))
       .select(col(idCol), col("__b.l").as("pred"))
 
-  /** The exact per-(doc, class) scaled-integer score frame
-    * (id, label, __s_e6) shared by [[nbScores]] and [[nbClassify]].
+  /** The class a tokenless document gets: argmax of the priors alone, as a
+    * 1-row broadcastable frame (same exact-integer tiebreak).
+    */
+  private def priorArgmax(classes: DataFrame): DataFrame =
+    classes
+      .agg(min(struct((-col("__prior_e6")).as("ns"), col("label").as("l")))
+        .as("__b"))
+      .select(col("__b.l").as("__prior_pred"))
+
+  /** The exact per-(doc, class) scaled-integer score frame for
+    * TOKEN-BEARING documents — (id, label, __s_e6) — plus the class frame
+    * (label, __prior_e6, __lnt_e6). Shared by score/classify/evaluate.
+    *
+    * The smoothed likelihood DECOMPOSES so the corpus-sized join never
+    * expands by the class count: a (token, class) pair absent from the
+    * model contributes ln(0+1) = 0, so
+    *
+    *   s(id,c) = prior(c) + Σ_w k_w·ln(cnt_wc+1) − K_id·ln(tot_c+V)
+    *
+    * needs only the INNER join of doc grams to model rows on token (the
+    * per-class sums and the doc's token total K aggregate from that one
+    * gram frame), and the ×nclasses expansion happens afterwards on the
+    * per-document aggregates — class-count rows per doc, not per token.
+    * Each ln is individually rounded to 1e-6 (that exact decomposition is
+    * the engine-portable contract).
     */
   private def scoredFrames(docs: DataFrame, idCol: String, textCol: String,
       tokenCounts: DataFrame, priors: DataFrame): (DataFrame, DataFrame) = {
@@ -113,15 +165,17 @@ object Classifier {
       .select(col("label"),
         round((log(col("n_docs")) - log(col("__n"))) * lit(1e6))
           .cast(LongType).as("__prior_e6"),
-        coalesce(col("__tot"), lit(0L)).as("__tot"), col("__v"))
-      // always true (n_docs <= N ⇒ ln prior <= 0; a null label would be a
-      // degenerate null class): pins __prior_e6 — and transitively
-      // priors/nTotal — into BOTH consumers' column sets and states the
-      // constraint the outer join would infer on only one copy, so the two
-      // copies of this frame prune and filter identically and the priors
-      // aggregation is computed once instead of re-scanning the seed as a
-      // pruned distinct + a rows-only count
-      .where(col("__prior_e6") <= 0L && col("label").isNotNull)
+        round(log(coalesce(col("__tot"), lit(0L)) + col("__v")) * lit(1e6))
+          .cast(LongType).as("__lnt_e6"))
+      // always true (n_docs <= N ⇒ ln prior <= 0; tot+V >= 1 ⇒ lnt >= 0;
+      // a null label would be a degenerate null class): pins BOTH derived
+      // columns — and transitively priors/nTotal/totals/vocab — into every
+      // consumer's column set and states the constraint the outer join
+      // would infer on only one copy, so the copies of this frame prune
+      // and filter identically and the seed aggregations are computed once
+      // instead of re-scanning per branch
+      .where(col("__prior_e6") <= 0L && col("__lnt_e6") >= 0L &&
+        col("label").isNotNull)
 
     val grams = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
@@ -129,18 +183,19 @@ object Classifier {
       .agg(count(lit(1)).as("__k"))
       .where(col(idCol).isNotNull && col("token").isNotNull)
 
-    val termE6 = round((log(coalesce(col("cnt"), lit(0L)) + lit(1.0)) -
-      log(col("__tot") + col("__v"))) * lit(1e6)).cast(LongType)
-    val likSums = grams
-      .crossJoin(broadcast(classes))
-      .join(tcUsed, Seq("token", "label"), "left")
+    val tcScored = tcUsed.select(col("token"), col("label"),
+      round(log(col("cnt") + lit(1.0)) * lit(1e6)).cast(LongType)
+        .as("__lnc_e6"))
+    val sums = grams
+      .join(tcScored, Seq("token"))
       .groupBy(col(idCol), col("label"))
-      .agg(sum(col("__k") * termE6).as("__lik_e6"))
-
-    val scoredE6 = docs.select(col(idCol)).crossJoin(broadcast(classes))
-      .join(likSums, Seq(idCol, "label"), "left")
+      .agg(sum(col("__k") * col("__lnc_e6")).as("__sum_e6"))
+    val kTot = grams.groupBy(col(idCol)).agg(sum("__k").as("__kk"))
+    val likScores = kTot.crossJoin(broadcast(classes))
+      .join(sums, Seq(idCol, "label"), "left")
       .select(col(idCol), col("label"),
-        (col("__prior_e6") + coalesce(col("__lik_e6"), lit(0L))).as("__s_e6"))
-    (scoredE6, classes)
+        (col("__prior_e6") + coalesce(col("__sum_e6"), lit(0L)) -
+          col("__kk") * col("__lnt_e6")).as("__s_e6"))
+    (likScores, classes)
   }
 }

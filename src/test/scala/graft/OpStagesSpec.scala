@@ -698,6 +698,29 @@ class OpStagesSpec extends SparkSpec {
     assert(clash.getMessage.contains("nb_pred"))
   }
 
+  test("nb_eval and js_divergence stages replace data with their report tables") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nbe").toString
+    docs.withColumn("label", when(col("source") === "web", "w").otherwise("b"))
+      .write.mode("overwrite").parquet(s"$tmp/seed")
+    val conf = Pipeline.run(spark, emptyMeds(
+      docs.withColumn("label", when(col("source") === "web", "w").otherwise("b"))),
+      PipelineConfig.fromYaml(
+        s"stages:\n  - nb_eval:\n      train_path: $tmp/seed\n").stages).data
+    assert(conf.columns.toSeq === Seq("label", "pred", "n"))
+    // counts partition the eval set; smoothed NB resubstitution is not
+    // guaranteed diagonal, so assert the accounting, not the accuracy
+    assert(conf.agg(sum("n")).collect()(0).getLong(0) === docs.count())
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromYaml("stages:\n  - nb_eval\n").stages.head
+        .asInstanceOf[Pipeline.DataStage]
+    }
+
+    val jsd = Pipeline.run(spark, emptyMeds(docs),
+      PipelineConfig.fromYaml("stages:\n  - js_divergence\n").stages).data
+    assert(jsd.columns.toSeq === Seq("source", "n_tokens", "n_terms", "js_bits"))
+    assert(jsd.count() === 2L) // web + books
+  }
+
   test("hygiene stages honor train_only orchestration") {
     // train_only resolves splits per subject_id — documents pipelines carry
     // one (here 1:1 with doc_id)
