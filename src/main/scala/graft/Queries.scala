@@ -1892,6 +1892,116 @@ object Queries {
       | ("offset" % 256) + n_tokens > 256 AS straddles
       |FROM o ORDER BY doc_id""".stripMargin))
 
+  private[graft] val AnalysisYaml: String =
+    Seq("config/analysis_pipeline.yaml",
+      "/root/repo/config/analysis_pipeline.yaml")
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse("config/analysis_pipeline.yaml")
+
+  /** Stage the analysis pipeline's per-run input (the documents table as a
+    * CSV corpus, plus the runner's input-root contract) and return the
+    * per-run overrides — shared by the gate and AnalysisPipelineSpec.
+    */
+  private[graft] def stageAnalysisInputs(s: SparkSession, dir: String,
+      tmp: String): Seq[String] = {
+    val corpus = table(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source")
+    graft.sources.CorpusSources.writeCsv(corpus, s"$tmp/corpus")
+    def empty(schema: org.apache.spark.sql.types.StructType) =
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    graft.meds.MedsIO.write(graft.meds.MedsData(corpus.limit(1),
+      empty(graft.meds.MedsSchema.codesSchema),
+      empty(graft.meds.MedsSchema.splitsSchema)), s"$tmp/in")
+    Seq(s"stages.load_csv.path=$tmp/corpus")
+  }
+
+  /** The composed ANALYSIS pipeline as one gate: the committed
+    * `config/analysis_pipeline.yaml` (CSV source → self-trained bigram-LM
+    * perplexity → fluency filter → self-trained NB language classification
+    * → per-predicted-class unigram-JSD drift report) through the graft.Main
+    * CLI, output root read back. The oracle replays the ENTIRE chain —
+    * LM training and scoring, the avg_nll threshold, NB training ON THE
+    * FILTERED SURVIVORS, the exact-integer argmax, and the JSD report
+    * grouped by the PREDICTED class — reusing the per-stage gates' verified
+    * SQL fragments CTE-by-CTE.
+    */
+  private val analysisPipeline: Gate = Gate(
+    (s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_analysis_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      rmTree(java.nio.file.Paths.get(tmp))
+      val overrides = stageAnalysisInputs(s, dir, tmp)
+      Main.run(Array(AnalysisYaml, s"$tmp/in", s"$tmp/out") ++ overrides, s)
+      graft.meds.MedsIO.read(s, s"$tmp/out").data
+        .select(col("nb_pred"), col("n_tokens"), col("n_terms"), col("js_bits"))
+        .orderBy("nb_pred")
+    },
+    Some("""WITH w AS (SELECT doc_id, lang, source,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      | FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |  i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+      | FROM w WHERE len(ws) >= 2),
+      |gr AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS k
+      | FROM bg GROUP BY 1,2,3),
+      |lm AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS cnt FROM bg GROUP BY 1,2),
+      |ctx AS (SELECT w1, sum(cnt) AS ctx FROM lm GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT wd) AS v FROM (
+      | SELECT w1 AS wd FROM lm UNION ALL SELECT w2 FROM lm)),
+      |ppl AS (SELECT gr.doc_id,
+      |  -sum(gr.k * CAST(round((ln(coalesce(lm.cnt,0)+1.0)
+      |    - ln(coalesce(ctx.ctx,0)+vv.v)) * 1000000) AS BIGINT))
+      |    / (sum(gr.k) * 1000000.0) AS avg_nll
+      | FROM gr LEFT JOIN lm USING (w1, w2) LEFT JOIN ctx USING (w1)
+      | CROSS JOIN vv GROUP BY 1),
+      |f AS (SELECT w.doc_id, w.lang, w.ws FROM w JOIN ppl USING (doc_id)
+      | WHERE ppl.avg_nll <= 3.4),
+      |tok AS (SELECT doc_id, lang, unnest(ws) AS token FROM f),
+      |tc AS (SELECT lang AS label, token, count(*) AS cnt FROM tok GROUP BY 1,2),
+      |pri AS (SELECT lang AS label, count(*) AS n_docs FROM f GROUP BY 1),
+      |tot AS (SELECT label, sum(cnt) AS tot FROM tc GROUP BY 1),
+      |v2 AS (SELECT count(DISTINCT token) AS v FROM tc),
+      |n2 AS (SELECT sum(n_docs) AS n FROM pri),
+      |cls AS (SELECT pri.label,
+      |  CAST(round((ln(pri.n_docs) - ln(n2.n)) * 1000000) AS BIGINT) AS prior_e6,
+      |  CAST(round(ln(coalesce(tot.tot, 0) + v2.v) * 1000000) AS BIGINT) AS lnt_e6
+      | FROM pri LEFT JOIN tot USING (label) CROSS JOIN v2 CROSS JOIN n2),
+      |tcs AS (SELECT token, label,
+      |  CAST(round(ln(cnt + 1.0) * 1000000) AS BIGINT) AS lnc_e6 FROM tc),
+      |g AS (SELECT doc_id, token, count(*) AS k FROM tok GROUP BY 1,2),
+      |sums AS (SELECT g.doc_id, t.label, sum(g.k * t.lnc_e6) AS sum_e6
+      | FROM g JOIN tcs t USING (token) GROUP BY 1,2),
+      |kt AS (SELECT doc_id, sum(k) AS kk FROM g GROUP BY 1),
+      |sc0 AS (SELECT kt.doc_id, cls.label,
+      |  cls.prior_e6 + coalesce(sums.sum_e6, 0) - kt.kk * cls.lnt_e6 AS s_e6
+      | FROM kt CROSS JOIN cls
+      | LEFT JOIN sums ON sums.doc_id = kt.doc_id AND sums.label = cls.label),
+      |best AS (SELECT doc_id,
+      |  (min(struct_pack(ns := -s_e6, l := label))).l AS pred
+      | FROM sc0 GROUP BY 1),
+      |fp AS (SELECT f.doc_id, best.pred, f.ws FROM f JOIN best USING (doc_id)),
+      |gw AS (SELECT pred AS gp, unnest(ws) AS tw FROM fp),
+      |c3 AS (SELECT gp, tw, count(*) AS c FROM gw GROUP BY 1,2),
+      |tg AS (SELECT gp, sum(c) AS tg FROM c3 GROUP BY 1),
+      |cw AS (SELECT tw, sum(c) AS cw FROM c3 GROUP BY 1),
+      |tt AS (SELECT sum(cw) AS t FROM cw),
+      |j AS (SELECT c3.gp, max(tg.tg) AS n_tokens, count(*) AS n_terms,
+      |  sum(CAST(round((CAST(c3.c AS DOUBLE)/tg.tg)
+      |    * log2(2.0*(CAST(c3.c AS DOUBLE)/tg.tg)
+      |      / ((CAST(c3.c AS DOUBLE)/tg.tg)+(CAST(cw.cw AS DOUBLE)/tt.t)))
+      |    * 1000000000) AS BIGINT)) AS sp,
+      |  sum(CAST(round((CAST(cw.cw AS DOUBLE)/tt.t)
+      |    * log2(2.0*(CAST(cw.cw AS DOUBLE)/tt.t)
+      |      / ((CAST(c3.c AS DOUBLE)/tg.tg)+(CAST(cw.cw AS DOUBLE)/tt.t)))
+      |    * 1000000000) AS BIGINT)) AS sq,
+      |  sum(CAST(round((CAST(cw.cw AS DOUBLE)/tt.t) * 1000000000) AS BIGINT)) AS qcov
+      | FROM c3 JOIN cw USING (tw) JOIN tg USING (gp) CROSS JOIN tt
+      | GROUP BY 1)
+      |SELECT gp AS nb_pred, CAST(n_tokens AS BIGINT) AS n_tokens,
+      | CAST(n_terms AS BIGINT) AS n_terms,
+      | (sp + sq + 1000000000 - qcov) / 2e9 AS js_bits
+      |FROM j ORDER BY nb_pred""".stripMargin))
+
   /** The corpus the composed curation gate (and its spec) runs on: the c4
     * gate's proven multi-line construction — six lines exercising every C4
     * rule arithmetically — which ALSO manufactures corpus-level duplicate
@@ -2352,6 +2462,7 @@ object Queries {
     "pack_sequences" -> packSequences,
     "packing_summary" -> packingSummaryGate,
     "curation_pipeline" -> curationPipeline,
+    "analysis_pipeline" -> analysisPipeline,
     "stratified_cap" -> stratifiedCap,
     "token_budget_cap" -> tokenBudgetCap,
     "resample_mix" -> resampleMix,
