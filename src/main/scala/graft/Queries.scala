@@ -236,6 +236,56 @@ object Queries {
       | round(quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.75),4) AS p75
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Incremental metadata: the events table split into two "releases"
+    * (event_id parity), each aggregated into mergeable partials, the
+    * partials merged, and the full metadata derived from the merged artifact
+    * alone — verified against a full recompute in DuckDB. At 100 TB this is
+    * the path that aggregates each new crawl once and never rescans old
+    * shards; the gate proves the merge is EXACT, not approximate.
+    */
+  private val aggCodeMetadataIncr: Gate = Gate(
+    (s, dir) => {
+      val ev = medsEvents(s, dir)
+      val parts = Seq(
+        AggregateCodeMetadata.partials(ev.filter(col("event_id") % 2 === 0)),
+        AggregateCodeMetadata.partials(ev.filter(col("event_id") % 2 === 1)))
+      val merged = AggregateCodeMetadata.mergePartials(parts)
+      val m = AggregateCodeMetadata.fromPartials(merged,
+        Seq(CodeNSubjects, CodeNOccurrences, ValuesNSubjects, ValuesNOccurrences,
+          ValuesNInts, ValuesSum, ValuesMin, ValuesMax, ValuesQuantiles),
+        quantiles = Seq(0.5), quantileMode = "linear")
+        // exact scaled-integer sum-of-squares straight off the merged
+        // histogram: fully order-independent
+        .join(merged.valueHist.groupBy(Code).agg(
+          sum(round(when(col("__v").isNotNull && !isnan(col("__v")),
+            col("__v") * col("__v") * 10000)) * col("__cnt"))
+            .cast(LongType).as("values_sum_sqd_e4")), Seq(Code))
+      m.select(col(Code).as("code"),
+        col(CodeNSubjects).as("n_subjects"),
+        col(CodeNOccurrences).as("n_occurrences"),
+        col(ValuesNSubjects).as("values_n_subjects"),
+        col(ValuesNOccurrences).as("values_n_occurrences"),
+        col(ValuesNInts).as("values_n_ints"),
+        r3(col(ValuesSum)).as("values_sum"),
+        col("values_sum_sqd_e4"),
+        col(ValuesMin).as("values_min"),
+        col(ValuesMax).as("values_max"),
+        r4(col(ValuesQuantiles).getField("values/quantile/0.5")).as("values_p50"))
+        .orderBy("code")
+    },
+    Some("""SELECT event_type AS code,
+      | count(DISTINCT user_id) AS n_subjects,
+      | count(*) AS n_occurrences,
+      | count(DISTINCT CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN user_id END) AS values_n_subjects,
+      | count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_n_occurrences,
+      | count(CASE WHEN value IS NOT NULL AND NOT isnan(value) AND round(value)=value THEN value END) AS values_n_ints,
+      | round(coalesce(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END),0),3) AS values_sum,
+      | CAST(sum(round(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value*value*10000 END)) AS BIGINT) AS values_sum_sqd_e4,
+      | min(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_min,
+      | max(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_max,
+      | round(quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.5),4) AS values_p50
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val fitVocab: Gate = Gate(
     (s, dir) => {
       val codes = medsEvents(s, dir).select(Code).distinct()
@@ -1065,6 +1115,54 @@ object Queries {
       |FROM documents d LEFT JOIN sc USING (doc_id)
       |ORDER BY doc_id""".stripMargin))
 
+  /** CCNet head/middle/tail: self-trained perplexity, bucketed into
+    * per-language equal-population thirds via the exact histogram-rank
+    * thresholds — the full chain (LM → score → threshold → bucket) replayed
+    * in SQL, so a drift in threshold convention or boundary tie-break
+    * breaks the hash.
+    */
+  private val pplBuckets: Gate = Gate(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(graft.ops.LanguageModel.selfPerplexity(docs, "doc_id", "text")
+          .select(col("doc_id"), col("ppl")), Seq("doc_id"))
+      graft.ops.LanguageModel.perplexityBuckets(scored, "ppl", Seq("lang"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      | FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |  i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+      | FROM w WHERE len(ws) >= 2),
+      |gr AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS k
+      | FROM bg GROUP BY 1,2,3),
+      |lm AS (SELECT w1, w2, sum(k) AS cnt FROM gr GROUP BY 1,2),
+      |ctx AS (SELECT w1, sum(cnt) AS ctx FROM lm GROUP BY 1),
+      |v AS (SELECT count(DISTINCT wd) AS v FROM (
+      | SELECT w1 AS wd FROM lm UNION ALL SELECT w2 FROM lm)),
+      |sc AS (SELECT gr.doc_id, sum(gr.k) AS n_bigrams,
+      |  sum(gr.k * CAST(round((ln(coalesce(lm.cnt,0)+1.0)
+      |    - ln(coalesce(ctx.ctx,0)+v.v)) * 1000000) AS BIGINT)) AS s_e6
+      | FROM gr LEFT JOIN lm USING (w1, w2) LEFT JOIN ctx USING (w1)
+      | CROSS JOIN v GROUP BY 1),
+      |scored AS (SELECT d.doc_id, d.lang,
+      |  round(exp(-sc.s_e6 / (sc.n_bigrams * 1000000.0)), 2) AS ppl
+      | FROM documents d LEFT JOIN sc USING (doc_id)),
+      |hist AS (SELECT lang, ppl, count(*) AS c FROM scored
+      | WHERE ppl IS NOT NULL GROUP BY 1,2),
+      |cum AS (SELECT lang, ppl,
+      |  sum(c) OVER (PARTITION BY lang ORDER BY ppl) AS cum,
+      |  sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+      |th AS (SELECT lang, min(CASE WHEN cum*3 >= n*1 THEN ppl END) AS t1,
+      |  min(CASE WHEN cum*3 >= n*2 THEN ppl END) AS t2 FROM cum GROUP BY 1)
+      |SELECT s.doc_id, s.lang, s.ppl,
+      | CASE WHEN s.ppl IS NULL THEN NULL ELSE CAST(
+      |  1 + CAST(s.ppl > th.t1 AS INTEGER) + CAST(s.ppl > th.t2 AS INTEGER)
+      |  AS INTEGER) END AS ppl_bucket
+      |FROM scored s LEFT JOIN th USING (lang) ORDER BY doc_id""".stripMargin))
+
   /** Naive Bayes classifier gate: train on the corpus with `lang` as the
     * label, emit the per-(doc, class) joint log-probability table plus the
     * argmax prediction — the full model replayed in SQL (counts + logs),
@@ -1892,6 +1990,67 @@ object Queries {
       | ("offset" % 256) + n_tokens > 256 AS straddles
       |FROM o ORDER BY doc_id""".stripMargin))
 
+  /** Sliding-window chunking: window 24, stride 16 (overlap 8) over the
+    * documents table — the full layout (chunk count formula, boundary
+    * clamping, empty-doc exclusion, chunk text assembly) replayed in SQL.
+    */
+  private val chunkDocuments: Gate = Gate(
+    (s, dir) => Packing.chunkDocuments(table(s, dir, "documents"),
+      "doc_id", "text", window = 24, stride = 16)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+      | FROM documents WHERE text IS NOT NULL),
+      |d AS (SELECT doc_id, ws, len(ws) AS n,
+      |  CASE WHEN len(ws) <= 24 THEN 1
+      |       ELSE 1 + (len(ws) - 24 + 15) // 16 END AS n_chunks
+      | FROM t WHERE len(ws) > 0),
+      |c AS (SELECT doc_id, n, ws, unnest(range(0, n_chunks)) AS i FROM d)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      | CAST(i AS BIGINT) AS chunk_idx,
+      | CAST(least(i*16 + 24, n) - i*16 AS BIGINT) AS chunk_tokens,
+      | array_to_string(ws[i*16 + 1 : least(i*16 + 24, n)], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Deterministic global shuffle: the reproducible corpus permutation
+    * (hash-of-id order, scalable two-pass global numbering) replayed in SQL
+    * as a row_number over the same md5-derived unit hash.
+    */
+  private val shuffleRows: Gate = Gate(
+    (s, dir) => Sampling.deterministicShuffle(
+        table(s, dir, "documents").select("doc_id"), "doc_id")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(row_number() OVER (ORDER BY
+      |  (('0x' || substr(md5(doc_id::VARCHAR || ':42'),1,14))::BIGINT
+      |    % 1000000000)/1000000000.0, doc_id) AS BIGINT) AS shuffle_pos
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Z-order interleave: the Morton spread ladder replayed bit-for-bit in
+    * SQL (DuckDB bitwise ops) over lineitem's part/supp keys — any drift in
+    * a mask or shift breaks the hash. The LAYOUT payoff (tight per-file
+    * footer ranges on both columns) is spec-locked in LayoutSpec.
+    */
+  private val zorderValues: Gate = Gate(
+    (s, dir) => table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Layout.zValue(Seq(
+          pmod(col("l_partkey"), lit(65536)),
+          pmod(col("l_suppkey"), lit(65536)))).as("z"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""WITH r AS (SELECT l_orderkey, l_linenumber,
+      |  CAST(l_partkey % 65536 AS BIGINT) AS x,
+      |  CAST(l_suppkey % 65536 AS BIGINT) AS y FROM lineitem),
+      |s1 AS (SELECT *, (x | (x<<8)) & 16711935 AS xa,
+      |  (y | (y<<8)) & 16711935 AS ya FROM r),
+      |s2 AS (SELECT *, (xa | (xa<<4)) & 252645135 AS xb,
+      |  (ya | (ya<<4)) & 252645135 AS yb FROM s1),
+      |s3 AS (SELECT *, (xb | (xb<<2)) & 858993459 AS xc,
+      |  (yb | (yb<<2)) & 858993459 AS yc FROM s2),
+      |s4 AS (SELECT *, (xc | (xc<<1)) & 1431655765 AS xd,
+      |  (yc | (yc<<1)) & 1431655765 AS yd FROM s3)
+      |SELECT l_orderkey, l_linenumber, CAST(xd | (yd << 1) AS BIGINT) AS z
+      |FROM s4 ORDER BY 1,2""".stripMargin))
+
   private[graft] val AnalysisYaml: String =
     Seq("config/analysis_pipeline.yaml",
       "/root/repo/config/analysis_pipeline.yaml")
@@ -2399,6 +2558,7 @@ object Queries {
     "q3_segment_revenue" -> q3Segment,
     "q5_nation_revenue" -> q5Nation,
     "agg_code_metadata" -> aggCodeMetadata,
+    "agg_code_metadata_incr" -> aggCodeMetadataIncr,
     "agg_code_quantiles" -> aggCodeQuantiles,
     "fit_vocab_indices" -> fitVocab,
     "filter_subjects" -> filterSubjects,
@@ -2430,6 +2590,7 @@ object Queries {
     "text_tokens" -> textTokens,
     "text_entropy" -> textEntropy,
     "lm_perplexity" -> lmPerplexity,
+    "ppl_buckets" -> pplBuckets,
     "nb_classify" -> nbClassifyGate,
     "nb_confusion" -> nbConfusionGate,
     "js_divergence" -> jsDivergenceGate,
@@ -2460,6 +2621,9 @@ object Queries {
     "knn_join" -> knnJoin,
     "sample_split" -> sampleSplit,
     "pack_sequences" -> packSequences,
+    "chunk_documents" -> chunkDocuments,
+    "zorder_values" -> zorderValues,
+    "shuffle_rows" -> shuffleRows,
     "packing_summary" -> packingSummaryGate,
     "curation_pipeline" -> curationPipeline,
     "analysis_pipeline" -> analysisPipeline,

@@ -354,6 +354,66 @@ object OpStages {
       })
     }
 
+    // deterministic global shuffle: append the reproducible permutation
+    // position (same seed -> same order anywhere); write sorted by it for
+    // in-order streaming shards
+    PipelineConfig.register("shuffle_rows") { (name, cfg) =>
+      val id = cfg.getStr(IdCol).getOrElse("doc_id")
+      val outCol = cfg.getStr("output_col").getOrElse("shuffle_pos")
+      val seed = cfg.getLong("seed").getOrElse(42L)
+      Pipeline.DataStage(name, m => {
+        require(!m.data.columns.contains(outCol),
+          s"stage $name: output column $outCol already exists in the input")
+        Sampling.deterministicShuffle(m.data, id, outCol, seed)
+      })
+    }
+
+    // Z-order layout: append the interleaved `__z` curve position over
+    // `cols` (2-3 numeric columns) and range-partition+sort by it, so the
+    // following write's parquet footers carry tight min/max on EVERY listed
+    // column — multi-column data skipping from plain parquet
+    PipelineConfig.register("zorder_layout") { (name, cfg) =>
+      val cols = cfg.getList("cols").collect { case Cfg.S(s) => s }
+      require(cols.size == 2 || cols.size == 3,
+        s"stage $name: `cols` needs 2 or 3 columns, got ${cols.size}")
+      val numFiles = cfg.getLong("num_files").getOrElse(64L).toInt
+      Pipeline.DataStage(name, m =>
+        graft.ops.Layout.zOrderBy(m.data, cols, numFiles))
+    }
+
+    // sliding-window chunking: REPLACES the data with chunk-grain rows
+    // (id, n_tokens, chunk_idx, chunk_tokens, chunk_text) — the
+    // long-document dual of pack_sequences
+    PipelineConfig.register("chunk_documents") { (name, cfg) =>
+      val (id, text) = ids(cfg)
+      val window = cfg.getLong("window").getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `window` is required")).toInt
+      val stride = cfg.getLong("stride").getOrElse(window.toLong).toInt
+      Pipeline.DataStage(name, m =>
+        Packing.chunkDocuments(m.data, id, text, window, stride))
+    }
+
+    // CCNet head/middle/tail: bucket an LM-scored corpus into per-group
+    // equal-population bands on `ppl_col` (append `ppl_bucket` 1..n_buckets);
+    // compose after lm_perplexity — `keep_buckets: [1,2]` then also filters
+    // to CCNet's curated head+middle
+    PipelineConfig.register("ppl_buckets") { (name, cfg) =>
+      val pplCol = cfg.getStr("ppl_col").getOrElse("ppl")
+      val groupCols = cfg.getList("group_by").collect { case Cfg.S(s) => s }
+      val nBuckets = cfg.getLong("n_buckets").getOrElse(3L).toInt
+      val keep = cfg.getList("keep_buckets").collect { case Cfg.I(i) => i.toInt }
+      Pipeline.DataStage(name, m => {
+        require(m.data.columns.contains(pplCol),
+          s"stage $name: score column `$pplCol` not in the input — " +
+            "compose after lm_perplexity or point ppl_col at your score")
+        require(!m.data.columns.contains("ppl_bucket"),
+          s"stage $name: output column ppl_bucket already exists in the input")
+        val b = graft.ops.LanguageModel.perplexityBuckets(
+          m.data, pplCol, groupCols, nBuckets)
+        if (keep.isEmpty) b else b.filter(col("ppl_bucket").isin(keep: _*))
+      })
+    }
+
     // Naive Bayes classifier: train on the labeled corpus at `train_path`
     // (default: the data itself) with `label_col`, append the predicted
     // class as `output_col` (default `nb_pred`)

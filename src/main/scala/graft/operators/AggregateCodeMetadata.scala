@@ -187,4 +187,254 @@ object AggregateCodeMetadata {
     GraftFunctions.shrinkIntColumns(merged,
       Seq(CodeNSubjects, CodeNOccurrences, ValuesNSubjects, ValuesNOccurrences, ValuesNInts))
   }
+
+  // =====================================================================
+  // Incremental metadata: exact mergeable partial aggregates
+  // =====================================================================
+
+  /** The mergeable partial-aggregate artifact for incremental metadata.
+    *
+    * The reference's map/reduce split (mapreduce/stage.py per-shard partials
+    * + n-ary outer-join reduction) recomputes from raw shards every run. At
+    * 100 TB the winning shape is partials that PERSIST and MERGE: aggregate
+    * each new data increment once, union its partials with the previous
+    * release's, and derive the full metadata table from the merged artifact —
+    * old shards are never rescanned.
+    *
+    * Two frames, both metadata-sized (bounded by distinct (key, value) /
+    * (key, subject) pairs, not by row count):
+    *
+    *  - `valueHist`: (keys…, __v, __cnt) — the per-key value histogram with
+    *    multiplicities, null/NaN values included as their own buckets. Every
+    *    count/sum/min/max/quantile aggregation derives from it EXACTLY
+    *    (quantiles via cumulative nearest-rank / linear-interp lookup, which
+    *    only needs sorted (value, multiplicity) runs — the same information
+    *    a full sort of the raw rows would yield).
+    *  - `subjects`: (keys…, subject_id, __has_value) — per-key distinct
+    *    subjects with a "has a present value" flag; both distinct-subject
+    *    counts derive from it.
+    *
+    * Merge = union + re-aggregate (sum counts, max flags): associative,
+    * commutative, and exact — `fromPartials(merge(partials(a), partials(b)))`
+    * equals `compute(a union b)` (double sums to the summation-order ulp;
+    * counts, min/max, and quantiles bit-exactly). Spark normalizes -0.0 to
+    * 0.0 and collapses NaNs in grouping keys, which is value-preserving for
+    * every derived metric (the collapsed buckets compare equal everywhere
+    * they are used).
+    */
+  final case class MetadataPartials(valueHist: DataFrame, subjects: DataFrame) {
+    /** Persist both frames under `dir` (build-once / merge-many). */
+    def write(dir: String): Unit = {
+      valueHist.write.mode("overwrite").parquet(s"$dir/value_hist.parquet")
+      subjects.write.mode("overwrite").parquet(s"$dir/subjects.parquet")
+    }
+  }
+
+  object MetadataPartials {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): MetadataPartials =
+      MetadataPartials(
+        spark.read.parquet(s"$dir/value_hist.parquet"),
+        spark.read.parquet(s"$dir/subjects.parquet"))
+  }
+
+  /** Aggregate one data increment into its mergeable partials. One scan,
+    * two shuffles (each on the artifact's own grouping key, map-side
+    * combined — the hot codes collapse per task before either exchange).
+    */
+  def partials(data: DataFrame, codeModifiers: Seq[String] = Nil): MetadataPartials = {
+    val keys = Code +: codeModifiers
+    val hist = data
+      .groupBy((keys.map(col) :+ col(NumericValue).cast("double").as("__v")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val subj = data
+      .groupBy((keys.map(col) :+ col(SubjectId)): _*)
+      .agg(max(when(valPresent, 1).otherwise(0)).as("__has_value"))
+    MetadataPartials(hist, subj)
+  }
+
+  /** Merge partial artifacts (any number, any grouping of increments —
+    * associative and commutative). Union + re-aggregate; the inputs are
+    * metadata-sized, so this never touches raw data.
+    */
+  def mergePartials(parts: Seq[MetadataPartials],
+      codeModifiers: Seq[String] = Nil): MetadataPartials = {
+    require(parts.nonEmpty, "mergePartials: empty partial list")
+    val keys = Code +: codeModifiers
+    val hist = parts.map(_.valueHist).reduce(_ unionByName _)
+      .groupBy((keys :+ "__v").map(col): _*)
+      .agg(sum("__cnt").as("__cnt"))
+    val subj = parts.map(_.subjects).reduce(_ unionByName _)
+      .groupBy((keys :+ SubjectId).map(col): _*)
+      .agg(max("__has_value").as("__has_value"))
+    MetadataPartials(hist, subj)
+  }
+
+  /** Derive the full metadata table from a (merged) partial artifact —
+    * the same output contract as [[compute]], computed without touching raw
+    * data. `quantileMode` "nearest" matches the reference's Polars default
+    * (index round(q·(n−1)) half-away-from-zero); "linear" matches the SQL
+    * `quantile_cont` convention. All plan inputs are metadata-sized.
+    */
+  def fromPartials(
+      p: MetadataPartials,
+      aggregations: Seq[String] = AllAggregations,
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      codeModifiers: Seq[String] = Nil,
+      summarizeOverAllCodes: Boolean = false,
+      quantileMode: String = "nearest"): DataFrame = {
+    val keyed = fromPartialsKeyed(p, aggregations, quantiles,
+      Code +: codeModifiers, quantileMode)
+    if (!summarizeOverAllCodes) keyed
+    else {
+      val keyNulls = (Code +: codeModifiers)
+        .map(k => lit(null).cast("string").as(k))
+      val total = fromPartialsKeyed(p, aggregations, quantiles, Nil, quantileMode)
+      keyed.unionByName(total.select(keyNulls ++
+        total.columns.map(col): _*))
+    }
+  }
+
+  private def fromPartialsKeyed(
+      p: MetadataPartials,
+      aggregations: Seq[String],
+      quantiles: Seq[Double],
+      keys: Seq[String],
+      quantileMode: String): DataFrame = {
+    val present = col("__v").isNotNull && !isnan(col("__v"))
+    val presentCnt = when(present, col("__cnt"))
+
+    def grouped(df: DataFrame, aggs: Seq[Column]): DataFrame =
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+    // scalar metrics straight off the histogram
+    val histAggs = Seq(
+      coalesce(sum("__cnt"), lit(0L)).as(CodeNOccurrences),
+      coalesce(sum(presentCnt), lit(0L)).as(ValuesNOccurrences),
+      coalesce(sum(when(present && round(col("__v")) === col("__v"), col("__cnt"))),
+        lit(0L)).as(ValuesNInts),
+      coalesce(sum(when(present, col("__v") * col("__cnt"))), lit(0.0)).as(ValuesSum),
+      coalesce(sum(when(present, col("__v") * col("__v") * col("__cnt"))), lit(0.0))
+        .as(ValuesSumSqd),
+      min(when(present, col("__v"))).as(ValuesMin),
+      max(when(present, col("__v"))).as(ValuesMax))
+    val scalars = grouped(p.valueHist, histAggs)
+
+    // keyed: the artifact is distinct-by-(keys, subject), so a row count IS
+    // the distinct-subject count; over-all (keys empty): a subject can
+    // appear under many codes — dedupe across the key space
+    val subjAggs =
+      if (keys.nonEmpty) Seq(
+        count(lit(1)).as(CodeNSubjects),
+        coalesce(sum("__has_value"), lit(0L)).cast("long").as(ValuesNSubjects))
+      else Seq(
+        count_distinct(col(SubjectId)).as(CodeNSubjects),
+        count_distinct(when(col("__has_value") === 1, col(SubjectId)))
+          .as(ValuesNSubjects))
+    val subj = grouped(p.subjects, subjAggs)
+
+    // quantiles: cumulative-count rank lookup over the per-key sorted
+    // histogram — window partitions are histogram-sized (distinct values per
+    // key), never raw-row-sized
+    val wantsQ = aggregations.contains(ValuesQuantiles)
+    val qFrame: Option[DataFrame] = if (!wantsQ) None else {
+      val h = p.valueHist.filter(present)
+        .select((keys.map(col) :+ col("__v") :+ col("__cnt")): _*)
+      val wOrder = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(keys.map(col): _*)
+      val ranked = h
+        .withColumn("__cum", sum("__cnt").over(wOrder))
+        .withColumn("__n", sum("__cnt").over(wAll))
+      def valueAtRank(r: Column): Column =
+        max(when(col("__cum") - col("__cnt") < r && r <= col("__cum"), col("__v")))
+      val qCols = quantiles.map { q =>
+        quantileMode match {
+          case "nearest" =>
+            valueAtRank(floor(lit(q) * (col("__n") - 1) + 0.5) + 1)
+              .as(s"values/quantile/$q")
+          case "linear" =>
+            // per-row __n inside the rank CASE; the group-level copy
+            // (max(__n), constant within the group) for the out-of-aggregate
+            // interpolation fraction
+            val posRow = lit(q) * (col("__n") - 1)
+            val loV = valueAtRank(floor(posRow) + 1)
+            val hiV = valueAtRank(ceil(posRow) + 1)
+            val posAgg = lit(q) * (max(col("__n")) - 1)
+            val frac = posAgg - floor(posAgg)
+            (loV * (lit(1.0) - frac) + hiV * frac).as(s"values/quantile/$q")
+          case other =>
+            throw new IllegalArgumentException(s"unknown quantileMode $other")
+        }
+      }
+      val g = grouped(ranked, qCols :+ count(lit(1)).as("__n_rows"))
+      Some(g.withColumn(ValuesQuantiles,
+          when(col("__n_rows") > 0,
+            struct(quantiles.map(q => col(s"`values/quantile/$q`")): _*)))
+        .select((keys.map(col) :+ col(ValuesQuantiles)): _*))
+    }
+
+    // assemble on the grouping keys (null-safe: a null code is a genuine
+    // group); every side is metadata-sized, so broadcast the joins
+    def joinKeyed(a: DataFrame, b: DataFrame): DataFrame =
+      if (keys.isEmpty) a.crossJoin(broadcast(b))
+      else {
+        val (l, r) = (a.alias("__fp_l"), b.alias("__fp_r"))
+        val cond = keys.map(k => col(s"__fp_l.$k") <=> col(s"__fp_r.$k")).reduce(_ && _)
+        l.join(broadcast(r), cond, "full")
+          .select((keys.map(k => coalesce(col(s"__fp_l.$k"), col(s"__fp_r.$k")).as(k)) ++
+            a.columns.filterNot(keys.contains).map(c => col(s"__fp_l.$c")) ++
+            b.columns.filterNot(keys.contains).map(c => col(s"__fp_r.$c"))): _*)
+      }
+
+    val base = joinKeyed(scalars, subj)
+    val withQ = qFrame.map(q => joinKeyed(base, q)).getOrElse(base)
+    val outCols = keys.map(col) ++
+      aggregations.filter(a => withQ.columns.contains(a)).map(c => col(s"`$c`"))
+    withQ.select(outCols: _*).drop("__n_rows")
+  }
+
+  // ---------------------------------------------------------------------
+  // Sketch variant: approximate mergeable subject counts
+  // ---------------------------------------------------------------------
+
+  /** HLL-sketch subject counts for hyper-cardinality grouping keys — the
+    * drop-in when [[MetadataPartials]]'s exact (key, subject) artifact
+    * itself outgrows metadata scale (billions of subjects per key). One row
+    * per key with two fixed-size (2^lgK registers) binary sketches; the
+    * union of sketches over increments IS the sketch of the union, so the
+    * merge is exact ON THE SKETCH — the estimate from merged partials is
+    * bit-identical to estimating the whole corpus at once (spec-locked).
+    * Built on Spark's Datasketches HLL aggregates — codegen'd, map-side
+    * combined, shuffling only the fixed-size registers.
+    */
+  def subjectSketches(data: DataFrame, codeModifiers: Seq[String] = Nil,
+      lgK: Int = 12): DataFrame = {
+    val keys = Code +: codeModifiers
+    data.groupBy(keys.map(col): _*).agg(
+      hll_sketch_agg(col(SubjectId).cast("string"), lit(lgK)).as("subj_hll"),
+      hll_sketch_agg(when(valPresent, col(SubjectId)).cast("string"), lit(lgK))
+        .as("values_subj_hll"))
+  }
+
+  /** Merge per-increment sketch frames (associative, commutative). */
+  def mergeSubjectSketches(parts: Seq[DataFrame],
+      codeModifiers: Seq[String] = Nil): DataFrame = {
+    require(parts.nonEmpty, "mergeSubjectSketches: empty partial list")
+    val keys = Code +: codeModifiers
+    parts.reduce(_ unionByName _).groupBy(keys.map(col): _*).agg(
+      hll_union_agg(col("subj_hll")).as("subj_hll"),
+      hll_union_agg(col("values_subj_hll")).as("values_subj_hll"))
+  }
+
+  /** Estimated distinct-subject counts off a (merged) sketch frame — the
+    * approximate stand-ins for `code/n_subjects` / `values/n_subjects`.
+    */
+  def estimateSubjects(sketches: DataFrame,
+      codeModifiers: Seq[String] = Nil): DataFrame = {
+    val keys = Code +: codeModifiers
+    sketches.select(keys.map(col) ++ Seq(
+      hll_sketch_estimate(col("subj_hll")).as(CodeNSubjects),
+      hll_sketch_estimate(col("values_subj_hll")).as(ValuesNSubjects)): _*)
+  }
 }

@@ -153,4 +153,63 @@ object LanguageModel {
     val lm = grams.groupBy("w1", "w2").agg(sum("__k").as("cnt"))
     perplexityOfGrams(docs, idCol, grams, lm)
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): split each
+    * group (typically a language) into `nBuckets` equal-population bands by
+    * perplexity — bucket 1 ("head") = most-fluent third under the default 3.
+    * CCNet trains on Wikipedia and keeps head+middle as the curated corpus.
+    *
+    * Input is an already-scored frame (compose with [[selfPerplexity]] or
+    * [[perplexity]] — the bucketing is score-agnostic). Appends an integer
+    * `ppl_bucket` ∈ [1, nBuckets] (null where `pplCol` is null: unscoreable
+    * docs are not silently "fluent").
+    *
+    * Exact nearest-rank boundaries, no corpus-sized sort: thresholds come
+    * from the per-(group, score) HISTOGRAM — t_k = min score whose cumulative
+    * count reaches k/nBuckets of the group (`nB·cum ≥ k·n`, all-integer, so
+    * any engine agrees) — then broadcast-joined back. Window partitions are
+    * histogram-sized (distinct scores per group, bounded when scores are
+    * rounded like `ppl`'s 2 dp), never corpus-sized; the corpus itself is
+    * touched by exactly one extra pass (the histogram aggregation).
+    * Boundary docs (score == t_k) land in the LOWER bucket, so equal scores
+    * always share a bucket regardless of row order.
+    */
+  def perplexityBuckets(scored: DataFrame, pplCol: String,
+      groupCols: Seq[String] = Nil, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"perplexityBuckets: nBuckets $nBuckets < 2")
+    val gCols = groupCols.map(col)
+    val hist = scored.filter(col(pplCol).isNotNull)
+      .groupBy((gCols :+ col(pplCol).as("__s")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val ranked = hist
+      .withColumn("__cum", sum("__c").over(wOrder))
+      .withColumn("__n", sum("__c").over(wAll))
+    val thAggs = (1 until nBuckets).map(k =>
+      min(when(col("__cum") * nBuckets >= col("__n") * k, col("__s"))).as(s"__t$k"))
+    val th =
+      if (groupCols.isEmpty) ranked.agg(thAggs.head, thAggs.tail: _*)
+      else ranked.groupBy(gCols: _*).agg(thAggs.head, thAggs.tail: _*)
+    val joined =
+      if (groupCols.isEmpty) scored.crossJoin(broadcast(th))
+      else {
+        val (l, r) = (scored.alias("__pb_l"), th.alias("__pb_r"))
+        val cond = groupCols.map(g => col(s"__pb_l.$g") <=> col(s"__pb_r.$g"))
+          .reduce(_ && _)
+        l.join(broadcast(r), cond, "left")
+          .select((scored.columns.map(c => col(s"__pb_l.$c")) ++
+            (1 until nBuckets).map(k => col(s"__pb_r.__t$k"))): _*)
+      }
+    val bucket = (1 until nBuckets)
+      .map(k => when(col(pplCol) > col(s"__t$k"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    joined
+      .withColumn("ppl_bucket",
+        when(col(pplCol).isNotNull, bucket).cast("int"))
+      .drop((1 until nBuckets).map(k => s"__t$k"): _*)
+  }
 }

@@ -76,4 +76,48 @@ object Packing {
       .withColumn("full",
         col("stream_end") >= (col("seq_idx") + 1) * capacity)
   }
+
+  /** Per-document sliding-window chunking: cut each document's token stream
+    * into windows of `window` tokens advancing by `stride` (overlap =
+    * window − stride) — the long-document prep for bounded-context training
+    * and embedding models, where [[packSequences]] is the SHORT-document
+    * layout (many docs per window; this is the dual: many windows per doc).
+    *
+    * Chunk i covers tokens [1 + i·stride, min(i·stride + window, n)],
+    * i ∈ [0, nChunks): nChunks = 1 for n ≤ window, else
+    * 1 + ⌈(n − window)/stride⌉ — every token is covered, the final chunk may
+    * run short, and no chunk starts beyond the tokens (all-integer
+    * arithmetic, so any engine derives the same layout). Documents with no
+    * tokens (empty/whitespace/null text) emit NO chunks — a chunk row
+    * always carries text.
+    *
+    * Pure per-row computation: the chunk list assembles IN-ROW
+    * (`sequence` + `transform` over the token array, codegen'd) and only
+    * then explodes — no shuffle, no state; output size is the stream length
+    * times the overlap factor, each row bounded by `window` tokens.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window=$window], got $stride")
+    val ws = graft.functions.GraftFunctions.tokens(col(textCol))
+    val n = size(ws)
+    // ceil((n-window)/stride) as exact integer floor-division (token counts
+    // are far below 2^52, so the double quotient is exact)
+    val nChunks = when(n <= lit(window), lit(1))
+      .otherwise(lit(1) +
+        floor((n - lit(window) + lit(stride) - 1).cast("double") / lit(stride)))
+    val chunks = transform(sequence(lit(0), nChunks.cast("int") - 1), i => {
+      val piece = slice(ws, i * stride + lit(1), lit(window))
+      struct(i.cast("long").as("chunk_idx"),
+        size(piece).cast("long").as("chunk_tokens"),
+        concat_ws(" ", piece).as("chunk_text"))
+    })
+    docs
+      .filter(col(textCol).isNotNull && size(ws) > 0)
+      .select(col(idCol), n.cast("long").as("n_tokens"), explode(chunks).as("__c"))
+      .select(col(idCol), col("n_tokens"),
+        col("__c.chunk_idx"), col("__c.chunk_tokens"), col("__c.chunk_text"))
+  }
 }

@@ -197,4 +197,23 @@ object Sampling {
       .filter(col("__rank") <= perStratum)
       .drop("__lrank", "__rank")
   }
+
+  /** Deterministic global shuffle: append the row's position (`outCol`,
+    * 1-based) in the id-hash order — the reproducible corpus permutation
+    * training runs need (same seed ⇒ same order on any cluster, any
+    * partitioning, any engine). Decorrelated from both input order and id
+    * order by the hash; ties cannot occur (the id breaks them). Null ids
+    * are dropped, consistent with [[sample]].
+    *
+    * Scale shape: the global numbering is the two-pass range bridge
+    * ([[graft.functions.GraftFunctions.withGlobalRowNumber]]) — a
+    * range-exchange plus per-partition offsets from partition counts, not a
+    * single-partition window. Writing the result sorted by `outCol` yields
+    * shard files that stream the permutation in order.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      outCol: String = "shuffle_pos", seed: Long = 42L): DataFrame =
+    graft.functions.GraftFunctions.withGlobalRowNumber(
+      df.filter(col(idCol).isNotNull), outCol,
+      Seq(unitHash(col(idCol), seed), col(idCol)))
 }

@@ -61,6 +61,33 @@ class LanguageModelSpec extends SparkSpec {
     val b = LanguageModel.selfPerplexity(corpus.repartition(13), "doc_id", "text")
     assert(collectSet(a) === collectSet(b))
   }
+
+  test("perplexityBuckets: exact per-group tertiles, boundary ties to the lower bucket") {
+    // group g: scores 1..9 -> thresholds t1=3, t2=6 (nB·cum >= k·n)
+    val scored = ((1 to 9).map(i =>
+        ("g", i.toLong, java.lang.Double.valueOf(i.toDouble))) :+
+      (("h", 100L, java.lang.Double.valueOf(5.0))) :+
+      (("h", 101L, null.asInstanceOf[java.lang.Double])))
+      .toDF("lang", "doc_id", "ppl")
+    val out = LanguageModel.perplexityBuckets(scored, "ppl", Seq("lang"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[Any]("ppl_bucket"))).toMap
+    (1 to 3).foreach(i => assert(out(i.toLong) === Some(1)))
+    (4 to 6).foreach(i => assert(out(i.toLong) === Some(2)))
+    (7 to 9).foreach(i => assert(out(i.toLong) === Some(3)))
+    // single-member group: its only score IS every threshold -> bucket 1
+    assert(out(100L) === Some(1))
+    // unscoreable doc: bucket null, not silently "fluent"
+    assert(out(101L) === None)
+  }
+
+  test("perplexityBuckets: equal scores share a bucket at any bucket count") {
+    val scored = Seq.fill(10)(2.0).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "ppl")
+    val out = LanguageModel.perplexityBuckets(scored, "ppl", Nil, nBuckets = 4)
+      .select("ppl_bucket").distinct().collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1))
+  }
 }
 
 /** Naive Bayes classifier: hand-computed smoothed likelihoods, prior-only
@@ -125,4 +152,5 @@ class ClassifierSpec extends SparkSpec {
     val b = Classifier.nbClassify(seed.repartition(11), "doc_id", "text", tc, priors)
     assert(collectSet(a) === collectSet(b))
   }
+
 }

@@ -510,6 +510,33 @@ class PackingSpec extends SparkSpec {
       .filter(col("doc_id") === 999L).head()
     assert(e.getLong(2) == 0L && !e.getBoolean(5))
   }
+
+  test("chunkDocuments: full coverage, overlap, short tail, empty docs dropped") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // n <= window: one chunk
+      (3L, ""), (4L, "   "),                          // no tokens: no chunks
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    // doc 1: n=10 -> 1 + ceil(6/3) = 3 chunks at offsets 0,3,6
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._4).toSeq === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_._3).toSeq === Seq(4L, 4L, 4L))
+    // every token appears in some chunk (coverage)
+    assert(d1.flatMap(_._4.split(" ")).toSet === (1 to 10).map(i => s"t$i").toSet)
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 3L, "a b c")))
+    assert(!out.exists(r => r._1 >= 3L))
+    // short tail: n=11 -> last chunk has 2 tokens
+    val tail = Packing.chunkDocuments(
+      Seq((9L, (1 to 11).map("w" + _).mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(tail.length == 4 && tail.last.getLong(3) == 2L)
+    assert(tail.last.getString(4) === "w10 w11")
+  }
 }
 
 class DecontaminateSpec extends SparkSpec {
