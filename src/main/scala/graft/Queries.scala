@@ -246,9 +246,19 @@ object Queries {
   private val aggCodeMetadataIncr: Gate = Gate(
     (s, dir) => {
       val ev = medsEvents(s, dir)
+      // the partial artifacts are PERSISTED (the whole point of the
+      // incremental path: aggregate an increment once, derive many times) —
+      // without the write/read the gate's many derivation branches would
+      // re-execute the raw-scan lineage per consumer
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_meta_partials_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      AggregateCodeMetadata.partials(ev.filter(col("event_id") % 2 === 0))
+        .write(s"$tmp/even")
+      AggregateCodeMetadata.partials(ev.filter(col("event_id") % 2 === 1))
+        .write(s"$tmp/odd")
       val parts = Seq(
-        AggregateCodeMetadata.partials(ev.filter(col("event_id") % 2 === 0)),
-        AggregateCodeMetadata.partials(ev.filter(col("event_id") % 2 === 1)))
+        AggregateCodeMetadata.MetadataPartials.read(s, s"$tmp/even"),
+        AggregateCodeMetadata.MetadataPartials.read(s, s"$tmp/odd"))
       val merged = AggregateCodeMetadata.mergePartials(parts)
       val m = AggregateCodeMetadata.fromPartials(merged,
         Seq(CodeNSubjects, CodeNOccurrences, ValuesNSubjects, ValuesNOccurrences,

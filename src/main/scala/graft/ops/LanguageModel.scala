@@ -178,26 +178,35 @@ object LanguageModel {
       groupCols: Seq[String] = Nil, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"perplexityBuckets: nBuckets $nBuckets < 2")
     val gCols = groupCols.map(col)
-    val hist = scored.filter(col(pplCol).isNotNull)
+    // The histogram carries null scores through the aggregation (masked
+    // inside the cum/threshold expressions) instead of filtering them: a
+    // `pplCol IS NOT NULL` filter would push below the aggregate and fork
+    // this branch's copy of the upstream scoring subtree away from the
+    // bucket join's copy, costing the AQE stage reuse that lets the heavy
+    // scoring stages compute once for both consumers.
+    val base = scored
+    val hist = base
       .groupBy((gCols :+ col(pplCol).as("__s")): _*)
       .agg(count(lit(1)).as("__c"))
+    val presentC = when(col("__s").isNotNull, col("__c")).otherwise(lit(0L))
     val wOrder = org.apache.spark.sql.expressions.Window
       .partitionBy(gCols: _*).orderBy(col("__s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
     val ranked = hist
-      .withColumn("__cum", sum("__c").over(wOrder))
-      .withColumn("__n", sum("__c").over(wAll))
+      .withColumn("__cum", sum(presentC).over(wOrder))
+      .withColumn("__n", sum(presentC).over(wAll))
     val thAggs = (1 until nBuckets).map(k =>
-      min(when(col("__cum") * nBuckets >= col("__n") * k, col("__s"))).as(s"__t$k"))
+      min(when(col("__s").isNotNull &&
+        col("__cum") * nBuckets >= col("__n") * k, col("__s"))).as(s"__t$k"))
     val th =
       if (groupCols.isEmpty) ranked.agg(thAggs.head, thAggs.tail: _*)
       else ranked.groupBy(gCols: _*).agg(thAggs.head, thAggs.tail: _*)
     val joined =
-      if (groupCols.isEmpty) scored.crossJoin(broadcast(th))
+      if (groupCols.isEmpty) base.crossJoin(broadcast(th))
       else {
-        val (l, r) = (scored.alias("__pb_l"), th.alias("__pb_r"))
+        val (l, r) = (base.alias("__pb_l"), th.alias("__pb_r"))
         val cond = groupCols.map(g => col(s"__pb_l.$g") <=> col(s"__pb_r.$g"))
           .reduce(_ && _)
         l.join(broadcast(r), cond, "left")
