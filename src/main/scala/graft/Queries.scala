@@ -1626,6 +1626,50 @@ object Queries {
          |SELECT CAST(src AS BIGINT) AS id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY src ORDER BY 1""".stripMargin))
 
+  /** Score-based cluster representatives: the same near-dup clusters, each
+    * keeping its LONGEST member (ties → min id) instead of the min id —
+    * the "keep the best copy" selection; argmax convention replayed in SQL
+    * on top of the recursive-closure cluster oracle.
+    */
+  private val clusterReps: Gate = Gate(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val clusters = Dedup.resolveClusters(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, bands = MinhashBands, rowsPerBand = MinhashRowsPerBand, threshold = 0.5))
+      val scored = clusters.join(
+        docs.select(col("doc_id").as("id"), length(col("text")).as("__q")), Seq("id"))
+      Dedup.clusterRepresentatives(scored, "id", "cluster_id", "__q")
+        .select(col("cluster_id").cast(LongType).as("cluster_id"),
+          col("keep_id").cast(LongType).as("keep_id"))
+        .orderBy("cluster_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $shingleHashCtes,
+         |$minhashCandCtes,
+         |pairs AS (
+         |  SELECT cand.id_a, cand.id_b
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = cand.id_a
+         |  JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.perm = sa.perm
+         |  GROUP BY 1,2
+         |  HAVING avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |sc AS (SELECT cl.id, cl.cluster_id, length(d.text) AS q
+         |  FROM cl JOIN documents d ON d.doc_id = cl.id),
+         |b AS (SELECT cluster_id, max(q) AS bq FROM sc GROUP BY 1)
+         |SELECT CAST(sc.cluster_id AS BIGINT) AS cluster_id,
+         | CAST(min(sc.id) AS BIGINT) AS keep_id
+         |FROM sc JOIN b ON b.cluster_id = sc.cluster_id AND sc.q = b.bq
+         |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** The `minhash_lsh_dedup` pipeline STAGE under oracle verification — not
     * the pair table but the stage's corpus-filtering semantics: run through
     * the real config/registry/Pipeline path (YAML → stage builder →
@@ -1899,6 +1943,30 @@ object Queries {
       |c AS (SELECT doc_id, source,
       |   CAST(floor(rate) AS BIGINT) +
       |    (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END) AS copies FROM r)
+      |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+      |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin))
+
+  /** Temperature mix (alpha sampling): rates derived from the corpus's own
+    * per-source counts at alpha=0.5 — the whole chain (count → p^alpha
+    * renormalization → 1e-6 rate pinning → deterministic copies) replayed
+    * in SQL.
+    */
+  private val temperatureMixGate: Gate = Gate(
+    (s, dir) => Sampling.temperatureMix(table(s, dir, "documents"),
+      "doc_id", "source", alpha = 0.5, seed = 7L)
+      .select(col("doc_id"), col("source"), col("epoch").cast(LongType).as("epoch"))
+      .orderBy("doc_id", "epoch"),
+    Some("""WITH n AS (SELECT source, count(*) AS n FROM documents
+      |  WHERE doc_id IS NOT NULL GROUP BY 1),
+      |z AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS zz FROM n),
+      |r AS (SELECT source, round(tot * pow(n, 0.5) / zz / n, 6) AS rate
+      |  FROM n CROSS JOIN z),
+      |d AS (SELECT doc_id, dd.source AS source, coalesce(rate, 0.0) AS rate,
+      |  (('0x' || substr(md5(doc_id::VARCHAR || ':7'),1,14))::BIGINT
+      |    % 1000000000)/1000000000.0 AS u
+      | FROM documents dd LEFT JOIN r USING (source) WHERE doc_id IS NOT NULL),
+      |c AS (SELECT doc_id, source, CAST(floor(rate) AS BIGINT) +
+      |  (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END) AS copies FROM d)
       |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS epoch
       |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin))
 
@@ -2624,6 +2692,7 @@ object Queries {
     "minhash_lsh_capped" -> minhashLshCapped,
     "minhash_lsh_dedup_stage" -> minhashDedupStage,
     "dedup_clusters" -> dedupClusters,
+    "cluster_reps" -> clusterReps,
     "simhash_values" -> simhashValues,
     "simhash_pairs" -> simhashPairs,
     "embed_dup_pairs" -> embedDupPairs,
@@ -2644,6 +2713,7 @@ object Queries {
     "stratified_cap" -> stratifiedCap,
     "token_budget_cap" -> tokenBudgetCap,
     "resample_mix" -> resampleMix,
+    "temperature_mix" -> temperatureMixGate,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_resize" -> multimodalResize,

@@ -105,6 +105,21 @@ object OpStages {
       data.join(drop, Seq(id), "left_anti")
     }
 
+    // score-based variant: keep each cluster's best-scoring member (ties ->
+    // min id) instead of the arbitrary min-id copy; all frames here are
+    // duplicate-count-sized, never corpus-sized
+    def dropNonRepresentativesByScore(data: DataFrame, id: String,
+        scoreCol: String, pairs: DataFrame): DataFrame = {
+      val clusters = Dedup.resolveClusters(pairs)
+      val scored = clusters.join(
+        data.select(col(id).as("id"), col(scoreCol).as("__q")), Seq("id"))
+      val reps = Dedup.clusterRepresentatives(scored, "id", "cluster_id", "__q")
+      val drop = clusters.join(reps, Seq("cluster_id"))
+        .filter(col("id") =!= col("keep_id"))
+        .select(col("id").as(id))
+      data.join(drop, Seq(id), "left_anti")
+    }
+
     PipelineConfig.register("minhash_lsh_dedup") { (name, cfg) =>
       val (id, text) = ids(cfg)
       val n = cfg.getInt("n").getOrElse(3)
@@ -113,9 +128,17 @@ object OpStages {
       val threshold = cfg.getDouble("threshold").getOrElse(0.5)
       val seed = cfg.getLong("seed").getOrElse(42L)
       val maxBucket = cfg.getInt("max_bucket") // None = no hot-bucket chaining
-      Pipeline.DataStage(name, m => dropNonRepresentatives(m.data, id,
-        Dedup.minhashLshPairs(m.data, id, text, n, bands, rows, threshold, seed,
-          maxBucket)))
+      // score_col switches the kept representative from min-id to the
+      // cluster's best score (e.g. longest text, lowest ppl)
+      val scoreCol = cfg.getStr("score_col")
+      Pipeline.DataStage(name, m => {
+        val pairs = Dedup.minhashLshPairs(m.data, id, text, n, bands, rows,
+          threshold, seed, maxBucket)
+        scoreCol match {
+          case None => dropNonRepresentatives(m.data, id, pairs)
+          case Some(sc) => dropNonRepresentativesByScore(m.data, id, sc, pairs)
+        }
+      })
     }
 
     // corpus-level exact line dedup (C4/RefinedWeb boilerplate hygiene):
@@ -498,6 +521,22 @@ object OpStages {
       val epochCol = cfg.getStr("epoch_col").getOrElse("epoch")
       Pipeline.DataStage(name, m =>
         Sampling.resampleMix(m.data, id, stratum, rates, defaultRate, seed, epochCol))
+    }
+
+    // temperature (alpha) mix rebalancing: derive per-stratum rates from
+    // the corpus's own counts (share ∝ p^alpha) and resample — alpha 1 is a
+    // no-op mix, alpha 0 equalizes strata
+    PipelineConfig.register("temperature_mix") { (name, cfg) =>
+      val id = cfg.getStr(IdCol).getOrElse("doc_id")
+      val stratum = cfg.getStr("stratum_col").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `stratum_col` is required"))
+      val alpha = cfg.getDouble("alpha").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `alpha` is required"))
+      val sizeFactor = cfg.getDouble("size_factor").getOrElse(1.0)
+      val seed = cfg.getLong("seed").getOrElse(42L)
+      val epochCol = cfg.getStr("epoch_col").getOrElse("epoch")
+      Pipeline.DataStage(name, m =>
+        Sampling.temperatureMix(m.data, id, stratum, alpha, sizeFactor, seed, epochCol))
     }
 
     // token-budget cap: keep docs in deterministic hash order until the

@@ -823,4 +823,30 @@ object Dedup {
           " ")))
       .drop("__spans")
   }
+
+  /** Pick each duplicate cluster's representative by a SCORE instead of the
+    * min id — "keep the best copy" (longest text, lowest perplexity,
+    * highest quality), the selection real curation pipelines want where
+    * min-id keeps an arbitrary one. Input is a cluster-membership frame
+    * (`idCol`, `clusterCol`, `scoreCol` — e.g. [[resolveClusters]] joined
+    * to a scored corpus); output one (clusterCol, keep_id) row per cluster.
+    * Highest score wins; ties break to the smallest id (deterministic);
+    * null/NaN scores rank below every real score, so an all-null cluster
+    * degrades to exactly the min-id rule.
+    *
+    * Two bounded aggregations + one join on the cluster-membership table
+    * (duplicate-count-sized, not corpus-sized) — no per-cluster window, so
+    * a degenerate giant cluster costs its share of an aggregate, not a
+    * single-partition sort.
+    */
+  def clusterRepresentatives(clustered: DataFrame, idCol: String,
+      clusterCol: String, scoreCol: String): DataFrame = {
+    val s = when(col(scoreCol).isNull || isnan(col(scoreCol)),
+      lit(Double.NegativeInfinity)).otherwise(col(scoreCol).cast("double"))
+    val best = clustered.groupBy(clusterCol).agg(max(s).as("__best"))
+    clustered.withColumn("__s", s)
+      .join(best, Seq(clusterCol))
+      .filter(col("__s") === col("__best"))
+      .groupBy(clusterCol).agg(min(col(idCol)).as("keep_id"))
+  }
 }

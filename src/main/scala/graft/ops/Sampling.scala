@@ -198,6 +198,66 @@ object Sampling {
       .drop("__lrank", "__rank")
   }
 
+  /** [[resampleMix]] with the per-stratum rates supplied as a FRAME
+    * (stratum, rate) instead of literals — for rates computed from data
+    * (see [[temperatureMix]]) or loaded from a manifest. The rate table is
+    * strata-sized → broadcast; null/unlisted strata fall to `defaultRate`.
+    * Same copies/epoch semantics as resampleMix.
+    */
+  def resampleMixByRates(df: DataFrame, idCol: String, stratumCol: String,
+      rates: DataFrame, defaultRate: Double = 1.0, seed: Long = 42L,
+      epochCol: String = "epoch"): DataFrame = {
+    require(defaultRate >= 0 && !defaultRate.isNaN,
+      s"defaultRate must be >= 0, got $defaultRate")
+    require(!df.columns.contains(epochCol),
+      s"output column `$epochCol` already exists; pass a different epochCol")
+    val r = rates.select(col(stratumCol).as("__stratum"), col("rate").as("__rate"))
+    val rateExpr = coalesce(col("__rate"), lit(defaultRate))
+    val u = unitHash(col(idCol), seed)
+    val copies = (floor(rateExpr).cast("long") +
+      when(u < (rateExpr - floor(rateExpr)), 1L).otherwise(0L))
+    df.filter(col(idCol).isNotNull)
+      .join(broadcast(r), col(stratumCol) <=> col("__stratum"), "left")
+      .withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn(epochCol, explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies", "__stratum", "__rate")
+  }
+
+  /** Temperature-based mix rebalancing (the multilingual "alpha sampling"
+    * of XLM / multilingual BERT): resample so stratum g's share of the
+    * output follows p_g^alpha (renormalized) instead of its natural share
+    * p_g — alpha 1 keeps the corpus as-is, alpha 0 equalizes all strata,
+    * values between damp the head and lift the tail. `sizeFactor` scales
+    * the expected output size relative to the input.
+    *
+    * rate_g = sizeFactor · N · p_g^alpha / (Σ_h n_h^alpha) / n_g, rounded
+    * to 1e-6 so the sampling decisions are engine-portable (the suite's
+    * standard decimal-pinning convention). Derivation is one
+    * stratum-column-pruned count pass + a strata-sized broadcast; the data
+    * itself is scanned once more for the resample — two pruned scans total,
+    * no corpus shuffle anywhere.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double, sizeFactor: Double = 1.0, seed: Long = 42L,
+      epochCol: String = "epoch"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    require(sizeFactor > 0 && !sizeFactor.isNaN,
+      s"sizeFactor must be positive, got $sizeFactor")
+    val counts = df.filter(col(idCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    // NOTE: Spark resolves column names case-insensitively — totals must
+    // not differ from `__n` by case alone
+    val tot = counts.agg(sum("__n").as("__tot"),
+      sum(pow(col("__n"), lit(alpha))).as("__z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(stratumCol),
+        round(lit(sizeFactor) * col("__tot") * pow(col("__n"), lit(alpha)) /
+          col("__z") / col("__n"), 6).as("rate"))
+    resampleMixByRates(df, idCol, stratumCol, rates, defaultRate = 0.0,
+      seed = seed, epochCol = epochCol)
+  }
+
   /** Deterministic global shuffle: append the row's position (`outCol`,
     * 1-based) in the id-hash order — the reproducible corpus permutation
     * training runs need (same seed ⇒ same order on any cluster, any

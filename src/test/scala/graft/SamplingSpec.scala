@@ -151,6 +151,57 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.resampleMix(d.withColumn("epoch", lit(0)), "doc_id", "source", Nil) }
   }
+
+  test("resampleMixByRates equals resampleMix for the same rates; null stratum -> default") {
+    val d = docs.withColumn("source",
+      when(col("doc_id") % 3 === 0, "a").when(col("doc_id") % 3 === 1, "b")
+        .otherwise(lit(null).cast("string")))
+    val lit3 = Seq("a" -> 1.5, "b" -> 0.4)
+    val ratesDf = lit3.toDF("source", "rate")
+    val viaFrame = Sampling.resampleMixByRates(d, "doc_id", "source", ratesDf,
+      defaultRate = 0.7, seed = 7L)
+    val viaLits = Sampling.resampleMix(d, "doc_id", "source", lit3,
+      defaultRate = 0.7, seed = 7L)
+    assert(collectSet(viaFrame) === collectSet(viaLits))
+  }
+
+  test("temperatureMix: alpha=1 is the identity mix; alpha=0 equalizes strata") {
+    // 300 docs: stratum a = 240 (80%), b = 60 (20%)
+    val d = (0L until 300L).map(i => (i, if (i < 240) "a" else "b"))
+      .toDF("doc_id", "source")
+    val id1 = Sampling.temperatureMix(d, "doc_id", "source", alpha = 1.0, seed = 7L)
+    // alpha=1 -> every rate exactly 1.0 -> identical corpus, all epoch 0
+    assert(id1.filter(col("epoch") =!= 0).isEmpty)
+    assert(id1.count() === 300L)
+    val eq = Sampling.temperatureMix(d, "doc_id", "source", alpha = 0.0, seed = 7L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0 targets 150/150 (rate_a=0.625, rate_b=2.5); Bernoulli rounding
+    // wobbles the fractional parts only
+    assert(math.abs(eq("a") - 150L) < 20, s"a: ${eq("a")}")
+    assert(math.abs(eq("b") - 150L) < 20, s"b: ${eq("b")}")
+    // b gets guaranteed integer copies: every b doc appears >= 2 times
+    val bMin = Sampling.temperatureMix(d, "doc_id", "source", alpha = 0.0, seed = 7L)
+      .filter(col("source") === "b").groupBy("doc_id").count()
+      .agg(min("count")).head().getLong(0)
+    assert(bMin >= 2L)
+  }
+}
+
+class ClusterRepsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusterRepresentatives: argmax score, ties to min id, null/NaN below any score") {
+    val m = Seq(
+      (1L, 10L, Some(0.5)), (2L, 10L, Some(0.9)), (3L, 10L, Some(0.9)), // tie 2 vs 3
+      (4L, 20L, None), (5L, 20L, Some(Double.NaN)), (6L, 20L, Some(0.1)),
+      (7L, 30L, None), (8L, 30L, None) // all-null cluster -> min id
+    ).map { case (id, c, s) => (id, c, s.map(java.lang.Double.valueOf).orNull) }
+      .toDF("id", "cluster_id", "q")
+    val reps = graft.ops.Dedup.clusterRepresentatives(m, "id", "cluster_id", "q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(10L -> 2L, 20L -> 6L, 30L -> 7L))
+  }
 }
 
 class GraftExtensionsSpec extends SparkSpec {
