@@ -2094,6 +2094,32 @@ object Queries {
       | array_to_string(ws[i*16 + 1 : least(i*16 + 24, n)], ' ') AS chunk_text
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  /** As-of join: every click joined to the user's most recent prior (or
+    * simultaneous) view — the union+ordered-carry implementation checked
+    * against DuckDB's NATIVE `ASOF LEFT JOIN` operator, the strongest
+    * available oracle for the semantics.
+    */
+  private val asofJoin: Gate = Gate(
+    (s, dir) => {
+      val ev = eventsTable(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_event_id"))
+      AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "view_ts",
+        Seq("view_ts", "view_event_id"), dedupRight = Some("view_event_id"))
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type='click'),
+      |r AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+      |  FROM events WHERE event_type='view' AND ts IS NOT NULL GROUP BY 1,2)
+      |SELECT l.event_id, l.user_id, l.ts, r.view_ts, r.view_event_id
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND r.view_ts <= l.ts
+      |ORDER BY l.event_id""".stripMargin))
+
   /** Deterministic global shuffle: the reproducible corpus permutation
     * (hash-of-id order, scalable two-pass global numbering) replayed in SQL
     * as a row_number over the same md5-derived unit hash.
@@ -2707,6 +2733,7 @@ object Queries {
     "chunk_documents" -> chunkDocuments,
     "zorder_values" -> zorderValues,
     "shuffle_rows" -> shuffleRows,
+    "asof_join" -> asofJoin,
     "packing_summary" -> packingSummaryGate,
     "curation_pipeline" -> curationPipeline,
     "analysis_pipeline" -> analysisPipeline,

@@ -377,6 +377,25 @@ object OpStages {
       })
     }
 
+    // as-of temporal enrichment: attach the most recent prior (or next
+    // upcoming) row from the parquet table at `right_path` per key
+    PipelineConfig.register("asof_join") { (name, cfg) =>
+      def req(k: String) = cfg.getStr(k).getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `$k` is required"))
+      val keys = cfg.getList("keys").collect { case Cfg.S(s) => s }
+      require(keys.nonEmpty, s"stage $name: `keys` list is required")
+      val (rightPath, leftTime, rightTime) =
+        (req("right_path"), req("left_time"), req("right_time"))
+      val values = cfg.getList("value_cols").collect { case Cfg.S(s) => s }
+      require(values.nonEmpty, s"stage $name: `value_cols` list is required")
+      val direction = cfg.getStr("direction").getOrElse("backward")
+      val strict = cfg.getBool("strict").getOrElse(false)
+      val dedup = cfg.getStr("dedup_right")
+      Pipeline.DataStage(name, m => graft.operators.AsOfJoin.asOf(
+        m.data, m.data.sparkSession.read.parquet(rightPath), keys,
+        leftTime, rightTime, values, direction, strict, dedup))
+    }
+
     // deterministic global shuffle: append the reproducible permutation
     // position (same seed -> same order anywhere); write sorted by it for
     // in-order streaming shards
