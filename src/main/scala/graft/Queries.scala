@@ -2120,6 +2120,36 @@ object Queries {
       |  ON l.user_id = r.user_id AND r.view_ts <= l.ts
       |ORDER BY l.event_id""".stripMargin))
 
+  /** Range join: clicks inside 2-hour purchase-attribution windows (same
+    * user, click within [purchase−2h, purchase]) — the grid-bucketed
+    * equi-join implementation against DuckDB's inequality join, exact
+    * epoch-micro arithmetic on both sides.
+    */
+  private val rangeJoinGate: Gate = Gate(
+    (s, dir) => {
+      val ev = eventsTable(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - lit(7200000000L)).as("w_start"),
+          unix_micros(col("ts")).as("w_end"),
+          col("event_id").as("purchase_id"))
+      RangeJoin.pointInInterval(clicks, windows, Seq("user_id"), "t",
+        "w_start", "w_end", Seq("purchase_id", "w_end"),
+        bucketWidth = 3600000000L)
+        .orderBy("event_id", "purchase_id")
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+      |  FROM events WHERE event_type='click'),
+      |p AS (SELECT user_id, epoch_us(ts) - 7200000000 AS w_start,
+      |  epoch_us(ts) AS w_end, event_id AS purchase_id
+      |  FROM events WHERE event_type='purchase')
+      |SELECT c.event_id, c.user_id, c.t, p.purchase_id, p.w_end
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND c.t BETWEEN p.w_start AND p.w_end
+      |ORDER BY 1, 4""".stripMargin))
+
   /** Deterministic global shuffle: the reproducible corpus permutation
     * (hash-of-id order, scalable two-pass global numbering) replayed in SQL
     * as a row_number over the same md5-derived unit hash.
@@ -2734,6 +2764,7 @@ object Queries {
     "zorder_values" -> zorderValues,
     "shuffle_rows" -> shuffleRows,
     "asof_join" -> asofJoin,
+    "range_join" -> rangeJoinGate,
     "packing_summary" -> packingSummaryGate,
     "curation_pipeline" -> curationPipeline,
     "analysis_pipeline" -> analysisPipeline,

@@ -396,6 +396,26 @@ object OpStages {
         leftTime, rightTime, values, direction, strict, dedup))
     }
 
+    // range (interval) containment join: all rows of the parquet interval
+    // table at `right_path` whose [start,end] contains the row's numeric
+    // time, per key — inner semantics, one row per match
+    PipelineConfig.register("range_join") { (name, cfg) =>
+      def req(k: String) = cfg.getStr(k).getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `$k` is required"))
+      val keys = cfg.getList("keys").collect { case Cfg.S(s) => s }
+      require(keys.nonEmpty, s"stage $name: `keys` list is required")
+      val values = cfg.getList("value_cols").collect { case Cfg.S(s) => s }
+      require(values.nonEmpty, s"stage $name: `value_cols` list is required")
+      val bucketWidth = cfg.getLong("bucket_width").getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `bucket_width` is required"))
+      val maxBuckets = cfg.getInt("max_buckets_per_interval").getOrElse(4096)
+      val (rightPath, timeCol, startCol, endCol) =
+        (req("right_path"), req("time_col"), req("start_col"), req("end_col"))
+      Pipeline.DataStage(name, m => graft.operators.RangeJoin.pointInInterval(
+        m.data, m.data.sparkSession.read.parquet(rightPath), keys,
+        timeCol, startCol, endCol, values, bucketWidth, maxBuckets))
+    }
+
     // deterministic global shuffle: append the reproducible permutation
     // position (same seed -> same order anywhere); write sorted by it for
     // in-order streaming shards

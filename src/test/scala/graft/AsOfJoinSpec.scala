@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** As-of join semantics on crafted timelines: backward/forward direction,
   * inclusive-vs-strict tie rule, null times on both sides, right-side
@@ -80,5 +80,54 @@ class AsOfJoinSpec extends SparkSpec {
     val b = AsOfJoin.asOf(l.repartition(13), r.repartition(5),
       Seq("user_id"), "qt", "rt", Seq("v"), dedupRight = Some("v"))
     assert(collectSet(a) === collectSet(b))
+  }
+}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pts = (Seq(
+    (1L, 1L, Some(5L)), (2L, 1L, Some(10L)), (3L, 1L, Some(25L)),
+    (4L, 1L, Some(100L)), (5L, 2L, Some(10L)), (6L, 1L, None)))
+    .map { case (id, u, t) => (id, u, t.map(java.lang.Long.valueOf).orNull) }
+    .toDF("pid", "user_id", "t")
+
+  private def ivs = Seq(
+    (1L, 8L, 30L, "a"),        // matches t=10, 25
+    (1L, 10L, 10L, "point"),   // degenerate single-instant: matches t=10
+    (1L, 40L, 20L, "inverted"),// end < start: matches nothing
+    (2L, 0L, 1000L, "wide"))   // other key
+    .toDF("user_id", "s", "e", "tag")
+
+  test("point-in-interval: containment inclusive both ends, multi-match, key isolation") {
+    val out = RangeJoin.pointInInterval(pts, ivs, Seq("user_id"), "t",
+      "s", "e", Seq("tag"), bucketWidth = 7)
+      .select("pid", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((2L, "a"), (3L, "a"), (2L, "point"), (5L, "wide")))
+  }
+
+  test("interval wider than maxBucketsPerInterval raises instead of exploding") {
+    val huge = Seq((1L, 0L, 1000000L, "huge")).toDF("user_id", "s", "e", "tag")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, huge, Seq("user_id"), "t",
+        "s", "e", Seq("tag"), bucketWidth = 7, maxBucketsPerInterval = 10).collect()
+    }
+    assert(e.getMessage.contains("buckets") || e.getCause != null)
+  }
+
+  test("bucket grid handles negative times and results are partitioning-independent") {
+    val p = Seq((1L, 1L, -15L), (2L, 1L, -7L)).toDF("pid", "user_id", "t")
+    val iv = Seq((1L, -20L, -10L, "neg")).toDF("user_id", "s", "e", "tag")
+    val out = RangeJoin.pointInInterval(p, iv, Seq("user_id"), "t",
+      "s", "e", Seq("tag"), bucketWidth = 7).select("pid").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L))
+    val l = (0L until 400L).map(i => (i, i % 5, (i * 13 % 211) - 100)).toDF("pid", "user_id", "t")
+    val r = (0L until 60L).map(i => (i % 5, (i * 7 % 97) - 50, (i * 7 % 97) - 50 + (i % 23), s"i$i"))
+      .toDF("user_id", "s", "e", "tag")
+    val a = RangeJoin.pointInInterval(l.repartition(1), r.repartition(1),
+      Seq("user_id"), "t", "s", "e", Seq("tag"), bucketWidth = 11)
+    val b = RangeJoin.pointInInterval(l.repartition(13), r.repartition(3),
+      Seq("user_id"), "t", "s", "e", Seq("tag"), bucketWidth = 11)
+    assert(collectSet(a) === collectSet(b) && a.count() > 0)
   }
 }
