@@ -2120,6 +2120,31 @@ object Queries {
       |  ON l.user_id = r.user_id AND r.view_ts <= l.ts
       |ORDER BY l.event_id""".stripMargin))
 
+  /** Time-range rolling aggregate: per-user trailing-1-hour event count and
+    * value sum at every event — RANGE-framed window on exact epoch micros,
+    * the same frame semantics in both engines.
+    */
+  private val rollingAgg: Gate = Gate(
+    (s, dir) => {
+      val ev = eventsTable(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"),
+          col("value"))
+      val w = Window.partitionBy("user_id").orderBy("t")
+        .rangeBetween(-3600000000L, 0L)
+      ev.withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h_e4",
+          sum(round(col("value") * 10000)).over(w).cast(LongType))
+        .select("event_id", "user_id", "t", "n_1h", "sum_1h_e4")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS t,
+      | CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      | CAST(sum(round(value * 10000)) OVER w AS BIGINT) AS sum_1h_e4
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin))
+
   /** Range join: clicks inside 2-hour purchase-attribution windows (same
     * user, click within [purchase−2h, purchase]) — the grid-bucketed
     * equi-join implementation against DuckDB's inequality join, exact
@@ -2765,6 +2790,7 @@ object Queries {
     "shuffle_rows" -> shuffleRows,
     "asof_join" -> asofJoin,
     "range_join" -> rangeJoinGate,
+    "rolling_agg" -> rollingAgg,
     "packing_summary" -> packingSummaryGate,
     "curation_pipeline" -> curationPipeline,
     "analysis_pipeline" -> analysisPipeline,
