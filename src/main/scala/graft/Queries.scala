@@ -2120,6 +2120,39 @@ object Queries {
       |  ON l.user_id = r.user_id AND r.view_ts <= l.ts
       |ORDER BY l.event_id""".stripMargin))
 
+  /** Column profiling: the one-pass per-column statistics report (counts,
+    * nulls, exact distincts, numeric/length ranges and means) replayed as
+    * per-column SQL aggregates.
+    */
+  private val profileGate: Gate = Gate(
+    (s, dir) => graft.ops.Profile.profile(table(s, dir, "documents"),
+      Seq("doc_id", "text", "lang", "n_chars"))
+      .select(col("column"), col("dtype"), col("n_rows"), col("n_null"),
+        col("n_distinct"),
+        r4(col("num_min")).as("num_min"), r4(col("num_max")).as("num_max"),
+        r4(col("num_avg")).as("num_avg"))
+      .orderBy("column"),
+    Some("""SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+      | count(*) AS n_rows, count(*) - count(doc_id) AS n_null,
+      | count(DISTINCT doc_id) AS n_distinct,
+      | round(CAST(min(doc_id) AS DOUBLE),4) AS num_min,
+      | round(CAST(max(doc_id) AS DOUBLE),4) AS num_max,
+      | round(CAST(avg(doc_id) AS DOUBLE),4) AS num_avg
+      |FROM documents
+      |UNION ALL SELECT 'lang', 'string', count(*), count(*) - count(lang),
+      | count(DISTINCT lang), round(CAST(min(length(lang)) AS DOUBLE),4),
+      | round(CAST(max(length(lang)) AS DOUBLE),4),
+      | round(CAST(avg(length(lang)) AS DOUBLE),4) FROM documents
+      |UNION ALL SELECT 'n_chars', 'bigint', count(*), count(*) - count(n_chars),
+      | count(DISTINCT n_chars), round(CAST(min(n_chars) AS DOUBLE),4),
+      | round(CAST(max(n_chars) AS DOUBLE),4),
+      | round(CAST(avg(n_chars) AS DOUBLE),4) FROM documents
+      |UNION ALL SELECT 'text', 'string', count(*), count(*) - count(text),
+      | count(DISTINCT text), round(CAST(min(length(text)) AS DOUBLE),4),
+      | round(CAST(max(length(text)) AS DOUBLE),4),
+      | round(CAST(avg(length(text)) AS DOUBLE),4) FROM documents
+      |ORDER BY 1""".stripMargin))
+
   /** Time-range rolling aggregate: per-user trailing-1-hour event count and
     * value sum at every event — RANGE-framed window on exact epoch micros,
     * the same frame semantics in both engines.
@@ -2791,6 +2824,7 @@ object Queries {
     "asof_join" -> asofJoin,
     "range_join" -> rangeJoinGate,
     "rolling_agg" -> rollingAgg,
+    "profile" -> profileGate,
     "packing_summary" -> packingSummaryGate,
     "curation_pipeline" -> curationPipeline,
     "analysis_pipeline" -> analysisPipeline,

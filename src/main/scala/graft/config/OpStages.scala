@@ -377,6 +377,14 @@ object OpStages {
       })
     }
 
+    // one-pass per-column statistics report: REPLACES the data with the
+    // profile table (the pipeline's standing data-quality artifact)
+    PipelineConfig.register("profile") { (name, cfg) =>
+      val cols = cfg.getList("cols").collect { case Cfg.S(s) => s }
+      val approx = cfg.getBool("approx_distinct").getOrElse(false)
+      Pipeline.DataStage(name, m => graft.ops.Profile.profile(m.data, cols, approx))
+    }
+
     // as-of temporal enrichment: attach the most recent prior (or next
     // upcoming) row from the parquet table at `right_path` per key
     PipelineConfig.register("asof_join") { (name, cfg) =>
@@ -853,6 +861,37 @@ object OpStages {
         }
         require(problems.isEmpty,
           s"stage $name: schema contract violated: ${problems.mkString("; ")}")
+        m.data
+      })
+    }
+
+    // row-level data-quality contract: fail the run when more than
+    // `max_violation_rate` (default 0 — any) of the rows violate the SQL
+    // predicate in `expect`. ONE aggregate pass (count + violation count);
+    // passing data flows through unchanged, so the contract composes
+    // anywhere in a chain like expect_schema does for shapes.
+    PipelineConfig.register("expect_rows") { (name, cfg) =>
+      val predicate = cfg.getStr("expect").getOrElse(throw new IllegalArgumentException(
+        s"stage $name: `expect` (SQL boolean expression) is required"))
+      val maxRate = cfg.getDouble("max_violation_rate").getOrElse(0.0)
+      require(maxRate >= 0 && maxRate <= 1,
+        s"stage $name: max_violation_rate must be in [0,1], got $maxRate")
+      Pipeline.DataStage(name, m => {
+        // a null predicate result is a violation: "unknown" must not pass a
+        // quality gate silently. expr() parses LAZILY (at analysis), so the
+        // catch wraps the evaluation, not the construction.
+        val ok = expr(predicate)
+        val r =
+          try m.data.agg(count(lit(1)).as("n"),
+            count(when(!coalesce(ok, lit(false)), 1)).as("bad")).head()
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"stage $name: unparsable or invalid `expect` '$predicate': " +
+                e.getMessage) }
+        val (n, bad) = (r.getLong(0), r.getLong(1))
+        require(n == 0 || bad.toDouble / n <= maxRate,
+          s"stage $name: row contract `$predicate` violated by $bad/$n rows " +
+            f"(${bad.toDouble / n}%.4f > $maxRate%.4f allowed)")
         m.data
       })
     }

@@ -721,6 +721,34 @@ class OpStagesSpec extends SparkSpec {
     assert(jsd.count() === 2L) // web + books
   }
 
+  test("expect_rows: passes under the rate, fails over it, nulls are violations") {
+    val d = spark.createDataFrame(Seq(
+      (1L, Some(10.0)), (2L, Some(-5.0)), (3L, None), (4L, Some(3.0))
+    ).map { case (id, v) => (id, v.map(java.lang.Double.valueOf).orNull) })
+      .toDF("doc_id", "score")
+    def run(expect: String, rate: Double) = Pipeline.run(spark, emptyMeds(d),
+      PipelineConfig.fromYaml(
+        s"stages:\n  - expect_rows:\n      expect: \"$expect\"\n" +
+          s"      max_violation_rate: $rate\n").stages).data
+    // 2 of 4 violate (score -5 and null score): passes at 0.5, fails at 0.25
+    assert(run("score > 0", 0.5).count() === 4L)
+    val e = intercept[IllegalArgumentException] { run("score > 0", 0.25) }
+    assert(e.getMessage.contains("2/4"))
+    // default rate 0: any violation fails; clean predicate passes
+    assert(run("doc_id IS NOT NULL", 0.0).count() === 4L)
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(
+        "stages:\n  - expect_rows:\n      expect: \"score > 0\"\n").stages)
+    }
+    assert(e2.getMessage.contains("violated"))
+    // unparsable predicate dies at build with a readable message
+    val e3 = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, emptyMeds(d), PipelineConfig.fromYaml(
+        "stages:\n  - expect_rows:\n      expect: \"><nope\"\n").stages)
+    }
+    assert(e3.getMessage.contains("unparsable"))
+  }
+
   test("hygiene stages honor train_only orchestration") {
     // train_only resolves splits per subject_id — documents pipelines carry
     // one (here 1:1 with doc_id)
