@@ -1,9 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 /** Plan-shape audit: executes every gate at the given SF and reports queries
   * whose FINAL (post-AQE) plan scans the same parquet table more than once —
@@ -26,25 +23,8 @@ object ScanAudit {
       try {
         val df = fn(spark, dir)
         df.collect() // finalizes df's OWN AdaptiveSparkPlan (count() would plan separately)
-        // reused stages appear as the same object in several tree positions:
-        // dedupe by identity so reuse counts as the one physical scan it is
-        val seen = java.util.Collections.newSetFromMap(
-          new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-        var scans = List.empty[String]
-        def walk(p: SparkPlan): Unit = {
-          if (!seen.add(p)) return
-          p match {
-            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-            case qs: QueryStageExec => walk(qs.plan)
-            case re: ReusedExchangeExec => walk(re.child)
-            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-              scans ::= s.relation.location.rootPaths.headOption.map(_.getName).getOrElse("?")
-            case other => other.children.foreach(walk)
-          }
-          p.subqueries.foreach(walk)
-        }
-        walk(df.queryExecution.executedPlan)
-        val dup = scans.groupBy(identity).filter(_._2.size > 1).map { case (t, l) => s"$t x${l.size}" }
+        val dup = graft.plans.PlanLint.check(df)
+          .filter(_.kind == "duplicate-scan").map(_.detail)
         if (dup.nonEmpty) println(s"AUDIT $name: ${dup.mkString(", ")}")
         spark.catalog.clearCache()
       } catch { case e: Throwable => println(s"AUDIT $name: ERR ${e.getClass.getSimpleName}") }
