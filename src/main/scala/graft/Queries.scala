@@ -947,6 +947,52 @@ object Queries {
       |   ELSE len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) END AS BIGINT) AS n_subwords
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** BPE trainer statistics: the adjacent-symbol pair counts over the
+    * corpus's full word-frequency dictionary — the statistic the first
+    * merge maximizes — replayed independently by the oracle (word split,
+    * char symbolization + `</w>`, frequency-weighted pair aggregation).
+    * This is the SQL-verifiable core of the trainer; the merge LOOP and
+    * encoding are iterated fixpoints no single SQL query expresses, so the
+    * `bpe_tokens` gate below is rows-only and their semantics are locked by
+    * BpeSpec (incremental-vs-naive trainer equivalence, the published
+    * reference merge sequence, encode round-trip).
+    */
+  private val bpePairCounts: Gate = Gate(
+    (s, dir) => Bpe.pairCounts(
+        Bpe.wordFrequencies(table(s, dir, "documents"), "text", maxWords = 0))
+      .select(col("left"), col("right"),
+        col("pair_freq").cast(LongType).as("pair_freq"))
+      .orderBy("left", "right"),
+    Some("""WITH words AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |    w -> w <> '')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |wf AS (SELECT w, count(*) AS f FROM words GROUP BY w),
+      |sym AS (SELECT f, list_append(regexp_extract_all(w, '.'), '</w>') AS syms
+      |  FROM wf),
+      |p AS (SELECT syms[i] AS l, syms[i + 1] AS r, f
+      |  FROM sym, unnest(generate_series(1, len(syms) - 1)) AS t(i))
+      |SELECT l AS "left", r AS "right", CAST(sum(f) AS BIGINT) AS pair_freq
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** BPE end-to-end at gate scale: train on the corpus's own dictionary
+    * (driver loop over ONE scan's word frequencies), then encode every
+    * document with the codegen'd expression. Deterministic by construction
+    * (spec-locked tie-breaks), but not SQL-expressible — rows-only gate.
+    */
+  private val bpeTokens: Gate = Gate(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = Bpe.trainFromCorpus(docs, "text",
+        numMerges = 64, maxWords = 1 << 16)
+      docs.select(col("doc_id"), Bpe.encode(col("text"), merges).as("subs"))
+        .select(col("doc_id"),
+          size(col("subs")).cast(LongType).as("n_bpe_tokens"),
+          concat_ws(" ", slice(col("subs"), 1, 8)).as("head_tokens"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** Corpus statistics per (source, lang): totals plus a nearest-rank token
     * median computed by the order-statistics window (same rank arithmetic
     * as the MEDS quantile gate), which the oracle replays exactly.
@@ -2837,7 +2883,9 @@ object Queries {
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
     "video_metadata" -> videoMeta,
-    "mp3_metadata" -> mp3Meta
+    "mp3_metadata" -> mp3Meta,
+    "bpe_pair_counts" -> bpePairCounts,
+    "bpe_tokens" -> bpeTokens
   )
 
   def queries: Map[String, Q] = gates.map { case (n, g) => n -> g.query }.toMap

@@ -820,6 +820,48 @@ object OpStages {
       (path, ddl)
     }
 
+    // train a BPE merge table on the flowing corpus and persist it as a
+    // parquet artifact (rank, left, right): ONE distributed scan to the
+    // capped word-frequency dictionary, driver merge loop, vocabulary-sized
+    // write. Data flows through unchanged so the stage composes anywhere.
+    PipelineConfig.register("bpe_train") { (name, cfg) =>
+      val (_, text) = ids(cfg)
+      val modelPath = cfg.getStr("model_path").getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `model_path` is required"))
+      val numMerges = cfg.getLong("num_merges").getOrElse(256L).toInt
+      val maxWords = cfg.getLong("max_words").getOrElse(1L << 20).toInt
+      val minFreq = cfg.getLong("min_frequency").getOrElse(2L)
+      Pipeline.DataStage(name, m => {
+        val merges = graft.ops.Bpe.trainFromCorpus(m.data, text, numMerges,
+          maxWords, minFreq)
+        graft.ops.Bpe.mergesToDF(m.data.sparkSession, merges)
+          .coalesce(1).write.mode("overwrite").parquet(modelPath)
+        m.data
+      })
+    }
+
+    // subword-encode `text_col` with a persisted model (`model_path`) or a
+    // model trained inline on the flowing corpus; adds `output_col`
+    // (array<string>) — a pure codegen'd projection, the merge table rides
+    // the plan as a constant (never a join)
+    PipelineConfig.register("bpe_encode") { (name, cfg) =>
+      val (_, text) = ids(cfg)
+      val out = cfg.getStr("output_col").getOrElse("bpe_tokens")
+      val modelPath = cfg.getStr("model_path")
+      val numMerges = cfg.getLong("num_merges").getOrElse(256L).toInt
+      val maxWords = cfg.getLong("max_words").getOrElse(1L << 20).toInt
+      val minFreq = cfg.getLong("min_frequency").getOrElse(2L)
+      Pipeline.DataStage(name, m => {
+        val merges = modelPath match {
+          case Some(p) =>
+            graft.ops.Bpe.mergesFromDF(m.data.sparkSession.read.parquet(p))
+          case None => graft.ops.Bpe.trainFromCorpus(m.data, text, numMerges,
+            maxWords, minFreq)
+        }
+        m.data.withColumn(out, graft.ops.Bpe.encode(col(text), merges))
+      })
+    }
+
     PipelineConfig.register("load_jsonl") { (name, cfg) =>
       val (path, ddl) = sourceCfg(name, cfg)
       Pipeline.DataStage(name, m =>
