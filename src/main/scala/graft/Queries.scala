@@ -993,6 +993,50 @@ object Queries {
     },
     None)
 
+  /** Cross-release overlap audit via theta sketches, per language: two
+    * pseudo-releases carved from the documents table (A = doc_id % 3 != 0,
+    * B = doc_id % 2 == 0 — overlapping on doc_id % 6 ∈ {2, 4}), sketch
+    * estimates vs the oracle's EXACT distinct/intersect counts. The sketch
+    * is in exact mode at every test SF (lg 16 = 65k entries per group), so
+    * estimate ≡ exact and the hash comparison is legitimate; above capacity
+    * the same plan degrades to ~0.4% error with fixed-size shuffles —
+    * OverlapSpec pins that regime separately.
+    */
+  private val corpusOverlap: Gate = Gate(
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Overlap.overlapReport(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0),
+        "text", Seq("lang")).orderBy("lang")
+    },
+    Some("""WITH a AS (SELECT DISTINCT lang,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE doc_id % 3 <> 0 AND text IS NOT NULL),
+      |b AS (SELECT DISTINCT lang,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      |langs AS (SELECT lang FROM a UNION SELECT lang FROM b),
+      |na AS (SELECT lang, count(*) AS n FROM a GROUP BY lang),
+      |nb AS (SELECT lang, count(*) AS n FROM b GROUP BY lang),
+      |ni AS (SELECT lang, count(*) AS n
+      |  FROM (SELECT lang, t FROM a INTERSECT SELECT lang, t FROM b)
+      |  GROUP BY lang),
+      |nu AS (SELECT lang, count(*) AS n
+      |  FROM (SELECT lang, t FROM a UNION SELECT lang, t FROM b)
+      |  GROUP BY lang)
+      |SELECT l.lang,
+      |  CAST(coalesce(na.n, 0) AS BIGINT) AS est_docs_a,
+      |  CAST(coalesce(nb.n, 0) AS BIGINT) AS est_docs_b,
+      |  CAST(coalesce(ni.n, 0) AS BIGINT) AS est_common,
+      |  CAST(coalesce(nu.n, 0) AS BIGINT) AS est_union,
+      |  CAST(coalesce(nb.n, 0) - coalesce(ni.n, 0) AS BIGINT) AS est_new_in_b,
+      |  round(CASE WHEN coalesce(nu.n, 0) = 0 THEN 0.0
+      |    ELSE coalesce(ni.n, 0) * 1.0 / nu.n END, 4) AS jaccard
+      |FROM langs l LEFT JOIN na USING(lang) LEFT JOIN nb USING(lang)
+      |  LEFT JOIN ni USING(lang) LEFT JOIN nu USING(lang)
+      |ORDER BY l.lang""".stripMargin))
+
   /** Corpus statistics per (source, lang): totals plus a nearest-rank token
     * median computed by the order-statistics window (same rank arithmetic
     * as the MEDS quantile gate), which the oracle replays exactly.
@@ -2885,7 +2929,8 @@ object Queries {
     "video_metadata" -> videoMeta,
     "mp3_metadata" -> mp3Meta,
     "bpe_pair_counts" -> bpePairCounts,
-    "bpe_tokens" -> bpeTokens
+    "bpe_tokens" -> bpeTokens,
+    "corpus_overlap" -> corpusOverlap
   )
 
   def queries: Map[String, Q] = gates.map { case (n, g) => n -> g.query }.toMap

@@ -862,6 +862,24 @@ object OpStages {
       })
     }
 
+    // theta-sketch overlap audit against a reference release: replaces the
+    // flowing data with the metadata-sized per-group overlap report (A =
+    // the reference at `ref_path`, B = the flowing corpus) — the cheap
+    // "how much of this crawl is new?" answer before any dedup pass
+    PipelineConfig.register("overlap_report") { (name, cfg) =>
+      val (_, text) = ids(cfg)
+      val refPath = cfg.getStr("ref_path").getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `ref_path` is required"))
+      val groupCols = cfg.getStr("group_cols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val normalize = cfg.getBool("normalize").getOrElse(true)
+      val lgNom = cfg.getLong("lg_nominal_entries")
+        .getOrElse(graft.ops.Overlap.DefaultLgNominal.toLong).toInt
+      Pipeline.DataStage(name, m => graft.ops.Overlap.overlapReport(
+        m.data.sparkSession.read.parquet(refPath), m.data, text, groupCols,
+        normalize, lgNom))
+    }
+
     PipelineConfig.register("load_jsonl") { (name, cfg) =>
       val (path, ddl) = sourceCfg(name, cfg)
       Pipeline.DataStage(name, m =>
