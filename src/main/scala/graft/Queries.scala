@@ -1131,6 +1131,28 @@ object Queries {
     },
     Some("SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"))
 
+  /** ORC source round-trip: the corpus (including the embeddings table's
+    * float-array column — exercising complex-type fidelity) written as ORC
+    * and read back; oracle states the round-trip contract on the original
+    * parquet. Schema rides the ORC footer — no DDL, no inference scan.
+    */
+  private val orcRoundtrip: Gate = Gate(
+    (s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_orc_rt_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.sources.CorpusSources.writeOrc(
+        table(s, dir, "embeddings").select("vec_id", "label", "embedding"), tmp)
+      graft.sources.CorpusSources.readOrc(s, tmp)
+        .select(col("vec_id"), col("label"),
+          round(element_at(col("embedding"), 1).cast(DoubleType), 4)
+            .as("e0"),
+          size(col("embedding")).cast(LongType).as("dim"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id, label, round(CAST(embedding[1] AS DOUBLE), 4) AS e0,
+      | CAST(len(embedding) AS BIGINT) AS dim
+      |FROM embeddings ORDER BY vec_id""".stripMargin))
+
   /** The generic `join_table` enrichment stage under oracle verification:
     * documents LEFT-joined with the embeddings table (key rename
     * doc_id↔vec_id) through the YAML → registry → Pipeline path; the
@@ -2930,7 +2952,8 @@ object Queries {
     "mp3_metadata" -> mp3Meta,
     "bpe_pair_counts" -> bpePairCounts,
     "bpe_tokens" -> bpeTokens,
-    "corpus_overlap" -> corpusOverlap
+    "corpus_overlap" -> corpusOverlap,
+    "orc_roundtrip" -> orcRoundtrip
   )
 
   def queries: Map[String, Q] = gates.map { case (n, g) => n -> g.query }.toMap

@@ -892,6 +892,18 @@ object OpStages {
         graft.sources.CorpusSources.writeJsonl(m.data, path); m.data })
     }
 
+    PipelineConfig.register("load_orc") { (name, cfg) =>
+      val (path, _) = sourceCfg(name, cfg)
+      Pipeline.DataStage(name, m =>
+        graft.sources.CorpusSources.readOrc(m.data.sparkSession, path))
+    }
+
+    PipelineConfig.register("write_orc") { (name, cfg) =>
+      val (path, _) = sourceCfg(name, cfg)
+      Pipeline.DataStage(name, m => {
+        graft.sources.CorpusSources.writeOrc(m.data, path); m.data })
+    }
+
     PipelineConfig.register("write_csv") { (name, cfg) =>
       val (path, _) = sourceCfg(name, cfg)
       Pipeline.DataStage(name, m => {

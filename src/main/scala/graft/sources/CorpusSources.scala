@@ -62,4 +62,20 @@ object CorpusSources {
       header: Boolean = true): Unit =
     df.write.mode(mode).option("header", header)
       .option("nullValue", "\\N").option("emptyValue", "\"\"").csv(path)
+
+  /** Read an ORC corpus (the Hive-era interchange format many institutional
+    * corpora still live in). ORC is columnar with embedded schema and
+    * file/stripe statistics: predicate pushdown and column pruning reach
+    * the scan exactly as with parquet (OrcSourceSpec pins `PushedFilters`),
+    * so no explicit DDL is needed — the schema rides the footer, not an
+    * inference scan.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Write ORC. Complex types (arrays/structs — embeddings, token lists)
+    * and timestamps round-trip natively.
+    */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
 }
