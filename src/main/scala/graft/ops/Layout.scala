@@ -112,4 +112,40 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
   }
+
+  /** Hash-bucketed table layout: pay the shuffle ONCE at write time so that
+    * every later equi-join or aggregation on the bucket key is
+    * exchange-free — Spark's scan reports `HashPartitioning(bucketCols,
+    * numBuckets)` as its output partitioning (plus output ordering when
+    * `sortCols` are given), and Catalyst drops the Exchange (and the Sort,
+    * for sort-merge joins) on both sides. This is THE layout for the
+    * 100 TB fact tables a pipeline joins repeatedly on the same key
+    * (events by subject, documents by doc hash): the join cost collapses
+    * from corpus-shuffle-per-run to a per-bucket local merge.
+    *
+    * Both sides of a co-located join must agree on the bucket count (or
+    * differ by an integer factor with bucket coalescing enabled) — keep a
+    * single count per key domain. Bucketing rides the table catalog
+    * (`saveAsTable`): read back with `spark.table(name)`, not the raw
+    * path (a path read sees plain parquet files and re-shuffles).
+    * BucketedJoinSpec locks the zero-Exchange plan shape.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: bucketCols must be non-empty")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // align write partitions with buckets (same murmur3 pmod both sides):
+    // each task then owns exactly one bucket, producing ONE file per bucket
+    // — without this, every task writes a sliver of every bucket (task ×
+    // bucket file explosion at cluster scale) and, worse, a multi-file
+    // bucket forfeits the sortBy guarantee, so merge joins re-Sort and the
+    // layout's whole point is lost. This is the one shuffle the layout
+    // exists to prepay.
+    val aligned = df.repartition(numBuckets, bucketCols.map(col): _*)
+    val w = aligned.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
 }
