@@ -213,6 +213,53 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 5.0)
   }
+
+  test("full SQL surface: every registered function equals its Column API twin") {
+    GraftExtensions.register(spark)
+    import graft.plans.VectorExpressions
+    import graft.functions.GraftFunctions
+    val df = spark.sql("SELECT 'the quick brown fox jumps the fence' AS text")
+      .withColumn("toks", GraftFunctions.tokens(col("text")))
+      .withColumn("hs", VectorExpressions.hash56Array(col("toks")))
+    val viaSql = df.selectExpr(
+      "graft_hash56(text) AS h",
+      "graft_hash56_array(toks) AS ha",
+      "graft_shingle_hash56(toks, 2, true) AS sh",
+      "graft_minhash(hs, 8, 42L) AS mh",
+      "graft_simhash(hs, 32) AS sim",
+      "graft_winnow(hs, 3) AS wm",
+      "graft_sorted_pairs(array(3L, 1L, 2L)) AS sp").head()
+    val viaApi = df.select(
+      VectorExpressions.hash56(col("text")).as("h"),
+      VectorExpressions.hash56Array(col("toks")).as("ha"),
+      VectorExpressions.shingleHash56(col("toks"), 2, true).as("sh"),
+      VectorExpressions.minhashSig(col("hs"),
+        GraftFunctions.hashParams(8, 42L)).as("mh"),
+      VectorExpressions.simhashPack(col("hs"), 32).as("sim"),
+      VectorExpressions.winnowMins(col("hs"), 3).as("wm"),
+      VectorExpressions.sortedPairs(
+        array(lit(3L), lit(1L), lit(2L))).as("sp")).head()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // media parsers: null-safe over a non-media payload (null result, no throw)
+    val m = spark.sql("SELECT graft_jpeg_dimensions(CAST('zz' AS BINARY)) j, " +
+      "graft_wav_metadata(CAST('zz' AS BINARY)) w, " +
+      "graft_mp3_metadata(CAST('zz' AS BINARY)) a, " +
+      "graft_mp4_metadata(CAST('zz' AS BINARY)) v").head()
+    assert((0 to 3).forall(m.isNullAt))
+  }
+
+  test("non-literal config argument raises a readable analysis error") {
+    GraftExtensions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_simhash(array(1L), CAST(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_simhash"))
+    val w = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0d)) ").collect()
+    }
+    assert(w.getMessage.toLowerCase.contains("graft_dot"))
+  }
 }
 
 /** Property tests for the DSL and portable primitives (ScalaCheck's own
