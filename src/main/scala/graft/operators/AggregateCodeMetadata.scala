@@ -437,4 +437,44 @@ object AggregateCodeMetadata {
       hll_sketch_estimate(col("subj_hll")).as(CodeNSubjects),
       hll_sketch_estimate(col("values_subj_hll")).as(ValuesNSubjects)): _*)
   }
+
+  /** KLL value-distribution sketches per key — the quantile partial for
+    * CONTINUOUS hyper-cardinality signals, where [[MetadataPartials]]'s
+    * exact (key, value) histogram would itself be corpus-sized. One row per
+    * key with a fixed ~3 KB sketch (graft's own TypedImperativeAggregate,
+    * map-side combined); merging per-increment sketch frames is a valid
+    * sketch of the union, so incremental releases re-derive quantiles
+    * without rescanning old shards. Rank error ≤ ~1.65%/99% at the default
+    * k=200 — the documented trade against the exact path.
+    */
+  def valueSketches(data: DataFrame, codeModifiers: Seq[String] = Nil,
+      k: Int = graft.plans.KllExpressions.DefaultK): DataFrame = {
+    val keys = Code +: codeModifiers
+    data.groupBy(keys.map(col): _*).agg(
+      graft.plans.KllExpressions.kllAgg(
+        when(valPresent, col(NumericValue)).cast("double"), k)
+        .as("values_kll"))
+  }
+
+  /** Merge per-increment KLL frames (associative, commutative). */
+  def mergeValueSketches(parts: Seq[DataFrame],
+      codeModifiers: Seq[String] = Nil,
+      k: Int = graft.plans.KllExpressions.DefaultK): DataFrame = {
+    require(parts.nonEmpty, "mergeValueSketches: empty partial list")
+    val keys = Code +: codeModifiers
+    parts.reduce(_ unionByName _).groupBy(keys.map(col): _*).agg(
+      graft.plans.KllExpressions.kllMergeAgg(col("values_kll"), k)
+        .as("values_kll"))
+  }
+
+  /** Estimated value quantiles off a (merged) KLL frame — the approximate
+    * stand-in for the exact `values/quantile/q` columns.
+    */
+  def estimateValueQuantiles(sketches: DataFrame, quantiles: Seq[Double],
+      codeModifiers: Seq[String] = Nil): DataFrame = {
+    val keys = Code +: codeModifiers
+    sketches.select(keys.map(col) ++ quantiles.map(q =>
+      graft.plans.KllExpressions.kllQuantile(col("values_kll"), lit(q))
+        .as(s"values/quantile/$q")): _*)
+  }
 }

@@ -103,7 +103,21 @@ object GraftExtensions {
       arity("graft_mp3_metadata", 1)(es => Mp3Metadata(es(0)))),
     ("graft_mp4_metadata", info("graft_mp4_metadata",
       "graft_mp4_metadata(bytes) - MP4/ISO-BMFF box-walk metadata"),
-      arity("graft_mp4_metadata", 1)(es => Mp4Metadata(es(0))))
+      arity("graft_mp4_metadata", 1)(es => Mp4Metadata(es(0)))),
+    ("graft_kll_agg", info("graft_kll_agg",
+      "graft_kll_agg(v, k) - aggregate doubles into a KLL quantile sketch"),
+      arity("graft_kll_agg", 2)(es => KllExpressions.KllSketchAgg(es(0),
+        lit("graft_kll_agg", "k", es(1)).toInt))),
+    ("graft_kll_merge", info("graft_kll_merge",
+      "graft_kll_merge(sketch, k) - merge serialized KLL sketches"),
+      arity("graft_kll_merge", 2)(es => KllExpressions.KllMergeAgg(es(0),
+        lit("graft_kll_merge", "k", es(1)).toInt))),
+    ("graft_kll_quantile", info("graft_kll_quantile",
+      "graft_kll_quantile(sketch, q) - quantile at normalized rank q"),
+      arity("graft_kll_quantile", 2)(es => KllExpressions.KllQuantile(es(0), es(1)))),
+    ("graft_kll_rank", info("graft_kll_rank",
+      "graft_kll_rank(sketch, v) - estimated normalized rank of v"),
+      arity("graft_kll_rank", 2)(es => KllExpressions.KllRank(es(0), es(1))))
   )
 
   /** Register on an existing session (tests, REPL). */
