@@ -146,6 +146,27 @@ object Main {
       overrides: Seq[String], stageOnly: Option[String]): Unit = {
     val parsed = PipelineConfig.fromFile(pipelineFile, overrides)
     parsed.description.foreach(d => println(s"[graft] pipeline: $d"))
+    // per-pipeline engine conf: apply for the duration of this run, restore
+    // whatever was set (or unset) before — two pipelines on one session must
+    // not leak settings into each other
+    val saved = parsed.conf.map { case (k, _) =>
+      k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
+    }
+    parsed.conf.foreach { case (k, v) =>
+      println(s"[graft] conf: $k=$v")
+      spark.conf.set(k, v)
+    }
+    try runPipelineStages(spark, parsed, inputRoot, outputRoot,
+      checkpointRoot, stageOnly)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def runPipelineStages(spark: SparkSession,
+      parsed: PipelineConfig.Parsed, inputRoot: String, outputRoot: String,
+      checkpointRoot: Option[String], stageOnly: Option[String]): Unit = {
     val stages = stageOnly match {
       case Some(n) =>
         val s = parsed.stages.filter(_.name == n)

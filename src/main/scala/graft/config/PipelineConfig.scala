@@ -21,7 +21,8 @@ import graft.operators._
   */
 object PipelineConfig {
 
-  final case class Parsed(description: Option[String], stages: Seq[Pipeline.Stage])
+  final case class Parsed(description: Option[String], stages: Seq[Pipeline.Stage],
+      conf: Seq[(String, String)] = Nil)
 
   def fromJson(json: String): Parsed = fromCfg(Cfg.fromJson(json))
 
@@ -65,7 +66,23 @@ object PipelineConfig {
     require(dups.isEmpty,
       s"duplicate stage names ${dups.mkString(", ")}: give repeated stages distinct " +
         "names with _base_stage aliasing")
-    Parsed(desc, stages)
+    // optional top-level `conf:` map — per-pipeline Spark SQL conf (the
+    // Hydra-config-group analog: a reporting pipeline over MBs declares
+    // different engine settings than a 100 TB transform). Applied by the
+    // runner for the DURATION of the run and restored after; only scalars.
+    val conf = m.get("conf").map {
+      case M(cm) => cm.toSeq.map {
+        case (k, S(s)) => k -> s
+        case (k, I(i)) => k -> i.toString
+        case (k, D(d)) => k -> d.toString
+        case (k, B(b)) => k -> b.toString
+        case (k, other) => throw new IllegalArgumentException(
+          s"conf `$k`: expected a scalar, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"`conf` must be a map of scalars, got $other")
+    }.getOrElse(Nil)
+    Parsed(desc, stages, conf)
   }
 
   private def parseStageEntry(entry: Cfg): Pipeline.Stage = entry match {

@@ -143,4 +143,54 @@ class PipelineConfigSpec extends SparkSpec {
         .data.count()
     }
   }
+
+  test("per-pipeline `conf:` block applies during the run and restores after") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    assert(before != "7")
+    // probe stage captures the conf value observed DURING the run — wired
+    // through the same third-party registration point any package uses
+    @volatile var observed: String = null
+    graft.config.PipelineConfig.register("conf_probe") { (name, _) =>
+      Pipeline.DataStage(name, m => {
+        observed = m.data.sparkSession.conf.get(key); m.data })
+    }
+    val parsed = graft.config.PipelineConfig.fromYaml(
+      """conf:
+        |  spark.sql.shuffle.partitions: 7
+        |stages:
+        |  - conf_probe
+        |""".stripMargin)
+    assert(parsed.conf == Seq("spark.sql.shuffle.partitions" -> "7"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_conf").toString
+    val meds = MedsIO.read(spark, "/root/reference/example/data")
+    MedsIO.write(meds, s"$tmp/in")
+    Main.run(Array(writeYaml(tmp,
+      """conf:
+        |  spark.sql.shuffle.partitions: 7
+        |stages:
+        |  - conf_probe
+        |""".stripMargin), s"$tmp/in", s"$tmp/out"), spark)
+    assert(observed == "7")
+    assert(spark.conf.get(key) == before)
+    // a failing run must still restore
+    graft.config.PipelineConfig.register("conf_bomb") { (name, _) =>
+      Pipeline.DataStage(name, _ => throw new RuntimeException("boom")) }
+    intercept[RuntimeException] {
+      Main.run(Array(writeYaml(tmp,
+        """conf:
+          |  spark.sql.shuffle.partitions: 7
+          |stages:
+          |  - conf_bomb
+          |""".stripMargin), s"$tmp/in", s"$tmp/out2"), spark)
+    }
+    assert(spark.conf.get(key) == before)
+  }
+
+  private def writeYaml(tmp: String, yaml: String): String = {
+    val p = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(tmp), "pipe", ".yaml")
+    java.nio.file.Files.writeString(p, yaml)
+    p.toString
+  }
 }
