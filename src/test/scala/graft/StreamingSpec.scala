@@ -210,6 +210,34 @@ class StreamingSpec extends SparkSpec {
     assert(graft.ops.Decontaminate.contaminationProbe(
       Seq.empty[String].toDF("text"), "text", n = 4).isEmpty)
   }
+
+  test("BpeEncode applies unchanged to a stream: streaming tokenization parity") {
+    import spark.implicits._
+    // the ingest-time tokenization shape: a model trained on yesterday's
+    // corpus (batch), applied to today's stream — the merge table is a plan
+    // constant, so the same Column works on readStream with no state
+    val train = Seq("low lower", "newest widest", "low newest").toDF("text")
+    val merges = graft.ops.Bpe.trainFromCorpus(train, "text",
+      numMerges = 8, maxWords = 100, minFrequency = 1)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_stream").toString
+    val raw = Seq((1L, "newest lower"), (2L, "low unseen"), (3L, ""))
+      .toDF("doc_id", "text")
+    raw.write.parquet(s"$dir/docs.parquet")
+    val enc = graft.ops.Bpe.encode(org.apache.spark.sql.functions.col("text"),
+      merges)
+    val batch = raw.select($"doc_id", enc.as("bpe")).as[(Long, Seq[String])]
+      .collect().toMap
+    val q = spark.readStream.schema(raw.schema).parquet(s"$dir/docs.parquet")
+      .select($"doc_id", enc.as("bpe"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bpe_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_stream").as[(Long, Seq[String])]
+        .collect().toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
 }
 
 /** Guards on the shared ts-normalization helper (ADVICE round 8): the
