@@ -1037,6 +1037,32 @@ object Queries {
       |  LEFT JOIN ni USING(lang) LEFT JOIN nu USING(lang)
       |ORDER BY l.lang""".stripMargin))
 
+  /** Heavy-hitter corpus terms via the frequent-items sketch
+    * (graft's Misra-Gries TypedImperativeAggregate): the whole corpus
+    * aggregates into ONE fixed-size sketch (map-side merged — the state
+    * stays 8k entries however many distinct tokens stream through), then
+    * the ≥-threshold items unpack. Exact regime at every test SF (distinct
+    * tokens ≪ map capacity, so estimates ARE true counts — the oracle is a
+    * plain GROUP BY/HAVING); beyond capacity the no-false-negatives bound
+    * takes over (FrequencySpec).
+    */
+  private val freqTerms: Gate = Gate(
+    (s, dir) => {
+      val sk = table(s, dir, "documents")
+        .select(explode(GraftFunctions.tokens(col("text"))).as("token"))
+        .agg(graft.plans.FrequencyExpressions.freqAgg(col("token")).as("sk"))
+      sk.select(explode(graft.plans.FrequencyExpressions.freqItems(
+          col("sk"), lit(100L))).as("f"))
+        .select(col("f.item").as("token"), col("f.estimate").as("freq"))
+        .where(col("freq") >= 100)
+        .orderBy(col("freq").desc, col("token"))
+    },
+    Some("""SELECT token, CAST(count(*) AS BIGINT) AS freq
+      |FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |  w -> w <> '')) AS token FROM documents WHERE text IS NOT NULL)
+      |GROUP BY token HAVING count(*) >= 100
+      |ORDER BY freq DESC, token""".stripMargin))
+
   /** Corpus statistics per (source, lang): totals plus a nearest-rank token
     * median computed by the order-statistics window (same rank arithmetic
     * as the MEDS quantile gate), which the oracle replays exactly.
@@ -2953,7 +2979,8 @@ object Queries {
     "bpe_pair_counts" -> bpePairCounts,
     "bpe_tokens" -> bpeTokens,
     "corpus_overlap" -> corpusOverlap,
-    "orc_roundtrip" -> orcRoundtrip
+    "orc_roundtrip" -> orcRoundtrip,
+    "freq_terms" -> freqTerms
   )
 
   def queries: Map[String, Q] = gates.map { case (n, g) => n -> g.query }.toMap

@@ -117,7 +117,18 @@ object GraftExtensions {
       arity("graft_kll_quantile", 2)(es => KllExpressions.KllQuantile(es(0), es(1)))),
     ("graft_kll_rank", info("graft_kll_rank",
       "graft_kll_rank(sketch, v) - estimated normalized rank of v"),
-      arity("graft_kll_rank", 2)(es => KllExpressions.KllRank(es(0), es(1))))
+      arity("graft_kll_rank", 2)(es => KllExpressions.KllRank(es(0), es(1)))),
+    ("graft_freq_agg", info("graft_freq_agg",
+      "graft_freq_agg(item, max_map_size) - frequent-items (heavy-hitter) sketch"),
+      arity("graft_freq_agg", 2)(es => FrequencyExpressions.FreqSketchAgg(es(0),
+        lit("graft_freq_agg", "max_map_size", es(1)).toInt))),
+    ("graft_freq_merge", info("graft_freq_merge",
+      "graft_freq_merge(sketch, max_map_size) - merge frequent-items sketches"),
+      arity("graft_freq_merge", 2)(es => FrequencyExpressions.FreqMergeAgg(es(0),
+        lit("graft_freq_merge", "max_map_size", es(1)).toInt))),
+    ("graft_freq_items", info("graft_freq_items",
+      "graft_freq_items(sketch, threshold) - heavy hitters above threshold"),
+      arity("graft_freq_items", 2)(es => FrequencyExpressions.FreqItems(es(0), es(1))))
   )
 
   /** Register on an existing session (tests, REPL). */
