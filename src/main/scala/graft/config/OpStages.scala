@@ -892,6 +892,26 @@ object OpStages {
         graft.sources.CorpusSources.writeJsonl(m.data, path); m.data })
     }
 
+    // heavy-hitter report: replaces the flowing data with the corpus's
+    // frequent items over `item_col` (a token/host/url column — explode
+    // upstream with json_extract/chunk stages as needed): ONE fixed-size
+    // sketch aggregation, then the >= `threshold` items unpacked
+    PipelineConfig.register("freq_items") { (name, cfg) =>
+      val itemCol = cfg.getStr("item_col").getOrElse("item")
+      val threshold = cfg.getLong("threshold").getOrElse(2L)
+      val maxMap = cfg.getLong("max_map_size")
+        .getOrElse(graft.plans.FrequencyExpressions.DefaultMaxMapSize.toLong).toInt
+      require(maxMap > 0 && (maxMap & (maxMap - 1)) == 0,
+        s"stage $name: max_map_size must be a power of 2, got $maxMap")
+      Pipeline.DataStage(name, m => {
+        import graft.plans.FrequencyExpressions._
+        m.data.agg(freqAgg(col(itemCol), maxMap).as("__sk"))
+          .select(explode(freqItems(col("__sk"), lit(threshold))).as("f"))
+          .select(col("f.item").as(itemCol), col("f.estimate").as("estimate"),
+            col("f.lower").as("lower"), col("f.upper").as("upper"))
+      })
+    }
+
     PipelineConfig.register("load_orc") { (name, cfg) =>
       val (path, _) = sourceCfg(name, cfg)
       Pipeline.DataStage(name, m =>

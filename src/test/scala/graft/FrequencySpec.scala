@@ -60,6 +60,26 @@ class FrequencySpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("freq_items stage: YAML -> registry -> heavy-hitter report") {
+    import graft.config.PipelineConfig
+    import graft.operators.Pipeline
+    val data = ((0 until 50).map(_ => "hot") ++ (0 until 9).map(i => s"cold$i"))
+      .toDF("item")
+    val wrap = graft.meds.MedsData(data, spark.emptyDataFrame, spark.emptyDataFrame)
+    val out = Pipeline.run(spark, wrap, PipelineConfig.fromYaml(
+      """stages:
+        |  - freq_items:
+        |      threshold: 10
+        |      max_map_size: 64
+        |""".stripMargin).stages).data
+    assert(out.select("item", "estimate").as[(String, Long)].collect().toSeq ==
+      Seq(("hot", 50L)))
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromYaml(
+        "stages:\n  - freq_items:\n      max_map_size: 100\n").stages
+    }
+  }
+
   test("SQL surface parity") {
     graft.plans.GraftExtensions.register(spark)
     val viaSql = spark.sql(
