@@ -148,10 +148,12 @@ object Main {
     parsed.description.foreach(d => println(s"[graft] pipeline: $d"))
     // per-pipeline engine conf: apply for the duration of this run, restore
     // whatever was set (or unset) before — two pipelines on one session must
-    // not leak settings into each other
-    val saved = parsed.conf.map { case (k, _) =>
-      k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
-    }
+    // not leak settings into each other. getAll only lists EXPLICITLY-set
+    // entries; conf.get(k) would resolve defaulted keys to their default and
+    // restore would then pin that default as if the user had set it,
+    // silently freezing post-run behavior against future default changes
+    val explicitlySet = spark.conf.getAll
+    val saved = parsed.conf.map { case (k, _) => k -> explicitlySet.get(k) }
     parsed.conf.foreach { case (k, v) =>
       println(s"[graft] conf: $k=$v")
       spark.conf.set(k, v)

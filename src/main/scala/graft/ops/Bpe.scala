@@ -229,10 +229,12 @@ object Bpe {
       baseSymbols: Seq[String]): DataFrame = {
     import spark.implicits._
     // base symbols first (sorted), then merge outputs in rank order — the
-    // convention every BPE vocab file uses; duplicates (a merge re-creating
-    // a base symbol cannot happen: merges always lengthen) are impossible
+    // convention every BPE vocab file uses. A merge cannot re-create a base
+    // symbol (merges always lengthen), but two DISTINCT merges can fuse to
+    // the same string (a+bc and ab+c both yield abc), so keep only the first
+    // (lowest-rank) occurrence — the mapping must be token→id unambiguous
     val base = (baseSymbols.toSet + EndOfWord).toSeq.sorted
-    val all = base ++ merges.sortBy(_.rank).map(m => m.left + m.right)
+    val all = (base ++ merges.sortBy(_.rank).map(m => m.left + m.right)).distinct
     all.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       .toDF("token_id", "token")
   }

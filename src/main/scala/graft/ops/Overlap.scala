@@ -84,7 +84,10 @@ object Overlap {
       round(estB).cast("long").as("est_docs_b"),
       round(inter).cast("long").as("est_common"),
       round(uni).cast("long").as("est_union"),
-      round(estB - inter).cast("long").as("est_new_in_b"),
+      // greatest(...) guard: in the approximate regime the intersection
+      // estimate can exceed B's own estimate — a negative doc count would
+      // be nonsense, clamp to 0
+      round(greatest(estB - inter, lit(0.0))).cast("long").as("est_new_in_b"),
       round(when(uni === 0.0, 0.0).otherwise(inter / uni), 4)
         .as("jaccard")): _*)
   }

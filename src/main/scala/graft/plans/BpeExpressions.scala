@@ -77,15 +77,24 @@ object BpeEncode {
 
   private[plans] val MemoCap = 1 << 16
 
+  /** Exactly Java regex `\s` — the split set `GraftFunctions.tokens` uses at
+    * TRAIN time. Deliberately NOT `Character.isWhitespace`: that adds Unicode
+    * separators (U+2000–U+200A, U+2028/29, U+3000, U+001C–U+001F) which the
+    * trainer treats as word-internal characters; splitting on them at encode
+    * time would apply the merge table to word shapes it was never trained on.
+    */
+  @inline private def isSplitWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def encode(text: UTF8String, table: BpeMergeTable): ArrayData = {
     val s = text.toString
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
     var i = 0
     val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isSplitWs(s.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isSplitWs(s.charAt(i))) i += 1
       if (i > start) {
         val pieces = encodeWord(s.substring(start, i), table)
         var k = 0

@@ -114,6 +114,42 @@ class BpeSpec extends SparkSpec {
     assert(enc(3L).mkString.replace("</w>", " ").trim == "low unseen")
   }
 
+  test("unicode separators (U+3000, U+2028) are word-internal at train AND encode time") {
+    // tokens() splits on Java \s+ (ASCII-only), so an ideographic space or a
+    // line separator stays INSIDE a word at train time; encode must honor the
+    // same boundary or the merge statistics mismatch applied tokenization
+    val w = "lo　w" // one word to the \s+ tokenizer
+    val docs = Seq((1L, s"$w $w $w x y")).toDF("id", "text")
+    val wf = Bpe.wordFrequencies(docs, "text", maxWords = 0)
+      .as[(String, Long)].collect().toMap
+    assert(wf == Map(w -> 3L, "x y" -> 1L))
+    val merges = Bpe.trainFromCorpus(docs, "text", numMerges = 8,
+      maxWords = 1 << 10, minFrequency = 1)
+    val enc = docs.select(Bpe.encode(col("text"), merges))
+      .as[Seq[String]].head()
+    // encode saw exactly two distinct word shapes: round-trip preserves the
+    // unicode chars inside words and yields one </w> per \s+-token (4 total)
+    assert(enc.mkString.replace("</w>", " ").trim.split(" ", -1).toSeq ==
+      Seq(w, w, w, "x y"))
+    assert("</w>".r.findAllMatchIn(enc.mkString).length == 4)
+    // the frequent word fused across the ideographic space — proof the
+    // encoder treated U+3000 as word-internal exactly like the trainer
+    assert(enc.exists(s => s.contains("　")))
+  }
+
+  test("vocabulary dedupes colliding merge outputs, keeping the lowest rank") {
+    // a+bc and ab+c both fuse to "abc": token→id must stay unambiguous
+    val merges = Seq(
+      Bpe.Merge(0, "a", "b"), Bpe.Merge(1, "b", "c"),
+      Bpe.Merge(2, "a", "bc"), Bpe.Merge(3, "ab", "c"))
+    val vocab = Bpe.vocabulary(spark, merges, Seq("a", "b", "c"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(vocab.map(_._2).distinct.length == vocab.length)
+    assert(vocab.count(_._2 == "abc") == 1)
+    // base sorted first (</w>, a, b, c) then ab, bc, abc — rank-3 dup dropped
+    assert(vocab.map(_._2).toSeq == Seq("</w>", "a", "b", "c", "ab", "bc", "abc"))
+  }
+
   test("null text encodes to null, not empty") {
     val merges = Bpe.train(sennrich, 3)
     val df = Seq((1L, "low"), (2L, null.asInstanceOf[String])).toDF("id", "text")
@@ -229,5 +265,51 @@ class BpeSpec extends SparkSpec {
         concat(regexp_replace(col("text"), "\\s+", " "), lit(" ")))
       .count()
     assert(bad == 0)
+  }
+
+  /** Independent re-implementation of BPE application, for the oracle-class
+    * cross-check of the `bpe_tokens` gate (whose output DuckDB cannot replay:
+    * the merge fixpoint is not one SQL query). Deliberately a DIFFERENT
+    * algorithm from [[BpeEncode.encodeWord]]: merges are applied
+    * sequentially in rank order, one left-to-right pass each — equivalent to
+    * the greedy lowest-rank-present loop because fusing a later-rank pair
+    * can never create a new adjacency between two pre-existing symbols
+    * (neighbors become adjacent to the FUSED symbol only), and a pair's
+    * constituents both predate every later merge.
+    */
+  private def naiveReencode(text: String, merges: Seq[Bpe.Merge]): Seq[String] = {
+    def word(w: String): Seq[String] = {
+      var syms: Vector[String] =
+        w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))) :+
+          Bpe.EndOfWord
+      for (m <- merges.sortBy(_.rank)) {
+        val out = Vector.newBuilder[String]
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == m.left && syms(k + 1) == m.right) {
+            out += m.left + m.right; k += 2
+          } else { out += syms(k); k += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    text.split("\\s+").toSeq.filter(_.nonEmpty).flatMap(word)
+  }
+
+  test("gate-scale cross-check: codegen encode equals the naive rank-order applier (sf0.01)") {
+    // exactly the bpe_tokens gate's training configuration
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val merges = Bpe.trainFromCorpus(docs, "text",
+      numMerges = 64, maxWords = 1 << 16)
+    val viaExpr = docs
+      .select(col("doc_id"), Bpe.encode(col("text"), merges).as("subs"))
+      .as[(Long, Seq[String])].collect().toMap
+    val raw = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    assert(raw.length == viaExpr.size)
+    for ((id, text) <- raw)
+      assert(viaExpr(id) == naiveReencode(text, merges),
+        s"doc $id: codegen encode diverges from the naive applier")
   }
 }

@@ -185,6 +185,20 @@ class PipelineConfigSpec extends SparkSpec {
           |""".stripMargin), s"$tmp/in", s"$tmp/out2"), spark)
     }
     assert(spark.conf.get(key) == before)
+    // a key the session never explicitly set must come back UNSET (not
+    // pinned to its current default): conf.get resolves defaulted keys, so
+    // a naive save/restore would freeze the default as an explicit setting
+    val defaulted = "spark.sql.parquet.filterPushdown"
+    assert(!spark.conf.getAll.contains(defaulted))
+    Main.run(Array(writeYaml(tmp,
+      s"""conf:
+         |  $defaulted: "false"
+         |stages:
+         |  - conf_probe
+         |""".stripMargin), s"$tmp/in", s"$tmp/out3"), spark)
+    assert(!spark.conf.getAll.contains(defaulted),
+      "defaulted key was pinned as explicit by the post-run restore")
+    assert(spark.conf.get(defaulted) == "true")
   }
 
   private def writeYaml(tmp: String, yaml: String): String = {
