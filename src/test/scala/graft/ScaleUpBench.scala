@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the floor-amortization measurement behind the ">2× tail is
+  * local-mode job floor" claim (VERDICT r8 #1). Replicates the sf documents
+  * table K× and times the job-floor-suspect gates at each scale, so the
+  * Spark-vs-DuckDB ratio TREND is a measurement, not an argument — DuckDB
+  * timings for the same dirs come from `tools/bench_scale.py`.
+  *
+  * Replicas are made textually disjoint by a per-replica alphabet rotation
+  * (`translate`, replica 0 = identity): plain id-shifted copies would share
+  * every shingle across replicas and hand `ngram_jaccard` a quadratic
+  * cross-replica pair blowup — a different regime from "the same pipeline
+  * over more data", which is what amortization is about. The rotation
+  * preserves word lengths, token counts, and per-class document ratios
+  * (lang/source untouched), so per-stage work scales ~linearly in K.
+  *
+  * Usage: Test/runMain graft.ScaleUpBench <sfDir> <outRoot> <iters> <k...>
+  * Writes <outRoot>/x<k>/documents.parquet then prints per-query min-of-iters
+  * seconds per scale.
+  */
+object ScaleUpBench {
+  val QueriesUnderTest: Seq[String] =
+    Seq("tf_idf", "nb_confusion", "ngram_jaccard", "analysis_pipeline")
+
+  private val Abc = "abcdefghijklmnopqrstuvwxyz"
+
+  def replicate(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      val rot = Abc.drop(i % 26) + Abc.take(i % 26)
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else translate(col("text"), Abc + Abc.toUpperCase,
+            rot + rot.toUpperCase))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outRoot = args(1)
+    val iters = args(2).toInt
+    val scales = args.drop(3).map(_.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dirs = scales.map { k =>
+      val dir = s"$outRoot/x$k"
+      replicate(docs, k).repartition(math.max(k, 4))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      k -> dir
+    }
+
+    // one warm pass per query at the smallest scale: codegen + JIT, the
+    // same convention as graft.Bench
+    val warmDir = dirs.head._2
+    for (q <- QueriesUnderTest)
+      try SparkEntry.queries(q)(spark, warmDir).count()
+      catch { case e: Throwable => println(s"WARM FAIL $q: $e") }
+
+    println(f"${"query"}%-20s ${"k"}%-4s ${"rows"}%-10s seconds")
+    for ((k, dir) <- dirs; q <- QueriesUnderTest) {
+      var rows = 0L
+      val times = (1 to iters).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        rows = SparkEntry.queries(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$q%-20s $k%-4d $rows%-10d ${times.min}%.2f")
+    }
+    spark.stop()
+  }
+}

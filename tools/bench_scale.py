@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""DuckDB side of the floor-amortization measurement (ScaleUpBench.scala):
+time the named oracle queries over each replicated-scale dir produced by
+`Test/runMain graft.ScaleUpBench`, so the Spark-vs-DuckDB ratio can be read
+per scale.
+
+Usage: python3 tools/bench_scale.py <oracleSqlJson> <scaleRoot> <k...>
+  <oracleSqlJson>  oracle_sql.json from a graft.Verify run
+  <scaleRoot>      dir containing x<k>/documents.parquet subdirs
+"""
+import json, sys, glob, os, time
+
+import duckdb
+
+QUERIES = ["tf_idf", "nb_confusion", "ngram_jaccard", "analysis_pipeline"]
+
+oracle = json.load(open(sys.argv[1]))
+root = sys.argv[2]
+scales = [int(a) for a in sys.argv[3:]]
+reps = 2
+
+print(f"{'query':20s} {'k':4s} {'rows':10s} seconds")
+for k in scales:
+    con = duckdb.connect()
+    for p in glob.glob(f"{root}/x{k}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p  # Spark dir layout
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+    for q in QUERIES:
+        sql = oracle[q]
+        rows = len(con.execute(sql).fetchall())  # warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            times.append(time.perf_counter() - t0)
+        print(f"{q:20s} {k:<4d} {rows:<10d} {min(times):.2f}", flush=True)
+    con.close()
