@@ -2258,6 +2258,27 @@ object Queries {
       |  ON l.user_id = r.user_id AND r.view_ts <= l.ts
       |ORDER BY l.event_id""".stripMargin))
 
+  /** The skew-hardened as-of carry ([[AsOfJoin.asOfSliced]]) against the
+    * SAME DuckDB ASOF JOIN oracle as `asof_join`: numSlices=8 forces real
+    * multi-slice grids and cross-slice boundary patches at every test SF,
+    * so the sliced path's semantics are hash-verified, not only
+    * spec-equal to the plain carry.
+    */
+  private val asofJoinSliced: Gate = Gate(
+    (s, dir) => {
+      val ev = eventsTable(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_event_id"))
+      AsOfJoin.asOfSliced(clicks, views, Seq("user_id"), "ts", "view_ts",
+        Seq("view_ts", "view_event_id"), dedupRight = Some("view_event_id"),
+        numSlices = 8)
+        .orderBy("event_id")
+    },
+    asofJoin.oracle)
+
   /** Column profiling: the one-pass per-column statistics report (counts,
     * nulls, exact distincts, numeric/length ranges and means) replayed as
     * per-column SQL aggregates.
@@ -2960,6 +2981,7 @@ object Queries {
     "zorder_values" -> zorderValues,
     "shuffle_rows" -> shuffleRows,
     "asof_join" -> asofJoin,
+    "asof_join_sliced" -> asofJoinSliced,
     "range_join" -> rangeJoinGate,
     "rolling_agg" -> rollingAgg,
     "profile" -> profileGate,

@@ -43,6 +43,106 @@ object AsOfJoin {
       leftTime: String, rightTime: String, valueCols: Seq[String],
       direction: String = "backward", strict: Boolean = false,
       dedupRight: Option[String] = None): DataFrame = {
+    val (u, leftSide, ord) = unionStream(left, right, keyCols, leftTime,
+      rightTime, valueCols, direction, strict, dedupRight)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    finish(u.withColumn("__carry", last(col("__rv"), ignoreNulls = true).over(w)),
+      left, valueCols, leftSide, "__carry")
+  }
+
+  /** Hot-key-hardened as-of join: identical semantics to [[asOf]], but the
+    * per-key carry runs over (key, TIME-SLICE) partitions so a pathological
+    * key holding most of the corpus parallelizes across `numSlices` tasks
+    * instead of serializing one window sort (the documented residual of the
+    * plain carry; same grid trick as [[RangeJoin]]).
+    *
+    * Shape: both sides map through a MONOTONE global time grid (slice =
+    * clamped floor((t−min)/width); monotonicity is the whole correctness
+    * argument — any right row in an earlier slice is strictly earlier than
+    * every left row in this slice, any right row in a later slice strictly
+    * later, and equal times always share a slice where the side ordering
+    * applies the tie rule exactly as in [[asOf]]). Within-slice carry is the
+    * usual running `last`; the cross-slice boundary patch is a per-(key,
+    * slice) DIGEST — the slice's last right payload via `max_by`/`min_by` —
+    * running-carried per key over slice order (≤ numSlices rows per key,
+    * metadata-sized) and joined back on (key, slice). The digest's
+    * aggregation shuffles on the same (key, slice) hash as the window, so
+    * the exchange is reused, and the join's left side arrives already
+    * partitioned — the big data still shuffles ONCE.
+    *
+    * The grid degenerates gracefully: all-equal times collapse to one slice
+    * (= plain [[asOf]]); numSlices = 1 IS plain [[asOf]] modulo plan shape.
+    */
+  def asOfSliced(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      direction: String = "backward", strict: Boolean = false,
+      dedupRight: Option[String] = None, numSlices: Int = 64): DataFrame = {
+    require(numSlices >= 1, s"asOfSliced: numSlices must be >= 1, got $numSlices")
+    val (u0, leftSide, ord) = unionStream(left, right, keyCols, leftTime,
+      rightTime, valueCols, direction, strict, dedupRight)
+
+    // global grid bounds: one metadata-sized agg over the union's time
+    // column (2 doubles to the driver). Cast-to-double is ONLY used to
+    // place rows on the grid — orderings still compare native values — so
+    // double rounding cannot break correctness, just slice balance.
+    val b = u0.agg(min(col("__t").cast("double")),
+      max(col("__t").cast("double"))).head()
+    if (b.isNullAt(0))
+      return finish( // no timed row on either side: every payload is null
+        u0.withColumn("__carry", lit(null).cast(u0.schema("__rv").dataType)),
+        left, valueCols, leftSide, "__carry")
+    val lo = b.getDouble(0)
+    val width = math.max((b.getDouble(1) - lo) / numSlices,
+      java.lang.Double.MIN_NORMAL)
+    // monotone, total: floor((t-lo)/width) clamped into [0, numSlices-1];
+    // null times park on sentinel slice -1 (right nulls are pre-filtered,
+    // left nulls are forced to null payloads in the final projection)
+    val u = u0.withColumn("__slice", coalesce(
+      least(floor((col("__t").cast("double") - lit(lo)) / lit(width)),
+        lit((numSlices - 1).toLong)), lit(-1L)))
+
+    val wIn = Window.partitionBy((keyCols.map(col) :+ col("__slice")): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u.withColumn("__carry",
+      last(col("__rv"), ignoreNulls = true).over(wIn))
+
+    // per-slice digest: the payload a NEXT slice would inherit — the right
+    // row at max __t (backward) / min __t (forward) in this slice. Weight
+    // is null on left rows, so max_by/min_by skip them; a right-less slice
+    // digests to null and the running carry below looks through it.
+    val rightSide = 1 - leftSide
+    val weight = when(col("__side") === lit(rightSide), col("__t"))
+    val sliceLast = (if (direction == "backward") max_by(col("__rv"), weight)
+      else min_by(col("__rv"), weight)).as("__sl")
+    val sliceOrd =
+      if (direction == "backward") col("__slice").asc else col("__slice").desc
+    val wCarry = Window.partitionBy(keyCols.map(col): _*).orderBy(sliceOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = u
+      .groupBy((keyCols.map(col) :+ col("__slice")): _*).agg(sliceLast)
+      .withColumn("__ci", last(col("__sl"), ignoreNulls = true).over(wCarry))
+      .select((keyCols.map(col) :+ col("__slice") :+ col("__ci")): _*)
+
+    // inner join is total: every (key, slice) of `carried` exists in the
+    // digest by construction (both derive from the same union)
+    val patched = carried.join(carryIn, keyCols :+ "__slice")
+      .withColumn("__cc", coalesce(col("__carry"), col("__ci")))
+    finish(patched, left, valueCols, leftSide, "__cc")
+  }
+
+  /** Shared prep: validate, dedup the right side, and union both sides into
+    * one keyed stream (`__t`, `__side`, `__rv` right payload, `__lrow` full
+    * left row) with the direction/tie ordering. The left's FULL row rides
+    * through the union as a struct — no row-id reattach join (a
+    * nondeterministic id evaluated in two lineages could mispair rows), one
+    * lineage, one shuffle total.
+    */
+  private def unionStream(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTime: String, rightTime: String,
+      valueCols: Seq[String], direction: String, strict: Boolean,
+      dedupRight: Option[String]): (DataFrame, Int, Seq[Column]) = {
     require(keyCols.nonEmpty, "asOf: at least one key column")
     require(Seq("backward", "forward").contains(direction),
       s"asOf: direction must be backward|forward, got $direction")
@@ -70,10 +170,7 @@ object AsOfJoin {
     }
 
     // side ordering encodes the tie rule; forward runs the same carry on
-    // the reversed time axis. The left's FULL row rides through the union
-    // as a struct — no row-id reattach join (a nondeterministic id
-    // evaluated in two lineages could mispair rows), one lineage, one
-    // shuffle total.
+    // the reversed time axis
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
     val lStructType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val r = rDedup.select(
@@ -91,16 +188,19 @@ object AsOfJoin {
       case "backward" => Seq(col("__t").asc_nulls_first, col("__side").asc)
       case "forward"  => Seq(col("__t").desc_nulls_first, col("__side").asc)
     }
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.unionByName(l)
-      .withColumn("__carry", last(col("__rv"), ignoreNulls = true).over(w))
+    (r.unionByName(l), leftSide, ord)
+  }
+
+  /** Keep only left rows and project the carried payload, nulling it for
+    * null left times ("at no time" matches nothing in either direction —
+    * forward's desc ordering would otherwise hand nulls-first rows the
+    * max-time payload).
+    */
+  private def finish(carried: DataFrame, left: DataFrame,
+      valueCols: Seq[String], leftSide: Int, carryCol: String): DataFrame =
+    carried
       .filter(col("__side") === leftSide && col("__lrow").isNotNull)
       .select(left.columns.map(c => col(s"__lrow.$c").as(c)) ++
-        // a null left time means "at no time": match nothing in either
-        // direction (forward's desc ordering would otherwise hand
-        // nulls-first rows the max-time payload)
         valueCols.map(c => when(col("__t").isNull, lit(null))
-          .otherwise(col(s"__carry.$c")).as(c)): _*)
-  }
+          .otherwise(col(s"$carryCol.$c")).as(c)): _*)
 }

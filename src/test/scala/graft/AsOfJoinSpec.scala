@@ -81,6 +81,58 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("user_id"), "qt", "rt", Seq("v"), dedupRight = Some("v"))
     assert(collectSet(a) === collectSet(b))
   }
+
+  test("asOfSliced equals asOf on the crafted timelines, every config and slice count") {
+    for (direction <- Seq("backward", "forward"); strict <- Seq(false, true);
+         n <- Seq(1, 3, 64)) {
+      val plain = AsOfJoin.asOf(queries, readings, Seq("user_id"),
+        "qt", "rt", Seq("rt", "reading"), direction, strict)
+      val sliced = AsOfJoin.asOfSliced(queries, readings, Seq("user_id"),
+        "qt", "rt", Seq("rt", "reading"), direction, strict, numSlices = n)
+      assert(collectSet(sliced) === collectSet(plain),
+        s"direction=$direction strict=$strict numSlices=$n")
+    }
+  }
+
+  test("asOfSliced equals asOf on randomized timelines (nulls, cross-key time clashes)") {
+    val rng = new scala.util.Random(7)
+    // heavy tie density: times drawn from a small range so equal (key, t)
+    // collisions, cross-slice boundaries, and left-only slices all occur
+    val l = (0L until 2000L).map { i =>
+      val t = if (rng.nextInt(20) == 0) null
+        else java.lang.Long.valueOf(rng.nextInt(200).toLong)
+      (i, rng.nextInt(5).toLong, t)
+    }.toDF("qid", "user_id", "qt")
+    val r = (0L until 600L).map { i =>
+      (i % 6, rng.nextInt(200).toLong, s"v$i")
+    }.toDF("user_id", "rt", "v")
+    for (direction <- Seq("backward", "forward"); strict <- Seq(false, true)) {
+      val plain = AsOfJoin.asOf(l, r, Seq("user_id"), "qt", "rt",
+        Seq("rt", "v"), direction, strict, dedupRight = Some("v"))
+      val sliced = AsOfJoin.asOfSliced(l, r, Seq("user_id"), "qt", "rt",
+        Seq("rt", "v"), direction, strict, dedupRight = Some("v"),
+        numSlices = 16)
+      assert(collectSet(sliced) === collectSet(plain),
+        s"direction=$direction strict=$strict")
+    }
+  }
+
+  test("asOfSliced degenerates safely: all-null times, all-equal times") {
+    val lNull = Seq((1L, 1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("qid", "user_id", "qt")
+    val rEmpty = Seq.empty[(Long, Long, String)].toDF("user_id", "rt", "v")
+    val gotNull = AsOfJoin.asOfSliced(lNull, rEmpty, Seq("user_id"),
+      "qt", "rt", Seq("v")).collect()
+    assert(gotNull.length == 1 && gotNull.head.isNullAt(2))
+    val lEq = (0L until 50L).map(i => (i, 1L, 42L)).toDF("qid", "user_id", "qt")
+    val rEq = Seq((1L, 42L, "x")).toDF("user_id", "rt", "v")
+    val inclusive = AsOfJoin.asOfSliced(lEq, rEq, Seq("user_id"),
+      "qt", "rt", Seq("v"), numSlices = 8)
+    assert(inclusive.filter(col("v") === "x").count() == 50)
+    val strictRun = AsOfJoin.asOfSliced(lEq, rEq, Seq("user_id"),
+      "qt", "rt", Seq("v"), strict = true, numSlices = 8)
+    assert(strictRun.filter(col("v").isNotNull).count() == 0)
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
