@@ -236,6 +236,38 @@ object Queries {
       | round(quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.75),4) AS p75
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The KLL-sketch quantile path of aggregate_code_metadata (stage option
+    * `algo: sketch`), pinned in the EXACT regime: sketch_k=32768 exceeds
+    * every per-code present-value count at all test SFs (max ~20.3k at
+    * sf0.1), so the sketch retains every value and its INCLUSIVE-criterion
+    * quantile is deterministically the order statistic at rank
+    * max(1, ceil(q·n)) — which the oracle replays as a rank window. Above
+    * capacity the identical plan degrades to ≤ ~1.65% rank error at the
+    * default k=200 (KllSpec pins that regime). The YAML-reachability of the
+    * option is spec-locked in PipelineConfigSpec.
+    */
+  private val aggCodeQuantilesSketch: Gate = Gate(
+    (s, dir) => {
+      val q = AggregateCodeMetadata.compute(medsEvents(s, dir),
+        Seq(ValuesQuantiles), Seq(0.25, 0.5, 0.75),
+        quantileMode = "sketch", sketchK = 32768)
+      q.select(col(Code).as("code"),
+        r4(col(ValuesQuantiles).getField("values/quantile/0.25")).as("p25"),
+        r4(col(ValuesQuantiles).getField("values/quantile/0.5")).as("p50"),
+        r4(col(ValuesQuantiles).getField("values/quantile/0.75")).as("p75"))
+        .orderBy("code")
+    },
+    Some("""WITH p AS (SELECT event_type AS code, CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+      |r AS (SELECT code, v,
+      |  row_number() OVER (PARTITION BY code ORDER BY v) AS rn,
+      |  count(*) OVER (PARTITION BY code) AS n FROM p)
+      |SELECT code,
+      | round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.25*n) AS BIGINT)) THEN v END),4) AS p25,
+      | round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*n) AS BIGINT)) THEN v END),4) AS p50,
+      | round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.75*n) AS BIGINT)) THEN v END),4) AS p75
+      |FROM r GROUP BY code ORDER BY code""".stripMargin))
+
   /** Incremental metadata: the events table split into two "releases"
     * (event_id parity), each aggregated into mergeable partials, the
     * partials merged, and the full metadata derived from the merged artifact
@@ -2915,6 +2947,7 @@ object Queries {
     "agg_code_metadata" -> aggCodeMetadata,
     "agg_code_metadata_incr" -> aggCodeMetadataIncr,
     "agg_code_quantiles" -> aggCodeQuantiles,
+    "agg_code_quantiles_sketch" -> aggCodeQuantilesSketch,
     "fit_vocab_indices" -> fitVocab,
     "filter_subjects" -> filterSubjects,
     "filter_measurements" -> filterMeasurements,

@@ -163,11 +163,18 @@ object PipelineConfig {
   /** Aggregations may be plain names or {name: values/quantiles, quantiles:
     * [...]} entries (cfg.yaml of aggregate_code_metadata scenarios).
     */
-  private def parseAggregations(cfg: Cfg): (Seq[String], Seq[Double]) = {
+  private[graft] final case class ParsedAggs(names: Seq[String],
+    quantiles: Seq[Double], quantileMode: String, sketchK: Int)
+
+  private def parseAggregations(cfg: Cfg): ParsedAggs = {
+    val dflt = ParsedAggs(AggregateCodeMetadata.AllAggregations,
+      Seq(0.25, 0.5, 0.75), "nearest", graft.plans.KllExpressions.DefaultK)
     val entries = cfg.getList("aggregations")
-    if (entries.isEmpty) (AggregateCodeMetadata.AllAggregations, Seq(0.25, 0.5, 0.75))
+    if (entries.isEmpty) dflt
     else {
-      var quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75)
+      var quantiles = dflt.quantiles
+      var mode = dflt.quantileMode
+      var sketchK = dflt.sketchK
       val names = entries.map {
         case S(s) => s
         case m: M =>
@@ -176,15 +183,20 @@ object PipelineConfig {
           // a quantiles list only means anything on the values/quantiles
           // entry — honoring it from any entry would let a later unrelated
           // aggregation silently overwrite the configured quantiles
-          if (name == graft.meds.MedsSchema.ValuesQuantiles)
+          if (name == graft.meds.MedsSchema.ValuesQuantiles) {
             quantiles = m.getList("quantiles").collect { case D(d) => d; case I(i) => i.toDouble } match {
               case Nil => quantiles
               case qs => qs
             }
+            // algo: nearest (reference parity) | linear | sketch (KLL, the
+            // hyper-cardinality path; sketch_k sizes the sketch)
+            mode = m.getStr("algo").getOrElse(mode)
+            sketchK = m.getInt("sketch_k").getOrElse(sketchK)
+          }
           name
         case other => throw new IllegalArgumentException(s"bad aggregation entry: $other")
       }
-      (names, quantiles)
+      ParsedAggs(names, quantiles, mode, sketchK)
     }
   }
 
@@ -280,11 +292,12 @@ object PipelineConfig {
 
   private def buildBuiltinStageInner(name: String, baseStage: String, cfg: Cfg): Pipeline.Stage = baseStage match {
     case "aggregate_code_metadata" =>
-      val (aggs, quantiles) = parseAggregations(cfg)
+      val pa = parseAggregations(cfg)
       val mods = cfg.strings("code_modifiers")
       val summarize = cfg.getBool("do_summarize_over_all_codes").getOrElse(false)
       Pipeline.MetadataStage(name, m =>
-        AggregateCodeMetadata(m.data, m.codes, aggs, quantiles, mods, summarize))
+        AggregateCodeMetadata(m.data, m.codes, pa.names, pa.quantiles, mods,
+          summarize, pa.quantileMode, pa.sketchK))
     case "fit_vocabulary_indices" =>
       Pipeline.MetadataStage(name, m =>
         FitVocabularyIndices(m.codes, cfg.strings("code_modifiers")))

@@ -102,6 +102,40 @@ object AggregateCodeMetadata {
     out.select((keyCols :+ col(ValuesQuantiles)): _*)
   }
 
+  /** KLL-sketch quantiles with the same output contract as
+    * [[nearestQuantiles]] — the scale path for groups whose present-value
+    * count makes even the rank window's per-key sort unwelcome: one
+    * map-side-combined aggregation producing a fixed ~3 KB sketch per key,
+    * quantiles read off the sketch (Datasketches INCLUSIVE criterion: the
+    * smallest retained value whose inclusive rank ≥ q — in the exact regime
+    * n ≤ k that is precisely the order statistic at ceil(q·n), which is what
+    * the `agg_code_quantiles_sketch` gate replays in SQL). Rank error in the
+    * approximate regime ≤ ~1.65% at the default k=200 (KllSpec).
+    */
+  def sketchQuantiles(
+      data: DataFrame,
+      quantiles: Seq[Double],
+      codeModifiers: Seq[String] = Nil,
+      overAll: Boolean = false,
+      sketchK: Int = graft.plans.KllExpressions.DefaultK): DataFrame = {
+    val keys = if (overAll) Nil else Code +: codeModifiers
+    val aggs = Seq(
+      graft.plans.KllExpressions.kllAgg(
+        when(valPresent, col(NumericValue)).cast("double"), sketchK).as("__kll"),
+      count(when(valPresent, lit(1))).as("__n_present"))
+    val grouped =
+      if (keys.isEmpty) data.agg(aggs.head, aggs.tail: _*)
+      else data.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val out = grouped.withColumn(ValuesQuantiles,
+      when(col("__n_present") > 0, struct(quantiles.map(q =>
+        graft.plans.KllExpressions.kllQuantile(col("__kll"), lit(q))
+          .as(s"values/quantile/$q")): _*)))
+    val keyCols: Seq[Column] =
+      if (overAll) (Code +: codeModifiers).map(k => lit(null).cast("string").as(k))
+      else keys.map(col)
+    out.select((keyCols :+ col(ValuesQuantiles)): _*)
+  }
+
   /** Compute grouped metadata. `codeModifiers` extend the grouping key.
     * `summarizeOverAllCodes` adds the all-codes summary row (code = null),
     * reference lines 517-535 — expressed as GROUPING SETS ((code, mods), ())
@@ -109,7 +143,8 @@ object AggregateCodeMetadata {
     *
     * `quantileMode` "nearest" (the reference's Polars default) routes the
     * quantile aggregation through [[nearestQuantiles]]; "linear" uses the
-    * built-in exact percentile.
+    * built-in exact percentile; "sketch" uses [[sketchQuantiles]] (KLL,
+    * `sketchK` sizing the sketch) for hyper-cardinality value domains.
     */
   def compute(
       data: DataFrame,
@@ -117,10 +152,13 @@ object AggregateCodeMetadata {
       quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
       codeModifiers: Seq[String] = Nil,
       summarizeOverAllCodes: Boolean = false,
-      quantileMode: String = "nearest"): DataFrame = {
+      quantileMode: String = "nearest",
+      sketchK: Int = graft.plans.KllExpressions.DefaultK): DataFrame = {
+    require(Seq("nearest", "linear", "sketch").contains(quantileMode),
+      s"unknown quantileMode $quantileMode")
     val keys = Code +: codeModifiers
-    val wantsNearestQ =
-      aggregations.contains(ValuesQuantiles) && quantileMode == "nearest"
+    val wantsNearestQ = aggregations.contains(ValuesQuantiles) &&
+      (quantileMode == "nearest" || quantileMode == "sketch")
     val aggNames = if (wantsNearestQ) aggregations.filterNot(_ == ValuesQuantiles)
       else aggregations
     val aggs = aggNames.map(aggExpr(_, quantiles)) match {
@@ -144,13 +182,15 @@ object AggregateCodeMetadata {
     val withQ =
       if (!wantsNearestQ) base
       else {
-        val perCode = nearestQuantiles(data, quantiles, codeModifiers)
-          .withColumn("__gid", lit(0))
+        def qFrame(overAll: Boolean) =
+          if (quantileMode == "sketch")
+            sketchQuantiles(data, quantiles, codeModifiers, overAll, sketchK)
+          else nearestQuantiles(data, quantiles, codeModifiers, overAll)
+        val perCode = qFrame(overAll = false).withColumn("__gid", lit(0))
         val qDf =
           if (summarizeOverAllCodes)
             perCode.unionByName(
-              nearestQuantiles(data, quantiles, codeModifiers, overAll = true)
-                .withColumn("__gid", lit(totalGid)))
+              qFrame(overAll = true).withColumn("__gid", lit(totalGid)))
           else perCode
         // aliased null-safe join: both sides derive from the same scan
         val b = base.alias("__acm_b")
@@ -181,8 +221,11 @@ object AggregateCodeMetadata {
       aggregations: Seq[String] = AllAggregations,
       quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
       codeModifiers: Seq[String] = Nil,
-      summarizeOverAllCodes: Boolean = false): DataFrame = {
-    val computed = compute(data, aggregations, quantiles, codeModifiers, summarizeOverAllCodes)
+      summarizeOverAllCodes: Boolean = false,
+      quantileMode: String = "nearest",
+      sketchK: Int = graft.plans.KllExpressions.DefaultK): DataFrame = {
+    val computed = compute(data, aggregations, quantiles, codeModifiers,
+      summarizeOverAllCodes, quantileMode, sketchK)
     val merged = joinAndReplace(computed, codes, Code +: codeModifiers)
     GraftFunctions.shrinkIntColumns(merged,
       Seq(CodeNSubjects, CodeNOccurrences, ValuesNSubjects, ValuesNOccurrences, ValuesNInts))
