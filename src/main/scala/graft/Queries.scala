@@ -319,18 +319,47 @@ object Queries {
         r4(col(ValuesQuantiles).getField("values/quantile/0.5")).as("values_p50"))
         .orderBy("code")
     },
-    Some("""SELECT event_type AS code,
-      | count(DISTINCT user_id) AS n_subjects,
-      | count(*) AS n_occurrences,
-      | count(DISTINCT CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN user_id END) AS values_n_subjects,
-      | count(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_n_occurrences,
-      | count(CASE WHEN value IS NOT NULL AND NOT isnan(value) AND round(value)=value THEN value END) AS values_n_ints,
-      | round(coalesce(sum(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END),0),3) AS values_sum,
-      | CAST(sum(round(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value*value*10000 END)) AS BIGINT) AS values_sum_sqd_e4,
-      | min(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_min,
-      | max(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS values_max,
-      | round(quantile_cont(CASE WHEN isnan(value) THEN NULL ELSE value END, 0.5),4) AS values_p50
-      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+    // the oracle replays the SAME incremental work, not a flat recompute
+    // (r8 verdict #6: like-for-like ratio): per-release partials (value
+    // histogram + distinct-subject artifact per event_id parity), partial
+    // MERGE (union + re-agg), then every metric derived from the merged
+    // artifacts only — including the linear-interp p50 off the cumulative
+    // histogram, the exact shape fromPartials executes
+    Some("""WITH ev AS (SELECT user_id, event_type AS code,
+      |  CAST(value AS DOUBLE) AS v, CAST(event_id % 2 AS INT) AS rel FROM events),
+      |hist_p AS (SELECT rel, code, v, count(*) AS cnt FROM ev GROUP BY 1,2,3),
+      |subj_p AS (SELECT rel, code, user_id,
+      |  max(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN 1 ELSE 0 END) AS has_value
+      | FROM ev GROUP BY 1,2,3),
+      |hist AS (SELECT code, v, sum(cnt) AS cnt FROM hist_p GROUP BY 1,2),
+      |subj AS (SELECT code, user_id, max(has_value) AS has_value FROM subj_p GROUP BY 1,2),
+      |scalars AS (SELECT code,
+      |  CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+      |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN cnt END),0) AS BIGINT) AS values_n_occurrences,
+      |  CAST(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) AND round(v)=v THEN cnt END),0) AS BIGINT) AS values_n_ints,
+      |  round(coalesce(sum(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN v*cnt END),0),3) AS values_sum,
+      |  CAST(sum(round(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN v*v*10000 END)*cnt) AS BIGINT) AS values_sum_sqd_e4,
+      |  min(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN v END) AS values_min,
+      |  max(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN v END) AS values_max
+      | FROM hist GROUP BY 1),
+      |subjc AS (SELECT code, count(*) AS n_subjects,
+      |  CAST(sum(has_value) AS BIGINT) AS values_n_subjects FROM subj GROUP BY 1),
+      |hp AS (SELECT code, v, cnt FROM hist WHERE v IS NOT NULL AND NOT isnan(v)),
+      |r AS (SELECT code, v, cnt,
+      |  sum(cnt) OVER (PARTITION BY code ORDER BY v) AS cum,
+      |  sum(cnt) OVER (PARTITION BY code) AS n FROM hp),
+      |q AS (SELECT code,
+      |  max(CASE WHEN cum - cnt < floor(0.5*(n-1))+1 AND floor(0.5*(n-1))+1 <= cum THEN v END) AS lov,
+      |  max(CASE WHEN cum - cnt < ceil(0.5*(n-1))+1 AND ceil(0.5*(n-1))+1 <= cum THEN v END) AS hiv,
+      |  max(0.5*(n-1) - floor(0.5*(n-1))) AS frac
+      | FROM r GROUP BY 1)
+      |SELECT s.code,
+      | sc.n_subjects, s.n_occurrences, sc.values_n_subjects,
+      | s.values_n_occurrences, s.values_n_ints, s.values_sum,
+      | s.values_sum_sqd_e4, s.values_min, s.values_max,
+      | round(q.lov*(1-q.frac) + q.hiv*q.frac, 4) AS values_p50
+      |FROM scalars s JOIN subjc sc USING (code) LEFT JOIN q USING (code)
+      |ORDER BY s.code""".stripMargin))
 
   private val fitVocab: Gate = Gate(
     (s, dir) => {
