@@ -268,6 +268,28 @@ object Queries {
       | round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.75*n) AS BIGINT)) THEN v END),4) AS p75
       |FROM r GROUP BY code ORDER BY code""".stripMargin))
 
+  /** The HLL subject-count path of aggregate_code_metadata (stage option
+    * `algo: sketch` on the subject-count entries), pinned in the EXACT
+    * regime: an HLL sketch stores coupons exactly below ~2^(lgK−4) distinct
+    * items, and per-code distinct users max out at 1,500 at sf0.1 — far
+    * under lgK=16's ~4k window (measured: exact at 3k, first deviation at
+    * 10k) — so the estimate IS the exact count and the oracle's plain
+    * COUNT(DISTINCT) hash-matches. Above the window the identical plan
+    * degrades to ≤ ~0.8%% error with fixed-size shuffles.
+    */
+  private val aggCodeSubjectsSketch: Gate = Gate(
+    (s, dir) => AggregateCodeMetadata.compute(medsEvents(s, dir),
+        Seq(CodeNSubjects, ValuesNSubjects),
+        subjectCountMode = "sketch", subjectLgK = 16)
+      .select(col(Code).as("code"),
+        col(CodeNSubjects).as("n_subjects"),
+        col(ValuesNSubjects).as("values_n_subjects"))
+      .orderBy("code"),
+    Some("""SELECT event_type AS code,
+      | count(DISTINCT user_id) AS n_subjects,
+      | count(DISTINCT CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN user_id END) AS values_n_subjects
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Incremental metadata: the events table split into two "releases"
     * (event_id parity), each aggregated into mergeable partials, the
     * partials merged, and the full metadata derived from the merged artifact
@@ -2983,6 +3005,7 @@ object Queries {
     "agg_code_metadata_incr" -> aggCodeMetadataIncr,
     "agg_code_quantiles" -> aggCodeQuantiles,
     "agg_code_quantiles_sketch" -> aggCodeQuantilesSketch,
+    "agg_code_subjects_sketch" -> aggCodeSubjectsSketch,
     "fit_vocab_indices" -> fitVocab,
     "filter_subjects" -> filterSubjects,
     "filter_measurements" -> filterMeasurements,

@@ -164,17 +164,23 @@ object PipelineConfig {
     * [...]} entries (cfg.yaml of aggregate_code_metadata scenarios).
     */
   private[graft] final case class ParsedAggs(names: Seq[String],
-    quantiles: Seq[Double], quantileMode: String, sketchK: Int)
+    quantiles: Seq[Double], quantileMode: String, sketchK: Int,
+    subjectCountMode: String, subjectLgK: Int)
 
   private def parseAggregations(cfg: Cfg): ParsedAggs = {
     val dflt = ParsedAggs(AggregateCodeMetadata.AllAggregations,
-      Seq(0.25, 0.5, 0.75), "nearest", graft.plans.KllExpressions.DefaultK)
+      Seq(0.25, 0.5, 0.75), "nearest", graft.plans.KllExpressions.DefaultK,
+      "exact", 12)
     val entries = cfg.getList("aggregations")
     if (entries.isEmpty) dflt
     else {
       var quantiles = dflt.quantiles
       var mode = dflt.quantileMode
       var sketchK = dflt.sketchK
+      var subjMode = dflt.subjectCountMode
+      var subjLgK = dflt.subjectLgK
+      val subjectCountNames = Set(graft.meds.MedsSchema.CodeNSubjects,
+        graft.meds.MedsSchema.ValuesNSubjects)
       val names = entries.map {
         case S(s) => s
         case m: M =>
@@ -193,10 +199,17 @@ object PipelineConfig {
             mode = m.getStr("algo").getOrElse(mode)
             sketchK = m.getInt("sketch_k").getOrElse(sketchK)
           }
+          // algo: sketch on either subject-count entry switches BOTH to the
+          // HLL estimate (one shared mode: mixing exact and sketched subject
+          // counts in one metadata table would be a silent inconsistency)
+          if (subjectCountNames.contains(name)) {
+            subjMode = m.getStr("algo").getOrElse(subjMode)
+            subjLgK = m.getInt("lg_k").getOrElse(subjLgK)
+          }
           name
         case other => throw new IllegalArgumentException(s"bad aggregation entry: $other")
       }
-      ParsedAggs(names, quantiles, mode, sketchK)
+      ParsedAggs(names, quantiles, mode, sketchK, subjMode, subjLgK)
     }
   }
 
@@ -297,7 +310,8 @@ object PipelineConfig {
       val summarize = cfg.getBool("do_summarize_over_all_codes").getOrElse(false)
       Pipeline.MetadataStage(name, m =>
         AggregateCodeMetadata(m.data, m.codes, pa.names, pa.quantiles, mods,
-          summarize, pa.quantileMode, pa.sketchK))
+          summarize, pa.quantileMode, pa.sketchK, pa.subjectCountMode,
+          pa.subjectLgK))
     case "fit_vocabulary_indices" =>
       Pipeline.MetadataStage(name, m =>
         FitVocabularyIndices(m.codes, cfg.strings("code_modifiers")))

@@ -39,6 +39,25 @@ object AggregateCodeMetadata {
 
   private def presentVal: Column = when(valPresent, col(NumericValue))
 
+  /** HLL-estimated subject counts as drop-in agg expressions — the
+    * hyper-cardinality stand-ins for the two exact countDistincts (stage
+    * option `algo: sketch` on the subject-count aggregation entries): one
+    * fixed-size register array per group instead of a distinct-set shuffle,
+    * exact below the sketch's coupon capacity (~2^(lgK−4)), ≤ ~0.8% error
+    * above it at lgK=12.
+    */
+  def sketchSubjectAggExpr(name: String, lgK: Int): Column = name match {
+    case CodeNSubjects =>
+      hll_sketch_estimate(hll_sketch_agg(col(SubjectId).cast("string"), lit(lgK)))
+        .as(CodeNSubjects)
+    case ValuesNSubjects =>
+      hll_sketch_estimate(
+        hll_sketch_agg(when(valPresent, col(SubjectId)).cast("string"), lit(lgK)))
+        .as(ValuesNSubjects)
+    case other =>
+      throw new IllegalArgumentException(s"no sketch variant for $other")
+  }
+
   def aggExpr(name: String, quantiles: Seq[Double]): Column = name match {
     case CodeNSubjects => countDistinct(col(SubjectId)).as(CodeNSubjects)
     case CodeNOccurrences => count(lit(1)).as(CodeNOccurrences)
@@ -153,15 +172,24 @@ object AggregateCodeMetadata {
       codeModifiers: Seq[String] = Nil,
       summarizeOverAllCodes: Boolean = false,
       quantileMode: String = "nearest",
-      sketchK: Int = graft.plans.KllExpressions.DefaultK): DataFrame = {
+      sketchK: Int = graft.plans.KllExpressions.DefaultK,
+      subjectCountMode: String = "exact",
+      subjectLgK: Int = 12): DataFrame = {
     require(Seq("nearest", "linear", "sketch").contains(quantileMode),
       s"unknown quantileMode $quantileMode")
+    require(Seq("exact", "sketch").contains(subjectCountMode),
+      s"unknown subjectCountMode $subjectCountMode")
     val keys = Code +: codeModifiers
     val wantsNearestQ = aggregations.contains(ValuesQuantiles) &&
       (quantileMode == "nearest" || quantileMode == "sketch")
     val aggNames = if (wantsNearestQ) aggregations.filterNot(_ == ValuesQuantiles)
       else aggregations
-    val aggs = aggNames.map(aggExpr(_, quantiles)) match {
+    val mkAgg: String => Column = {
+      case n @ (CodeNSubjects | ValuesNSubjects)
+          if subjectCountMode == "sketch" => sketchSubjectAggExpr(n, subjectLgK)
+      case n => aggExpr(n, quantiles)
+    }
+    val aggs = aggNames.map(mkAgg) match {
       case Nil => Seq(count(lit(1)).as("__placeholder"))
       case as => as
     }
@@ -223,9 +251,11 @@ object AggregateCodeMetadata {
       codeModifiers: Seq[String] = Nil,
       summarizeOverAllCodes: Boolean = false,
       quantileMode: String = "nearest",
-      sketchK: Int = graft.plans.KllExpressions.DefaultK): DataFrame = {
+      sketchK: Int = graft.plans.KllExpressions.DefaultK,
+      subjectCountMode: String = "exact",
+      subjectLgK: Int = 12): DataFrame = {
     val computed = compute(data, aggregations, quantiles, codeModifiers,
-      summarizeOverAllCodes, quantileMode, sketchK)
+      summarizeOverAllCodes, quantileMode, sketchK, subjectCountMode, subjectLgK)
     val merged = joinAndReplace(computed, codes, Code +: codeModifiers)
     GraftFunctions.shrinkIntColumns(merged,
       Seq(CodeNSubjects, CodeNOccurrences, ValuesNSubjects, ValuesNOccurrences, ValuesNInts))

@@ -150,6 +150,30 @@ class YamlConfigSpec extends SparkSpec {
     assert(disagree == 0)
   }
 
+  test("subject-count `algo: sketch` is YAML-reachable; exact regime equals countDistinct") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketchs").toString
+    val yamlPath = s"$tmp/pipeline.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(yamlPath),
+      """stages:
+        |  - agg_s:
+        |      _base_stage: aggregate_code_metadata
+        |      aggregations:
+        |        - name: "code/n_subjects"
+        |          algo: sketch
+        |          lg_k: 16
+        |        - "values/n_subjects"
+        |""".stripMargin)
+    Main.run(Array(yamlPath, "/root/reference/example/data", s"$tmp/out"), spark)
+    val got = MedsIO.read(spark, s"$tmp/out").codes
+      .select(col("code"), col("`code/n_subjects`").cast("long").as("ns"))
+      .filter(col("ns").isNotNull)
+    // exact regime (example data has 4 subjects): HLL estimate == exact
+    val meds = Pipeline.trainOnly(MedsIO.read(spark, "/root/reference/example/data"))
+    val want = meds.data.groupBy("code")
+      .agg(countDistinct("subject_id").as("ns"))
+    assert(collectSet(got) === collectSet(want))
+  }
+
   test("sketch quantiles in the approximate regime: reported value's true rank within KLL bound") {
     import spark.implicits._
     // 5000 distinct values >> k=200: genuinely approximate
