@@ -2347,6 +2347,40 @@ object Queries {
       |  ON l.user_id = r.user_id AND r.view_ts <= l.ts
       |ORDER BY l.event_id""".stripMargin))
 
+  /** Nearest-direction as-of (the Polars join_asof strategy="nearest"
+    * surface; no DuckDB ASOF equivalent exists, so the oracle replays it as
+    * a per-click argmin over the keyed join — quadratic is fine at gate
+    * scale, the Spark side stays the one-shuffle double carry). Tie rule
+    * (equidistant → backward) is encoded in the oracle's struct ordering.
+    */
+  private val asofJoinNearest: Gate = Gate(
+    (s, dir) => {
+      val ev = eventsTable(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_event_id"))
+      AsOfJoin.asOfNearest(clicks, views, Seq("user_id"), "ts", "view_ts",
+        Seq("view_ts", "view_event_id"), dedupRight = Some("view_event_id"))
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type='click'),
+      |r AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+      |  FROM events WHERE event_type='view' AND ts IS NOT NULL GROUP BY 1,2),
+      |c AS (SELECT l.event_id, r.view_ts, r.view_event_id,
+      |  abs(epoch_us(l.ts) - epoch_us(r.view_ts)) AS d,
+      |  CASE WHEN r.view_ts <= l.ts THEN 0 ELSE 1 END AS fwd
+      | FROM l JOIN r USING (user_id) WHERE l.ts IS NOT NULL),
+      |best AS (SELECT event_id,
+      |  min(struct_pack(d := d, fwd := fwd, vt := view_ts, ve := view_event_id)) AS b
+      | FROM c GROUP BY 1)
+      |SELECT l.event_id, l.user_id, l.ts, best.b.vt AS view_ts,
+      | best.b.ve AS view_event_id
+      |FROM l LEFT JOIN best USING (event_id)
+      |ORDER BY l.event_id""".stripMargin))
+
   /** The skew-hardened as-of carry ([[AsOfJoin.asOfSliced]]) against the
     * SAME DuckDB ASOF JOIN oracle as `asof_join`: numSlices=8 forces real
     * multi-slice grids and cross-slice boundary patches at every test SF,
@@ -3073,6 +3107,7 @@ object Queries {
     "shuffle_rows" -> shuffleRows,
     "asof_join" -> asofJoin,
     "asof_join_sliced" -> asofJoinSliced,
+    "asof_join_nearest" -> asofJoinNearest,
     "range_join" -> rangeJoinGate,
     "rolling_agg" -> rollingAgg,
     "profile" -> profileGate,

@@ -132,6 +132,69 @@ object AsOfJoin {
     finish(patched, left, valueCols, leftSide, "__cc")
   }
 
+  /** Nearest as-of join (the Polars `join_asof(strategy="nearest")` /
+    * pandas `merge_asof(direction="nearest")` surface): attach the right
+    * row minimizing |rightTime − leftTime| within the key group;
+    * equidistant candidates resolve to the PRIOR (backward) row, equal
+    * timestamps are distance 0. One union, ONE shuffle, and two ordered
+    * carries over the same partitioning (ascending for the last-prior
+    * payload, descending for the first-upcoming one — Spark plans a single
+    * exchange with two in-partition sorts), then a per-row exact-integer
+    * distance comparison picks the winner. Timestamps compare in micros
+    * via `unix_micros` (a cast-to-double distance could flip an
+    * equidistance tie at double precision); numeric time columns compare
+    * as doubles.
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      dedupRight: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "asOfNearest: at least one key column")
+    val collide = valueCols.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty,
+      s"asOfNearest: value column(s) ${collide.mkString(", ")} already exist on the left")
+    val rDedup = dedupedRight(right, keyCols, rightTime, valueCols, dedupRight)
+
+    // the carried payload must include the right TIME (for the distance
+    // comparison), so it rides as an extra struct field next to valueCols
+    val lStructType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val r = rDedup.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__side"),
+        struct((col(rightTime).as("__rt") +: valueCols.map(col)): _*).as("__rv"),
+        lit(null).cast(lStructType).as("__lrow")): _*)
+    val l = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(r.schema("__rv").dataType).as("__rv"),
+        struct(left.columns.map(col): _*).as("__lrow")): _*)
+    val u = r.unionByName(l)
+
+    val wB = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc_nulls_first, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").desc_nulls_first, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u
+      .withColumn("__cb", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__cf", last(col("__rv"), ignoreNulls = true).over(wF))
+
+    def axis(c: Column): Column = u.schema("__t").dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast("timestamp"))
+      case _ => c.cast("double")
+    }
+    val dBack = axis(col("__t")) - axis(col("__cb.__rt"))
+    val dFwd = axis(col("__cf.__rt")) - axis(col("__t"))
+    // backward wins ties (<=); a missing side loses automatically
+    val chooseBack = col("__cf").isNull ||
+      (col("__cb").isNotNull && dBack <= dFwd)
+    finish(carried.withColumn("__cc",
+        when(chooseBack, col("__cb")).otherwise(col("__cf"))),
+      left, valueCols, leftSide = 1, "__cc")
+  }
+
   /** Shared prep: validate, dedup the right side, and union both sides into
     * one keyed stream (`__t`, `__side`, `__rv` right payload, `__lrow` full
     * left row) with the direction/tie ordering. The left's FULL row rides
@@ -150,24 +213,7 @@ object AsOfJoin {
     require(collide.isEmpty,
       s"asOf: value column(s) ${collide.mkString(", ")} already exist on the left")
 
-    val rBase = right.filter(col(rightTime).isNotNull)
-    val rDedup = dedupRight match {
-      case None => rBase
-      case Some(w) =>
-        // one winner per (key, time): max of the tiebreak struct — keeps
-        // the payload row whose `w` is greatest, deterministically. The
-        // time column stays a group key, never a payload field (valueCols
-        // may legitimately include it).
-        require(w != rightTime,
-          s"asOf: dedupRight ($w) must be a tiebreak column, not the time key")
-        val payFields = (w +: valueCols.distinct.filterNot(_ == w))
-          .filterNot(_ == rightTime)
-        val payload = struct(payFields.map(col): _*)
-        rBase.groupBy((keyCols.map(col) :+ col(rightTime)): _*)
-          .agg(max(payload).as("__pay"))
-          .select((keyCols.map(col) :+ col(rightTime)) ++
-            payFields.map(c => col(s"__pay.$c").as(c)): _*)
-    }
+    val rDedup = dedupedRight(right, keyCols, rightTime, valueCols, dedupRight)
 
     // side ordering encodes the tie rule; forward runs the same carry on
     // the reversed time axis
@@ -189,6 +235,30 @@ object AsOfJoin {
       case "forward"  => Seq(col("__t").desc_nulls_first, col("__side").asc)
     }
     (r.unionByName(l), leftSide, ord)
+  }
+
+  /** Null-time right rows filtered; optionally one deterministic winner per
+    * (key, time): max of the tiebreak struct — keeps the payload row whose
+    * `w` is greatest. The time column stays a group key, never a payload
+    * field (valueCols may legitimately include it).
+    */
+  private def dedupedRight(right: DataFrame, keyCols: Seq[String],
+      rightTime: String, valueCols: Seq[String],
+      dedupRight: Option[String]): DataFrame = {
+    val rBase = right.filter(col(rightTime).isNotNull)
+    dedupRight match {
+      case None => rBase
+      case Some(w) =>
+        require(w != rightTime,
+          s"asOf: dedupRight ($w) must be a tiebreak column, not the time key")
+        val payFields = (w +: valueCols.distinct.filterNot(_ == w))
+          .filterNot(_ == rightTime)
+        val payload = struct(payFields.map(col): _*)
+        rBase.groupBy((keyCols.map(col) :+ col(rightTime)): _*)
+          .agg(max(payload).as("__pay"))
+          .select((keyCols.map(col) :+ col(rightTime)) ++
+            payFields.map(c => col(s"__pay.$c").as(c)): _*)
+    }
   }
 
   /** Keep only left rows and project the carried payload, nulling it for

@@ -117,6 +117,57 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearest: closest right row either direction, backward wins ties") {
+    // readings at 10/20/30 for user 1
+    val got = AsOfJoin.asOfNearest(queries, readings, Seq("user_id"),
+      "qt", "rt", Seq("rt", "reading"))
+      .collect().map(r => r.getAs[Long]("qid") ->
+        Option(r.getAs[String]("reading"))).toMap
+    assert(got(101L) == Some("r10"))  // qt=5: only direction is forward
+    assert(got(102L) == Some("r20"))  // exact hit, distance 0
+    assert(got(103L) == Some("r30"))  // qt=29: |29-30|=1 < |29-20|=9
+    assert(got(104L) == Some("r30"))  // qt=99: nothing after -> backward
+    assert(got(105L) == Some("x15"))  // key isolation
+    assert(got(106L) == None)         // key with no readings
+    assert(got(107L) == None)         // null query time matches nothing
+    // equidistance: qt=25 sits exactly between r20 and r30 -> backward wins
+    val tie = Seq((200L, 1L, 25L)).toDF("qid", "user_id", "qt")
+    val t = AsOfJoin.asOfNearest(tie, readings, Seq("user_id"),
+      "qt", "rt", Seq("reading")).head()
+    assert(t.getAs[String]("reading") == "r20")
+  }
+
+  test("nearest equals a brute-force argmin oracle on randomized timelines") {
+    val rng = new scala.util.Random(13)
+    val lRows = (0L until 1500L).map { i =>
+      val t = if (rng.nextInt(20) == 0) None else Some(rng.nextInt(200).toLong)
+      (i, rng.nextInt(5).toLong, t)
+    }
+    val rRows = (0L until 400L).map(i => (i % 6, rng.nextInt(200).toLong, s"v$i"))
+    val l = lRows.map { case (q, u, t) =>
+      (q, u, t.map(java.lang.Long.valueOf).orNull) }.toDF("qid", "user_id", "qt")
+    val r = rRows.toDF("user_id", "rt", "v")
+    val got = AsOfJoin.asOfNearest(l, r, Seq("user_id"), "qt", "rt",
+      Seq("rt", "v"), dedupRight = Some("v"))
+      .collect().map(row => row.getAs[Long]("qid") ->
+        (Option(row.getAs[java.lang.Long]("rt")).map(_.toLong),
+          Option(row.getAs[String]("v")))).toMap
+    // independent oracle: dedup right by max v per (key, rt), then per left
+    // row the argmin of (|rt-qt|, forward-flag, ...) — backward wins ties
+    val dedup = rRows.groupBy(x => (x._1, x._2)).map { case ((u, rt), g) =>
+      (u, rt, g.map(_._3).max) }.toSeq
+    for ((qid, u, tOpt) <- lRows) {
+      val want = tOpt.flatMap { t =>
+        val cands = dedup.filter(_._1 == u)
+        if (cands.isEmpty) None
+        else Some(cands.minBy { case (_, rt, v) =>
+          (math.abs(rt - t), if (rt <= t) 0 else 1, -rt) })
+      }
+      assert(got(qid)._1 == want.map(_._2), s"qid=$qid rt mismatch")
+      assert(got(qid)._2 == want.map(_._3), s"qid=$qid v mismatch")
+    }
+  }
+
   test("asOfSliced degenerates safely: all-null times, all-equal times") {
     val lNull = Seq((1L, 1L, null.asInstanceOf[java.lang.Long]))
       .toDF("qid", "user_id", "qt")
