@@ -396,12 +396,31 @@ object OpStages {
         (req("right_path"), req("left_time"), req("right_time"))
       val values = cfg.getList("value_cols").collect { case Cfg.S(s) => s }
       require(values.nonEmpty, s"stage $name: `value_cols` list is required")
+      // direction: backward | forward | nearest; algo: plain (default) |
+      // sliced (the hot-key-hardened time-grid carry, num_slices tasks per
+      // pathological key — backward/forward only)
       val direction = cfg.getStr("direction").getOrElse("backward")
       val strict = cfg.getBool("strict").getOrElse(false)
       val dedup = cfg.getStr("dedup_right")
-      Pipeline.DataStage(name, m => graft.operators.AsOfJoin.asOf(
-        m.data, m.data.sparkSession.read.parquet(rightPath), keys,
-        leftTime, rightTime, values, direction, strict, dedup))
+      val algo = cfg.getStr("algo").getOrElse("plain")
+      val numSlices = cfg.getInt("num_slices").getOrElse(64)
+      Pipeline.DataStage(name, m => {
+        val right = m.data.sparkSession.read.parquet(rightPath)
+        (direction, algo) match {
+          case ("nearest", _) =>
+            require(!strict, s"stage $name: strict has no meaning for nearest")
+            graft.operators.AsOfJoin.asOfNearest(
+              m.data, right, keys, leftTime, rightTime, values, dedup)
+          case (_, "sliced") => graft.operators.AsOfJoin.asOfSliced(
+            m.data, right, keys, leftTime, rightTime, values, direction,
+            strict, dedup, numSlices)
+          case (_, "plain") => graft.operators.AsOfJoin.asOf(
+            m.data, right, keys, leftTime, rightTime, values, direction,
+            strict, dedup)
+          case (_, other) => throw new IllegalArgumentException(
+            s"stage $name: unknown algo `$other` (plain|sliced)")
+        }
+      })
     }
 
     // range (interval) containment join: all rows of the parquet interval

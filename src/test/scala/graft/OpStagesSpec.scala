@@ -455,6 +455,37 @@ class OpStagesSpec extends SparkSpec {
     assert(counts.length == 5 && counts.forall(_ == 2L))
   }
 
+  test("asof_join stage: plain/sliced/nearest directions reach the right operator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("asof_right").toString
+    Seq((1L, 10L, "r10"), (1L, 20L, "r20"), (2L, 15L, "x15"))
+      .toDF("k", "rt", "reading").write.mode("overwrite")
+      .parquet(s"$dir/right.parquet")
+    val leftDf = Seq((101L, 1L, 12L), (102L, 1L, 19L), (103L, 2L, 5L))
+      .toDF("qid", "k", "qt")
+    def run(extra: String) = Pipeline.run(spark, emptyMeds(leftDf),
+      PipelineConfig.fromYaml(
+        s"""stages:
+           |  - asof_join:
+           |      keys: [k]
+           |      right_path: $dir/right.parquet
+           |      left_time: qt
+           |      right_time: rt
+           |      value_cols: [reading]
+           |$extra""".stripMargin).stages).data
+      .collect().map(r => r.getAs[Long]("qid") ->
+        Option(r.getAs[String]("reading"))).toMap
+    val backward = run("")
+    assert(backward == Map(101L -> Some("r10"), 102L -> Some("r10"),
+      103L -> None))
+    val sliced = run("      algo: sliced\n      num_slices: 4\n")
+    assert(sliced == backward)
+    val nearest = run("      direction: nearest\n")
+    // qt=19 is nearer to r20 (d=1) than r10 (d=9); qt=5 now matches forward
+    assert(nearest == Map(101L -> Some("r10"), 102L -> Some("r20"),
+      103L -> Some("x15")))
+  }
+
   test("winnow_fingerprint appends the sketch column; short docs get null") {
     val out = Pipeline.run(spark, emptyMeds(docs),
       PipelineConfig.fromYaml("stages:\n  - winnow_fingerprint\n").stages).data
