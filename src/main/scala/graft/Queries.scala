@@ -2347,6 +2347,49 @@ object Queries {
       |  ON l.user_id = r.user_id AND r.view_ts <= l.ts
       |ORDER BY l.event_id""".stripMargin))
 
+  /** Ingest-time as-of enrichment: the SAME click/view timeline as the
+    * batch `asof_join` gate run as a STREAM through
+    * [[graft.streaming.TemporalStream]] (one keyed stream, fixed per-key
+    * carry state on flatMapGroupsWithState), checked against the identical
+    * DuckDB ASOF JOIN oracle — streaming and batch agree row-for-row on
+    * in-order data by construction.
+    */
+  private val asofJoinStream: Gate = Gate(
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_asof_stream")
+      val outDir = tmp.resolve("out").toString
+      try {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "2")
+        import ss.implicits._
+        val src = restoreTs(ss.readStream.schema(table(ss, dir, "events").schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val tev = src.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id").as("k"),
+            when(col("ts").isNotNull, unix_micros(col("ts"))).as("t"),
+            when(col("event_type") === "view", 0).otherwise(1).as("side"),
+            col("event_id").as("id"))
+          // null-time reference rows are "at no time": never matchable
+          .filter(!(col("side") === 0 && col("t").isNull))
+          .as[graft.streaming.TemporalStream.TEv]
+        val q = graft.streaming.TemporalStream.streamingAsOf(tev).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .format("parquet").option("path", outDir).start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("id").as("event_id"), col("k").as("user_id"),
+            timestamp_micros(col("t")).as("ts"),
+            timestamp_micros(col("matched_t")).as("view_ts"),
+            col("matched_id").as("view_event_id"))
+          .orderBy("event_id")
+          .localCheckpoint() // free the sink/checkpoint dirs immediately
+      } finally rmTree(tmp)
+    },
+    asofJoin.oracle)
+
   /** Nearest-direction as-of (the Polars join_asof strategy="nearest"
     * surface; no DuckDB ASOF equivalent exists, so the oracle replays it as
     * a per-click argmin over the keyed join — quadratic is fine at gate
@@ -3108,6 +3151,7 @@ object Queries {
     "asof_join" -> asofJoin,
     "asof_join_sliced" -> asofJoinSliced,
     "asof_join_nearest" -> asofJoinNearest,
+    "asof_join_stream" -> asofJoinStream,
     "range_join" -> rangeJoinGate,
     "rolling_agg" -> rollingAgg,
     "profile" -> profileGate,

@@ -77,6 +77,73 @@ class SessionizeSpec extends SparkSpec {
   }
 }
 
+class TemporalStreamSpec extends SparkSpec {
+  import graft.streaming.TemporalStream
+  import graft.streaming.TemporalStream.{TEv, AsOfOut}
+
+  test("streaming as-of carries reference state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TEv]
+    val q = TemporalStream.streamingAsOf(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_stream").start()
+    def got() = spark.table("asof_stream").as[AsOfOut].collect()
+      .map(o => o.id -> o.matched_id).toMap
+    try {
+      // batch 1: reference at t=10, queries before and after; intra-batch
+      // sort must order them by time regardless of addData order
+      input.addData(TEv(1L, Some(30L), 1, 102L), TEv(1L, Some(10L), 0, 1L),
+        TEv(1L, Some(5L), 1, 101L), TEv(1L, Some(10L), 1, 103L))
+      q.processAllAvailable()
+      assert(got() == Map(101L -> None, 102L -> Some(1L), 103L -> Some(1L)))
+      // batch 2: the carry survived the batch boundary; a newer reference
+      // replaces it mid-batch; equal-time references resolve to max id
+      input.addData(TEv(1L, Some(40L), 1, 104L), TEv(1L, Some(50L), 0, 2L),
+        TEv(1L, Some(50L), 0, 3L), TEv(1L, Some(60L), 1, 105L))
+      q.processAllAvailable()
+      assert(got()(104L) == Some(1L) && got()(105L) == Some(3L))
+      // batch 3: a LATE reference older than the carry is ignored; a null
+      // query time matches nothing even with state present; other keys
+      // never see key 1's state
+      input.addData(TEv(1L, Some(20L), 0, 4L), TEv(1L, Some(70L), 1, 106L),
+        TEv(1L, None, 1, 107L), TEv(2L, Some(99L), 1, 201L))
+      q.processAllAvailable()
+      assert(got()(106L) == Some(3L) && got()(107L) == None
+        && got()(201L) == None)
+    } finally q.stop()
+  }
+
+  test("streaming as-of equals the batch asOf on in-order single-batch data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(5)
+    val evs = (0 until 600).map { i =>
+      TEv(rng.nextInt(4).toLong, Some(rng.nextInt(100).toLong),
+        if (rng.nextInt(3) == 0) 0 else 1, i.toLong)
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TEv]
+    val q = TemporalStream.streamingAsOf(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_stream_eq").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream_eq").as[AsOfOut].collect()
+        .map(o => o.id -> o.matched_id).toMap
+      val batch = graft.operators.AsOfJoin.asOf(
+        evs.filter(_.side == 1).map(e => (e.k, e.t.map(java.lang.Long.valueOf).orNull, e.id))
+          .toDF("k", "t", "id"),
+        evs.filter(e => e.side == 0 && e.t.isDefined)
+          .map(e => (e.k, e.t.get, e.id)).toDF("k", "rt", "rid"),
+        Seq("k"), "t", "rt", Seq("rid"), dedupRight = Some("rid"))
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Long]("rid")).map(_.toLong)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
+
 class StreamingSpec extends SparkSpec {
 
   test("streaming dedup drops repeated content within the watermark horizon") {
