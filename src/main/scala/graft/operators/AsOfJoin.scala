@@ -97,10 +97,16 @@ object AsOfJoin {
       java.lang.Double.MIN_NORMAL)
     // monotone, total: floor((t-lo)/width) clamped into [0, numSlices-1];
     // null times park on sentinel slice -1 (right nulls are pre-filtered,
-    // left nulls are forced to null payloads in the final projection)
-    val u = u0.withColumn("__slice", coalesce(
-      least(floor((col("__t").cast("double") - lit(lo)) / lit(width)),
-        lit((numSlices - 1).toLong)), lit(-1L)))
+    // left nulls are forced to null payloads in the final projection). The
+    // null branch must be an explicit `when`: Spark's `least` IGNORES null
+    // arguments (returns the smallest non-null), so `coalesce(least(floor(
+    // null), N-1), -1)` silently lands null times in the TOP slice — where
+    // forward's nulls-first desc ordering makes them the digest pick and
+    // nulls the whole cross-slice carry (caught by the randomized spec).
+    val u = u0.withColumn("__slice",
+      when(col("__t").isNull, lit(-1L)).otherwise(
+        least(floor((col("__t").cast("double") - lit(lo)) / lit(width)),
+          lit((numSlices - 1).toLong))))
 
     val wIn = Window.partitionBy((keyCols.map(col) :+ col("__slice")): _*)
       .orderBy(ord: _*)
@@ -108,20 +114,37 @@ object AsOfJoin {
     val carried = u.withColumn("__carry",
       last(col("__rv"), ignoreNulls = true).over(wIn))
 
-    // per-slice digest: the payload a NEXT slice would inherit — the right
-    // row at max __t (backward) / min __t (forward) in this slice. Weight
-    // is null on left rows, so max_by/min_by skip them; a right-less slice
-    // digests to null and the running carry below looks through it.
-    val rightSide = 1 - leftSide
-    val weight = when(col("__side") === lit(rightSide), col("__t"))
-    val sliceLast = (if (direction == "backward") max_by(col("__rv"), weight)
-      else min_by(col("__rv"), weight)).as("__sl")
+    // per-slice digest: the payload a NEXT slice would inherit — the
+    // within-slice carry AT THE SLICE'S LAST ROW in window order (equal to
+    // the last right payload of the slice, or null for a right-less slice:
+    // rows at the same (t, side) share a carry value, so the tie pick is
+    // immaterial). Expressed as max_by/min_by OVER THE CARRY COLUMN rather
+    // than re-deriving from __rv so the digest branch consumes the window's
+    // output: its aggregation then groups data already hash-partitioned on
+    // (key, slice) — no exchange of its own — and the whole branch resolves
+    // to a ReusedExchange of the union's one shuffle. (Aggregating __rv
+    // from u instead lets column pruning drop the Window, and the agg's
+    // map-side combine canonicalizes its exchange differently from the
+    // window's row exchange — forcing a second scan of the left input;
+    // PlanSpec pins the reused shape.)
+    val sliceLast = (if (direction == "backward")
+        max_by(col("__carry"), struct(col("__t"), col("__side")))
+      else // desc time order: last row = min t, tie → larger side
+        min_by(col("__carry"), struct(col("__t"), negate(col("__side")))))
+      .as("__sl")
     val sliceOrd =
       if (direction == "backward") col("__slice").asc else col("__slice").desc
     val wCarry = Window.partitionBy(keyCols.map(col): _*).orderBy(sliceOrd)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = u
-      .groupBy((keyCols.map(col) :+ col("__slice")): _*).agg(sliceLast)
+    // `count(__lrow) >= 0` is a semantic no-op whose one job is to REFERENCE
+    // __lrow from the digest branch: without it, column pruning drops the
+    // left-row struct from this copy of the union, its exchange payload
+    // diverges canonically from the window's, ReuseExchange cannot fire,
+    // and the left input gets re-scanned (the tfIdf `tf > 0` lesson)
+    val carryIn = carried
+      .groupBy((keyCols.map(col) :+ col("__slice")): _*)
+      .agg(sliceLast, count(col("__lrow")).as("__keep"))
+      .where(col("__keep") >= 0)
       .withColumn("__ci", last(col("__sl"), ignoreNulls = true).over(wCarry))
       .select((keyCols.map(col) :+ col("__slice") :+ col("__ci")): _*)
 
