@@ -257,16 +257,23 @@ object Queries {
         r4(col(ValuesQuantiles).getField("values/quantile/0.75")).as("p75"))
         .orderBy("code")
     },
-    Some("""WITH p AS (SELECT event_type AS code, CAST(value AS DOUBLE) AS v
+    // the codes CTE + left join preserves codes whose values are ALL
+    // null/NaN (Spark emits them with a null quantile struct; filtering
+    // them inside `p` would silently drop the rows if testdata ever gains
+    // a valueless code — the same convention as the other quantile oracles)
+    Some("""WITH codes AS (SELECT DISTINCT event_type AS code FROM events),
+      |p AS (SELECT event_type AS code, CAST(value AS DOUBLE) AS v
       |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
       |r AS (SELECT code, v,
       |  row_number() OVER (PARTITION BY code ORDER BY v) AS rn,
-      |  count(*) OVER (PARTITION BY code) AS n FROM p)
-      |SELECT code,
-      | round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.25*n) AS BIGINT)) THEN v END),4) AS p25,
-      | round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*n) AS BIGINT)) THEN v END),4) AS p50,
-      | round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.75*n) AS BIGINT)) THEN v END),4) AS p75
-      |FROM r GROUP BY code ORDER BY code""".stripMargin))
+      |  count(*) OVER (PARTITION BY code) AS n FROM p),
+      |q AS (SELECT code,
+      |  round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.25*n) AS BIGINT)) THEN v END),4) AS p25,
+      |  round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*n) AS BIGINT)) THEN v END),4) AS p50,
+      |  round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.75*n) AS BIGINT)) THEN v END),4) AS p75
+      | FROM r GROUP BY code)
+      |SELECT codes.code, q.p25, q.p50, q.p75
+      |FROM codes LEFT JOIN q USING (code) ORDER BY codes.code""".stripMargin))
 
   /** The HLL subject-count path of aggregate_code_metadata (stage option
     * `algo: sketch` on the subject-count entries), pinned in the EXACT
@@ -346,7 +353,10 @@ object Queries {
     // histogram + distinct-subject artifact per event_id parity), partial
     // MERGE (union + re-agg), then every metric derived from the merged
     // artifacts only — including the linear-interp p50 off the cumulative
-    // histogram, the exact shape fromPartials executes
+    // histogram, the exact shape fromPartials executes. subjc's count(*)
+    // deliberately counts a hypothetical null-subject group: the Spark
+    // side's keyed fromPartials row count does too (= Polars n_unique,
+    // which counts null as a distinct value)
     Some("""WITH ev AS (SELECT user_id, event_type AS code,
       |  CAST(value AS DOUBLE) AS v, CAST(event_id % 2 AS INT) AS rel FROM events),
       |hist_p AS (SELECT rel, code, v, count(*) AS cnt FROM ev GROUP BY 1,2,3),
@@ -2326,14 +2336,21 @@ object Queries {
     * against DuckDB's NATIVE `ASOF LEFT JOIN` operator, the strongest
     * available oracle for the semantics.
     */
+  /** The click/view frames every as-of gate enriches: ONE definition so the
+    * four gates sharing the ASOF oracle cannot silently desynchronize.
+    */
+  private def clicksViews(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = eventsTable(s, dir)
+    (ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_event_id")))
+  }
+
   private val asofJoin: Gate = Gate(
     (s, dir) => {
-      val ev = eventsTable(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts")
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("view_ts"),
-          col("event_id").as("view_event_id"))
+      val (clicks, views) = clicksViews(s, dir)
       AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "view_ts",
         Seq("view_ts", "view_event_id"), dedupRight = Some("view_event_id"))
         .orderBy("event_id")
@@ -2398,12 +2415,7 @@ object Queries {
     */
   private val asofJoinNearest: Gate = Gate(
     (s, dir) => {
-      val ev = eventsTable(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts")
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("view_ts"),
-          col("event_id").as("view_event_id"))
+      val (clicks, views) = clicksViews(s, dir)
       AsOfJoin.asOfNearest(clicks, views, Seq("user_id"), "ts", "view_ts",
         Seq("view_ts", "view_event_id"), dedupRight = Some("view_event_id"))
         .orderBy("event_id")
@@ -2432,12 +2444,7 @@ object Queries {
     */
   private val asofJoinSliced: Gate = Gate(
     (s, dir) => {
-      val ev = eventsTable(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts")
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("view_ts"),
-          col("event_id").as("view_event_id"))
+      val (clicks, views) = clicksViews(s, dir)
       AsOfJoin.asOfSliced(clicks, views, Seq("user_id"), "ts", "view_ts",
         Seq("view_ts", "view_event_id"), dedupRight = Some("view_event_id"),
         numSlices = 8)

@@ -407,8 +407,13 @@ object OpStages {
       Pipeline.DataStage(name, m => {
         val right = m.data.sparkSession.read.parquet(rightPath)
         (direction, algo) match {
-          case ("nearest", _) =>
+          case ("nearest", a) =>
             require(!strict, s"stage $name: strict has no meaning for nearest")
+            // reject rather than ignore: a user configuring `algo: sliced`
+            // for hot-key hardening must not silently get the plain path
+            require(a == "plain",
+              s"stage $name: algo `$a` is not available for direction " +
+                "nearest (plain only)")
             graft.operators.AsOfJoin.asOfNearest(
               m.data, right, keys, leftTime, rightTime, values, dedup)
           case (_, "sliced") => graft.operators.AsOfJoin.asOfSliced(

@@ -81,13 +81,14 @@ object AsOfJoin {
     require(numSlices >= 1, s"asOfSliced: numSlices must be >= 1, got $numSlices")
     val (u0, leftSide, ord) = unionStream(left, right, keyCols, leftTime,
       rightTime, valueCols, direction, strict, dedupRight)
+    val axis = numericAxis(u0.schema("__t").dataType, "asOfSliced")
 
     // global grid bounds: one metadata-sized agg over the union's time
-    // column (2 doubles to the driver). Cast-to-double is ONLY used to
+    // column (2 doubles to the driver). The numeric axis is ONLY used to
     // place rows on the grid — orderings still compare native values — so
     // double rounding cannot break correctness, just slice balance.
-    val b = u0.agg(min(col("__t").cast("double")),
-      max(col("__t").cast("double"))).head()
+    val b = u0.agg(min(axis(col("__t")).cast("double")),
+      max(axis(col("__t")).cast("double"))).head()
     if (b.isNullAt(0))
       return finish( // no timed row on either side: every payload is null
         u0.withColumn("__carry", lit(null).cast(u0.schema("__rv").dataType)),
@@ -105,7 +106,7 @@ object AsOfJoin {
     // nulls the whole cross-slice carry (caught by the randomized spec).
     val u = u0.withColumn("__slice",
       when(col("__t").isNull, lit(-1L)).otherwise(
-        least(floor((col("__t").cast("double") - lit(lo)) / lit(width)),
+        least(floor((axis(col("__t")).cast("double") - lit(lo)) / lit(width)),
           lit((numSlices - 1).toLong))))
 
     val wIn = Window.partitionBy((keyCols.map(col) :+ col("__slice")): _*)
@@ -202,12 +203,7 @@ object AsOfJoin {
       .withColumn("__cb", last(col("__rv"), ignoreNulls = true).over(wB))
       .withColumn("__cf", last(col("__rv"), ignoreNulls = true).over(wF))
 
-    def axis(c: Column): Column = u.schema("__t").dataType match {
-      case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
-      case _: org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(c.cast("timestamp"))
-      case _ => c.cast("double")
-    }
+    val axis = numericAxis(u.schema("__t").dataType, "asOfNearest")
     val dBack = axis(col("__t")) - axis(col("__cb.__rt"))
     val dFwd = axis(col("__cf.__rt")) - axis(col("__t"))
     // backward wins ties (<=); a missing side loses automatically
@@ -258,6 +254,28 @@ object AsOfJoin {
       case "forward"  => Seq(col("__t").desc_nulls_first, col("__side").asc)
     }
     (r.unionByName(l), leftSide, ord)
+  }
+
+  /** Map a time column onto a numeric axis for grid placement / distance
+    * arithmetic. Restricted to types with a faithful numeric image —
+    * timestamps (micros), dates (days), numerics — and REJECTS everything
+    * else up front: a string time column casts to double as null, which
+    * would silently turn every sliced payload null (the grid bounds read
+    * as empty) or make the nearest chooser always pick forward (null
+    * distances), instead of failing loudly. Plain [[asOf]] needs only an
+    * ordering and keeps working on such types.
+    */
+  private def numericAxis(dt: org.apache.spark.sql.types.DataType,
+      op: String): Column => Column = dt match {
+    case _: org.apache.spark.sql.types.TimestampType => c => unix_micros(c)
+    case _: org.apache.spark.sql.types.TimestampNTZType =>
+      c => unix_micros(c.cast("timestamp"))
+    case _: org.apache.spark.sql.types.DateType => c => datediff(c, lit("1970-01-01"))
+    case _: org.apache.spark.sql.types.NumericType => c => c
+    case other => throw new IllegalArgumentException(
+      s"$op: time column type $other has no numeric axis (grid placement/" +
+        "distance needs timestamps, dates, or numerics) — use asOf, which " +
+        "only requires an ordering")
   }
 
   /** Null-time right rows filtered; optionally one deterministic winner per

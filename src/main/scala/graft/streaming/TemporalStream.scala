@@ -48,10 +48,14 @@ object TemporalStream {
     val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
     for (e <- evs) e.side match {
       case 0 =>
-        // monotone carry: equal times resolve to the larger id (arrives
-        // later in the sort), late-arriving older rows are ignored
+        // monotone carry: equal times resolve to the LARGER id — the
+        // explicit id comparison matters across batches, where a
+        // later-arriving equal-time reference with a smaller id must NOT
+        // displace the carried winner (the intra-batch sort alone only
+        // guarantees the rule within one batch); late older rows are ignored
         val t = e.t.get
-        if (st.forall(s => t >= s.t)) st = Some(CarryState(t, e.id))
+        if (st.forall(s => t > s.t || (t == s.t && e.id > s.id)))
+          st = Some(CarryState(t, e.id))
       case _ =>
         val m = if (e.t.isEmpty) None else st // null left time matches nothing
         out += AsOfOut(k, e.id, e.t, m.map(_.t), m.map(_.id))

@@ -168,6 +168,24 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("sliced/nearest reject time types with no numeric axis; plain asOf accepts them") {
+    // string times order lexically — fine for the ordering-only plain carry,
+    // but a silent cast-to-double null would wreck the grid/distance paths
+    val l = Seq((1L, 1L, "2024-06-01")).toDF("qid", "user_id", "qt")
+    val r = Seq((1L, "2024-05-31", "a"), (1L, "2024-12-01", "b"))
+      .toDF("user_id", "rt", "v")
+    val plain = AsOfJoin.asOf(l, r, Seq("user_id"), "qt", "rt", Seq("v"))
+    assert(plain.head().getAs[String]("v") == "a")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfSliced(l, r, Seq("user_id"), "qt", "rt", Seq("v"))
+    }
+    assert(e1.getMessage.contains("numeric axis"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNearest(l, r, Seq("user_id"), "qt", "rt", Seq("v"))
+    }
+    assert(e2.getMessage.contains("numeric axis"))
+  }
+
   test("asOfSliced degenerates safely: all-null times, all-equal times") {
     val lNull = Seq((1L, 1L, null.asInstanceOf[java.lang.Long]))
       .toDF("qid", "user_id", "qt")

@@ -27,7 +27,12 @@ object ScaleUpBench {
 
   private val Abc = "abcdefghijklmnopqrstuvwxyz"
 
-  def replicate(docs: DataFrame, k: Int): DataFrame =
+  def replicate(docs: DataFrame, k: Int): DataFrame = {
+    // rotation i%26 is identity at i=26: replica 26 would duplicate replica
+    // 0's text verbatim and silently reintroduce the quadratic cross-replica
+    // shingle regime the rotation exists to prevent
+    require(k <= 26,
+      s"replicate: k=$k exceeds the 26 distinct alphabet rotations")
     (0 until k).map { i =>
       val rot = Abc.drop(i % 26) + Abc.take(i % 26)
       docs
@@ -37,6 +42,7 @@ object ScaleUpBench {
           else translate(col("text"), Abc + Abc.toUpperCase,
             rot + rot.toUpperCase))
     }.reduce(_ unionByName _)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

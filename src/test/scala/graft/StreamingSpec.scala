@@ -111,6 +111,12 @@ class TemporalStreamSpec extends SparkSpec {
       q.processAllAvailable()
       assert(got()(106L) == Some(3L) && got()(107L) == None
         && got()(201L) == None)
+      // batch 4: an EQUAL-TIME reference with a SMALLER id arriving in a
+      // later batch must not displace the carried max-id winner (the
+      // intra-batch sort cannot enforce the tie rule across batches)
+      input.addData(TEv(1L, Some(50L), 0, 1L), TEv(1L, Some(55L), 1, 108L))
+      q.processAllAvailable()
+      assert(got()(108L) == Some(3L))
     } finally q.stop()
   }
 
