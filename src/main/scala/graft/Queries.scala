@@ -2489,19 +2489,26 @@ object Queries {
     * value sum at every event — RANGE-framed window on exact epoch micros,
     * the same frame semantics in both engines.
     */
+  private def rollingFrames(s: SparkSession, dir: String,
+      sliced: Boolean): DataFrame = {
+    val ev = eventsTable(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"),
+        col("value"))
+    val aggs = Seq(
+      "n_1h" -> count(lit(1)),
+      "__sum_raw" -> sum(round(col("value") * 10000)))
+    val out =
+      if (sliced) graft.operators.RollingAgg.trailingSliced(
+        ev, Seq("user_id"), "t", 3600000000L, aggs, numSlices = 8)
+      else graft.operators.RollingAgg.trailing(
+        ev, Seq("user_id"), "t", 3600000000L, aggs)
+    out.withColumn("sum_1h_e4", col("__sum_raw").cast(LongType))
+      .select("event_id", "user_id", "t", "n_1h", "sum_1h_e4")
+      .orderBy("event_id")
+  }
+
   private val rollingAgg: Gate = Gate(
-    (s, dir) => {
-      val ev = eventsTable(s, dir)
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"),
-          col("value"))
-      val w = Window.partitionBy("user_id").orderBy("t")
-        .rangeBetween(-3600000000L, 0L)
-      ev.withColumn("n_1h", count(lit(1)).over(w))
-        .withColumn("sum_1h_e4",
-          sum(round(col("value") * 10000)).over(w).cast(LongType))
-        .select("event_id", "user_id", "t", "n_1h", "sum_1h_e4")
-        .orderBy("event_id")
-    },
+    (s, dir) => rollingFrames(s, dir, sliced = false),
     Some("""SELECT event_id, user_id, epoch_us(ts) AS t,
       | CAST(count(*) OVER w AS BIGINT) AS n_1h,
       | CAST(sum(round(value * 10000)) OVER w AS BIGINT) AS sum_1h_e4
@@ -2509,6 +2516,16 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin))
+
+  /** The hot-key-hardened trailing window ([[graft.operators.RollingAgg
+    * .trailingSliced]]: grid slices with ghost rows, slice width ≥ the
+    * trailing range) against the SAME native-RANGE-frame oracle as
+    * `rolling_agg` — numSlices=8 forces real multi-slice grids and ghost
+    * boundary traffic at every SF.
+    */
+  private val rollingAggSliced: Gate = Gate(
+    (s, dir) => rollingFrames(s, dir, sliced = true),
+    rollingAgg.oracle)
 
   /** Range join: clicks inside 2-hour purchase-attribution windows (same
     * user, click within [purchase−2h, purchase]) — the grid-bucketed
@@ -3161,6 +3178,7 @@ object Queries {
     "asof_join_stream" -> asofJoinStream,
     "range_join" -> rangeJoinGate,
     "rolling_agg" -> rollingAgg,
+    "rolling_agg_sliced" -> rollingAggSliced,
     "profile" -> profileGate,
     "packing_summary" -> packingSummaryGate,
     "curation_pipeline" -> curationPipeline,

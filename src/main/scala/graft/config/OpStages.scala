@@ -428,6 +428,37 @@ object OpStages {
       })
     }
 
+    // trailing time-range aggregates: append rolling counts/sums over the
+    // last `range` time units per key (algo sliced = hot-key-hardened grid)
+    PipelineConfig.register("rolling_agg") { (name, cfg) =>
+      val keys = cfg.getList("keys").collect { case Cfg.S(s) => s }
+      require(keys.nonEmpty, s"stage $name: `keys` list is required")
+      val timeCol = cfg.getStr("time_col").getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `time_col` is required"))
+      val range = cfg.getLong("range").getOrElse(
+        throw new IllegalArgumentException(s"stage $name: `range` is required"))
+      val countAs = cfg.getStr("count_as")
+      val sumCol = cfg.getStr("sum_col")
+      val sumAs = cfg.getStr("sum_as").getOrElse(sumCol.map(_ + "_sum").orNull)
+      val algo = cfg.getStr("algo").getOrElse("plain")
+      val numSlices = cfg.getInt("num_slices").getOrElse(64)
+      val aggs =
+        countAs.map(n => n -> org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).toSeq ++
+        sumCol.map(c => sumAs -> org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col(c))).toSeq
+      require(aggs.nonEmpty,
+        s"stage $name: at least one of `count_as` / `sum_col` is required")
+      Pipeline.DataStage(name, m => algo match {
+        case "plain" => graft.operators.RollingAgg.trailing(
+          m.data, keys, timeCol, range, aggs)
+        case "sliced" => graft.operators.RollingAgg.trailingSliced(
+          m.data, keys, timeCol, range, aggs, numSlices)
+        case other => throw new IllegalArgumentException(
+          s"stage $name: unknown algo `$other` (plain|sliced)")
+      })
+    }
+
     // range (interval) containment join: all rows of the parquet interval
     // table at `right_path` whose [start,end] contains the row's numeric
     // time, per key — inner semantics, one row per match

@@ -486,6 +486,26 @@ class OpStagesSpec extends SparkSpec {
       103L -> Some("x15")))
   }
 
+  test("rolling_agg stage: plain and sliced append identical trailing aggregates") {
+    import spark.implicits._
+    val data = (0L until 500L).map(i => (i, i % 3, (i * 7) % 97, i.toDouble))
+      .toDF("id", "k", "t", "v")
+    def run(algo: String) = Pipeline.run(spark, emptyMeds(data),
+      PipelineConfig.fromYaml(
+        s"""stages:
+           |  - rolling_agg:
+           |      keys: [k]
+           |      time_col: t
+           |      range: 10
+           |      count_as: n_10
+           |      sum_col: v
+           |      algo: $algo
+           |""".stripMargin).stages).data
+    val plain = run("plain")
+    assert(plain.columns.contains("n_10") && plain.columns.contains("v_sum"))
+    assert(collectSet(run("sliced")) === collectSet(plain))
+  }
+
   test("winnow_fingerprint appends the sketch column; short docs get null") {
     val out = Pipeline.run(spark, emptyMeds(docs),
       PipelineConfig.fromYaml("stages:\n  - winnow_fingerprint\n").stages).data

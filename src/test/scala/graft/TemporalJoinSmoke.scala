@@ -88,9 +88,26 @@ object TemporalJoinSmoke {
     println(f"[smoke] asOfSliced uniform keys:        $cUniS matched in $tUniS%.1f s")
     println(f"[smoke] asOfSliced ONE key holds 90%%:   $cHotS matched in $tHotS%.1f s")
     println(f"[smoke] asOf plain ONE key holds 90%%:   $cHotP matched in $tHotP%.1f s")
-    assert(cHotS == cHotP, s"sliced/plain disagree on skew: $cHotS vs $cHotP")
+    assert(cHotS == cHotP, s"sliced/plain disagree on skew: $cHotS vs $cHotP"
+    )
     assert(tHotS <= 2.5 * tUniS,
       f"sliced hot-key run $tHotS%.1f s exceeds 2.5x uniform $tUniS%.1f s")
+
+    // same skew shape for the trailing RANGE window: one key with 90% of
+    // 10M rows, trailing 2000-unit aggregates
+    val rollAggs = Seq("n_2k" -> count(lit(1)))
+    def runRolling(d: org.apache.spark.sql.DataFrame, sliced: Boolean) = time {
+      (if (sliced) graft.operators.RollingAgg.trailingSliced(
+        d, Seq("k"), "t", 2000L, rollAggs, numSlices = 64)
+      else graft.operators.RollingAgg.trailing(d, Seq("k"), "t", 2000L, rollAggs))
+        .agg(sum("n_2k")).collect()(0).getLong(0)
+    }
+    val lHotR = skewed(10000000L, 64, 90)
+    val ((rHotP2, tRollP)) = runRolling(lHotR, sliced = false)
+    val ((rHotS2, tRollS)) = runRolling(lHotR, sliced = true)
+    println(f"[smoke] rolling plain  ONE key holds 90%%: checksum $rHotP2 in $tRollP%.1f s")
+    println(f"[smoke] rolling sliced ONE key holds 90%%: checksum $rHotS2 in $tRollS%.1f s")
+    assert(rHotP2 == rHotS2, s"rolling sliced/plain disagree: $rHotP2 vs $rHotS2")
 
     spark.stop()
   }
