@@ -73,6 +73,45 @@ object StreamSmoke {
       s"session shape wrong: $agg")
     println(s"SMOKE closed sessions: $n (each n_events=2) — all ok")
     q.stop()
+
+    // streaming as-of at state scale: 1M keys, fixed ONE-TUPLE state per
+    // key regardless of stream length — three batches (seed references,
+    // enrich 2M queries, reference churn + re-enrich) through the same
+    // RocksDB provider; state rows must stay == key count
+    import graft.streaming.TemporalStream
+    import graft.streaming.TemporalStream.TEv
+    val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TEv]
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_asof_smoke")
+    val q2 = TemporalStream.streamingAsOf(in2.toDS()).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp2.resolve("ckpt").toString)
+      .format("memory").queryName("asof_out").start()
+    def step2(name: String, evs: Seq[TEv]): Unit = {
+      val t0 = System.nanoTime()
+      in2.addData(evs)
+      q2.processAllAvailable()
+      val so = q2.lastProgress.stateOperators(0)
+      println(f"SMOKE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+        f"state rows ${so.numRowsTotal}%,d, state mem ${so.memoryUsedBytes / (1024 * 1024)} MB")
+    }
+    step2("asof seed 1M references",
+      (1L to nUsers).map(k => TEv(k, Some(100L), 0, k)))
+    step2("asof enrich 2M queries",
+      (1L to nUsers).flatMap(k => Seq(
+        TEv(k, Some(150L), 1, k * 10), TEv(k, Some(200L), 1, k * 10 + 1))))
+    step2("asof churn references + re-enrich",
+      (1L to nUsers).flatMap(k => Seq(
+        TEv(k, Some(300L), 0, k + nUsers), TEv(k, Some(400L), 1, k * 10 + 2))))
+    val enr = spark.table("asof_out")
+    val total = enr.count()
+    val matched = enr.filter(org.apache.spark.sql.functions.col("matched_id").isNotNull).count()
+    require(total == 3 * nUsers && matched == 3 * nUsers,
+      s"asof stream shape wrong: total=$total matched=$matched")
+    val late = enr.filter(org.apache.spark.sql.functions.col("id") % 10 === 2)
+      .filter(org.apache.spark.sql.functions.col("matched_t") =!= 300L).count()
+    require(late == 0, s"$late batch-3 queries missed the churned reference")
+    println(s"SMOKE asof stream: $total enriched, state stayed 1 tuple/key — all ok")
+    q2.stop()
     spark.stop()
   }
 }
