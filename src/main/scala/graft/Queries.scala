@@ -2517,6 +2517,56 @@ object Queries {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin))
 
+  private[graft] val FeatureYaml: String =
+    Seq("config/feature_pipeline.yaml", "/root/repo/config/feature_pipeline.yaml")
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .getOrElse("config/feature_pipeline.yaml")
+
+  /** The composed TEMPORAL pipeline as one gate: the committed
+    * `config/feature_pipeline.yaml` (skew-hardened as-of enrichment →
+    * skew-hardened trailing 1-hour activity count, both on their `algo:
+    * sliced` grid paths) through the graft.Main CLI over the click/view
+    * timeline, the whole chain replayed as ONE DuckDB query (native ASOF
+    * LEFT JOIN feeding a native RANGE frame) — the third composed-pipeline
+    * gate, extending the composition story from curation/analysis to
+    * feature engineering.
+    */
+  private val featurePipeline: Gate = Gate(
+    (s, dir) => {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_feature_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      rmTree(java.nio.file.Paths.get(tmp))
+      val (clicks0, views) = clicksViews(s, dir)
+      val clicks = clicks0.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"))
+      views.select(col("user_id"), unix_micros(col("view_ts")).as("view_ts_us"),
+          col("view_event_id"))
+        .write.mode("overwrite").parquet(s"$tmp/views.parquet")
+      def empty(schema: org.apache.spark.sql.types.StructType) =
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      graft.meds.MedsIO.write(graft.meds.MedsData(clicks,
+        empty(graft.meds.MedsSchema.codesSchema),
+        empty(graft.meds.MedsSchema.splitsSchema)), s"$tmp/in")
+      Main.run(Array(FeatureYaml, s"$tmp/in", s"$tmp/out",
+        s"stages.enrich_view.right_path=$tmp/views.parquet"), s)
+      graft.meds.MedsIO.read(s, s"$tmp/out").data
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("view_ts_us"), col("view_event_id"),
+          col("n_1h").cast(LongType).as("n_1h"))
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+      |  WHERE event_type='click'),
+      |r AS (SELECT user_id, epoch_us(ts) AS view_ts_us, max(event_id) AS view_event_id
+      |  FROM events WHERE event_type='view' AND ts IS NOT NULL GROUP BY 1,2),
+      |e AS (SELECT l.event_id, l.user_id, l.t, r.view_ts_us, r.view_event_id
+      |  FROM l ASOF LEFT JOIN r
+      |    ON l.user_id = r.user_id AND r.view_ts_us <= l.t)
+      |SELECT event_id, user_id, t, view_ts_us, view_event_id,
+      | CAST(count(*) OVER (PARTITION BY user_id ORDER BY t
+      |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
+      |FROM e ORDER BY event_id""".stripMargin))
+
   /** The hot-key-hardened trailing window ([[graft.operators.RollingAgg
     * .trailingSliced]]: grid slices with ghost rows, slice width ≥ the
     * trailing range) against the SAME native-RANGE-frame oracle as
@@ -3179,6 +3229,7 @@ object Queries {
     "range_join" -> rangeJoinGate,
     "rolling_agg" -> rollingAgg,
     "rolling_agg_sliced" -> rollingAggSliced,
+    "feature_pipeline" -> featurePipeline,
     "profile" -> profileGate,
     "packing_summary" -> packingSummaryGate,
     "curation_pipeline" -> curationPipeline,
