@@ -12,11 +12,12 @@ import json, sys, glob, os, time
 
 import duckdb
 
-QUERIES = ["tf_idf", "nb_confusion", "ngram_jaccard", "analysis_pipeline"]
+DEFAULT_QUERIES = ["tf_idf", "nb_confusion", "ngram_jaccard", "analysis_pipeline"]
 
 oracle = json.load(open(sys.argv[1]))
 root = sys.argv[2]
-scales = [int(a) for a in sys.argv[3:]]
+scales = [int(a) for a in sys.argv[3:] if a.isdigit()]
+QUERIES = [a for a in sys.argv[3:] if not a.isdigit()] or DEFAULT_QUERIES
 reps = 2
 
 print(f"{'query':20s} {'k':4s} {'rows':10s} seconds")
