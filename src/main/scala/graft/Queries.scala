@@ -2517,10 +2517,17 @@ object Queries {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin))
 
-  private[graft] val FeatureYaml: String =
-    Seq("config/feature_pipeline.yaml", "/root/repo/config/feature_pipeline.yaml")
+  /** The committed pipeline YAML, resolved against a configurable root
+    * (`-Dgraft.config.dir=…` / `GRAFT_CONFIG_DIR`) with a CWD-relative
+    * fallback — no machine-specific absolute path baked in.
+    */
+  private[graft] val FeatureYaml: String = {
+    val name = "feature_pipeline.yaml"
+    (sys.props.get("graft.config.dir") ++ sys.env.get("GRAFT_CONFIG_DIR"))
+      .map(d => java.nio.file.Paths.get(d, name).toString)
       .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-      .getOrElse("config/feature_pipeline.yaml")
+      .getOrElse(s"config/$name")
+  }
 
   /** The composed TEMPORAL pipeline as one gate: the committed
     * `config/feature_pipeline.yaml` (skew-hardened as-of enrichment →

@@ -79,8 +79,17 @@ object AsOfJoin {
       direction: String = "backward", strict: Boolean = false,
       dedupRight: Option[String] = None, numSlices: Int = 64): DataFrame = {
     require(numSlices >= 1, s"asOfSliced: numSlices must be >= 1, got $numSlices")
-    val (u0, leftSide, ord) = unionStream(left, right, keyCols, leftTime,
+    val (uRaw, leftSide, ord) = unionStream(left, right, keyCols, leftTime,
       rightTime, valueCols, direction, strict, dedupRight)
+    // Keys fold into ONE non-null struct for every keyed step below. The
+    // digest patch is an equi-JOIN, and a join on raw key columns drops
+    // null-key rows (SQL equality; plain asOf's window partitionBy keeps
+    // them as a group) — struct equality compares null FIELDS as equal
+    // while the struct itself is never null, so null-key groups survive
+    // with window semantics, and window/aggregate/join all hash the same
+    // struct column, preserving the one-shuffle ReusedExchange shape.
+    val u0 = uRaw.withColumn("__gk", struct(keyCols.map(col): _*))
+      .drop(keyCols: _*)
     val axis = numericAxis(u0.schema("__t").dataType, "asOfSliced")
 
     // global grid bounds: one metadata-sized agg over the union's time
@@ -109,7 +118,7 @@ object AsOfJoin {
         least(floor((axis(col("__t")).cast("double") - lit(lo)) / lit(width)),
           lit((numSlices - 1).toLong))))
 
-    val wIn = Window.partitionBy((keyCols.map(col) :+ col("__slice")): _*)
+    val wIn = Window.partitionBy(col("__gk"), col("__slice"))
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = u.withColumn("__carry",
@@ -135,7 +144,7 @@ object AsOfJoin {
       .as("__sl")
     val sliceOrd =
       if (direction == "backward") col("__slice").asc else col("__slice").desc
-    val wCarry = Window.partitionBy(keyCols.map(col): _*).orderBy(sliceOrd)
+    val wCarry = Window.partitionBy(col("__gk")).orderBy(sliceOrd)
       .rowsBetween(Window.unboundedPreceding, -1)
     // `count(__lrow) >= 0` is a semantic no-op whose one job is to REFERENCE
     // __lrow from the digest branch: without it, column pruning drops the
@@ -143,15 +152,15 @@ object AsOfJoin {
     // diverges canonically from the window's, ReuseExchange cannot fire,
     // and the left input gets re-scanned (the tfIdf `tf > 0` lesson)
     val carryIn = carried
-      .groupBy((keyCols.map(col) :+ col("__slice")): _*)
+      .groupBy(col("__gk"), col("__slice"))
       .agg(sliceLast, count(col("__lrow")).as("__keep"))
       .where(col("__keep") >= 0)
       .withColumn("__ci", last(col("__sl"), ignoreNulls = true).over(wCarry))
-      .select((keyCols.map(col) :+ col("__slice") :+ col("__ci")): _*)
+      .select(col("__gk"), col("__slice"), col("__ci"))
 
     // inner join is total: every (key, slice) of `carried` exists in the
     // digest by construction (both derive from the same union)
-    val patched = carried.join(carryIn, keyCols :+ "__slice")
+    val patched = carried.join(carryIn, Seq("__gk", "__slice"))
       .withColumn("__cc", coalesce(col("__carry"), col("__ci")))
     finish(patched, left, valueCols, leftSide, "__cc")
   }
@@ -176,6 +185,11 @@ object AsOfJoin {
     val collide = valueCols.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty,
       s"asOfNearest: value column(s) ${collide.mkString(", ")} already exist on the left")
+    // the right time rides the payload struct under this reserved name (the
+    // distance comparison reads it back); a value column of the same name
+    // would make the struct's field names ambiguous
+    require(!valueCols.contains("__rt"),
+      "asOfNearest: value column name __rt is reserved for the carried right time")
     val rDedup = dedupedRight(right, keyCols, rightTime, valueCols, dedupRight)
 
     // the carried payload must include the right TIME (for the distance

@@ -202,6 +202,44 @@ class AsOfJoinSpec extends SparkSpec {
       "qt", "rt", Seq("v"), strict = true, numSlices = 8)
     assert(strictRun.filter(col("v").isNotNull).count() == 0)
   }
+
+  test("null keys form a group in every variant (sliced digest join must not drop them)") {
+    // window partitionBy groups nulls together, so a null-key left matches
+    // null-key rights; the r9 sliced digest patch joined on raw key columns
+    // (SQL equality) and silently DROPPED these rows — keys now fold into a
+    // struct whose null fields compare equal
+    val l = Seq((1L, null.asInstanceOf[java.lang.Long], 25L),
+      (2L, java.lang.Long.valueOf(1L), 25L),
+      (3L, null.asInstanceOf[java.lang.Long], 5L))
+      .toDF("qid", "user_id", "qt")
+    val r = Seq((null.asInstanceOf[java.lang.Long], 10L, "null_r"),
+      (java.lang.Long.valueOf(1L), 20L, "one_r"))
+      .toDF("user_id", "rt", "v")
+    for (n <- Seq(1, 4)) {
+      val sliced = AsOfJoin.asOfSliced(l, r, Seq("user_id"), "qt", "rt",
+        Seq("v"), numSlices = n)
+      val m = sliced.collect().map(row =>
+        row.getAs[Long]("qid") -> Option(row.getAs[String]("v"))).toMap
+      assert(m.size == 3, s"numSlices=$n dropped rows: $m")
+      assert(m(1L) === Some("null_r") && m(2L) === Some("one_r") &&
+        m(3L) === None, s"numSlices=$n")
+      assert(collectSet(sliced) === collectSet(
+        AsOfJoin.asOf(l, r, Seq("user_id"), "qt", "rt", Seq("v"))))
+    }
+    val near = AsOfJoin.asOfNearest(l, r, Seq("user_id"), "qt", "rt", Seq("v"))
+      .collect().map(row =>
+        row.getAs[Long]("qid") -> Option(row.getAs[String]("v"))).toMap
+    assert(near(1L) === Some("null_r") && near(3L) === Some("null_r"))
+  }
+
+  test("asOfNearest rejects the reserved __rt value column name") {
+    val l = Seq((1L, 1L, 5L)).toDF("qid", "user_id", "qt")
+    val r = Seq((1L, 3L, "a")).toDF("user_id", "rt", "__rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNearest(l, r, Seq("user_id"), "qt", "rt", Seq("__rt"))
+    }
+    assert(e.getMessage.contains("__rt"))
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {

@@ -15,20 +15,25 @@ import graft.operators.AsOfJoin
 class AsOfPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private case class L(qid: Long, k: Long, t: Option[Long])
-  private case class R(k: Long, rt: Long, v: String)
+  private case class L(qid: Long, k: Option[Long], t: Option[Long])
+  private case class R(k: Option[Long], rt: Long, v: String)
 
   // small key/time domains on purpose: equal (key, time) collisions on and
-  // across sides, keys with no rights, all-null-time lefts all occur
+  // across sides, keys with no rights, all-null-time lefts all occur; NULL
+  // keys on both sides too — SQL window partitionBy groups nulls together,
+  // so a null-key left must match null-key rights (the r9 asOfSliced digest
+  // join silently dropped them)
+  private val genKey: Gen[Option[Long]] =
+    Gen.frequency((6, Gen.choose(0L, 3L).map(Some(_))), (1, Gen.const(None)))
   private val genCase: Gen[(List[L], List[R])] = for {
     nl <- Gen.choose(0, 120)
     nr <- Gen.choose(0, 60)
     ls <- Gen.listOfN(nl, for {
-      k <- Gen.choose(0L, 3L)
+      k <- genKey
       t <- Gen.option(Gen.choose(0L, 40L))
     } yield (k, t))
     rs <- Gen.listOfN(nr, for {
-      k <- Gen.choose(0L, 4L)
+      k <- genKey
       t <- Gen.choose(0L, 40L)
     } yield (k, t))
   } yield (
@@ -69,9 +74,11 @@ class AsOfPropertySpec extends SparkSpec {
 
   test("asOf family equals brute force on generated timelines") {
     val prop = Prop.forAll(genCase) { case (ls, rs) =>
-      val l = ls.map(x => (x.qid, x.k, x.t.map(java.lang.Long.valueOf).orNull))
+      val l = ls.map(x => (x.qid, x.k.map(java.lang.Long.valueOf).orNull,
+          x.t.map(java.lang.Long.valueOf).orNull))
         .toDF("qid", "k", "t")
-      val r = rs.map(x => (x.k, x.rt, x.v)).toDF("k", "rt", "v")
+      val r = rs.map(x => (x.k.map(java.lang.Long.valueOf).orNull, x.rt, x.v))
+        .toDF("k", "rt", "v")
       val rd = dedup(rs)
 
       val plainOk = (for {
