@@ -44,9 +44,13 @@ object RangeJoin {
       s"pointInInterval: column(s) ${collide.mkString(", ")} exist on both sides — " +
         "rename the interval bounds/values first")
 
-    // floor-division on longs: negative times bucket correctly too
+    // EXACT floor-division on longs (pmod subtracts the non-negative
+    // remainder): negative times bucket correctly, and no double rounding —
+    // a cast-to-double floor misbuckets boundary values beyond 2^53 (epoch
+    // NANOS live there), which would silently drop true containments
     def bucketOf(t: Column): Column =
-      floor(t.cast("double") / lit(bucketWidth.toDouble)).cast("long")
+      ((t.cast("long") - pmod(t.cast("long"), lit(bucketWidth)))
+        / lit(bucketWidth)).cast("long")
     val b0 = bucketOf(col(startCol))
     val b1 = bucketOf(col(endCol))
     val iv = intervals
