@@ -158,16 +158,20 @@ object TextAnalysis {
     * derived from tf (df = terms per group key, N = distinct ids), so
     * AQE's ReuseExchange serves all three consumers from tf's single
     * exchange instead of re-reading and re-splitting the text per branch;
-    * the idf join broadcasts when the vocabulary is small (AQE decides);
-    * per-doc top-k is a k-bounded priority-queue aggregate (collectTopK)
-    * with map-side combine — no window ever holds a document's full
-    * vocabulary, and the hot-term df rows compress map-side like any
-    * aggregate.
+    * the idf join is a SHUFFLED HASH join (hinted): df's per-partition
+    * build side is vocabulary-sized — small — while sort-merge would sort
+    * the big (id, term) side by term for nothing; per-doc top-k is a
+    * row_number window over (score desc, term), a pure Tungsten radix sort
+    * whose per-key group is one document's vocabulary (bounded by document
+    * length, never corpus-sized). The previous k-bounded priority-queue
+    * aggregate (collectTopK) was measured 3.4× slower at 64× scale:
+    * TypedImperativeAggregate pushes ObjectHashAggregate into its
+    * 128-distinct-key sort-based fallback on per-doc group keys, paying
+    * per-row state serde on top of the same sort the window does once.
     */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.GraftSqlBridge
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -187,18 +191,19 @@ object TextAnalysis {
     val n = tfUsed.groupBy(col(idCol)).agg(count(lit(1)).as("__k"))
       .agg(count(lit(1)).as("__n"))
     val df = tfUsed.groupBy("term").agg(count(lit(1)).as("__df"))
-    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+    val scored = tf.join(df.hint("shuffle_hash"), Seq("term"))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * (log((lit(1.0) + col("__n")) / (col("__df") + lit(1.0)))
           + lit(1.0)), 4))
+    // rank on the ROUNDED score with the term tiebreak (doc-unique terms →
+    // total order → engine-reproducible), exactly the oracle's QUALIFY shape
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
     scored
-      .groupBy(col(idCol))
-      .agg(GraftSqlBridge.collectTopK(
-        struct(negate(col("score")).as("ns"), col("term").as("term"),
-          col("tf").as("tf")), k, smallest = true).as("__top"))
-      .select(col(idCol), posexplode(array_sort(col("__top"))))
-      .select(col(idCol), col("col.term").as("term"), col("col.tf").as("tf"),
-        negate(col("col.ns")).as("score"), (col("pos") + 1).cast("long").as("rank"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
   }
 
   def fingerprint(text: Column): Column =

@@ -9,38 +9,48 @@ import org.apache.spark.sql.functions._
   * Spark-vs-DuckDB ratio TREND is a measurement, not an argument — DuckDB
   * timings for the same dirs come from `tools/bench_scale.py`.
   *
-  * Replicas are made textually disjoint by a per-replica alphabet rotation
-  * (`translate`, replica 0 = identity): plain id-shifted copies would share
-  * every shingle across replicas and hand `ngram_jaccard` a quadratic
-  * cross-replica pair blowup — a different regime from "the same pipeline
-  * over more data", which is what amortization is about. The rotation
-  * preserves word lengths, token counts, and per-class document ratios
+  * Replicas are made textually disjoint by a per-replica alphabet
+  * PERMUTATION (`translate`, replica 0 = identity): plain id-shifted copies
+  * would share every shingle across replicas and hand `ngram_jaccard` a
+  * quadratic cross-replica pair blowup — a different regime from "the same
+  * pipeline over more data", which is what amortization is about. The
+  * permutations are the affine maps j → (a·j + b) mod 26 with a coprime to
+  * 26 — 12×26 = 312 distinct letter bijections (i < 26 is a = 1: the plain
+  * rotations of rounds ≤9), so scales beyond k=26 stay shingle-disjoint.
+  * Each preserves word lengths, token counts, and per-class document ratios
   * (lang/source untouched), so per-stage work scales ~linearly in K.
   *
   * Usage: Test/runMain graft.ScaleUpBench <sfDir> <outRoot> <iters> <k...>
   * Writes <outRoot>/x<k>/documents.parquet then prints per-query min-of-iters
-  * seconds per scale.
+  * seconds per scale. SPARK_GRAFT_SCALE_QUERIES (comma list) narrows the
+  * query set — large-k runs time one query without paying for the others.
   */
 object ScaleUpBench {
   val QueriesUnderTest: Seq[String] =
-    Seq("tf_idf", "nb_confusion", "ngram_jaccard", "analysis_pipeline")
+    sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("tf_idf", "nb_confusion", "ngram_jaccard", "analysis_pipeline"))
 
   private val Abc = "abcdefghijklmnopqrstuvwxyz"
+  // units of Z/26 — each (a, b) affine map is a distinct permutation
+  private val Coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  private def perm(i: Int): String = {
+    val (a, b) = (Coprimes(i / 26), i % 26)
+    (0 until 26).map(j => Abc((a * j + b) % 26)).mkString
+  }
 
   def replicate(docs: DataFrame, k: Int): DataFrame = {
-    // rotation i%26 is identity at i=26: replica 26 would duplicate replica
-    // 0's text verbatim and silently reintroduce the quadratic cross-replica
-    // shingle regime the rotation exists to prevent
-    require(k <= 26,
-      s"replicate: k=$k exceeds the 26 distinct alphabet rotations")
+    require(k <= 26 * Coprimes.length,
+      s"replicate: k=$k exceeds the ${26 * Coprimes.length} distinct affine permutations")
     (0 until k).map { i =>
-      val rot = Abc.drop(i % 26) + Abc.take(i % 26)
+      val p = perm(i)
       docs
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
         .withColumn("text",
           if (i == 0) col("text")
           else translate(col("text"), Abc + Abc.toUpperCase,
-            rot + rot.toUpperCase))
+            p + p.toUpperCase))
     }.reduce(_ unionByName _)
   }
 

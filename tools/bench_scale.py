@@ -8,11 +8,23 @@ Usage: python3 tools/bench_scale.py <oracleSqlJson> <scaleRoot> <k...>
   <oracleSqlJson>  oracle_sql.json from a graft.Verify run
   <scaleRoot>      dir containing x<k>/documents.parquet subdirs
 """
-import json, sys, glob, os, time
+import json, sys, glob, os, tempfile, time
 
 import duckdb
 
 DEFAULT_QUERIES = ["tf_idf", "nb_confusion", "ngram_jaccard", "analysis_pipeline"]
+# same durable-contract convention as bench_oracle.py: these queries' Spark
+# gates write+read a committed output root, so their oracle timing performs
+# the same COPY TO parquet + read-back inside the timed region
+DURABLE = {"feature_pipeline"}
+
+
+def run_query(con, name, sql):
+    if name in DURABLE:
+        out = os.path.join(tempfile.gettempdir(), f"graft_scale_{name}.parquet")
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        return con.execute(f"SELECT * FROM '{out}'").fetchall()
+    return con.execute(sql).fetchall()
 
 oracle = json.load(open(sys.argv[1]))
 root = sys.argv[2]
@@ -29,11 +41,11 @@ for k in scales:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     for q in QUERIES:
         sql = oracle[q]
-        rows = len(con.execute(sql).fetchall())  # warm
+        rows = len(run_query(con, q, sql))  # warm
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            run_query(con, q, sql)
             times.append(time.perf_counter() - t0)
         print(f"{q:20s} {k:<4d} {rows:<10d} {min(times):.2f}", flush=True)
     con.close()
