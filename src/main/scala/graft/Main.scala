@@ -196,10 +196,21 @@ object Main {
       // provenance must list the stages that actually RAN (one stage in
       // --stage mode), not the whole pipeline definition
       "graft-" + stages.map(_.name).mkString("+"))
-    // count from the just-written root (parquet footer metadata) — counting
-    // `out` would re-execute the whole un-checkpointed pipeline lineage
-    val written = MedsIO.read(spark, outputRoot)
-    println(s"[graft] wrote ${written.data.count()} data rows, " +
-      s"${written.codes.count()} code-metadata rows to $outputRoot")
+    // count from the just-written root — counting `out` would re-execute
+    // the whole un-checkpointed pipeline lineage. Footer metadata first
+    // (zero jobs — a read-back + count here was 5 of the CLI's fixed-floor
+    // jobs); a root too large for driver-side footer reads falls back to
+    // the distributed count.
+    val counts = for {
+      d <- graft.plans.ParquetStats.rowCount(spark, s"$outputRoot/data")
+      c <- graft.plans.ParquetStats.rowCount(spark,
+        s"$outputRoot/metadata/codes.parquet")
+    } yield (d, c)
+    val (dataRows, codeRows) = counts.getOrElse {
+      val written = MedsIO.read(spark, outputRoot)
+      (written.data.count(), written.codes.count())
+    }
+    println(s"[graft] wrote $dataRows data rows, " +
+      s"$codeRows code-metadata rows to $outputRoot")
   }
 }

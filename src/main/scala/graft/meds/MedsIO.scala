@@ -133,7 +133,11 @@ object MedsIO {
       // by split alone instead of failing on absent MEDS columns
       val sortCols = Seq(SubjectId, Time).filter(bare.columns.contains)
       val arranged = sortCols match {
-        case Seq() => bare.repartition(col(Split))
+        // non-MEDS table (no subject/time): write as-is — each task emits
+        // its own file per split it holds. Repartitioning on Split alone
+        // would hash every row of a split into ONE task (a serialized
+        // write at 100 TB) for no invariant in return.
+        case Seq() => bare
         case cs => bare.repartition(col(Split), col(cs.head))
           .sortWithinPartitions(cs.map(col): _*)
       }

@@ -92,18 +92,38 @@ object AsOfJoin {
       .drop(keyCols: _*)
     val axis = numericAxis(u0.schema("__t").dataType, "asOfSliced")
 
-    // global grid bounds: one metadata-sized agg over the union's time
-    // column (2 doubles to the driver). The numeric axis is ONLY used to
-    // place rows on the grid — orderings still compare native values — so
-    // double rounding cannot break correctness, just slice balance.
-    val b = u0.agg(min(axis(col("__t")).cast("double")),
-      max(axis(col("__t")).cast("double"))).head()
-    if (b.isNullAt(0))
+    // global grid bounds: from parquet FOOTER stats when both inputs are
+    // plain scans of numeric time columns (zero jobs — graft.plans
+    // .ParquetStats; bounds only need to COVER the data, and the slice
+    // expression clamps, so pre-filter footer bounds are safe), else one
+    // metadata-sized agg over the union (2 doubles to the driver). The
+    // numeric axis is ONLY used to place rows on the grid — orderings
+    // still compare native values — so double rounding cannot break
+    // correctness, just slice balance.
+    val numericTimes =
+      left.schema(leftTime).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+      right.schema(rightTime).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val footer: Option[Option[(Double, Double)]] =
+      if (!numericTimes) None
+      else for {
+        lb <- graft.plans.ParquetStats.columnBounds(left, leftTime)
+        rb <- graft.plans.ParquetStats.columnBounds(right, rightTime)
+      } yield (lb, rb) match {
+        case (Some((a, b)), Some((c, d))) => Some((math.min(a, c), math.max(b, d)))
+        case (x @ Some(_), None) => x
+        case (None, y) => y
+      }
+    val bounds: Option[(Double, Double)] = footer.getOrElse {
+      val b = u0.agg(min(axis(col("__t")).cast("double")),
+        max(axis(col("__t")).cast("double"))).head()
+      if (b.isNullAt(0)) None else Some((b.getDouble(0), b.getDouble(1)))
+    }
+    if (bounds.isEmpty)
       return finish( // no timed row on either side: every payload is null
         u0.withColumn("__carry", lit(null).cast(u0.schema("__rv").dataType)),
         left, valueCols, leftSide, "__carry")
-    val lo = b.getDouble(0)
-    val width = math.max((b.getDouble(1) - lo) / numSlices,
+    val Some((lo, hi)) = bounds
+    val width = math.max((hi - lo) / numSlices,
       java.lang.Double.MIN_NORMAL)
     // monotone, total: floor((t-lo)/width) clamped into [0, numSlices-1];
     // null times park on sentinel slice -1 (right nulls are pre-filtered,
