@@ -18,6 +18,20 @@ import org.apache.spark.sql.SparkSession
   * min is the steady-state number the same plan reproduces in isolation.
   */
 object Bench {
+  /** Execute a gate FULLY and return its row count. `df.count()` is the
+    * wrong executor for timing: Catalyst prunes every column the final
+    * `count(1)` doesn't reference — including whole Window operators (a
+    * window never changes cardinality), so a pure window-append gate like
+    * rolling_agg would be timed over a degenerate explode+filter plan
+    * (caught by the round-10 shuffle-metrics net: 59 bytes shuffled where
+    * the window exchange should be MBs). `toRdd` executes the plan with
+    * the query's own output schema — every selected column computed, every
+    * declared sort performed — which is also what the DuckDB oracle's
+    * `fetchall` does on its side.
+    */
+  def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,7 +49,7 @@ object Bench {
       if (java.nio.file.Files.exists(sib)) sib.toString else sfDir
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run for local A/B iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -45,12 +59,12 @@ object Bench {
     }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      try { force(fn(spark, warmDir)) } catch { case _: Throwable => () }
       val times = (1 to iters).map { _ =>
         spark.catalog.clearCache() // per-query caches must not accumulate or pre-warm
         System.gc() // keep prior queries' garbage out of this query's timing
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         // a failed query must be visible in the output, not read as a fast run
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }

@@ -24,7 +24,7 @@ object BenchOne {
       val fn = SparkEntry.queries(name)
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        Bench.force(fn(spark, sfDir)) // full materialization, same as Bench
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-24s min=${times.min}%.2f  " +

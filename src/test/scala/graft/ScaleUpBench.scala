@@ -81,7 +81,7 @@ object ScaleUpBench {
     // same convention as graft.Bench
     val warmDir = dirs.head._2
     for (q <- QueriesUnderTest)
-      try SparkEntry.queries(q)(spark, warmDir).count()
+      try Bench.force(SparkEntry.queries(q)(spark, warmDir))
       catch { case e: Throwable => println(s"WARM FAIL $q: $e") }
 
     println(f"${"query"}%-20s ${"k"}%-4s ${"rows"}%-10s seconds")
@@ -91,7 +91,7 @@ object ScaleUpBench {
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        rows = SparkEntry.queries(q)(spark, dir).count()
+        rows = Bench.force(SparkEntry.queries(q)(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$q%-20s $k%-4d $rows%-10d ${times.min}%.2f")

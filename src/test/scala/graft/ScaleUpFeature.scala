@@ -41,13 +41,13 @@ object ScaleUpFeature {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     for (q <- queries) {
-      try SparkEntry.queries(q)(spark, dir).count()
+      try Bench.force(SparkEntry.queries(q)(spark, dir))
       catch { case e: Throwable => println(s"WARM FAIL $q: $e") }
       var rows = 0L
       val ts = (1 to iters).map { _ =>
         spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
-        rows = SparkEntry.queries(q)(spark, dir).count()
+        rows = Bench.force(SparkEntry.queries(q)(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[feat] $q%-20s k=$k%-3d rows=$rows%-9d min=${ts.min}%.2f")

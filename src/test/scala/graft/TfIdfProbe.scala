@@ -37,12 +37,12 @@ object TfIdfProbe {
       }
     }
 
-    SparkEntry.queries(query)(spark, dir).count() // warm
+    Bench.force(SparkEntry.queries(query)(spark, dir)) // warm
     println("=== timed run")
     spark.sparkContext.addSparkListener(listener)
     val q = SparkEntry.queries(query)(spark, dir)
     val t0 = System.nanoTime()
-    val n = q.count()
+    val n = Bench.force(q)
     println(f"rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     Thread.sleep(1000)
     println("=== executed plan")
