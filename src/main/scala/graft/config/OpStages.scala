@@ -314,8 +314,10 @@ object OpStages {
     PipelineConfig.register("text_repetition") { (name, cfg) =>
       val text = cfg.getStr(TextCol).getOrElse("text")
       val n = cfg.getInt("ngram").getOrElse(3)
+      // staged form: the shared per-row arrays compute once (the signal
+      // HOFs are interpreted and outside codegen subexpr elimination)
       Pipeline.DataStage(name, m =>
-        appendCols(name, m.data, TextAnalysis.repetitionExprs(col(text), n)))
+        TextAnalysis.withRepetitionSignals(m.data, text, n))
     }
 
     PipelineConfig.register("text_tokens") { (name, cfg) =>
