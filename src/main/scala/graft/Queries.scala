@@ -2580,10 +2580,12 @@ object Queries {
       |FROM e ORDER BY event_id""".stripMargin))
 
   /** The hot-key-hardened trailing window ([[graft.operators.RollingAgg
-    * .trailingSliced]]: grid slices with ghost rows, slice width ≥ the
-    * trailing range) against the SAME native-RANGE-frame oracle as
-    * `rolling_agg` — numSlices=8 forces real multi-slice grids and ghost
-    * boundary traffic at every SF.
+    * .trailingSliced]]: absolute power-of-two grid with ghost rows, slice
+    * width ≥ the trailing range) against the SAME native-RANGE-frame
+    * oracle as `rolling_agg`. The grid is data-independent (width = 2^34
+    * µs ≈ 4.8 h for the 1-hour range), so the fixtures' multi-day event
+    * span crosses ~150 slice boundaries with real ghost traffic at every
+    * SF; the numSlices argument is API-compat only and ignored.
     */
   private val rollingAggSliced: Gate = Gate(
     (s, dir) => rollingFrames(s, dir, sliced = true),

@@ -44,13 +44,19 @@ object RangeJoin {
       s"pointInInterval: column(s) ${collide.mkString(", ")} exist on both sides — " +
         "rename the interval bounds/values first")
 
-    // EXACT floor-division on longs (pmod subtracts the non-negative
-    // remainder): negative times bucket correctly, and no double rounding —
-    // a cast-to-double floor misbuckets boundary values beyond 2^53 (epoch
-    // NANOS live there), which would silently drop true containments
-    def bucketOf(t: Column): Column =
-      ((t.cast("long") - pmod(t.cast("long"), lit(bucketWidth)))
-        / lit(bucketWidth)).cast("long")
+    // EXACT floor-division on longs via truncating quotient + negative-
+    // remainder correction (java.lang.Math.floorDiv's own identity):
+    // negative times bucket correctly, no double rounding (a cast-to-double
+    // floor misbuckets boundary values beyond 2^53 — epoch NANOS live
+    // there), and no overflow anywhere — `t - pmod(t, w)` would wrap below
+    // Long.MinValue for t within w of it, while here q-1 can only underflow
+    // if q = MinValue, which forces w = 1 and remainder 0 (no correction)
+    def bucketOf(t: Column): Column = {
+      val tl = t.cast("long")
+      val q = org.apache.spark.sql.GraftSqlBridge
+        .integralDivide(tl, lit(bucketWidth)) // SQL div: exact, truncating
+      when(tl % lit(bucketWidth) < 0, q - 1).otherwise(q)
+    }
     val b0 = bucketOf(col(startCol))
     val b1 = bucketOf(col(endCol))
     val iv = intervals

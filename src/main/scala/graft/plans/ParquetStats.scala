@@ -37,6 +37,8 @@ object ParquetStats {
     * there — callers fall back to a distributed count) or a footer is
     * unreadable; a missing path counts 0 (an empty table writes no files).
     */
+  val MaxCountFiles = 256
+
   def rowCount(spark: org.apache.spark.sql.SparkSession, dir: String,
       maxFiles: Int = MaxCountFiles): Option[Long] = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -62,8 +64,6 @@ object ParquetStats {
     } catch { case _: Exception => None }
   }
 
-  val MaxCountFiles = 256
-
   def columnBounds(df: DataFrame, colName: String): Option[Option[(Double, Double)]] = {
     val plan = df.queryExecution.optimizedPlan
     for {
@@ -77,8 +77,26 @@ object ParquetStats {
     * that could ADD rows or change values (joins, unions, generators,
     * aggregates, windows) stops the walk — unknown.
     */
+  /** Spark types whose parquet footer min/max are the column's VALUES.
+    * DecimalType is excluded deliberately: an INT32/INT64-backed decimal's
+    * footer statistics are UNSCALED integers — reading them as values
+    * yields non-covering bounds (lo far above the true minimum), the one
+    * failure mode the covering-bounds argument cannot absorb.
+    */
+  private def faithfulFooterType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+
   private def resolve(df: DataFrame, plan: LogicalPlan,
-      attr: Attribute): Option[Option[(Double, Double)]] = plan match {
+      attr: Attribute): Option[Option[(Double, Double)]] = if (
+      !faithfulFooterType(attr.dataType)) None else plan match {
     case p: Project =>
       p.projectList.find(_.exprId == attr.exprId).flatMap {
         case ar: AttributeReference => resolve(df, p.child, ar)

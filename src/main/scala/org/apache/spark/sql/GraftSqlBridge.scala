@@ -54,6 +54,16 @@ object GraftSqlBridge {
         org.apache.spark.sql.catalyst.expressions.Literal(numBits))
         .toAggregateExpression())
 
+  /** SQL `div` (IntegralDivide) as a Column: exact long-quotient division
+    * with truncation toward zero. The Column `/` operator is DOUBLE
+    * division — casting its result back to long silently misquotients
+    * beyond 2^53, which is why exact grid arithmetic cannot use it.
+    */
+  def integralDivide(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** `might_contain(bloom, value)`: true when `value` MAY be in the filter
     * (no false negatives), with the codegen'd implementation Spark uses for
     * its own injected runtime filters.

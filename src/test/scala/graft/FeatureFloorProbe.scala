@@ -26,7 +26,7 @@ object FeatureFloorProbe {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     // warm the whole gate once (staging becomes idempotent, codegen+JIT)
-    SparkEntry.queries("feature_pipeline")(spark, sfDir).count()
+    Bench.force(SparkEntry.queries("feature_pipeline")(spark, sfDir))
 
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_feature_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
@@ -40,8 +40,8 @@ object FeatureFloorProbe {
 
     for (i <- 1 to iters) {
       println(s"--- iteration $i")
-      t("whole gate") {
-        SparkEntry.queries("feature_pipeline")(spark, sfDir).count()
+      t("whole gate") { // Bench.force: count() would prune the output sort
+        Bench.force(SparkEntry.queries("feature_pipeline")(spark, sfDir))
       }
       // decomposed replica of the same run
       val parsed = t("config parse") {
@@ -58,11 +58,11 @@ object FeatureFloorProbe {
         val w = graft.meds.MedsIO.read(spark, s"$tmp/out2")
         (w.data.count(), w.codes.count())
       }
-      t("gate read-back+orderBy+count") {
-        graft.meds.MedsIO.read(spark, s"$tmp/out2").data
+      t("gate read-back+orderBy+force") {
+        Bench.force(graft.meds.MedsIO.read(spark, s"$tmp/out2").data
           .select(col("event_id"), col("user_id"), col("t"),
             col("view_ts_us"), col("view_event_id"), col("n_1h"))
-          .orderBy("event_id").count()
+          .orderBy("event_id"))
       }
     }
     spark.stop()

@@ -27,6 +27,10 @@ class MetricsSpec extends SparkSpec {
   private def measure(name: String): Totals = {
     // warm: one-time staging + codegen, outside the measured region
     Bench.force(SparkEntry.queries(name)(spark, dir))
+    // listener-bus dispatch is asynchronous — drain the warm run's queued
+    // stage events BEFORE attaching, or they get attributed to the timed
+    // run (up to a full extra gate of shuffle bytes, eating the headroom)
+    org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
     var sw = 0L; var sd = 0L; var sm = 0L
     val l = new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {

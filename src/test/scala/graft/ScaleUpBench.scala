@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * pipeline over more data", which is what amortization is about. The
   * permutations are the affine maps j → (a·j + b) mod 26 with a coprime to
   * 26 — 12×26 = 312 distinct letter bijections (i < 26 is a = 1: the plain
-  * rotations of rounds ≤9), so scales beyond k=26 stay shingle-disjoint.
+  * rotations of rounds ≤9), so scales beyond k=26 stay shingle-NEAR-
+  * disjoint: two distinct affine maps agree on at most 2 of 26 letters
+  * (a₁j+b₁ ≡ a₂j+b₂ has ≤2 roots mod 26), so only tokens confined to
+  * those ≤2 letters can collide across a replica pair — negligible
+  * against whole-word shingles.
   * Each preserves word lengths, token counts, and per-class document ratios
   * (lang/source untouched), so per-stage work scales ~linearly in K.
   *

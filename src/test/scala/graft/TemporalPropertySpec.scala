@@ -64,6 +64,30 @@ class TemporalPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("trailingSliced fractional-time path equals the plain window (double times)") {
+    // the non-integral branch (pmod/floor slice placement + heuristic
+    // slack) is separate code from the bitwise integral path and needs its
+    // own net; plain `trailing` is the oracle — both sides evaluate the
+    // identical IEEE comparisons, so equality is exact
+    val aggs = Seq("n" -> count(lit(1)), "s" -> sum(col("v")))
+    val prop = Prop.forAll(genRolling) { case (rows, range, _) =>
+      val df = rows.map(r => (r.id, r.k,
+        r.t.map(t => java.lang.Double.valueOf(t * 0.37 - 1.1)).orNull,
+        r.id * 3 + 1)).toDF("id", "k", "t", "v")
+      val got = collectSet(graft.operators.RollingAgg
+        .trailingSliced(df, Seq("k"), "t", range, aggs)
+        .select("id", "n", "s"))
+      val want = collectSet(graft.operators.RollingAgg
+        .trailing(df, Seq("k"), "t", range, aggs)
+        .select("id", "n", "s"))
+      if (got != want) println(s"FRACTIONAL MISMATCH range=$range")
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // --- RangeJoin vs brute force ------------------------------------------
 
   private case class Pt(pid: Long, k: Option[Long], t: Option[Long])
@@ -138,5 +162,15 @@ class TemporalPropertySpec extends SparkSpec {
         .select("pid").collect().map(_.getLong(0)).toSet
       assert(got === Set(2L, 3L, 4L), s"width=$width got=$got")
     }
+    // Long.MinValue edge: `t - pmod(t, w)` would wrap below MinValue; the
+    // quotient/remainder form must keep exact containment there too
+    val lo2 = Long.MinValue
+    val p2 = Seq((1L, 1L, lo2), (2L, 1L, lo2 + 10), (3L, 1L, lo2 + 11))
+      .toDF("pid", "k", "t")
+    val iv2 = Seq((1L, lo2, lo2 + 10L, "w")).toDF("k", "s", "e", "tag")
+    val got2 = RangeJoin.pointInInterval(p2, iv2, Seq("k"), "t", "s", "e",
+      Seq("tag"), bucketWidth = 7L)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(got2 === Set(1L, 2L))
   }
 }
