@@ -179,8 +179,12 @@ object AsOfJoin {
       .select(col("__gk"), col("__slice"), col("__ci"))
 
     // inner join is total: every (key, slice) of `carried` exists in the
-    // digest by construction (both derive from the same union)
-    val patched = carried.join(carryIn, Seq("__gk", "__slice"))
+    // digest by construction (both derive from the same union). SHUFFLED
+    // HASH, not sort-merge: the digest side is (key, slice)-cardinality —
+    // small per partition — while SMJ would re-sort the BIG carried side by
+    // (gk, slice) right after the window already sorted it by (t, side)
+    val patched = carried.join(carryIn.hint("shuffle_hash"),
+      Seq("__gk", "__slice"))
       .withColumn("__cc", coalesce(col("__carry"), col("__ci")))
     finish(patched, left, valueCols, leftSide, "__cc")
   }
