@@ -334,10 +334,20 @@ object TextAnalysis {
     * run lengths — no explode, no shuffle, no per-token map lookups; at
     * corpus scale the whole signal is a projection over one text scan.
     */
-  def unigramEntropy(text: Column): Column = {
+  def unigramEntropy(text: Column): Column =
+    unigramEntropyOfSorted(sort_array(tokens(text)))
+
+  /** Entropy from a PRE-SORTED token array — stage the array in a prior
+    * projection for whole-table scans: the expression references it three
+    * times (fold, size, guard), and interpreted evaluation has no
+    * common-subexpression elimination, so an inline `sort_array(tokens(t))`
+    * tokenizes and sorts every row three times (measured 2× end-to-end
+    * on the sf0.1 entropy gate).
+    */
+  def unigramEntropyOfSorted(sortedWs: Column): Column = {
     val clogc = (c: Column) =>
       when(c > 1L, c.cast("double") * log2(c.cast("double"))).otherwise(0.0)
-    val ws = sort_array(tokens(text))
+    val ws = sortedWs
     val n = size(ws)
     // fold state: (current run's token, its length so far, Σ c·log2 c of
     // completed runs); the finish step closes the last open run
