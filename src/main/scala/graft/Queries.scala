@@ -1306,12 +1306,8 @@ object Queries {
     * from exploded per-token counts — same tokenization as text_tokens.
     */
   private val textEntropy: Gate = Gate(
-    (s, dir) => table(s, dir, "documents")
-      // staged: the entropy expression references the sorted token array
-      // three times, and interpreted HOF evaluation has no CSE
-      .withColumn("__ws", sort_array(graft.functions.GraftFunctions.tokens(col("text"))))
-      .select(col("doc_id"),
-        r4(TextAnalysis.unigramEntropyOfSorted(col("__ws"))).as("unigram_entropy"))
+    (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+      r4(TextAnalysis.unigramEntropy(col("text"))).as("unigram_entropy"))
       .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id,
       |  unnest(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS w

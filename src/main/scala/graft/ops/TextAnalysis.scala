@@ -334,36 +334,13 @@ object TextAnalysis {
     * run lengths — no explode, no shuffle, no per-token map lookups; at
     * corpus scale the whole signal is a projection over one text scan.
     */
-  def unigramEntropy(text: Column): Column =
-    unigramEntropyOfSorted(sort_array(tokens(text)))
-
-  /** Entropy from a PRE-SORTED token array — stage the array in a prior
-    * projection for whole-table scans: the expression references it three
-    * times (fold, size, guard), and interpreted evaluation has no
-    * common-subexpression elimination, so an inline `sort_array(tokens(t))`
-    * tokenizes and sorts every row three times (measured 2× end-to-end
-    * on the sf0.1 entropy gate).
+  /** One codegen'd pass (graft.plans.UnigramEntropy): hash-map unigram
+    * counts → H = log2(n) − (Σ c·log2 c)/n. Replaced the interpreted
+    * sorted-run `aggregate()` fold, whose per-token struct allocation
+    * measured 15× DuckDB's marginal cost at 16× scale.
     */
-  def unigramEntropyOfSorted(sortedWs: Column): Column = {
-    val clogc = (c: Column) =>
-      when(c > 1L, c.cast("double") * log2(c.cast("double"))).otherwise(0.0)
-    val ws = sortedWs
-    val n = size(ws)
-    // fold state: (current run's token, its length so far, Σ c·log2 c of
-    // completed runs); the finish step closes the last open run
-    val zero = struct(lit(null).cast("string").as("prev"),
-      lit(0L).as("run"), lit(0.0).as("acc"))
-    val folded = aggregate(ws, zero,
-      (s, w) => {
-        val same = s.getField("prev") <=> w
-        struct(w.as("prev"),
-          when(same, s.getField("run") + 1L).otherwise(1L).as("run"),
-          when(same, s.getField("acc"))
-            .otherwise(s.getField("acc") + clogc(s.getField("run"))).as("acc"))
-      },
-      s => s.getField("acc") + clogc(s.getField("run")))
-    when(n > 0, log2(n.cast("double")) - folded / n).otherwise(0.0)
-  }
+  def unigramEntropy(text: Column): Column =
+    graft.plans.VectorExpressions.unigramEntropy(tokens(text))
 
   /** Composable text normalization — the standard pre-dedup cleanup chain,
     * applied in a FIXED order regardless of the order ops are requested in

@@ -75,6 +75,9 @@ object GraftExtensions {
       arity("graft_shingle_hash56", 3)(es => ShingleHash56(es(0),
         lit("graft_shingle_hash56", "n", es(1)).toInt,
         litBool("graft_shingle_hash56", "distinct", es(2))))),
+    ("graft_unigram_entropy", info("graft_unigram_entropy",
+      "graft_unigram_entropy(tokens) - Shannon entropy (bits) of the token distribution"),
+      arity("graft_unigram_entropy", 1)(es => UnigramEntropy(es(0)))),
     ("graft_sorted_pairs", info("graft_sorted_pairs",
       "graft_sorted_pairs(ids) - all ascending id pairs of a posting list"),
       arity("graft_sorted_pairs", 1)(es => SortedPairs(es(0)))),
