@@ -219,4 +219,29 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(p.count() == 60000)
     assert(p.filter(col("p.id_a") >= col("p.id_b")).count() == 0)
   }
+
+  test("unigram entropy: closed forms, null handling, SQL surface") {
+    // uniform over 4 distinct tokens -> 2 bits; all-equal -> 0; empty -> 0
+    val r = spark.range(1).select(
+      VectorExpressions.unigramEntropy(
+        array(lit("a"), lit("b"), lit("c"), lit("d"))).as("h4"),
+      VectorExpressions.unigramEntropy(
+        array(lit("x"), lit("x"), lit("x"))).as("h0"),
+      VectorExpressions.unigramEntropy(
+        array().cast("array<string>")).as("he"),
+      VectorExpressions.unigramEntropy(
+        lit(null).cast("array<string>")).as("hn"),
+      // null elements form ONE token: {null, null, "a", "a"} is uniform
+      // over 2 classes -> 1 bit (parity with the old fold's <=> runs)
+      VectorExpressions.unigramEntropy(array(lit(null).cast("string"),
+        lit(null).cast("string"), lit("a"), lit("a"))).as("hmix")).head()
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    assert(r.isNullAt(3))
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_unigram_entropy(array('a','b','a','b')) h").head().getDouble(0)
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
 }
