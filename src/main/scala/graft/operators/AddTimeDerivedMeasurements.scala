@@ -112,23 +112,37 @@ object AddTimeDerivedMeasurements {
       "timelineTokenEvents: at least one of start/end/deltas must be enabled")
     val canonicalUnit = normalizeTimeUnit(unit)._1
     val deltaCode = deltaCodeTemplate.replace("{time_unit}", canonicalUnit)
+    // ONE window pass over ONE shuffle of the unique events: the first row
+    // per subject IS min(time) (uniqueEvents drops null times), the last IS
+    // max(time), and the delta rides the same ordered window as lag — the
+    // previous three-branch union (min-agg ∪ lag-window ∪ max-agg) scanned
+    // and shuffled the unique-events subtree three times (the aggs'
+    // map-side combine canonicalizes their exchanges away from the
+    // window's, so ReuseExchange cannot serve them). Each row explodes
+    // into its 0-2 token cells; `slice(array(x), 1, 0)` is the typed empty
+    // array for the disabled/non-matching branches.
     val ev = uniqueEvents(data)
     val w = Window.partitionBy(SubjectId).orderBy(Time)
-    val parts = Seq.newBuilder[DataFrame]
-    if (emitStart)
-      parts += ev.groupBy(SubjectId).agg(min(col(Time)).as(Time))
-        .select(col(SubjectId), col(Time), lit(startCode).as(Code),
-          lit(null).cast(valueType).as(NumericValue))
-    if (emitDeltas)
-      parts += ev.withColumn("__prev", lag(col(Time), 1).over(w))
-        .filter(col("__prev").isNotNull)
-        .select(col(SubjectId), col(Time), lit(deltaCode).as(Code),
-          deltaIn(col(Time), col("__prev"), unit).cast(valueType).as(NumericValue))
-    if (emitEnd)
-      parts += ev.groupBy(SubjectId).agg(max(col(Time)).as(Time))
-        .select(col(SubjectId), col(Time), lit(endCode).as(Code),
-          lit(null).cast(valueType).as(NumericValue))
-    parts.result().reduce(_ unionByName _)
+    val wAll = Window.partitionBy(SubjectId) // same partitioning: no new exchange
+    val nullV = lit(null).cast(valueType)
+    def cellIf(enabled: Boolean, cond: Column, code: String, v: Column) = {
+      val cell = array(struct(lit(code).as("c"), v.as("v")))
+      if (!enabled) slice(cell, 1, 0)
+      else when(cond, cell).otherwise(slice(cell, 1, 0))
+    }
+    val staged = ev
+      .withColumn("__prev", lag(col(Time), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+    staged
+      .select(col(SubjectId), col(Time), explode(concat(
+        cellIf(emitStart, col("__rn") === 1, startCode, nullV),
+        cellIf(emitDeltas, col("__prev").isNotNull, deltaCode,
+          deltaIn(col(Time), col("__prev"), unit).cast(valueType)),
+        cellIf(emitEnd, col("__rn") === col("__cnt"), endCode, nullV)))
+        .as("__tok"))
+      .select(col(SubjectId), col(Time), col("__tok.c").as(Code),
+        col("__tok.v").as(NumericValue))
   }
 
   /** Splice generated rows into the data: new rows first within each
