@@ -62,11 +62,20 @@ object RangeJoin {
     val iv = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(endCol) >= col(startCol))
-      .withColumn("__span", b1 - b0 + 1)
+      // b1 >= b0 mathematically (end >= start, floor-div monotone), so an
+      // overflowed (NULL) try_subtract proves the interval spans around
+      // 2^63/bucketWidth buckets — far past any sane cap. try_subtract
+      // (NULL, never wrap/throw) routes both overflow and over-cap through
+      // the intended per-row error below; a raw `b1 - b0` would ANSI-throw
+      // a generic ARITHMETIC_OVERFLOW before the guard could see it (and
+      // wrap negative, PASSING the < check, with ANSI off)
+      .withColumn("__span", try_add(try_subtract(b1, b0), lit(1L)))
       .withColumn("__b", explode(sequence(b0,
-        when(b1 - b0 < maxBucketsPerInterval, b1).otherwise(raise_error(concat(
+        when(col("__span") <= maxBucketsPerInterval, b1)
+          .otherwise(raise_error(concat(
           lit(s"pointInInterval: interval covers more than $maxBucketsPerInterval "),
-          lit(s"buckets of width $bucketWidth ("), col("__span"),
+          lit(s"buckets of width $bucketWidth ("),
+          coalesce(col("__span").cast("string"), lit(">= 2^63")),
           lit(") — widen bucketWidth or split the interval")))))))
       .drop("__span")
       .select((keyCols.map(col) :+ col("__b") :+ col(startCol) :+ col(endCol)) ++

@@ -337,10 +337,14 @@ object TextAnalysis {
   /** One codegen'd pass (graft.plans.UnigramEntropy): hash-map unigram
     * counts → H = log2(n) − (Σ c·log2 c)/n. Replaced the interpreted
     * sorted-run `aggregate()` fold, whose per-token struct allocation
-    * measured 15× DuckDB's marginal cost at 16× scale.
+    * measured 15× DuckDB's marginal cost at 16× scale. The native
+    * expression is null-intolerant, so NULL text is coalesced back to 0.0
+    * here — the contract the pre-native Column expression, the DuckDB
+    * oracle, and the quality-filter stages (min/max_entropy must not
+    * silently drop null-text rows) all share.
     */
   def unigramEntropy(text: Column): Column =
-    graft.plans.VectorExpressions.unigramEntropy(tokens(text))
+    coalesce(graft.plans.VectorExpressions.unigramEntropy(tokens(text)), lit(0.0))
 
   /** Composable text normalization — the standard pre-dedup cleanup chain,
     * applied in a FIXED order regardless of the order ops are requested in

@@ -32,10 +32,14 @@ object ParquetStats {
 
   /** Exact row count of a parquet file/dir from footer metadata — zero
     * Spark jobs (the runner's post-write count otherwise pays a full
-    * read + count per table). None when the path holds more than
-    * `MaxCountFiles` files (driver-side serial footer reads stop paying
-    * there — callers fall back to a distributed count) or a footer is
-    * unreadable; a missing path counts 0 (an empty table writes no files).
+    * read + count per table). None — fall back to a distributed count —
+    * when the path is missing or holds no parquet files (a missing path is
+    * indistinguishable from a layout-convention drift in the caller, and
+    * printing "wrote 0 rows" on a drift would mask it), when it holds more
+    * than `MaxCountFiles` files (driver-side serial footer reads stop
+    * paying there), or when a footer is unreadable. Files under hidden
+    * directories (`_temporary` from an aborted write, `.staging`, …) are
+    * skipped — they are not committed data.
     */
   val MaxCountFiles = 256
 
@@ -48,11 +52,19 @@ object ParquetStats {
     val root = new org.apache.hadoop.fs.Path(dir)
     try {
       val fs = root.getFileSystem(conf)
-      if (!fs.exists(root)) return Some(0L)
+      if (!fs.exists(root)) return None
+      val rootUri = fs.makeQualified(root).toUri.getPath
+      def underHiddenDir(p: org.apache.hadoop.fs.Path): Boolean = {
+        // any directory segment BELOW the queried root starting with _ or .
+        val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        rel.split('/').dropRight(1).exists(s => s.startsWith("_") || s.startsWith("."))
+      }
       val it = fs.listFiles(root, true)
       val files = Iterator.continually(it)
         .takeWhile(_.hasNext).map(_.next().getPath)
-        .filter(_.getName.endsWith(".parquet")).take(maxFiles + 1).toSeq
+        .filter(p => p.getName.endsWith(".parquet") && !underHiddenDir(p))
+        .take(maxFiles + 1).toSeq
+      if (files.isEmpty) return None
       if (files.length > maxFiles) return None
       var n = 0L
       files.foreach { f =>

@@ -272,6 +272,17 @@ class RangeJoinSpec extends SparkSpec {
         "s", "e", Seq("tag"), bucketWidth = 7, maxBucketsPerInterval = 10).collect()
     }
     assert(e.getMessage.contains("buckets") || e.getCause != null)
+    // span so wide that b1 - b0 WRAPS negative (ADVICE r10): must still hit
+    // the intended per-row error, not sequence()'s generic size failure
+    val wrap = Seq((1L, Long.MinValue + 10L, Long.MaxValue - 10L, "wrap"))
+      .toDF("user_id", "s", "e", "tag")
+    val w = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, wrap, Seq("user_id"), "t",
+        "s", "e", Seq("tag"), bucketWidth = 1, maxBucketsPerInterval = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(w).exists(_.contains("widen bucketWidth")), messages(w).mkString("; "))
   }
 
   test("bucket grid handles negative times and results are partitioning-independent") {

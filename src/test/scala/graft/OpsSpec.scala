@@ -818,12 +818,15 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "a b c d"),      // four distinct -> 2 bits
       (2L, "x x x x"),      // degenerate repetition -> 0
       (3L, "one"),          // single token -> 0
-      (4L, ""), (5L, "  ")  // empty / whitespace-only -> 0
+      (4L, ""), (5L, "  "), // empty / whitespace-only -> 0
+      (6L, null)            // NULL text -> 0.0 (oracle coalesce contract,
+                            // ADVICE r10: native expr alone yields NULL)
     ).toDF("doc_id", "text")
     val got = d.select(col("doc_id"),
       round(TextAnalysis.unigramEntropy(col("text")), 4).as("h"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(got == Map(0L -> 1.0, 1L -> 2.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0))
+    assert(got == Map(0L -> 1.0, 1L -> 2.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0,
+      5L -> 0.0, 6L -> 0.0))
     // parity with the shuffle-based reference formulation on messier text
     val m = Seq((0L, "to be or not to be"), (1L, "aa aa  b\tb aa"),
       (2L, "z")).toDF("doc_id", "text")
