@@ -36,23 +36,18 @@ import graft.functions.GraftFunctions.tokens
   */
 object LanguageModel {
 
-  /** In-row bigram structs of a text column: [(w1,w2), ...], empty below 2
-    * tokens. Pure array expression — no explode until the caller needs rows.
-    */
-  private def bigramStructs(text: Column): Column = {
-    val ws = tokens(text)
-    zip_with(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
-      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-      (a, b) => struct(a.as("w1"), b.as("w2")))
-  }
-
   /** Train: corpus-wide bigram count table (w1, w2, cnt) — the single model
     * artifact. Persist with `write.parquet` for build-once/score-many.
+    * Bigrams are pre-counted per document by the in-row codegen'd pass
+    * ([[graft.plans.BigramCounts]]) and summed — identical totals to
+    * exploding every occurrence, with one exploded row per DISTINCT
+    * per-doc bigram instead of per occurrence feeding the count shuffle.
     */
   def bigramCounts(corpus: DataFrame, textCol: String): DataFrame =
-    corpus.select(explode(bigramStructs(col(textCol))).as("__b"))
-      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-      .agg(count(lit(1)).as("cnt"))
+    corpus.select(explode(graft.plans.VectorExpressions
+        .bigramCounts(tokens(col(textCol)))).as("__g"))
+      .groupBy(col("__g.w1").as("w1"), col("__g.w2").as("w2"))
+      .agg(sum(col("__g.k")).as("cnt"))
 
   /** Per-document average negative log-likelihood (nats/bigram) and
     * perplexity under the bigram model `lm` (a [[bigramCounts]] frame).
@@ -75,23 +70,27 @@ object LanguageModel {
       lm: DataFrame): DataFrame =
     perplexityOfGrams(docs, idCol, docGramCounts(docs, idCol, textCol), lm)
 
-  /** Per-document bigram occurrence counts (id, w1, w2, __k). The trailing
-    * isnotnull filters are semantic no-ops (w1/w2 come from split, a null id
-    * would never match the outer reattachment join) whose job is PLAN
-    * CONVERGENCE: the downstream joins INFER exactly these constraints and
-    * push a different subset into each copy of this subtree, and any
-    * difference in pushed filters breaks canonical-plan equality — without
-    * them, AQE stage reuse never fires and a self-trained LM re-scans the
-    * corpus once per derived branch. Stating the superset explicitly makes
-    * every copy identical (inference adds nothing), so the scan+exchange
-    * here serves all consumers once.
+  /** Per-document bigram occurrence counts (id, w1, w2, __k), counted
+    * IN-ROW by the codegen'd [[graft.plans.BigramCounts]] pass and exploded
+    * pre-counted: a document's bigram counts never need cross-partition
+    * data, so the former `explode → groupBy(id, w1, w2)` formulation's
+    * corpus-sized string-keyed exchange (one row per bigram OCCURRENCE —
+    * 161.9 MB shuffled at 32× sf0.1, the dominant stage of both perplexity
+    * gates) moved bytes for no semantic reason. Values are identical —
+    * same string keys, same counts — so the scoring joins, the self-LM
+    * derivation, and the DuckDB oracles are untouched. The trailing
+    * isnotnull filters are semantic no-ops (struct fields are non-null by
+    * construction) kept for PLAN CONVERGENCE: downstream joins infer
+    * exactly these constraints, and stating the superset explicitly keeps
+    * every copy of this subtree canonically identical.
     */
   private def docGramCounts(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs
-      .select(col(idCol), explode(bigramStructs(col(textCol))).as("__b"))
-      .groupBy(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-      .agg(count(lit(1)).as("__k"))
+      .select(col(idCol), explode(graft.plans.VectorExpressions
+        .bigramCounts(tokens(col(textCol)))).as("__g"))
+      .select(col(idCol), col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.k").as("__k"))
       .where(col(idCol).isNotNull && col("w1").isNotNull && col("w2").isNotNull)
 
   private def perplexityOfGrams(docs: DataFrame, idCol: String,

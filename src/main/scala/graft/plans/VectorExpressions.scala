@@ -395,6 +395,88 @@ object UnigramEntropy {
   }
 }
 
+/** Per-document word-bigram occurrence counts in ONE codegen'd pass:
+  * `[(w1, w2, k), …]` over adjacent token pairs, grouped by an in-row hash
+  * map — the pre-counted rows explode STRAIGHT into the LM scoring joins,
+  * replacing the `explode(bigrams) → groupBy(doc, w1, w2)` shape whose
+  * corpus-sized exchange (one row per bigram OCCURRENCE, string-keyed) was
+  * the dominant stage of the perplexity gates (161.9 MB shuffled at 32×
+  * sf0.1; a document's bigram counts never need cross-partition data, so
+  * that exchange moved bytes for no semantic reason). Values are identical
+  * to the exploded groupBy formulation — same string keys, same counts —
+  * so every downstream join and the DuckDB oracles are untouched.
+  *
+  * Output order is first-occurrence (LinkedHashMap): deterministic for a
+  * given token array, and irrelevant downstream (the rows feed joins and
+  * per-doc aggregates). Windows containing a null token are skipped —
+  * parity with the exploded form, whose `w1/w2 IS NOT NULL` filter dropped
+  * them. Arrays below 2 tokens emit an empty array; a null array is null.
+  */
+case class BigramCounts(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false),
+      StructField("k", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bigram_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    BigramCounts.counts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.BigramCounts.counts($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramCounts {
+  /** Composite map key over the two token strings — grouping by the PAIR
+    * (never a separator-joined concat, which would conflate ("a b","c")
+    * with ("a","b c")).
+    */
+  private final class Key(val a: org.apache.spark.unsafe.types.UTF8String,
+      val b: org.apache.spark.unsafe.types.UTF8String) {
+    override val hashCode: Int = a.hashCode * 31 + b.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => a.equals(k.a) && b.equals(k.b)
+      case _ => false
+    }
+  }
+
+  def counts(xs: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = xs.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val m = new java.util.LinkedHashMap[Key, Array[Long]](Math.min(n * 2, 1024))
+    var i = 0
+    while (i < n - 1) {
+      if (!xs.isNullAt(i) && !xs.isNullAt(i + 1)) {
+        val key = new Key(xs.getUTF8String(i), xs.getUTF8String(i + 1))
+        val c = m.get(key)
+        if (c == null) m.put(key, Array(1L)) else c(0) += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var p = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.a, e.getKey.b, e.getValue()(0)))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Word-n-gram shingle hashes straight from the TOKEN array in one pass:
   * for each window of n consecutive tokens, the 56-bit portable hash of the
   * space-joined shingle — computed by STREAMING the token bytes and
@@ -1135,6 +1217,9 @@ object VectorExpressions {
 
   def unigramEntropy(tokens: Column): Column =
     GraftSqlBridge.column(UnigramEntropy(expr(tokens)))
+
+  def bigramCounts(tokens: Column): Column =
+    GraftSqlBridge.column(BigramCounts(expr(tokens)))
 
   def jpegDimensions(payload: Column): Column =
     GraftSqlBridge.column(JpegDimensions(expr(payload)))

@@ -33,7 +33,11 @@ object ScaleUpBench {
   val QueriesUnderTest: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(Seq("tf_idf", "nb_confusion", "ngram_jaccard", "analysis_pipeline"))
+      .getOrElse(Seq(
+        // the full >2x-at-sf0.1 excuse tail (VERDICT r10 #1): every gate
+        // whose floor-amortization claim needs force-convention evidence
+        "ppl_buckets", "lm_perplexity", "nb_classify", "nb_confusion",
+        "analysis_pipeline", "ngram_jaccard"))
 
   private val Abc = "abcdefghijklmnopqrstuvwxyz"
   // units of Z/26 — each (a, b) affine map is a distinct permutation

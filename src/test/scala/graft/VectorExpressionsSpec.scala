@@ -244,4 +244,52 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT graft_unigram_entropy(array('a','b','a','b')) h").head().getDouble(0)
     assert(math.abs(viaSql - 1.0) < 1e-12)
   }
+
+  test("bigramCounts equals the exploded groupBy formulation (nulls, repeats, short docs)") {
+    import org.scalacheck.{Gen, Prop}
+    // the OLD formulation this expression replaced — zip_with bigram structs
+    // exploded per occurrence, then counted by groupBy — kept here as the
+    // oracle; token pool is tiny so repeated bigrams are the common case
+    val genDoc: Gen[List[String]] = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "a b"))
+    } yield ws
+    val prop = Prop.forAll(Gen.listOfN(6, genDoc)) { docsTokens =>
+      val df = docsTokens.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws) }.toDF("doc_id", "ws")
+        .select(col("doc_id"), col("ws").cast("array<string>").as("ws"))
+      val got = collectSet(df.select(col("doc_id"),
+          explode(VectorExpressions.bigramCounts(col("ws"))).as("__g"))
+        .select(col("doc_id"), col("__g.w1"), col("__g.w2"), col("__g.k")))
+      val ref = collectSet(df.select(col("doc_id"), explode(zip_with(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+        .groupBy(col("doc_id"), col("__b.w1"), col("__b.w2"))
+        .agg(count(lit(1)).as("k")))
+      if (got != ref) println(s"BIGRAM MISMATCH docs=$docsTokens\n got=$got\n ref=$ref")
+      got == ref
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+    // null tokens: windows touching them are skipped (the old form's
+    // isnotnull filter); null array -> null; token ambiguity ("a b","c")
+    // vs ("a","b c") stays two distinct bigrams
+    val edge = Seq(1L).toDF("id").select(
+      VectorExpressions.bigramCounts(array(
+        lit("x"), lit(null).cast("string"), lit("y"), lit("z"))).as("g"),
+      VectorExpressions.bigramCounts(lit(null).cast("array<string>")).as("gn"),
+      size(VectorExpressions.bigramCounts(array(lit("solo")))).as("g1"))
+      .head()
+    val pairs = edge.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs == Seq(("y", "z", 1L)))
+    assert(edge.isNullAt(1) && edge.getInt(2) == 0)
+    val ambig = Seq(1L).toDF("id").select(
+      VectorExpressions.bigramCounts(array(lit("a b"), lit("c"))).as("g1"),
+      VectorExpressions.bigramCounts(array(lit("a"), lit("b c"))).as("g2")).head()
+    assert(ambig.getSeq[org.apache.spark.sql.Row](0) !=
+      ambig.getSeq[org.apache.spark.sql.Row](1))
+  }
 }
