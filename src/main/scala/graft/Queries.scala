@@ -2538,29 +2538,36 @@ object Queries {
     * gate, extending the composition story from curation/analysis to
     * feature engineering.
     */
+  /** Stage the feature pipeline's per-run inputs under `tmp` (idempotent —
+    * the fixture-gate convention: warmed runs time the PIPELINE, not the
+    * per-fixture input preparation) and return the per-run overrides —
+    * shared by the gate and PipelineStageMetricsSpec.
+    */
+  private[graft] def stageFeatureInputs(s: SparkSession, dir: String,
+      tmp: String): Seq[String] = {
+    if (!new java.io.File(s"$tmp/in/${graft.meds.MedsIO.CompleteMarker}").exists()) {
+      rmTree(java.nio.file.Paths.get(tmp))
+      val (clicks0, views) = clicksViews(s, dir)
+      val clicks = clicks0.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"))
+      views.select(col("user_id"), unix_micros(col("view_ts")).as("view_ts_us"),
+          col("view_event_id"))
+        .write.mode("overwrite").parquet(s"$tmp/views.parquet")
+      def empty(schema: org.apache.spark.sql.types.StructType) =
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      graft.meds.MedsIO.write(graft.meds.MedsData(clicks,
+        empty(graft.meds.MedsSchema.codesSchema),
+        empty(graft.meds.MedsSchema.splitsSchema)), s"$tmp/in")
+    }
+    Seq(s"stages.enrich_view.right_path=$tmp/views.parquet")
+  }
+
   private val featurePipeline: Gate = Gate(
     (s, dir) => {
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_feature_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-      // idempotent input staging (the fixture-gate convention): warmed runs
-      // time the PIPELINE (Main: chain + output root write/read), not the
-      // per-fixture input preparation
-      if (!new java.io.File(s"$tmp/in/${graft.meds.MedsIO.CompleteMarker}").exists()) {
-        rmTree(java.nio.file.Paths.get(tmp))
-        val (clicks0, views) = clicksViews(s, dir)
-        val clicks = clicks0.select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("t"))
-        views.select(col("user_id"), unix_micros(col("view_ts")).as("view_ts_us"),
-            col("view_event_id"))
-          .write.mode("overwrite").parquet(s"$tmp/views.parquet")
-        def empty(schema: org.apache.spark.sql.types.StructType) =
-          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        graft.meds.MedsIO.write(graft.meds.MedsData(clicks,
-          empty(graft.meds.MedsSchema.codesSchema),
-          empty(graft.meds.MedsSchema.splitsSchema)), s"$tmp/in")
-      }
-      Main.run(Array(FeatureYaml, s"$tmp/in", s"$tmp/out",
-        s"stages.enrich_view.right_path=$tmp/views.parquet"), s)
+      val overrides = stageFeatureInputs(s, dir, tmp)
+      Main.run(Array(FeatureYaml, s"$tmp/in", s"$tmp/out") ++ overrides, s)
       graft.meds.MedsIO.read(s, s"$tmp/out").data
         .select(col("event_id"), col("user_id"), col("t"),
           col("view_ts_us"), col("view_event_id"),
