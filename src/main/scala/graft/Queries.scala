@@ -1068,10 +1068,70 @@ object Queries {
       |SELECT l AS "left", r AS "right", CAST(sum(f) AS BIGINT) AS pair_freq
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** One UNROLLED training iteration of the BPE oracle below: count
+    * adjacent symbol pairs over the dictionary state (frequency-weighted),
+    * pick the argmax with the trainer's exact tie-break (max count, ties to
+    * the lexicographically smallest (left, right)), and apply the merge to
+    * every word. Dictionary state is a string of symbols wrapped in single
+    * spaces with DOUBLE-space gaps (` a  b  c `): symbols never contain
+    * whitespace, so ` l  r ` matches exactly the adjacent (l, r) symbol
+    * pairs, and `replace`'s leftmost-first non-overlapping scan IS the BPE
+    * merge rule for runs (` a  a  a ` + (a,a) → ` aa  a `). An exhausted
+    * state (no pairs left) yields an empty argmax and the LEFT JOIN leaves
+    * every word unchanged — the trainer's early-stop.
+    */
+  private def bpeOracleStep(i: Int): String =
+    s"""p$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, f
+       |  FROM (SELECT f, string_split(trim(s), '  ') AS syms FROM w$i),
+       |    unnest(generate_series(1, len(syms) - 1)) AS t(j)),
+       |b$i AS (SELECT l, r FROM p$i GROUP BY l, r
+       |  ORDER BY sum(f) DESC, l, r LIMIT 1),
+       |w${i + 1} AS MATERIALIZED (SELECT w, f,
+       |  CASE WHEN b.l IS NULL THEN s
+       |    ELSE replace(s, ' ' || b.l || '  ' || b.r || ' ',
+       |      ' ' || b.l || b.r || ' ') END AS s
+       |  FROM w$i LEFT JOIN b$i b ON true)""".stripMargin
+
+  /** Full SQL replay of BPE training AND encoding (upgrades the last
+    * rows-only gate, VERDICT r10 #7): the merge loop is not ONE relational
+    * query, but with a FIXED merge budget it is a finite composition — 64
+    * unrolled step CTEs (pair counts → argmax → merge application), each
+    * `MATERIALIZED` so the chain evaluates once per step instead of
+    * exponentially through the double-referenced states. Encoding falls
+    * out of training for free: after N merges the dictionary state IS each
+    * word's merges-in-rank-order encoding (training applies every merge
+    * corpus-wide as it is learned — the classic BPE invariant), so each
+    * document re-joins its word sequence against the final state. The
+    * corpus vocabulary (31 distinct synthetic words at every SF, far under
+    * the gate's 2^16 word cap) keeps the unrolled replay trivially sized —
+    * the same exact-regime trick the sketch gates pin.
+    */
+  private lazy val bpeTokensOracle: String = {
+    val numMerges = 64
+    s"""WITH d0 AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> x <> '') AS ws FROM documents WHERE text IS NOT NULL),
+       |toks AS (SELECT doc_id, ws[t.i] AS w, t.i AS ord
+       |  FROM d0, unnest(generate_series(1, len(ws))) AS t(i)),
+       |wf AS (SELECT w, count(*) AS f FROM toks GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT w, f, ' ' || array_to_string(
+       |    list_append(regexp_extract_all(w, '.'), '</w>'), '  ') || ' ' AS s
+       |  FROM wf),
+       |${(0 until numMerges).map(bpeOracleStep).mkString(",\n")},
+       |enc AS (SELECT w, string_split(trim(s), '  ') AS syms FROM w$numMerges),
+       |agg AS (SELECT t.doc_id, flatten(list(e.syms ORDER BY t.ord)) AS subs
+       |  FROM toks t JOIN enc e USING (w) GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(a.subs), 0) AS BIGINT) AS n_bpe_tokens,
+       |  coalesce(array_to_string(a.subs[1:8], ' '), '') AS head_tokens
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** BPE end-to-end at gate scale: train on the corpus's own dictionary
     * (driver loop over ONE scan's word frequencies), then encode every
-    * document with the codegen'd expression. Deterministic by construction
-    * (spec-locked tie-breaks), but not SQL-expressible — rows-only gate.
+    * document with the codegen'd expression. The oracle replays the WHOLE
+    * thing — trainer loop unrolled merge-by-merge, then encode-by-join —
+    * see [[bpeTokensOracle]].
     */
   private val bpeTokens: Gate = Gate(
     (s, dir) => {
@@ -1084,7 +1144,7 @@ object Queries {
           concat_ws(" ", slice(col("subs"), 1, 8)).as("head_tokens"))
         .orderBy("doc_id")
     },
-    None)
+    Some(bpeTokensOracle))
 
   /** Cross-release overlap audit via theta sketches, per language: two
     * pseudo-releases carved from the documents table (A = doc_id % 3 != 0,
