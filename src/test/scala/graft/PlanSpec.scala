@@ -307,9 +307,16 @@ class PlanSpec extends SparkSpec {
 
     val lm = graft.ops.LanguageModel.selfPerplexity(d, "doc_id", "text")
     lm.collect()
-    // 2 = the gram aggregation (reused by model/contexts/vocabulary) + the
-    // id-only reattachment scan for short documents
-    assert(distinctScans(lm) === 2, s"selfPerplexity scans:\n${lm.queryExecution.executedPlan}")
+    // 3 = scoring-gram scan + model-branch scan + id-only reattachment
+    // scan. Since the in-row BigramCounts pass (r11) the per-doc gram
+    // counts have NO exchange for the model branch to reuse — the model
+    // branch re-scans and re-counts instead, a deliberate trade: one extra
+    // columnar read replaces shuffling a corpus-sized string-keyed gram
+    // table through disk+network (161.9 MB at 32x sf0.1; measured 0.88x
+    // of the DuckDB oracle at that scale, from 1.50x). The ctx/vocabulary
+    // branches still reuse the MODEL aggregation's (small) exchange —
+    // pinned by the scan count staying at 3, not 4+.
+    assert(distinctScans(lm) === 3, s"selfPerplexity scans:\n${lm.queryExecution.executedPlan}")
 
     val (tc, priors) = graft.ops.Classifier.trainNaiveBayes(d, "text", "lang")
     val nb = graft.ops.Classifier.nbScores(d, "doc_id", "text", tc, priors)
