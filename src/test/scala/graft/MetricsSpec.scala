@@ -67,7 +67,9 @@ class MetricsSpec extends SparkSpec {
     "semdedup" -> 32_000L,                    // measured 5.7 KB
     "zorder_values" -> 20_000_000L,           // measured 8.06 MB
     "asof_join_sliced" -> 6_000_000L,         // measured 2.60 MB (r10 end)
-    "rolling_agg_sliced" -> 12_000_000L)      // measured 4.91 MB
+    "rolling_agg_sliced" -> 12_000_000L,      // measured 4.91 MB
+    "lm_perplexity" -> 500_000L,              // measured 183 KB (r11, in-row grams)
+    "ppl_buckets" -> 450_000L)                // measured 172 KB (r11, in-row grams)
 
   for ((q, cap) <- bounds)
     test(s"$q: shuffle volume within pinned bound, zero spill") {
