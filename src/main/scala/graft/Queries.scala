@@ -1076,15 +1076,18 @@ object Queries {
     * spaces with DOUBLE-space gaps (` a  b  c `): symbols never contain
     * whitespace, so ` l  r ` matches exactly the adjacent (l, r) symbol
     * pairs, and `replace`'s leftmost-first non-overlapping scan IS the BPE
-    * merge rule for runs (` a  a  a ` + (a,a) → ` aa  a `). An exhausted
-    * state (no pairs left) yields an empty argmax and the LEFT JOIN leaves
-    * every word unchanged — the trainer's early-stop.
+    * merge rule for runs (` a  a  a ` + (a,a) → ` aa  a `). A stopped
+    * state (no pairs left, or — the trainer's `minFrequency = 2` stop —
+    * no pair with weighted count ≥ 2; the HAVING mirrors it) yields an
+    * empty argmax and the LEFT JOIN leaves every word unchanged. Both
+    * stops are fixed points: an unchanged state reproduces the same empty
+    * argmax at every later step, exactly like the trainer's loop exit.
     */
   private def bpeOracleStep(i: Int): String =
     s"""p$i AS (SELECT syms[j] AS l, syms[j + 1] AS r, f
        |  FROM (SELECT f, string_split(trim(s), '  ') AS syms FROM w$i),
        |    unnest(generate_series(1, len(syms) - 1)) AS t(j)),
-       |b$i AS (SELECT l, r FROM p$i GROUP BY l, r
+       |b$i AS (SELECT l, r FROM p$i GROUP BY l, r HAVING sum(f) >= 2
        |  ORDER BY sum(f) DESC, l, r LIMIT 1),
        |w${i + 1} AS MATERIALIZED (SELECT w, f,
        |  CASE WHEN b.l IS NULL THEN s
@@ -1140,7 +1143,10 @@ object Queries {
         numMerges = 64, maxWords = 1 << 16)
       docs.select(col("doc_id"), Bpe.encode(col("text"), merges).as("subs"))
         .select(col("doc_id"),
-          size(col("subs")).cast(LongType).as("n_bpe_tokens"),
+          // null text → null subs; match the oracle's LEFT JOIN contract
+          // (0 tokens, empty head) rather than null/-1 from size(null)
+          coalesce(size(col("subs")).cast(LongType), lit(0L))
+            .as("n_bpe_tokens"),
           concat_ws(" ", slice(col("subs"), 1, 8)).as("head_tokens"))
         .orderBy("doc_id")
     },

@@ -62,7 +62,14 @@ object ParquetStats {
       val it = fs.listFiles(root, true)
       val files = Iterator.continually(it)
         .takeWhile(_.hasNext).map(_.next().getPath)
-        .filter(p => p.getName.endsWith(".parquet") && !underHiddenDir(p))
+        .filter { p =>
+          // skip hidden leaf FILES too (`.part-…`, `_backup.parquet`):
+          // Spark's InMemoryFileIndex ignores leading '_'/'.' names, and
+          // this count stands in for what spark.read would see
+          val n = p.getName
+          n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".") && !underHiddenDir(p)
+        }
         .take(maxFiles + 1).toSeq
       if (files.isEmpty) return None
       if (files.length > maxFiles) return None
