@@ -76,4 +76,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 125g bench box), but the default must not exceed what a smaller host
   // can back with physical memory — size to ~40% of RAM, capped at 48g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
+  // headroom for the bench suite's ~100 queries of generated (Janino)
+  // classes: a single query compiles ~45 MB of nmethods against the 240 MB
+  // default — reserved, not committed, so the only cost is address space
+  "-XX:ReservedCodeCacheSize=512m",
 )

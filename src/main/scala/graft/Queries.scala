@@ -467,7 +467,9 @@ object Queries {
       val ev = medsEvents(s, dir)
       val codes = AggregateCodeMetadata.compute(ev,
         Seq(ValuesNOccurrences, ValuesSum, ValuesSumSqd))
-      val vocab = FitVocabularyIndices(codes)
+      // codes is keyed by its own groupBy key: uniqueness is structural,
+      // skip the eager duplicate scan
+      val vocab = FitVocabularyIndices(codes, validateUnique = false)
       Normalization(ev, vocab, valueType = DoubleType)
         .select(col("event_id"), col(Code).cast(LongType).as("code"),
           r4(col(NumericValue)).as(NumericValue))

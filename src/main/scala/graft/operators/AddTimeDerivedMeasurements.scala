@@ -58,16 +58,29 @@ object AddTimeDerivedMeasurements {
   /** `age_fntr` (reference age.py:145-180): for each unique event, emit an
     * age row = (time − DOB) in `ageUnit`, DOB taken from rows whose code
     * matches `dobCodePattern`; only strictly positive ages are kept.
+    *
+    * Single-pass plan: ONE events scan, ONE subject-hash exchange. The
+    * (subject, time) dedup aggregates without a second exchange (hash(subject)
+    * already clusters (subject, time)) while carrying min-of-matching-time as
+    * the DOB candidate, and a subject-partition window folds candidates to
+    * the per-subject DOB — replacing the naive dob-groupBy + dedup-exchange +
+    * join shape (2 scans, 3 exchanges). Subjects with no DOB row (window min
+    * = null) and null subjects are dropped, exactly like the inner join.
     */
   def ageEvents(data: DataFrame, dobCodePattern: String, ageCode: String = "AGE",
       ageUnit: String = "years",
       valueType: org.apache.spark.sql.types.DataType = org.apache.spark.sql.types.FloatType): DataFrame = {
     // regex containment, matching Polars str.contains (age.py:149-151):
     // a literal DOB code is a degenerate pattern
-    val dob = data.filter(col(Code).rlike(dobCodePattern) && col(Time).isNotNull)
-      .groupBy(SubjectId).agg(min(col(Time)).as("__dob"))
-    uniqueEvents(data)
-      .join(dob, Seq(SubjectId), "inner")
+    val dobCand = when(col(Code).rlike(dobCodePattern), col(Time))
+    data.filter(col(Time).isNotNull && col(SubjectId).isNotNull)
+      .select(col(SubjectId), col(Time), dobCand.as("__dob_cand"))
+      .repartition(col(SubjectId))
+      .groupBy(col(SubjectId), col(Time))
+      .agg(min(col("__dob_cand")).as("__dob_cand"))
+      .withColumn("__dob",
+        min(col("__dob_cand")).over(Window.partitionBy(SubjectId)))
+      .filter(col("__dob").isNotNull)
       .withColumn(NumericValue, deltaIn(col(Time), col("__dob"), ageUnit).cast(valueType))
       .filter(col(NumericValue) > 0)
       .select(col(SubjectId), col(Time), lit(ageCode).as(Code), col(NumericValue))

@@ -21,12 +21,21 @@ import graft.functions.GraftFunctions
   */
 object FitVocabularyIndices {
 
-  def apply(codes: DataFrame, codeModifiers: Seq[String] = Nil): DataFrame = {
+  /** `validateUnique = false` skips the eager duplicate-key scan (one extra
+    * aggregation job over the metadata). Safe ONLY when uniqueness is
+    * structural — e.g. `codes` is the direct output of
+    * `AggregateCodeMetadata.compute`, whose groupBy keys ARE the vocabulary
+    * keys. The default matches the reference's validate-first contract.
+    */
+  def apply(codes: DataFrame, codeModifiers: Seq[String] = Nil,
+      validateUnique: Boolean = true): DataFrame = {
     val keys = Code +: codeModifiers
-    val dup = codes.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-    if (!dup.isEmpty)
-      throw new IllegalArgumentException(
-        s"Duplicate (${keys.mkString(", ")}) keys in code metadata; cannot fit vocabulary")
+    if (validateUnique) {
+      val dup = codes.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+      if (!dup.isEmpty)
+        throw new IllegalArgumentException(
+          s"Duplicate (${keys.mkString(", ")}) keys in code metadata; cannot fit vocabulary")
+    }
     val indexed = GraftFunctions.withGlobalRowNumber(codes, VocabIndex,
       keys.map(k => col(k).asc_nulls_first))
     GraftFunctions.shrinkIntColumns(indexed, Seq(VocabIndex))
