@@ -100,6 +100,41 @@ class DedupPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("resolveClusters: random multigraphs equal naive components on BOTH paths") {
+    val genGraph: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 12)
+      m <- Gen.choose(0, 20)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield edges // includes self-loops and duplicate/reversed edges
+    val prop = Prop.forAll(genGraph) { edges =>
+      // naive: repeated relabel-to-min until fixpoint
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var label = nodes.map(x => x -> x).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m) { label += a -> m; changed = true }
+          if (label(b) != m) { label += b -> m; changed = true }
+        }
+      }
+      val want = label.toSet
+      val df = edges.toDF("id_a", "id_b")
+      def got(small: Int) = Dedup.resolveClusters(df, smallGraphEdges = small)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      val fast = got(1000000)
+      val dist = got(0)
+      if (fast != want || dist != want)
+        println(s"CC MISMATCH edges=$edges fast=$fast dist=$dist want=$want")
+      fast == want && dist == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("removeDuplicateSpans equals the naive token rebuild (pass-through untouched)") {
     val prop = Prop.forAll(genCase) { case (texts, k, keepFirst) =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
