@@ -396,6 +396,9 @@ object Queries {
   private val fitVocab: Gate = Gate(
     (s, dir) => {
       val codes = medsEvents(s, dir).select(Code).distinct()
+      // validateUnique deliberately left ON: this gate times the operator's
+      // full reference contract (validation included), unlike the
+      // normalization gate where the codes frame is structurally unique
       FitVocabularyIndices(codes)
         .select(col(Code).as("code"), col(VocabIndex).cast(LongType).as("vocab_index"))
         .orderBy("code")
@@ -1141,13 +1144,19 @@ object Queries {
   private val bpeTokens: Gate = Gate(
     (s, dir) => {
       val docs = table(s, dir, "documents")
+      // minFrequency is pinned explicitly because the oracle's per-step
+      // `HAVING sum(f) >= 2` hardcodes the same threshold — changing one
+      // without the other desynchronizes trainer and replay
       val merges = Bpe.trainFromCorpus(docs, "text",
-        numMerges = 64, maxWords = 1 << 16)
+        numMerges = 64, maxWords = 1 << 16, minFrequency = 2L)
       docs.select(col("doc_id"), Bpe.encode(col("text"), merges).as("subs"))
         .select(col("doc_id"),
           // null text → null subs; match the oracle's LEFT JOIN contract
-          // (0 tokens, empty head) rather than null/-1 from size(null)
-          coalesce(size(col("subs")).cast(LongType), lit(0L))
+          // (0 tokens, empty head). Explicit isNull rather than
+          // coalesce(size(...)): under spark.sql.legacy.sizeOfNull
+          // size(null) is -1, which coalesce would pass through
+          when(col("subs").isNull, lit(0L))
+            .otherwise(size(col("subs")).cast(LongType))
             .as("n_bpe_tokens"),
           concat_ws(" ", slice(col("subs"), 1, 8)).as("head_tokens"))
         .orderBy("doc_id")

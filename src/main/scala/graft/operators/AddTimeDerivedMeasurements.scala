@@ -59,13 +59,17 @@ object AddTimeDerivedMeasurements {
     * age row = (time − DOB) in `ageUnit`, DOB taken from rows whose code
     * matches `dobCodePattern`; only strictly positive ages are kept.
     *
-    * Single-pass plan: ONE events scan, ONE subject-hash exchange. The
-    * (subject, time) dedup aggregates without a second exchange (hash(subject)
-    * already clusters (subject, time)) while carrying min-of-matching-time as
-    * the DOB candidate, and a subject-partition window folds candidates to
-    * the per-subject DOB — replacing the naive dob-groupBy + dedup-exchange +
-    * join shape (2 scans, 3 exchanges). Subjects with no DOB row (window min
-    * = null) and null subjects are dropped, exactly like the inner join.
+    * Single-pass plan: ONE events scan, AT MOST one subject-hash exchange —
+    * the subject-partition window folds min-of-matching-time into the
+    * per-subject DOB, and the (subject, time) dedup aggregates directly on
+    * the window's output (hash(subject) already clusters (subject, time) —
+    * subset-key rule — so no second exchange). Replaces the naive
+    * dob-groupBy + dedup-exchange + join shape (2 scans, 3 exchanges). The
+    * window's exchange is REQUIREMENT-driven, not a forced repartition:
+    * over an input already hash-partitioned by subject (the bucketed MEDS
+    * layout at scale) EnsureRequirements inserts nothing and the operator
+    * is shuffle-free. Subjects with no DOB row (window min = null) and
+    * null subjects are dropped, exactly like the old inner join.
     */
   def ageEvents(data: DataFrame, dobCodePattern: String, ageCode: String = "AGE",
       ageUnit: String = "years",
@@ -75,11 +79,12 @@ object AddTimeDerivedMeasurements {
     val dobCand = when(col(Code).rlike(dobCodePattern), col(Time))
     data.filter(col(Time).isNotNull && col(SubjectId).isNotNull)
       .select(col(SubjectId), col(Time), dobCand.as("__dob_cand"))
-      .repartition(col(SubjectId))
-      .groupBy(col(SubjectId), col(Time))
-      .agg(min(col("__dob_cand")).as("__dob_cand"))
       .withColumn("__dob",
         min(col("__dob_cand")).over(Window.partitionBy(SubjectId)))
+      // __dob is constant per subject, so the dedup rows are identical per
+      // (subject, time) key — dropDuplicates' arbitrary pick is deterministic
+      .select(col(SubjectId), col(Time), col("__dob"))
+      .dropDuplicates(SubjectId, Time)
       .filter(col("__dob").isNotNull)
       .withColumn(NumericValue, deltaIn(col(Time), col("__dob"), ageUnit).cast(valueType))
       .filter(col(NumericValue) > 0)

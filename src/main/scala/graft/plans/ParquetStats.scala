@@ -64,11 +64,16 @@ object ParquetStats {
         .takeWhile(_.hasNext).map(_.next().getPath)
         .filter { p =>
           // skip hidden leaf FILES too (`.part-…`, `_backup.parquet`):
-          // Spark's InMemoryFileIndex ignores leading '_'/'.' names, and
-          // this count stands in for what spark.read would see
+          // this count stands in for what spark.read would see, so mirror
+          // HadoopFsUtils.shouldFilterOutPathName ('.'-prefixed always
+          // hidden; '_'-prefixed hidden unless the name contains '=') —
+          // EXCEPT `_metadata`/`_common_metadata`, which Spark lists but
+          // never reads as data (their footers replicate every part
+          // file's row groups and would double-count here)
           val n = p.getName
-          n.endsWith(".parquet") && !n.startsWith("_") &&
-            !n.startsWith(".") && !underHiddenDir(p)
+          val hidden = n.startsWith(".") ||
+            (n.startsWith("_") && !n.contains("="))
+          n.endsWith(".parquet") && !hidden && !underHiddenDir(p)
         }
         .take(maxFiles + 1).toSeq
       if (files.isEmpty) return None
