@@ -64,6 +64,19 @@ class PlanSpec extends SparkSpec {
       s"columns not pruned:\n$scan")
   }
 
+  test("ageEvents is one scan + one requirement-driven exchange (dedup reuses the window's partitioning)") {
+    val q = AddTimeDerivedMeasurements.ageEvents(data, "^HR$", ageUnit = "days")
+    val nodes = collectNodes(plan(q))
+    // single pass over the input: no dob-branch re-scan
+    val scans = nodes.count(_.getClass.getSimpleName.contains("Scan"))
+    assert(scans <= 1, s"input scanned $scans times:\n${plan(q)}")
+    // the window's subject exchange is the ONLY shuffle — the (subject,
+    // time) dedup aggregate must satisfy its clustering from hash(subject)
+    // (subset-key rule), not add an exchange of its own
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 1, s"dedup added an exchange ($shuffles total):\n${plan(q)}")
+  }
+
   test("per-subject windows partition by subject (no global single-partition window)") {
     val tl = AddTimeDerivedMeasurements.timelineTokenEvents(data)
     val s = plan(tl).toString
