@@ -178,6 +178,68 @@ class BoundaryPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  // --- occlude_outliers three-valued NaN/null semantics -------------------
+
+  /** `OccludeOutliers` vs a naive per-row evaluator over hostile precomputed
+    * stats: NaN std must occlude everything (Spark's NaN-equals-NaN total
+    * order would otherwise KEEP values under `NaN <= NaN`), null std / join
+    * miss / null value must stay three-valued NULL, and NaN values compare
+    * false against finite stats. Mean/std arrive precomputed (the `hasPre`
+    * path) so the generator can place NaN/null stats directly.
+    */
+  test("occlude_outliers: NaN/null stats and values equal a naive three-valued evaluator") {
+    import graft.operators.OccludeOutliers
+    import graft.meds.MedsSchema.{Code, NumericValue, ValuesMean, ValuesStd, IsInlier}
+    val cutoff = 1.0
+    val genValue: Gen[Option[Double]] = Gen.frequency(
+      (6, Gen.choose(-5, 5).map(v => Some(v.toDouble))),
+      (1, Gen.const(Some(Double.NaN))),
+      (1, Gen.const(None: Option[Double])))
+    val genStd: Gen[Option[Double]] = Gen.frequency(
+      (4, Gen.choose(0, 3).map(s => Some(s.toDouble))),
+      (1, Gen.const(Some(Double.NaN))),
+      (1, Gen.const(None: Option[Double])))
+    val genCase = for {
+      n <- Gen.choose(1, 10)
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("A", "B", "C", "D"), genValue)) // D never has stats
+      stats <- Gen.sequence[List[(String, Option[Double], Option[Double])], (String, Option[Double], Option[Double])](
+        List("A", "B", "C").map(c =>
+          Gen.zip(Gen.choose(-2, 2).map(m => Some(m.toDouble): Option[Double]), genStd)
+            .map { case (m, s) => (c, m, s) }))
+    } yield (rows.zipWithIndex.map { case ((c, v), i) => (i.toLong, c, v) }, stats)
+    // Spark total-order <=: NaN equals NaN and exceeds everything else
+    def leqTotal(a: Double, b: Double): Boolean =
+      if (a.isNaN) b.isNaN else if (b.isNaN) true else a <= b
+    val prop = Prop.forAll(genCase) { case (rows, stats) =>
+      val data = rows.toDF("event_id", Code, NumericValue)
+      val codes = stats.toDF(Code, ValuesMean, ValuesStd)
+      val got = OccludeOutliers(data, codes, cutoff)
+        .select(col("event_id"), col(NumericValue), col(IsInlier))
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Boolean]))))
+        .toMap
+      val statMap = stats.map(s => s._1 -> ((s._2, s._3))).toMap
+      val want = rows.map { case (id, c, v) =>
+        val inlier: Option[Boolean] = v match {
+          case None => None
+          case Some(x) => statMap.get(c) match {
+            case Some((_, Some(s))) if s.isNaN => Some(false)
+            case Some((Some(m), Some(s))) => Some(leqTotal(math.abs(x - m), cutoff * s))
+            case _ => None // join miss or null mean/std: three-valued null
+          }
+        }
+        id -> ((if (inlier.contains(true)) v else None, inlier))
+      }.toMap
+      if (got != want) println(s"OCCLUDE MISMATCH rows=$rows stats=$stats\n got=$got\n want=$want")
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // --- sessionize gap boundary -------------------------------------------
 
   /** `Sessionize.batch` vs a naive per-user scan. The generator pins the
