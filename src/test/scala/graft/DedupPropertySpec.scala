@@ -100,6 +100,44 @@ class DedupPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("decontaminate: exact, bloom (incl. forced-FP sizing), and naive oracle agree") {
+    import graft.ops.Decontaminate
+    val genCorpus: Gen[(List[String], List[String], Int)] = for {
+      nTrain <- Gen.choose(1, 8)
+      train <- Gen.listOfN(nTrain, genDoc)
+      nEval <- Gen.choose(0, 4)
+      eval <- Gen.listOfN(nEval, genDoc)
+      n <- Gen.choose(2, 3)
+    } yield (train, eval, n)
+    val prop = Prop.forAll(genCorpus) { case (trainTexts, evalTexts, n) =>
+      val train = trainTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val eval = evalTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val exact = ids(Decontaminate.decontaminate(train, eval, "doc_id", "text", n))
+      // minimum-size bloom (1024 bits for up to dozens of grams still has a
+      // real FP rate at these sizes only with numBits forced tiny) — the
+      // exact confirm must erase any difference
+      val bloom = ids(Decontaminate.decontaminateBloom(
+        train, eval, "doc_id", "text", n, expectedItems = 1L, numBits = 8L))
+      val evalGrams = evalTexts.flatMap(t =>
+        tokenize(t).sliding(n).filter(_.length == n).map(_.mkString(" "))).toSet
+      val want = trainTexts.zipWithIndex.collect {
+        case (t, i) if !tokenize(t).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).exists(evalGrams.contains) => i.toLong
+      }.toSet
+      if (exact != want || bloom != want)
+        println(s"DECONTAM MISMATCH n=$n train=$trainTexts eval=$evalTexts " +
+          s"exact=$exact bloom=$bloom want=$want")
+      exact == want && bloom == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("resolveClusters: random multigraphs equal naive components on BOTH paths") {
     val genGraph: Gen[List[(Long, Long)]] = for {
       n <- Gen.choose(1, 12)
