@@ -55,9 +55,13 @@ object ParquetStats {
       if (!fs.exists(root)) return None
       val rootUri = fs.makeQualified(root).toUri.getPath
       def underHiddenDir(p: org.apache.hadoop.fs.Path): Boolean = {
-        // any directory segment BELOW the queried root starting with _ or .
+        // any directory segment BELOW the queried root that Spark's listing
+        // would hide — same rule as the leaf filter below ('.' always;
+        // '_' only without '=', so partition dirs on '_'-prefixed columns
+        // like `_year=2020/` still count)
         val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-        rel.split('/').dropRight(1).exists(s => s.startsWith("_") || s.startsWith("."))
+        rel.split('/').dropRight(1).exists(s =>
+          s.startsWith(".") || (s.startsWith("_") && !s.contains("=")))
       }
       val it = fs.listFiles(root, true)
       val files = Iterator.continually(it)

@@ -205,7 +205,12 @@ class BoundaryPropertySpec extends SparkSpec {
         Gen.zip(Gen.oneOf("A", "B", "C", "D"), genValue)) // D never has stats
       stats <- Gen.sequence[List[(String, Option[Double], Option[Double])], (String, Option[Double], Option[Double])](
         List("A", "B", "C").map(c =>
-          Gen.zip(Gen.choose(-2, 2).map(m => Some(m.toDouble): Option[Double]), genStd)
+          Gen.zip(Gen.frequency( // NaN/null MEANS too: NaN mean with finite
+            // std must occlude (abs(x − NaN) = NaN compares false), null
+            // mean must stay three-valued NULL
+            (4, Gen.choose(-2, 2).map(m => Some(m.toDouble): Option[Double])),
+            (1, Gen.const(Some(Double.NaN): Option[Double])),
+            (1, Gen.const(None: Option[Double]))), genStd)
             .map { case (m, s) => (c, m, s) }))
     } yield (rows.zipWithIndex.map { case ((c, v), i) => (i.toLong, c, v) }, stats)
     // Spark total-order <=: NaN equals NaN and exceeds everything else
