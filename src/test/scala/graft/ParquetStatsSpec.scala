@@ -71,6 +71,18 @@ class ParquetStatsSpec extends SparkSpec {
       .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
     java.nio.file.Files.copy(part, stale.resolve("leftover.parquet"))
     assert(ParquetStats.rowCount(spark, s"$dir/t") === Some(37L))
+    // hidden LEAF files (Spark's reader skips '.'/'_'-prefixed names) must
+    // not count either...
+    java.nio.file.Files.copy(part,
+      java.nio.file.Paths.get(s"$dir/t/.hidden_copy.parquet"))
+    java.nio.file.Files.copy(part,
+      java.nio.file.Paths.get(s"$dir/t/_backup.parquet"))
+    assert(ParquetStats.rowCount(spark, s"$dir/t") === Some(37L))
+    // ...but partition dirs on '_'-prefixed columns DO (Spark's '='
+    // exception): footer count matches what spark.read sees
+    Seq.tabulate(5)(i => (i.toLong, s"p$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part/_year=2020")
+    assert(ParquetStats.rowCount(spark, s"$dir/part") === Some(5L))
   }
 
   test("asOfSliced over parquet inputs (footer-seeded grid) still equals asOf") {
