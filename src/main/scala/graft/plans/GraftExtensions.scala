@@ -78,6 +78,12 @@ object GraftExtensions {
     ("graft_unigram_entropy", info("graft_unigram_entropy",
       "graft_unigram_entropy(tokens) - Shannon entropy (bits) of the token distribution"),
       arity("graft_unigram_entropy", 1)(es => UnigramEntropy(es(0)))),
+    ("graft_token_count", info("graft_token_count",
+      "graft_token_count(text) - whitespace-separated token count"),
+      arity("graft_token_count", 1)(es => TokenCount(es(0)))),
+    ("graft_subword_count", info("graft_subword_count",
+      "graft_subword_count(text) - alnum-run + symbol subword count"),
+      arity("graft_subword_count", 1)(es => SubwordCount(es(0)))),
     ("graft_sorted_pairs", info("graft_sorted_pairs",
       "graft_sorted_pairs(ids) - all ascending id pairs of a posting list"),
       arity("graft_sorted_pairs", 1)(es => SortedPairs(es(0)))),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector-similarity hot path.
   *
@@ -392,6 +393,104 @@ object UnigramEntropy {
       if (c > 1) s += c.toDouble * (Math.log(c.toDouble) / Ln2)
     }
     Math.log(n.toDouble) / Ln2 - s / n
+  }
+}
+
+/** Whitespace-separated token count in one codegen'd BYTE scan — exact
+  * parity with `size(array_remove(split(text, "\\s+"), ""))` (the count of
+  * maximal non-whitespace runs) without materializing the token array or
+  * running the regex engine. Java's non-Unicode `\s` is the six ASCII bytes
+  * `[ \t\n\x0B\f\r]`, all single-byte in UTF-8 and never continuation
+  * bytes, so the byte scan is character-exact. Replaces a backtracking
+  * `java.util.regex` split whose cost dominated `text_tokens` at scale
+  * (DuckDB's RE2 is linear; this is cheaper than either).
+  */
+case class TokenCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCount.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.TokenCount.count($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenCount {
+  @inline private def isWs(b: Byte): Boolean = b == 32 || (b >= 9 && b <= 13)
+
+  def count(s: UTF8String): Int = {
+    val n = s.numBytes
+    var c = 0
+    var i = 0
+    var inRun = false
+    while (i < n) {
+      val ws = isWs(s.getByte(i))
+      if (!ws && !inRun) { c += 1; inRun = true }
+      else if (ws) inRun = false
+      i += 1
+    }
+    c
+  }
+}
+
+/** BPE-ish subword count in one codegen'd byte scan — exact parity with
+  * `size(regexp_extract_all(text, "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))`: each
+  * maximal ASCII-alphanumeric run counts once, and every other
+  * non-whitespace CODE POINT counts once (Java regex classes match per
+  * code point; here each non-ASCII code point is counted at its UTF-8 lead
+  * byte — continuation bytes are skipped, so astral characters count one,
+  * matching the regex). Empty/whitespace-only text counts 0, subsuming the
+  * old `when(length(trim(text)) = 0)` guard.
+  */
+case class SubwordCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_subword_count"
+
+  override def nullSafeEval(input: Any): Any =
+    SubwordCount.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.SubwordCount.count($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SubwordCount {
+  def count(s: UTF8String): Int = {
+    val n = s.numBytes
+    var c = 0
+    var i = 0
+    var inAlnum = false
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0xC0) != 0x80) { // count code points at their lead byte
+        val alnum = (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
+          (b >= 'a' && b <= 'z')
+        if (alnum) { if (!inAlnum) { c += 1; inAlnum = true } }
+        else {
+          inAlnum = false
+          // negative lead bytes (non-ASCII) are never whitespace
+          if (!(b == 32 || (b >= 9 && b <= 13))) c += 1
+        }
+      }
+      i += 1
+    }
+    c
   }
 }
 
@@ -1217,6 +1316,12 @@ object VectorExpressions {
 
   def unigramEntropy(tokens: Column): Column =
     GraftSqlBridge.column(UnigramEntropy(expr(tokens)))
+
+  def tokenCount(text: Column): Column =
+    GraftSqlBridge.column(TokenCount(expr(text)))
+
+  def subwordCount(text: Column): Column =
+    GraftSqlBridge.column(SubwordCount(expr(text)))
 
   def bigramCounts(tokens: Column): Column =
     GraftSqlBridge.column(BigramCounts(expr(tokens)))

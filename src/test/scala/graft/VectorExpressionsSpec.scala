@@ -245,6 +245,41 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(math.abs(viaSql - 1.0) < 1e-12)
   }
 
+  test("token/subword counts equal the regex formulations (unicode, ws runs, astral)") {
+    import org.scalacheck.{Gen, Prop}
+    val genText: Gen[String] = for {
+      n <- Gen.choose(0, 30)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        (6, Gen.alphaNumChar),
+        (3, Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r')),
+        (2, Gen.oneOf('!', ',', '-', 'é', 'ß', '中')),
+        (1, Gen.const("😀")))) // astral: 4-byte UTF-8, 2 UTF-16 units
+    } yield cs.map(_.toString).mkString
+    val prop = Prop.forAll(genText) { t =>
+      val r = spark.range(1).select(
+        VectorExpressions.tokenCount(lit(t)).as("nt"),
+        VectorExpressions.subwordCount(lit(t)).as("ns"),
+        size(graft.functions.GraftFunctions.tokens(lit(t))).as("rt"),
+        size(when(length(trim(lit(t))) === 0, array().cast("array<string>"))
+          .otherwise(regexp_extract_all(lit(t),
+            lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))).as("rs")).head()
+      val ok = r.getInt(0) == r.getInt(2) && r.getInt(1) == r.getInt(3)
+      if (!ok) println(s"COUNT MISMATCH text=${t.map(c => f"\\u$c%04x").mkString} " +
+        s"native=(${r.getInt(0)},${r.getInt(1)}) regex=(${r.getInt(2)},${r.getInt(3)})")
+      ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+    // null propagation + SQL surface
+    graft.plans.GraftExtensions.register(spark)
+    val n = spark.sql("SELECT graft_token_count(CAST(NULL AS STRING)) a, " +
+      "graft_subword_count(CAST(NULL AS STRING)) b, " +
+      "graft_token_count(' a  bb\tc ') c, graft_subword_count('ab,cd é!') d").head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+    assert(n.getInt(2) == 3 && n.getInt(3) == 5) // ab , cd é ! -> 2 runs + 3 symbols
+  }
+
   test("bigramCounts equals the exploded groupBy formulation (nulls, repeats, short docs)") {
     import org.scalacheck.{Gen, Prop}
     // the OLD formulation this expression replaced — zip_with bigram structs
