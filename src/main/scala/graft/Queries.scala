@@ -2190,6 +2190,94 @@ object Queries {
       | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
       |WHERE rank <= 3 ORDER BY id_l, rank""".stripMargin))
 
+  // ---- Product quantization (graft.ops.Pq) -------------------------------
+  // Training is FIXED-POINT (e6 integers end-to-end), so the oracle replays
+  // every Lloyd round bit-for-bit as unrolled CTEs — the BPE-oracle pattern.
+  // m=8 subspaces × dsub=8 dims, ksub=8 codes, 3 iterations, hash-seed 42.
+  private val PqM = 8
+  private val PqDsub = 8
+  private val PqKsub = 8
+  private val PqIters = 3
+
+  private def trainPq(s: SparkSession, dir: String): Pq.PqModel =
+    Pq.train(table(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = PqM * PqDsub, m = PqM, ksub = PqKsub, iters = PqIters, seed = 42L)
+
+  /** The unrolled-CTE replay of [[Pq.train]] + encode: `e` (e6 vectors),
+    * `ranked` (the md5-hash init order), `cb0` (seed codebooks), then per
+    * iteration assignment (integer argmin, index tie-break) and the rounded
+    * integer-mean update with the empty-code carry-over, ending at `aF`
+    * (the final assignment = the encoding) against `cb<iters>`.
+    */
+  private def pqOracleCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+      | v -> CAST(round(v*1000000) AS BIGINT)) AS xe FROM embeddings),
+      |ranked AS (SELECT vec_id, xe, row_number() OVER (ORDER BY
+      |  ('0x' || substr(md5(vec_id::VARCHAR || ':42'),1,14))::BIGINT
+      |    % 1000000000, vec_id) - 1 AS rk FROM e),
+      |cb0 AS (SELECT tj.j, r.rk AS c, td.d, r.xe[tj.j*$PqDsub + td.d + 1] AS v
+      | FROM ranked r CROSS JOIN range(0,$PqM) tj(j)
+      | CROSS JOIN range(0,$PqDsub) td(d) WHERE r.rk < $PqKsub),""".stripMargin
+    def assign(tag: String, cb: String): String =
+      s"""d$tag AS (SELECT e.vec_id, cb.j, cb.c,
+        | sum((e.xe[cb.j*$PqDsub + cb.d + 1] - cb.v)
+        |   * (e.xe[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
+        | FROM e CROSS JOIN $cb cb GROUP BY 1,2,3),
+        |a$tag AS (SELECT vec_id, j, (min(struct_pack(ds := dist, c := c))).c AS code
+        | FROM d$tag GROUP BY 1,2),""".stripMargin
+    (0 until PqIters).foreach { i =>
+      sb ++= "\n" + assign(i.toString, s"cb$i")
+      sb ++= s"""
+        |s$i AS (SELECT a.j, a.code AS c, td.d,
+        |  sum(e.xe[a.j*$PqDsub + td.d + 1]) AS sv, count(*) AS n
+        | FROM a$i a JOIN e ON e.vec_id = a.vec_id
+        | CROSS JOIN range(0,$PqDsub) td(d) GROUP BY 1,2,3),
+        |cb${i + 1} AS (SELECT cb.j, cb.c, cb.d,
+        |  coalesce(CAST(round(CAST(s.sv AS DOUBLE)/s.n) AS BIGINT), cb.v) AS v
+        | FROM cb$i cb LEFT JOIN s$i s
+        |   ON s.j = cb.j AND s.c = cb.c AND s.d = cb.d),""".stripMargin
+    }
+    sb ++= "\n" + assign("F", s"cb$PqIters").stripSuffix(",")
+    sb.toString
+  }
+
+  /** PQ codes of every vector — codebook training + encode under full
+    * oracle replay, unnested to (vec_id, subspace, code) rows.
+    */
+  private val pqCodes: Gate = Gate(
+    (s, dir) => Pq.encode(table(s, dir, "embeddings"), "embedding", trainPq(s, dir))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .select(col("vec_id"), col("j").cast(LongType).as("j"),
+        col("code").cast(LongType).as("code"))
+      .orderBy("vec_id", "j"),
+    Some(s"""WITH $pqOracleCtes
+      |SELECT vec_id, j, code FROM aF ORDER BY vec_id, j""".stripMargin))
+
+  /** ADC top-k: per-subspace query→centroid distance tables (integer,
+    * computed once), score = m table lookups per row. The oracle builds the
+    * same tables (`t`) and joins them onto the final assignment.
+    */
+  private val pqTopK: Gate = Gate(
+    (s, dir) => {
+      val model = trainPq(s, dir)
+      val embs = table(s, dir, "embeddings")
+      val qxe = embs.filter(col("vec_id") === 0)
+        .select(Pq.xeCol(col("embedding"))).collect()(0).getSeq[Long](0)
+      Pq.adcTopK(Pq.encode(embs, "embedding", model), "vec_id", model, qxe, k = 20)
+        .orderBy("dist_e6", "vec_id")
+    },
+    Some(s"""WITH $pqOracleCtes,
+      |q AS (SELECT xe AS qx FROM e WHERE vec_id = 0),
+      |t AS (SELECT cb.j, cb.c,
+      |  sum((q.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)
+      |    * (q.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
+      | FROM cb$PqIters cb CROSS JOIN q GROUP BY 1,2),
+      |sc AS (SELECT a.vec_id, sum(t.dist) AS dist_e6 FROM aF a
+      | JOIN t ON t.j = a.j AND t.c = a.code GROUP BY 1)
+      |SELECT vec_id, dist_e6 FROM sc
+      |ORDER BY dist_e6, vec_id LIMIT 20""".stripMargin))
+
   private val winnowFp: Gate = Gate(
     (s, dir) => Dedup.winnowFingerprints(table(s, dir, "documents"), "doc_id", "text",
       n = 3, w = 4)
@@ -3311,6 +3399,8 @@ object Queries {
     "embed_dup_pairs" -> embedDupPairs,
     "semdedup" -> semdedupGate,
     "sim_topk" -> simTopK,
+    "pq_codes" -> pqCodes,
+    "pq_topk" -> pqTopK,
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
     "sim_ivf_indexed" -> simIvfIndexed,

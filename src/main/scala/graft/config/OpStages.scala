@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dsl.Cfg
 import graft.operators.Pipeline
-import graft.ops.{Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Packing, Pq, Redaction, Sampling, Similarity, TextAnalysis}
 
 /** Built-in training-data-hygiene stages, registered through the SAME
   * extension point third-party packages use ([[PipelineConfig.register]],
@@ -748,6 +748,24 @@ object OpStages {
       val maxBlock = cfg.getInt("max_block")
       Pipeline.DataStage(name, m =>
         Dedup.semDedup(m.data, id, vec, threshold, clusterCol, k, iters, maxBlock))
+    }
+
+    // product quantization: train m-subspace codebooks on the (optionally
+    // hash-sampled) corpus, append the compact `pq_codes` column — the
+    // memory-compressed ANN representation (graft.ops.Pq; fixed-point
+    // deterministic training, oracle-verified by the pq_codes gate)
+    PipelineConfig.register("pq_encode") { (name, cfg) =>
+      val (id, vec) = vecIds(cfg)
+      val dim = cfg.getInt("dim").getOrElse(64)
+      val m0 = cfg.getInt("m").getOrElse(8)
+      val ksub = cfg.getInt("ksub").getOrElse(8)
+      val iters = cfg.getInt("iters").getOrElse(3)
+      val seed = cfg.getInt("seed").map(_.toLong).getOrElse(42L)
+      val frac = cfg.getDouble("train_fraction").getOrElse(1.0)
+      Pipeline.DataStage(name, m => {
+        val model = Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
+        Pq.encode(m.data, vec, model).withColumnRenamed("codes", "pq_codes")
+      })
     }
 
     // k-NN join: each data row gets its k nearest rows of `right_path`

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization: the memory-compressed ANN path for corpus-scale
+  * embedding search (complements [[Similarity]]'s brute/LSH/IVF variants).
+  *
+  * A `dim`-float vector is split into `m` contiguous subspaces of
+  * `dim / m` components; each subspace gets its own `ksub`-centroid
+  * codebook (Lloyd's k-means), and a vector is stored as `m` small codes —
+  * 64 floats (256 B) become 8 bytes at m=8/ksub≤256, a 32× memory cut,
+  * which is what makes a 100 TB embedding corpus searchable from RAM.
+  * Query scoring is asymmetric distance computation (ADC): the query is
+  * NOT quantized; per subspace a `ksub`-entry table of exact
+  * query-to-centroid distances is computed once, and a candidate's score
+  * is `m` table lookups — no per-row vector math at search time.
+  *
+  * Engine-portable determinism (the oracle replays training bit-for-bit):
+  * every quantity is FIXED-POINT. Components are scaled to e6 integers
+  * (`round(v * 1e6)` — exact Longs thereafter), distances are integer
+  * sums of squared integer differences, and centroid updates round the
+  * integer mean back to an e6 integer (`round(sum / n)`, double division
+  * of exact integers — deterministic IEEE). Cross-row aggregation is
+  * therefore associative (integer sums), so Spark's partial aggregation
+  * order cannot perturb results — the same trick the NB/BPE/JSD gates use.
+  * Magnitudes: unit-scale embeddings give |xe| ≤ ~1e6; a squared diff is
+  * ≤ 4e12 and a dim-64 sum ≤ 3e14 — far inside Long range.
+  *
+  * Scale shape per training iteration: ONE scan of the (optionally
+  * hash-sampled) train side, in-row code assignment (integer expressions,
+  * no join — codebooks ride along as literals), then a hash aggregation
+  * onto m·ksub keys (map-side partials collapse each partition to at most
+  * m·ksub rows, so the shuffle is a few KB regardless of corpus size) and
+  * a metadata-sized driver collect. Encoding is one scan, pure
+  * projection. At 100 TB: train on `trainFraction ≪ 1` (the standard PQ
+  * recipe — codebooks need ~100·ksub samples per subspace), encode once.
+  */
+object Pq {
+
+  /** e6 fixed-point scale shared by training, encoding, ADC, and the SQL
+    * oracles.
+    */
+  val Scale = 1000000L
+
+  /** Trained codebooks: `codebooks(j)(c)` is the e6-integer centroid of
+    * code `c` in subspace `j` (length `dsub`).
+    */
+  final case class PqModel(dim: Int, m: Int, ksub: Int,
+      codebooks: Vector[Vector[Vector[Long]]]) {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub: Int = dim / m
+  }
+
+  /** The e6-integer view of a float/double vector column — the ONE
+    * definition of the engine↔oracle fixed-point boundary.
+    */
+  def xeCol(vec: Column): Column =
+    transform(vec.cast("array<double>"), v => round(v * lit(Scale.toDouble)).cast("long"))
+
+  /** Integer squared L2 distance between subspace `j` of an e6 vector and
+    * one e6 centroid: an in-row left fold in dimension order (exact —
+    * integer adds are associative anyway).
+    */
+  private def distExpr(xe: Column, j: Int, cb: Vector[Long]): Column =
+    aggregate(
+      zip_with(slice(xe, j * cb.length + 1, cb.length), array(cb.map(lit): _*),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Per-subspace code: argmin distance over the `ksub` centroids, FIRST
+    * index on ties (array_position returns the first match) — mirrored by
+    * the oracle's `min(struct(dist, c))`.
+    */
+  private def codeExpr(xe: Column, j: Int, book: Vector[Vector[Long]]): Column = {
+    val dists = array(book.map(cb => distExpr(xe, j, cb)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train `m` subspace codebooks with `iters` Lloyd rounds over
+    * `embs(vecCol)` (fixed `dim` components per row — ragged or null rows
+    * are the caller's contract violation and fail loudly in assignment).
+    *
+    * Init: the `ksub` rows ranked first by the deterministic
+    * [[Sampling.unitHash]] order (hash, id) seed the codebooks — row `c`
+    * seeds code `c` of EVERY subspace. Update: per (subspace, code), the
+    * e6-integer mean of members; a code with no members keeps its previous
+    * centroid. `trainFraction < 1` trains on the deterministic hash sample
+    * (same seed space as the init ranking).
+    */
+  def train(embs: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
+      ksub: Int, iters: Int, seed: Long = 42L,
+      trainFraction: Double = 1.0): PqModel = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(ksub > 0 && iters >= 0, "ksub and iters must be positive")
+    val dsub = dim / m
+    val base0 = embs.select(col(idCol).as("__id"), xeCol(col(vecCol)).as("__xe"))
+    val base = if (trainFraction < 1.0)
+      base0.filter(Sampling.unitHash(col("__id"), seed) < trainFraction)
+    else base0
+
+    // seed centroids: k rows in (hash, id) order — a k-row TakeOrdered
+    val seedRows = base
+      .orderBy(Sampling.unitHash(col("__id"), seed), col("__id"))
+      .limit(ksub).select("__xe").collect()
+    require(seedRows.length == ksub,
+      s"need >= $ksub rows to seed $ksub codes, got ${seedRows.length}")
+    var books: Vector[Vector[Vector[Long]]] = Vector.tabulate(m) { j =>
+      Vector.tabulate(ksub) { c =>
+        seedRows(c).getSeq[Long](0).slice(j * dsub, (j + 1) * dsub).toVector
+      }
+    }
+
+    (0 until iters).foreach { _ =>
+      // one scan: in-row assignment, explode to (j, code, subvector) cells,
+      // hash-aggregate onto m·ksub keys (map-side partials make the shuffle
+      // size independent of the corpus), metadata-sized collect
+      val cells = explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"), codeExpr(col("__xe"), j, books(j)).as("c"),
+          slice(col("__xe"), j * dsub + 1, dsub).as("s"))
+      }: _*))
+      val sums = (0 until dsub).map(d =>
+        sum(element_at(col("cell.s"), d + 1)).as(s"s$d"))
+      val updated = base.select(cells.as("cell"))
+        .groupBy(col("cell.j").as("j"), col("cell.c").as("c"))
+        // the rounded e6 mean is computed IN-ENGINE so the round-half rule
+        // is Spark's own (HALF_UP away from zero — same as DuckDB round())
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("j"), col("c"), array((0 until dsub).map(d =>
+          round(col(s"s$d").cast("double") / col("n")).cast("long")): _*).as("v"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toVector)
+        .toMap
+      books = Vector.tabulate(m) { j =>
+        Vector.tabulate(ksub) { c => updated.getOrElse((j, c), books(j)(c)) }
+      }
+    }
+    PqModel(dim, m, ksub, books)
+  }
+
+  /** Encode every row to its `m` codes — one scan, pure projection (the
+    * codebooks are plan literals). Output: input columns + `codes`.
+    */
+  def encode(embs: DataFrame, vecCol: String, model: PqModel): DataFrame = {
+    val xe = xeCol(col(vecCol))
+    embs.withColumn("codes",
+      array((0 until model.m).map(j => codeExpr(xe, j, model.codebooks(j))): _*))
+  }
+
+  /** ADC top-k over an encoded frame: per subspace, the `ksub` exact
+    * query-to-centroid distances become a literal lookup array; a row's
+    * score is `m` array lookups + an integer sum, and `orderBy + limit`
+    * compiles to TakeOrderedAndProject (per-partition top-k, k-row driver
+    * merge — no global sort). `queryXe` is the e6 view of the query (use
+    * [[xeCol]] on the query's own row for bit-identical scaling).
+    */
+  def adcTopK(encoded: DataFrame, idCol: String, model: PqModel,
+      queryXe: Seq[Long], k: Int): DataFrame = {
+    require(queryXe.length == model.dim,
+      s"query has ${queryXe.length} dims, model expects ${model.dim}")
+    val tables: Vector[Vector[Long]] = Vector.tabulate(model.m) { j =>
+      val q = queryXe.slice(j * model.dsub, (j + 1) * model.dsub)
+      model.codebooks(j).map(cb =>
+        q.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val score = (0 until model.m).map { j =>
+      element_at(array(tables(j).map(lit): _*),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    encoded.select(col(idCol), score.as("dist_e6"))
+      .orderBy(col("dist_e6"), col(idCol))
+      .limit(k)
+  }
+}

@@ -200,6 +200,7 @@ class OpStagesSpec extends SparkSpec {
 
   test("similarity/winnow/multimodal stages are registered") {
     val expected = Set("winnow_fingerprint", "embed_dedup", "semdedup", "knn_join",
+      "pq_encode",
       "sim_topk", "as_media", "media_metadata", "media_decode",
       "media_resize", "media_frames", "media_dimensions", "audio_metadata",
       "mp3_metadata", "video_metadata", "sessionize",
@@ -530,6 +531,22 @@ class OpStagesSpec extends SparkSpec {
     // vec 1~2 and 3~4 are near-identical (cos > 0.98): min ids 1 and 3 stay
     assert(kept.contains(1L) && kept.contains(3L) && kept.contains(5L))
     assert(Set(2L, 4L).intersect(kept).isEmpty)
+  }
+
+  test("pq_encode stage appends in-range codes and is chainable") {
+    val yaml =
+      """stages:
+        |  - pq_encode:
+        |      dim: 4
+        |      m: 2
+        |      ksub: 2
+        |      iters: 2
+        |""".stripMargin
+    val out = Pipeline.run(spark, emptyMeds(embRows),
+      PipelineConfig.fromYaml(yaml).stages).data
+    assert(out.columns.contains("pq_codes") && out.count() == 5)
+    val codes = out.select("pq_codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
   }
 
   test("sim_topk stage: brute and lsh modes select k rows with cosine") {

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Pq
+
+/** Property net for product quantization: [[Pq.train]]/[[Pq.encode]]/
+  * [[Pq.adcTopK]] against an independent naive Scala PQ (plain loops over
+  * the same fixed-point contract — e6 integers, away-from-zero rounding,
+  * hash-order init, first-index argmin ties, empty-code carry-over) on
+  * randomized corpora. The SQL-oracle gates (`pq_codes`, `pq_topk`) pin the
+  * engine↔DuckDB boundary; this net pins the engine↔spec boundary on shapes
+  * the fixtures don't reach: duplicate vectors, n == ksub exactly, empty
+  * codes under clustered data, the sampled-training path, zero iterations.
+  */
+class PqSpec extends SparkSpec {
+
+  // --- independent naive PQ (mirrors the documented contract, not the code)
+
+  private def md5Unit(id: Long, seed: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$seed".getBytes("UTF-8"))
+    val h = ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) |
+      ((d(2) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |
+      ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) | (d(6) & 0xffL)
+    h % 1000000000L
+  }
+
+  private def roundE6(v: Double): Long =
+    BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+
+  private def naiveXe(v: Seq[Double]): Vector[Long] =
+    v.map(x => roundE6(x * 1e6)).toVector
+
+  private case class Naive(books: Vector[Vector[Vector[Long]]])
+
+  private def naiveTrain(rows: Seq[(Long, Seq[Double])], dim: Int, m: Int,
+      ksub: Int, iters: Int, seed: Long, frac: Double = 1.0): Naive = {
+    val dsub = dim / m
+    val all = rows.map { case (id, v) => (id, naiveXe(v)) }
+    val base = if (frac < 1.0)
+      all.filter { case (id, _) => md5Unit(id, seed).toDouble / 1e9 < frac }
+    else all
+    val seeds = base.sortBy { case (id, _) => (md5Unit(id, seed), id) }
+      .take(ksub).map(_._2)
+    var books = Vector.tabulate(m)(j =>
+      Vector.tabulate(ksub)(c => seeds(c).slice(j * dsub, (j + 1) * dsub)))
+    def code(xe: Vector[Long], j: Int): Int = {
+      val s = xe.slice(j * dsub, (j + 1) * dsub)
+      val d = books(j).map(cb =>
+        s.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum)
+      d.indexOf(d.min)
+    }
+    (0 until iters).foreach { _ =>
+      val next = for (j <- 0 until m; c <- 0 until ksub) yield {
+        val members = base.collect { case (_, xe) if code(xe, j) == c =>
+          xe.slice(j * dsub, (j + 1) * dsub) }
+        if (members.isEmpty) (j, c) -> books(j)(c)
+        else (j, c) -> Vector.tabulate(dsub)(d =>
+          roundE6(members.map(_(d)).sum.toDouble / members.length))
+      }
+      val map = next.toMap
+      books = Vector.tabulate(m)(j => Vector.tabulate(ksub)(c => map((j, c))))
+    }
+    Naive(books)
+  }
+
+  private def naiveEncode(n: Naive, dim: Int, m: Int, xe: Vector[Long]): Vector[Int] = {
+    val dsub = dim / m
+    Vector.tabulate(m) { j =>
+      val s = xe.slice(j * dsub, (j + 1) * dsub)
+      val d = n.books(j).map(cb =>
+        s.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum)
+      d.indexOf(d.min)
+    }
+  }
+
+  private def naiveTopK(n: Naive, dim: Int, m: Int,
+      rows: Seq[(Long, Seq[Double])], q: Vector[Long], k: Int): Seq[(Long, Long)] = {
+    val dsub = dim / m
+    rows.map { case (id, v) =>
+      val codes = naiveEncode(n, dim, m, naiveXe(v))
+      val dist = (0 until m).map { j =>
+        val qs = q.slice(j * dsub, (j + 1) * dsub)
+        qs.zip(n.books(j)(codes(j))).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      (id, dist)
+    }.sortBy { case (id, d) => (d, id) }.take(k)
+  }
+
+  private def toDf(rows: Seq[(Long, Seq[Double])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, v) => Row(id, v.map(_.toFloat)) }, 3),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+
+  private val genCorpus: Gen[(Seq[(Long, Seq[Double])], Int, Int, Int)] = for {
+    m <- Gen.oneOf(1, 2, 4)
+    dsub <- Gen.choose(1, 4)
+    ksub <- Gen.choose(2, 5)
+    n <- Gen.choose(ksub, 24)
+    iters <- Gen.choose(0, 3)
+    // limited-precision components; duplicates arise via the narrow grid
+    vals = Gen.choose(-12, 12).map(_ / 7.0)
+    rows <- Gen.sequence[Seq[(Long, Seq[Double])], (Long, Seq[Double])](
+      (0 until n).map(i => Gen.listOfN(m * dsub, vals).map(v => (i.toLong, v: Seq[Double]))))
+  } yield (rows, m * dsub, m, ksub * 1000 + iters)
+
+  test("train+encode matches the naive PQ on randomized corpora (duplicates, n==ksub, empty codes)") {
+    // float32 storage drops precision vs the naive double path only below
+    // e6 resolution for |v| < ~8 (24-bit mantissa) — the grid keeps |v| < 2
+    val prop = Prop.forAll(genCorpus) { case (rows, dim, m, packed) =>
+      val (ksub, iters) = (packed / 1000, packed % 1000)
+      val df = toDf(rows)
+      val model = Pq.train(df, "vec_id", "embedding", dim, m, ksub, iters, seed = 42L)
+      val naive = naiveTrain(rows, dim, m, ksub, iters, seed = 42L)
+      val booksMatch = model.codebooks == naive.books
+      val got = Pq.encode(df, "embedding", model)
+        .select("vec_id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+      val codesMatch = rows.forall { case (id, v) =>
+        got(id) == naiveEncode(naive, dim, m, naiveXe(v)) }
+      booksMatch && codesMatch
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("adcTopK matches the naive ADC ranking") {
+    val prop = Prop.forAll(genCorpus) { case (rows, dim, m, packed) =>
+      val (ksub, iters) = (packed / 1000, packed % 1000)
+      val df = toDf(rows)
+      val model = Pq.train(df, "vec_id", "embedding", dim, m, ksub, iters, seed = 42L)
+      val q = naiveXe(rows.head._2)
+      val k = math.min(5, rows.size)
+      val got = Pq.adcTopK(Pq.encode(df, "embedding", model), "vec_id", model, q, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      got == naiveTopK(naiveTrain(rows, dim, m, ksub, iters, 42L), dim, m, rows, q, k)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sampled training uses exactly the hash-sampled rows") {
+    val rows = (0L until 40L).map(i => (i, Seq.tabulate(8)(d => ((i * 7 + d) % 13).toDouble / 3)))
+    val model = Pq.train(toDf(rows), "vec_id", "embedding",
+      dim = 8, m = 2, ksub = 3, iters = 2, seed = 42L, trainFraction = 0.5)
+    val naive = naiveTrain(rows, dim = 8, m = 2, ksub = 3, iters = 2, seed = 42L, frac = 0.5)
+    assert(model.codebooks == naive.books)
+  }
+
+  test("determinism: retrain yields identical codebooks") {
+    val rows = (0L until 20L).map(i => (i, Seq.tabulate(8)(d => math.sin(i * 3 + d))))
+    def run() = Pq.train(toDf(rows), "vec_id", "embedding", 8, 4, 4, 3, seed = 7L)
+    assert(run().codebooks == run().codebooks)
+  }
+
+  test("contract failures are loud: indivisible dim, too few rows") {
+    val rows = (0L until 3L).map(i => (i, Seq.tabulate(8)(_.toDouble)))
+    intercept[IllegalArgumentException] {
+      Pq.train(toDf(rows), "vec_id", "embedding", dim = 8, m = 3, ksub = 2, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.train(toDf(rows), "vec_id", "embedding", dim = 8, m = 2, ksub = 5, iters = 1)
+    }
+  }
+}
