@@ -58,24 +58,12 @@ object Pq {
   def xeCol(vec: Column): Column =
     transform(vec.cast("array<double>"), v => round(v * lit(Scale.toDouble)).cast("long"))
 
-  /** Integer squared L2 distance between subspace `j` of an e6 vector and
-    * one e6 centroid: an in-row left fold in dimension order (exact —
-    * integer adds are associative anyway).
+  /** All m subspace codes in one native codegen'd expression
+    * ([[graft.plans.PqAssign]]): integer argmin per codebook, first index
+    * on ties — one primitive loop per row, no interpreted HOFs.
     */
-  private def distExpr(xe: Column, j: Int, cb: Vector[Long]): Column =
-    aggregate(
-      zip_with(slice(xe, j * cb.length + 1, cb.length), array(cb.map(lit): _*),
-        (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
-  /** Per-subspace code: argmin distance over the `ksub` centroids, FIRST
-    * index on ties (array_position returns the first match) — mirrored by
-    * the oracle's `min(struct(dist, c))`.
-    */
-  private def codeExpr(xe: Column, j: Int, book: Vector[Vector[Long]]): Column = {
-    val dists = array(book.map(cb => distExpr(xe, j, cb)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  private def codesExpr(xe: Column, books: Vector[Vector[Vector[Long]]]): Column =
+    graft.plans.PqAssign.codes(xe, books)
 
   /** Train `m` subspace codebooks with `iters` Lloyd rounds over
     * `embs(vecCol)` (fixed `dim` components per row — ragged or null rows
@@ -116,12 +104,14 @@ object Pq {
       // hash-aggregate onto m·ksub keys (map-side partials make the shuffle
       // size independent of the corpus), metadata-sized collect
       val cells = explode(array((0 until m).map { j =>
-        struct(lit(j).as("j"), codeExpr(col("__xe"), j, books(j)).as("c"),
+        struct(lit(j).as("j"), element_at(col("__codes"), j + 1).as("c"),
           slice(col("__xe"), j * dsub + 1, dsub).as("s"))
       }: _*))
       val sums = (0 until dsub).map(d =>
         sum(element_at(col("cell.s"), d + 1)).as(s"s$d"))
-      val updated = base.select(cells.as("cell"))
+      val updated = base
+        .withColumn("__codes", codesExpr(col("__xe"), books))
+        .select(cells.as("cell"))
         .groupBy(col("cell.j").as("j"), col("cell.c").as("c"))
         // the rounded e6 mean is computed IN-ENGINE so the round-half rule
         // is Spark's own (HALF_UP away from zero — same as DuckDB round())
@@ -141,11 +131,8 @@ object Pq {
   /** Encode every row to its `m` codes — one scan, pure projection (the
     * codebooks are plan literals). Output: input columns + `codes`.
     */
-  def encode(embs: DataFrame, vecCol: String, model: PqModel): DataFrame = {
-    val xe = xeCol(col(vecCol))
-    embs.withColumn("codes",
-      array((0 until model.m).map(j => codeExpr(xe, j, model.codebooks(j))): _*))
-  }
+  def encode(embs: DataFrame, vecCol: String, model: PqModel): DataFrame =
+    embs.withColumn("codes", codesExpr(xeCol(col(vecCol)), model.codebooks))
 
   /** ADC top-k over an encoded frame: per subspace, the `ksub` exact
     * query-to-centroid distances become a literal lookup array; a row's
