@@ -2278,6 +2278,42 @@ object Queries {
       |SELECT vec_id, dist_e6 FROM sc
       |ORDER BY dist_e6, vec_id LIMIT 20""".stripMargin))
 
+  /** IVF-PQ: label cells prune candidates (the [[simIvfTopK]] probe
+    * selection verbatim), ADC scores only the probed cells. The oracle
+    * composes the two verified fragments: the centroid/probe CTEs and the
+    * PQ replay's distance tables over the final assignment.
+    */
+  private val ivfPqTopK: Gate = Gate(
+    (s, dir) => {
+      val model = trainPq(s, dir)
+      val embs = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val qxe = embs.filter(col("vec_id") === 0)
+        .select(Pq.xeCol(col("embedding"))).collect()(0).getSeq[Long](0)
+      Pq.ivfPqTopK(Pq.encode(embs, "embedding", model), "vec_id", "label",
+          "embedding", model, queryVec(s, dir), qxe, k = 10, nProbe = 2)
+        .orderBy("dist_e6", "vec_id")
+    },
+    Some(s"""WITH $pqOracleCtes,
+      |ed AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q2 AS (SELECT v AS qv FROM ed WHERE vec_id = 0),
+      |ex AS (SELECT label, unnest(range(1, len(v)+1)) AS dim, unnest(v) AS val FROM ed),
+      |cm AS (SELECT label, dim, avg(val) AS mv FROM ex GROUP BY 1,2),
+      |cent AS (SELECT label, list(mv ORDER BY dim) AS centroid FROM cm GROUP BY 1),
+      |probe AS (SELECT label FROM cent, q2
+      |  ORDER BY list_cosine_similarity(centroid, qv) DESC, label LIMIT 2),
+      |qt AS (SELECT xe AS qx FROM e WHERE vec_id = 0),
+      |t AS (SELECT cb.j, cb.c,
+      |  sum((qt.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)
+      |    * (qt.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
+      | FROM cb$PqIters cb CROSS JOIN qt GROUP BY 1,2),
+      |sc AS (SELECT a.vec_id, sum(t.dist) AS dist_e6 FROM aF a
+      | JOIN t ON t.j = a.j AND t.c = a.code
+      | JOIN ed ON ed.vec_id = a.vec_id
+      | JOIN probe ON probe.label = ed.label GROUP BY 1)
+      |SELECT vec_id, dist_e6 FROM sc
+      |ORDER BY dist_e6, vec_id LIMIT 10""".stripMargin))
+
   private val winnowFp: Gate = Gate(
     (s, dir) => Dedup.winnowFingerprints(table(s, dir, "documents"), "doc_id", "text",
       n = 3, w = 4)
@@ -3401,6 +3437,7 @@ object Queries {
     "sim_topk" -> simTopK,
     "pq_codes" -> pqCodes,
     "pq_topk" -> pqTopK,
+    "ivfpq_topk" -> ivfPqTopK,
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
     "sim_ivf_indexed" -> simIvfIndexed,

@@ -158,4 +158,26 @@ object Pq {
       .orderBy(col("dist_e6"), col(idCol))
       .limit(k)
   }
+
+  /** IVF-PQ: the production ANN service shape — coarse cells (an existing
+    * partition key: label, cluster, LSH bucket) prune the candidate set,
+    * ADC scores only the probed cells' rows. The probe selection reuses
+    * [[Similarity.centroids]] (cell-mean cosine to the query, `nProbe`
+    * closest, key tie-break); candidates semi-join against the broadcast
+    * probe list, so the scan is bounded by nProbe cells and the scored
+    * side touches only codes. At 100 TB with the corpus stored as
+    * (id, key, codes) this reads a few cells' codes — no vectors at all.
+    */
+  def ivfPqTopK(encoded: DataFrame, idCol: String, keyCol: String,
+      vecCol: String, model: PqModel, query: Seq[Float], queryXe: Seq[Long],
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val probeCells = Similarity.centroids(encoded, keyCol, vecCol)
+      .withColumn("qcos",
+        graft.functions.GraftFunctions.cosine(col("centroid"), q))
+      .orderBy(col("qcos").desc, col(keyCol)).limit(nProbe)
+      .select(keyCol)
+    adcTopK(encoded.join(broadcast(probeCells), Seq(keyCol), "left_semi"),
+      idCol, model, queryXe, k)
+  }
 }

@@ -161,6 +161,34 @@ class PqSpec extends SparkSpec {
     assert(run().codebooks == run().codebooks)
   }
 
+  test("ivfPqTopK equals adcTopK restricted to the probed cells") {
+    import org.apache.spark.sql.functions._
+    // two tight clusters on axes + a far outlier cell; query sits in cluster A
+    val rows = (0L until 18L).map { i =>
+      val base = (i % 3) match {
+        case 0 => Seq(1.0, 0.0, 0.0, 0.0)
+        case 1 => Seq(0.0, 1.0, 0.0, 0.0)
+        case _ => Seq(-1.0, -1.0, 0.0, 0.0)
+      }
+      (i, base.zipWithIndex.map { case (v, d) => v + (i * 13 + d) % 5 * 0.01 })
+    }
+    val labeled = toDf(rows).withColumn("label", (col("vec_id") % 3).cast("int"))
+    val model = graft.ops.Pq.train(labeled, "vec_id", "embedding", 4, 2, 3, 2)
+    val enc = graft.ops.Pq.encode(labeled, "embedding", model)
+    val q = rows.head._2.map(_.toFloat)
+    val qxe = naiveXe(rows.head._2)
+    val got = graft.ops.Pq.ivfPqTopK(enc, "vec_id", "label", "embedding",
+      model, q, qxe, k = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the probe must select the two cells nearest the query (labels 0 and 1
+    // by construction) and the result must equal ADC over exactly those
+    val want = graft.ops.Pq.adcTopK(enc.filter(col("label") =!= 2),
+      "vec_id", model, qxe, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    assert(got.forall { case (id, _) => id % 3 != 2 })
+  }
+
   test("contract failures are loud: indivisible dim, too few rows") {
     val rows = (0L until 3L).map(i => (i, Seq.tabulate(8)(_.toDouble)))
     intercept[IllegalArgumentException] {
