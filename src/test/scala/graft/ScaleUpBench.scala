@@ -78,11 +78,33 @@ object ScaleUpBench {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // SPARK_GRAFT_SCALE_REUSE=1: skip the replication writes when the dir is
+    // already populated — the one-query-per-JVM convention re-invokes this
+    // main once per gate and the setup write would otherwise dominate
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
     val dirs = scales.map { k =>
       val dir = s"$outRoot/x$k"
+      if (reuse && new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+        k -> dir
+      } else {
       replicate(docs, k).repartition(math.max(k, 4))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // embeddings for the ANN/PQ gates: replicas get disjoint ids and a
+      // per-replica deterministic scaling (1 + i/1024 — float-exact for
+      // small i) so codebook training sees k× distinct vectors, not k
+      // identical copies collapsing into the same centroids
+      (0 until k).map { i =>
+        embs
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
+          .withColumn("embedding",
+            if (i == 0) col("embedding")
+            else transform(col("embedding"),
+              v => (v * lit(1.0f + i / 1024.0f)).cast("float")))
+      }.reduce(_ unionByName _).repartition(math.max(k / 4, 4))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       k -> dir
+      }
     }
 
     // one warm pass per query at the smallest scale: codegen + JIT, the
