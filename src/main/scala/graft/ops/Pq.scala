@@ -167,6 +167,14 @@ object Pq {
     * probe list, so the scan is bounded by nProbe cells and the scored
     * side touches only codes. At 100 TB with the corpus stored as
     * (id, key, codes) this reads a few cells' codes — no vectors at all.
+    *
+    * Null-key contract: rows with a null `keyCol` form a cell whose
+    * centroid ranks like any other, but equi-join semantics (engine and
+    * SQL oracle alike) never match a null key — such rows are NEVER
+    * candidates. Both sides order null-centroid cells last (desc = nulls
+    * last in Spark and DuckDB), so engine↔oracle parity holds; callers
+    * with meaningful null keys should coalesce them to a sentinel cell
+    * before indexing.
     */
   def ivfPqTopK(encoded: DataFrame, idCol: String, keyCol: String,
       vecCol: String, model: PqModel, query: Seq[Float], queryXe: Seq[Long],
