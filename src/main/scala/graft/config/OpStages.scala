@@ -763,6 +763,13 @@ object OpStages {
       val seed = cfg.getInt("seed").map(_.toLong).getOrElse(42L)
       val frac = cfg.getDouble("train_fraction").getOrElse(1.0)
       Pipeline.DataStage(name, m => {
+        // encode() appends `codes` and the stage publishes it as `pq_codes`:
+        // either name pre-existing would mean silent replacement / an
+        // ambiguous duplicate downstream — fail loudly like the other
+        // column-appending stages
+        val clash = Seq("codes", "pq_codes").filter(m.data.columns.contains)
+        require(clash.isEmpty, s"stage $name: output column(s) " +
+          s"${clash.mkString(", ")} already exist in the input")
         val model = Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
         Pq.encode(m.data, vec, model).withColumnRenamed("codes", "pq_codes")
       })

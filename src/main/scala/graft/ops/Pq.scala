@@ -80,7 +80,7 @@ object Pq {
       ksub: Int, iters: Int, seed: Long = 42L,
       trainFraction: Double = 1.0): PqModel = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
-    require(ksub > 0 && iters >= 0, "ksub and iters must be positive")
+    require(ksub > 0 && iters >= 0, "ksub must be positive and iters non-negative")
     val dsub = dim / m
     val base0 = embs.select(col(idCol).as("__id"), xeCol(col(vecCol)).as("__xe"))
     val base = if (trainFraction < 1.0)
@@ -140,6 +140,11 @@ object Pq {
     * compiles to TakeOrderedAndProject (per-partition top-k, k-row driver
     * merge — no global sort). `queryXe` is the e6 view of the query (use
     * [[xeCol]] on the query's own row for bit-identical scaling).
+    *
+    * Null-codes rows (a null input vector encodes to null — PqAssign is
+    * nullIntolerant) are excluded from the candidate set here; without the
+    * filter a null distance would sort FIRST under ascending order and
+    * silently occupy top-k slots.
     */
   def adcTopK(encoded: DataFrame, idCol: String, model: PqModel,
       queryXe: Seq[Long], k: Int): DataFrame = {
@@ -154,7 +159,8 @@ object Pq {
       element_at(array(tables(j).map(lit): _*),
         element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
-    encoded.select(col(idCol), score.as("dist_e6"))
+    encoded.where(col("codes").isNotNull)
+      .select(col(idCol), score.as("dist_e6"))
       .orderBy(col("dist_e6"), col(idCol))
       .limit(k)
   }

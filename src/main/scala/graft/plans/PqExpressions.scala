@@ -53,7 +53,7 @@ object PqAssign {
     var total = 0
     var j = 0
     while (j < m) { total += books(j)(0).length; j += 1 }
-    if (xe.numElements() < total)
+    if (xe.numElements() != total)
       throw new IllegalArgumentException(
         s"pq_assign: vector has ${xe.numElements()} components, codebooks span $total")
     val out = new Array[Any](m)

@@ -547,6 +547,16 @@ class OpStagesSpec extends SparkSpec {
     assert(out.columns.contains("pq_codes") && out.count() == 5)
     val codes = out.select("pq_codes").collect().map(_.getSeq[Int](0))
     assert(codes.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
+    // output-name collision fails loudly instead of silently replacing /
+    // duplicating a pre-existing codes/pq_codes column
+    val clashed = emptyMeds(embRows)
+    val withCodes = clashed.withData(clashed.data.withColumn("codes",
+      org.apache.spark.sql.functions.lit(1)))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, withCodes, PipelineConfig.fromYaml(yaml).stages)
+        .data.count()
+    }
+    assert(e.getMessage.contains("already exist"))
   }
 
   test("sim_topk stage: brute and lsh modes select k rows with cosine") {

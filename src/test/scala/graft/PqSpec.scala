@@ -189,6 +189,34 @@ class PqSpec extends SparkSpec {
     assert(got.forall { case (id, _) => id % 3 != 2 })
   }
 
+  test("null-embedding rows are excluded from ADC top-k, not ranked first") {
+    val rows = (0L until 12L).map(i => (i, Seq.tabulate(8)(d => math.cos(i * 5 + d))))
+    val df = toDf(rows)
+    val model = Pq.train(df, "vec_id", "embedding", 8, 2, 3, 2)
+    val withNulls = df.unionByName(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(100L, null), Row(101L, null))),
+        df.schema))
+    val got = Pq.adcTopK(Pq.encode(withNulls, "embedding", model), "vec_id",
+      model, naiveXe(rows.head._2), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == 5 && got.forall { case (id, d) => id < 100L && d >= 0 })
+    assert(got == naiveTopK(naiveTrain(rows, 8, 2, 3, 2, 42L), 8, 2, rows,
+      naiveXe(rows.head._2), 5))
+  }
+
+  test("a vector longer than the codebook span fails loudly, not prefix-encoded") {
+    val rows = (0L until 6L).map(i => (i, Seq.tabulate(8)(d => (i + d) / 3.0)))
+    val model = Pq.train(toDf(rows), "vec_id", "embedding", 8, 2, 3, 1)
+    val longer = (0L until 6L).map(i => (i, Seq.tabulate(16)(d => (i + d) / 3.0)))
+    val e = intercept[Exception] {
+      Pq.encode(toDf(longer), "embedding", model).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("codebooks span")))
+  }
+
   test("contract failures are loud: indivisible dim, too few rows") {
     val rows = (0L until 3L).map(i => (i, Seq.tabulate(8)(_.toDouble)))
     intercept[IllegalArgumentException] {

@@ -85,7 +85,8 @@ object ScaleUpBench {
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
     val dirs = scales.map { k =>
       val dir = s"$outRoot/x$k"
-      if (reuse && new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+      if (reuse && new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()
+          && new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
         k -> dir
       } else {
       replicate(docs, k).repartition(math.max(k, 4))
