@@ -69,7 +69,9 @@ class MetricsSpec extends SparkSpec {
     "asof_join_sliced" -> 6_000_000L,         // measured 2.60 MB (r10 end)
     "rolling_agg_sliced" -> 12_000_000L,      // measured 4.91 MB
     "lm_perplexity" -> 500_000L,              // measured 183 KB (r11, in-row grams)
-    "ppl_buckets" -> 450_000L)                // measured 172 KB (r11, in-row grams)
+    "ppl_buckets" -> 450_000L,                // measured 172 KB (r11, in-row grams)
+    "pq_codes" -> 450_000L,                   // measured 170 KB (train partials + output sort)
+    "ivfpq_topk" -> 96_000L)                  // measured 32 KB (train partials; ADC needs no exchange)
 
   for ((q, cap) <- bounds)
     test(s"$q: shuffle volume within pinned bound, zero spill") {
@@ -83,4 +85,34 @@ class MetricsSpec extends SparkSpec {
         s"$q spilled (disk=${t.spillDisk}, mem=${t.spillMem}) at sf0.1 — " +
           "partitions no longer fit in executor memory")
     }
+
+  test("Pq.train shuffle is codebook-keyed, not corpus-proportional") {
+    // the PQ 100 TB claim pinned directly: each Lloyd iteration's exchange
+    // carries map-side partials onto m*ksub keys, so TRAINING shuffle must
+    // stay a few KB regardless of corpus size (the gates' totals above
+    // also include their presentation sort, which IS output-proportional)
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    def train() = graft.ops.Pq.train(embs, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 8, iters = 3, seed = 42L)
+    train() // warm
+    org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+    var sw = 0L
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: SparkListenerStageCompleted): Unit =
+        sw += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      train()
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(l)
+    info(f"Pq.train shuffleWrite=$sw%,d")
+    // 3 iterations x (m*ksub = 64 partial rows per map task x 4 tasks,
+    // ~dsub longs each) — generous 128 KB cap is still 100x under the
+    // corpus-proportional failure mode (sf0.1 encode output is ~1 MB+)
+    assert(sw <= 131072L,
+      s"Pq.train shuffled $sw bytes — training exchange is no longer " +
+        "codebook-keyed partials (corpus-proportional shuffle?)")
+  }
 }

@@ -35,17 +35,32 @@ reps = 2
 print(f"{'query':20s} {'k':4s} {'rows':10s} seconds")
 for k in scales:
     con = duckdb.connect()
+    # bound DuckDB's footprint and run each query in a child process: the
+    # PQ-replay oracles allocate unboundedly past memory_limit (observed
+    # 130 GB RSS and a kernel OOM kill at 32k vectors despite a 48 GB
+    # limit + temp_directory) — a DNF must be a recorded data point, not a
+    # dead box. fork() shares the parent's views; the child exits after
+    # one query so a kill only loses that measurement.
+    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duck_spill'")
     for p in glob.glob(f"{root}/x{k}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
         src = f"{p}/*.parquet" if os.path.isdir(p) else p  # Spark dir layout
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     for q in QUERIES:
         sql = oracle[q]
-        rows = len(run_query(con, q, sql))  # warm
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run_query(con, q, sql)
-            times.append(time.perf_counter() - t0)
-        print(f"{q:20s} {k:<4d} {rows:<10d} {min(times):.2f}", flush=True)
+        pid = os.fork()
+        if pid == 0:  # child: warm + timed reps, then hard-exit
+            rows = len(run_query(con, q, sql))  # warm
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run_query(con, q, sql)
+                times.append(time.perf_counter() - t0)
+            print(f"{q:20s} {k:<4d} {rows:<10d} {min(times):.2f}", flush=True)
+            os._exit(0)
+        _, status = os.waitpid(pid, 0)
+        if status != 0:
+            print(f"{q:20s} {k:<4d} {'DNF':10s} killed (status {status})",
+                  flush=True)
     con.close()
