@@ -819,13 +819,28 @@ object OpStages {
 
     // top-k selection against one query vector: brute-force exact (default),
     // sign-LSH bucketed, or IVF (over `key_col` cells when given, else
-    // k-means cells) — replaces data with the k best rows + their cosine
+    // k-means cells) — replaces data with the k best rows + their cosine.
+    // `pq` / `ivfpq` are the compressed-corpus variants (train codebooks,
+    // encode, ADC-score; ivfpq prunes candidates to the `n_probe` cells of
+    // a required `key_col` first) — they rank by integer squared L2
+    // (`dist_e6`), not cosine, so the output column differs by design
     PipelineConfig.register("sim_topk") { (name, cfg) =>
       val (id, vec) = vecIds(cfg)
       val query = doubleList(cfg, "query").map(_.toFloat)
       require(query.nonEmpty, s"stage $name: `query` vector is required")
       val k = cfg.getInt("k").getOrElse(10)
       val mode = cfg.getStr("mode").getOrElse("brute")
+      def pqModel(m: graft.meds.MedsData): Pq.PqModel = {
+        val m0 = cfg.getInt("m").getOrElse(8)
+        require(query.length % m0 == 0,
+          s"stage $name: query dim ${query.length} not divisible by m=$m0")
+        Pq.train(m.data, id, vec, dim = query.length, m = m0,
+          ksub = cfg.getInt("ksub").getOrElse(8),
+          iters = cfg.getInt("iters").getOrElse(3),
+          seed = cfg.getInt("seed").map(_.toLong).getOrElse(42L),
+          trainFraction = cfg.getDouble("train_fraction").getOrElse(1.0))
+      }
+      val queryXe = Pq.xe(query.map(_.toDouble))
       Pipeline.DataStage(name, m => mode match {
         case "brute" => Similarity.topK(m.data, id, vec, query, k)
         case "lsh" =>
@@ -839,8 +854,17 @@ object OpStages {
               cfg.getInt("n_cells").getOrElse(16), nProbe,
               cfg.getInt("iters").getOrElse(2))
           }
+        case "pq" =>
+          val model = pqModel(m)
+          Pq.adcTopK(Pq.encode(m.data, vec, model), id, model, queryXe, k)
+        case "ivfpq" =>
+          val key = cfg.getStr("key_col").getOrElse(throw new
+            IllegalArgumentException(s"stage $name: mode ivfpq requires `key_col`"))
+          val model = pqModel(m)
+          Pq.ivfPqTopK(Pq.encode(m.data, vec, model), id, key, vec, model,
+            query, queryXe, k, cfg.getInt("n_probe").getOrElse(2))
         case other => throw new IllegalArgumentException(
-          s"stage $name: unknown mode `$other` (brute | lsh | ivf)")
+          s"stage $name: unknown mode `$other` (brute | lsh | ivf | pq | ivfpq)")
       })
     }
 

@@ -58,6 +58,16 @@ object Pq {
   def xeCol(vec: Column): Column =
     transform(vec.cast("array<double>"), v => round(v * lit(Scale.toDouble)).cast("long"))
 
+  /** Driver-side twin of [[xeCol]] for literal query vectors (config-
+    * supplied, not a corpus row): same HALF_UP away-from-zero rounding as
+    * Spark's `round`, so a literal equals its would-be column encoding.
+    * (`math.round` would differ on negative .5 boundaries — it rounds
+    * toward positive infinity.)
+    */
+  def xe(v: Seq[Double]): Vector[Long] =
+    v.map(x => BigDecimal(x * Scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue).toVector
+
   /** All m subspace codes in one native codegen'd expression
     * ([[graft.plans.PqAssign]]): integer argmin per codebook, first index
     * on ties — one primitive loop per row, no interpreted HOFs.

@@ -570,6 +570,26 @@ class OpStagesSpec extends SparkSpec {
     assert(lsh.nonEmpty && lsh.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
     val ivf = run("      mode: ivf\n      key_col: label\n")
     assert(ivf == Seq(1L, 2L))
+    // compressed-corpus modes rank by ADC dist_e6 and must agree with the
+    // direct Pq composition on the same parameters
+    def runPq(extra: String): Seq[(Long, Long)] =
+      Pipeline.run(spark, emptyMeds(embRows), PipelineConfig.fromYaml(
+        s"stages:\n  - sim_topk:\n      k: 3\n      query: [1.0, 0.0, 0.0, 0.0]\n" +
+          s"      m: 2\n      ksub: 2\n      iters: 1\n$extra"
+      ).stages).data.select("vec_id", "dist_e6").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pq = runPq("      mode: pq\n")
+    val embDf = emptyMeds(embRows).data
+    val model = graft.ops.Pq.train(embDf, "vec_id", "embedding", 4, 2, 2, 1)
+    val want = graft.ops.Pq.adcTopK(
+      graft.ops.Pq.encode(embDf, "embedding", model), "vec_id", model,
+      graft.ops.Pq.xe(Seq(1.0, 0.0, 0.0, 0.0)), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pq == want && pq.size == 3)
+    val ivfpq = runPq("      mode: ivfpq\n      key_col: label\n")
+    assert(ivfpq.nonEmpty && ivfpq.size <= 3)
+    val e = intercept[IllegalArgumentException] { runPq("      mode: ivfpq\n") }
+    assert(e.getMessage.contains("requires `key_col`"))
   }
 
   test("normalize_text stage: fixed-order ops, in-place or appended") {
