@@ -51,6 +51,52 @@ object AnnRecallSmoke {
       println(f"SMOKE ann recall@$k IVF cells=16 probe=$probe " +
         f"(~$probe/16 scanned): $r%.2f")
     }
+
+    // PQ recall: ADC ranks by squared L2, so its honest baseline is the
+    // EXACT L2 top-k (cosine and L2 orderings differ on unnormalized
+    // vectors) — this isolates quantization loss from metric mismatch.
+    // The knob is codebook size: ksub codes/subspace = log2(ksub) bits,
+    // m*log2(ksub) bits/vector vs 2048 for the raw floats.
+    import graft.ops.Pq
+    def exactL2(q: Seq[Float]): Set[Long] = {
+      val qc = array(q.map(v => lit(v.toDouble)): _*)
+      ids(embs.select(col("vec_id"),
+        aggregate(
+          zip_with(col("embedding").cast("array<double>"), qc,
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(k))
+    }
+    val exactL2Sets = queries.map { case (_, q) => q -> exactL2(q) }
+    def recallL2(approx: Seq[Float] => Set[Long]): Double =
+      exactL2Sets.map { case (q, exact) => exact.intersect(approx(q)).size }
+        .sum / denom
+    Seq(8, 16, 32).foreach { ksub =>
+      val model = Pq.train(embs, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = ksub, iters = 3)
+      val enc = Pq.encode(embs, "embedding", model).localCheckpoint()
+      val bits = 8 * (32 - Integer.numberOfLeadingZeros(ksub - 1))
+      val rPq = recallL2(q =>
+        ids(Pq.adcTopK(enc, "vec_id", model, Pq.xe(q.map(_.toDouble)), k)))
+      // the production recipe: ADC shortlist (10k candidates here) ->
+      // exact re-rank of only the shortlist — quantization error picks the
+      // candidate pool, full-precision distance picks the winners
+      val short = 10 * k
+      val rRerank = recallL2 { q =>
+        val cand = Pq.adcTopK(enc, "vec_id", model,
+          Pq.xe(q.map(_.toDouble)), short).select("vec_id")
+        val qc = array(q.map(v => lit(v.toDouble)): _*)
+        ids(embs.join(cand, "vec_id")
+          .select(col("vec_id"),
+            aggregate(
+              zip_with(col("embedding").cast("array<double>"), qc,
+                (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, v) => acc + v).as("d2"))
+          .orderBy(col("d2"), col("vec_id")).limit(k))
+      }
+      println(f"SMOKE ann recall@$k PQ m=8 ksub=$ksub ($bits bits/vec vs " +
+        f"2048 raw): adc $rPq%.2f, rerank@$short $rRerank%.2f")
+    }
     println("SMOKE all ok")
     spark.stop()
   }
