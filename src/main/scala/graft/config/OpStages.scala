@@ -762,6 +762,10 @@ object OpStages {
       val iters = cfg.getInt("iters").getOrElse(3)
       val seed = cfg.getInt("seed").map(_.toLong).getOrElse(42L)
       val frac = cfg.getDouble("train_fraction").getOrElse(1.0)
+      // model_path: persist-or-reuse codebooks (the production shape —
+      // train on one snapshot, encode every later run against the SAME
+      // model so codes stay comparable across corpus versions)
+      val modelPath = cfg.getStr("model_path")
       Pipeline.DataStage(name, m => {
         // encode() appends `codes` and the stage publishes it as `pq_codes`:
         // either name pre-existing would mean silent replacement / an
@@ -770,7 +774,20 @@ object OpStages {
         val clash = Seq("codes", "pq_codes").filter(m.data.columns.contains)
         require(clash.isEmpty, s"stage $name: output column(s) " +
           s"${clash.mkString(", ")} already exist in the input")
-        val model = Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
+        val spark = m.data.sparkSession
+        def committed(p: String): Boolean = {
+          val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
+          marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(marker)
+        }
+        val model = modelPath match {
+          case Some(p) if committed(p) => Pq.load(spark, p)
+          case Some(p) =>
+            val trained = Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
+            Pq.save(spark, trained, p)
+            trained
+          case None => Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
+        }
         Pq.encode(m.data, vec, model).withColumnRenamed("codes", "pq_codes")
       })
     }

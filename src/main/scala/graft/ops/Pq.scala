@@ -144,6 +144,43 @@ object Pq {
   def encode(embs: DataFrame, vecCol: String, model: PqModel): DataFrame =
     embs.withColumn("codes", codesExpr(xeCol(col(vecCol)), model.codebooks))
 
+  /** Persist a trained model as a tiny parquet of (j, c, v) rows — train
+    * once, encode/search many (the production shape: codebooks are fit on
+    * one corpus snapshot and reused across encode runs and queries, like
+    * [[Similarity]]'s on-disk IVF index). The e6-integer centroids
+    * round-trip exactly.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- 0 until model.m; c <- 0 until model.ksub
+    } yield (j, c, model.codebooks(j)(c))
+    rows.toDF("j", "c", "v").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model written by [[save]]. Shape is validated loudly — a
+    * ragged or truncated codebook table means the path holds something
+    * else.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("j").cast("int"), col("c").cast("int"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toVector)
+      .toMap
+    require(rows.nonEmpty, s"pq load: no codebook rows at $path")
+    val m = rows.keys.map(_._1).max + 1
+    val ksub = rows.keys.map(_._2).max + 1
+    val dsub = rows.values.head.length
+    require(rows.size == m * ksub && rows.values.forall(_.length == dsub),
+      s"pq load: ragged codebook table at $path " +
+        s"(${rows.size} rows for m=$m ksub=$ksub, dsub=$dsub)")
+    PqModel(m * dsub, m, ksub,
+      Vector.tabulate(m)(j => Vector.tabulate(ksub)(c => rows((j, c)))))
+  }
+
   /** ADC top-k over an encoded frame: per subspace, the `ksub` exact
     * query-to-centroid distances become a literal lookup array; a row's
     * score is `m` array lookups + an integer sum, and `orderBy + limit`

@@ -547,6 +547,27 @@ class OpStagesSpec extends SparkSpec {
     assert(out.columns.contains("pq_codes") && out.count() == 5)
     val codes = out.select("pq_codes").collect().map(_.getSeq[Int](0))
     assert(codes.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
+    // model_path: first run trains + persists; later runs REUSE the
+    // committed model even over a different corpus (codes stay comparable
+    // across snapshots — retraining would move the centroids)
+    val mp = java.nio.file.Files.createTempDirectory("graft_pq_stage")
+      .resolve("model").toString
+    val yamlMp = yaml.replace("iters: 2", s"iters: 2\n      model_path: $mp")
+    Pipeline.run(spark, emptyMeds(embRows),
+      PipelineConfig.fromYaml(yamlMp).stages).data.count()
+    val saved = graft.ops.Pq.load(spark, mp)
+    val shifted = emptyMeds(embRows).data.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        v => (v * org.apache.spark.sql.functions.lit(2.0f)).cast("float")))
+    val second = Pipeline.run(spark, emptyMeds(embRows).withData(shifted),
+      PipelineConfig.fromYaml(yamlMp).stages).data
+    val got2 = second.select("vec_id", "pq_codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val want2 = graft.ops.Pq.encode(shifted, "embedding", saved)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got2 == want2)
+
     // output-name collision fails loudly instead of silently replacing /
     // duplicating a pre-existing codes/pq_codes column
     val clashed = emptyMeds(embRows)

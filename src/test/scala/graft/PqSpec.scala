@@ -217,6 +217,22 @@ class PqSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("codebooks span")))
   }
 
+  test("save/load round-trips the model exactly; a bad table fails loudly") {
+    val rows = (0L until 20L).map(i => (i, Seq.tabulate(8)(d => math.sin(i * 3 + d))))
+    val model = Pq.train(toDf(rows), "vec_id", "embedding", 8, 4, 4, 2, seed = 7L)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_model")
+      .resolve("model").toString
+    Pq.save(spark, model, path)
+    assert(Pq.load(spark, path) == model)
+    // a truncated table (one codebook row dropped) is rejected, not
+    // silently reshaped
+    val truncated = path + "_bad"
+    spark.read.parquet(path).where(!(col("j") === 0 && col("c") === 0))
+      .write.parquet(truncated)
+    val e = intercept[IllegalArgumentException] { Pq.load(spark, truncated) }
+    assert(e.getMessage.contains("ragged codebook"))
+  }
+
   test("contract failures are loud: indivisible dim, too few rows") {
     val rows = (0L until 3L).map(i => (i, Seq.tabulate(8)(_.toDouble)))
     intercept[IllegalArgumentException] {
