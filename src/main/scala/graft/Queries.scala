@@ -2314,6 +2314,37 @@ object Queries {
       |SELECT vec_id, dist_e6 FROM sc
       |ORDER BY dist_e6, vec_id LIMIT 10""".stripMargin))
 
+  /** Batch-query ADC k-NN: a deterministic query sample (every 97th
+    * vector) against the encoded corpus in ONE pass. The oracle reuses the
+    * training replay and generalizes [[pqTopK]]'s single-query distance
+    * tables to per-qid tables + a per-qid row_number cut.
+    */
+  private val pqKnn: Gate = Gate(
+    (s, dir) => {
+      val model = trainPq(s, dir)
+      val embs = table(s, dir, "embeddings")
+      val queries = embs.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Pq.adcKnnJoin(Pq.encode(embs, "embedding", model), "vec_id", model,
+          queries, "qid", "embedding", k = 5)
+        .select(col("qid"), col("vec_id"), col("dist_e6"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH $pqOracleCtes,
+      |qs AS (SELECT vec_id AS qid, xe AS qx FROM e WHERE vec_id % 97 = 0),
+      |t AS (SELECT qs.qid, cb.j, cb.c,
+      |  sum((qs.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)
+      |    * (qs.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
+      | FROM cb$PqIters cb CROSS JOIN qs GROUP BY 1,2,3),
+      |sc AS (SELECT t.qid, a.vec_id, sum(t.dist) AS dist_e6 FROM aF a
+      | JOIN t ON t.j = a.j AND t.c = a.code GROUP BY 1,2),
+      |rk AS (SELECT qid, vec_id, dist_e6,
+      |  row_number() OVER (PARTITION BY qid ORDER BY dist_e6, vec_id) AS rank
+      | FROM sc)
+      |SELECT qid, vec_id, dist_e6, rank FROM rk WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin))
+
   private val winnowFp: Gate = Gate(
     (s, dir) => Dedup.winnowFingerprints(table(s, dir, "documents"), "doc_id", "text",
       n = 3, w = 4)
@@ -3438,6 +3469,7 @@ object Queries {
     "pq_codes" -> pqCodes,
     "pq_topk" -> pqTopK,
     "ivfpq_topk" -> ivfPqTopK,
+    "pq_knn" -> pqKnn,
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
     "sim_ivf_indexed" -> simIvfIndexed,

@@ -212,6 +212,63 @@ object Pq {
       .limit(k)
   }
 
+  /** Batch-query ADC k-NN: every row of a (small) `queries` table gets its
+    * top-k over the encoded corpus — the bulk-retrieval shape (RAG corpus
+    * lookup, embedding-join between two tables) where per-query [[adcTopK]]
+    * literal plans do not compose.
+    *
+    * Plan: each query's m×ksub distance-table is computed IN-ROW on the
+    * query side (codebooks are plan literals; the table is exact integer
+    * query→centroid distances), the query frame is broadcast, and the
+    * corpus cross-joins it with a per-pair score of m array lookups
+    * (`zip_with` codes × tables + integer sum). The per-query top-k is a
+    * bounded [[org.apache.spark.sql.GraftSqlBridge.collectTopK]] aggregate:
+    * map-side partials cap each partition's output at queries×k rows, so
+    * THE CORPUS NEVER SHUFFLES — at 100 TB one pass over the codes column
+    * (32× smaller than the vectors) produces a queries×k result. Rows with
+    * null codes are excluded (the [[adcTopK]] contract); query rows with a
+    * null vector produce no output rows.
+    *
+    * Output: (qidCol, idCol, dist_e6, rank) with rank 1..k per query,
+    * ties broken by ascending id (the adcTopK order). A query row from the
+    * corpus itself matches its own encoding (rank 1 at distance ~0) —
+    * exclude it downstream if self-matches are unwanted.
+    */
+  def adcKnnJoin(encoded: DataFrame, idCol: String, model: PqModel,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val (m, ksub, dsub) = (model.m, model.ksub, model.dsub)
+    val qxe = xeCol(col(qvecCol))
+    // m×ksub exact integer distances, one literal-unrolled expression —
+    // evaluated once per QUERY row (the small side), never per pair
+    val qtab = array((0 until m).map { j =>
+      array((0 until ksub).map { c =>
+        (0 until dsub).map { d =>
+          val diff = element_at(qxe, j * dsub + d + 1) - lit(model.codebooks(j)(c)(d))
+          diff * diff
+        }.reduce(_ + _)
+      }: _*)
+    }: _*)
+    val qframe = queries
+      .where(col(qvecCol).isNotNull)
+      .select(col(qidCol), qtab.as("__qtab"))
+    val scored = encoded
+      .where(col("codes").isNotNull)
+      .crossJoin(broadcast(qframe))
+      .select(col(qidCol), col(idCol),
+        aggregate(
+          zip_with(col("codes"), col("__qtab"), (c, t) => element_at(t, c + 1)),
+          lit(0L), (acc, v) => acc + v).as("dist_e6"))
+    import org.apache.spark.sql.GraftSqlBridge
+    scored
+      .groupBy(col(qidCol))
+      .agg(GraftSqlBridge.collectTopK(
+        struct(col("dist_e6"), col(idCol).as("__id")), k, smallest = true)
+        .as("__top"))
+      .select(col(qidCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qidCol), col("__t.__id").as(idCol),
+        col("__t.dist_e6").as("dist_e6"), (col("__r") + 1).as("rank"))
+  }
+
   /** IVF-PQ: the production ANN service shape — coarse cells (an existing
     * partition key: label, cluster, LSH bucket) prune the candidate set,
     * ADC scores only the probed cells' rows. The probe selection reuses

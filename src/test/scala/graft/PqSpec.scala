@@ -217,6 +217,36 @@ class PqSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("codebooks span")))
   }
 
+  test("adcKnnJoin equals per-query naive ADC ranking (nulls on both sides excluded)") {
+    val prop = Prop.forAll(genCorpus) { case (rows, dim, m, packed) =>
+      val (ksub, iters) = (packed / 1000, packed % 1000)
+      val df = toDf(rows)
+      val model = Pq.train(df, "vec_id", "embedding", dim, m, ksub, iters, seed = 42L)
+      val naive = naiveTrain(rows, dim, m, ksub, iters, seed = 42L)
+      val qRows = rows.filter(_._1 % 3 == 0)
+      val queries = toDf(qRows).withColumnRenamed("vec_id", "qid")
+        // a null-vector query must produce no output rows
+        .unionByName(spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(999L, null))),
+          toDf(rows).schema.copy(fields = toDf(rows).schema.fields.map(f =>
+            if (f.name == "vec_id") f.copy(name = "qid") else f))))
+      val k = math.min(4, rows.size)
+      val got = Pq.adcKnnJoin(Pq.encode(df, "embedding", model), "vec_id",
+          model, queries, "qid", "embedding", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val want = qRows.flatMap { case (qid, qv) =>
+        naiveTopK(naive, dim, m, rows, naiveXe(qv), k).zipWithIndex.map {
+          case ((id, d), i) => (qid, id, d, i + 1) }
+      }.toSet
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("save/load round-trips the model exactly; a bad table fails loudly") {
     val rows = (0L until 20L).map(i => (i, Seq.tabulate(8)(d => math.sin(i * 3 + d))))
     val model = Pq.train(toDf(rows), "vec_id", "embedding", 8, 4, 4, 2, seed = 7L)
