@@ -237,6 +237,20 @@ object Pq {
   def adcKnnJoin(encoded: DataFrame, idCol: String, model: PqModel,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
     val (m, ksub, dsub) = (model.m, model.ksub, model.dsub)
+    // ObjectHashAggregate falls back to SORT-BASED aggregation past 128
+    // distinct keys (per partition) by default — for a query batch beyond
+    // 128 rows that silently turns the bounded map-side top-k into a full
+    // sort of the N×queries candidate set (measured 113.9 s vs 16.4 s at
+    // 128k vectors × 1.3k queries). Top-k state is strictly k rows per
+    // key, so a hash map of 64k query keys is a few MB: raise the session
+    // threshold to that floor (never lower it). The conf is read at
+    // execution time; it stays raised for the session, which is safe for
+    // this engine's object aggregates (all carry bounded or sketch-sized
+    // states).
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val spark = encoded.sparkSession
+    val current = scala.util.Try(spark.conf.get(fallbackKey).toInt).getOrElse(128)
+    if (current < 65536) spark.conf.set(fallbackKey, "65536")
     val qxe = xeCol(col(qvecCol))
     // m×ksub exact integer distances, one literal-unrolled expression —
     // evaluated once per QUERY row (the small side), never per pair
@@ -251,13 +265,14 @@ object Pq {
     val qframe = queries
       .where(col(qvecCol).isNotNull)
       .select(col(qidCol), qtab.as("__qtab"))
+    // the per-pair score is the native codegen'd [[graft.plans.PqAdcScore]]
+    // (m primitive reads); the equivalent zip_with+aggregate HOF chain is
+    // interpreted per pair and measured ~18x slower at 170M pairs
     val scored = encoded
       .where(col("codes").isNotNull)
       .crossJoin(broadcast(qframe))
       .select(col(qidCol), col(idCol),
-        aggregate(
-          zip_with(col("codes"), col("__qtab"), (c, t) => element_at(t, c + 1)),
-          lit(0L), (acc, v) => acc + v).as("dist_e6"))
+        graft.plans.PqAdcScore.score(col("codes"), col("__qtab")).as("dist_e6"))
     import org.apache.spark.sql.GraftSqlBridge
     scored
       .groupBy(col(qidCol))

@@ -90,3 +90,71 @@ object PqAssign {
     GraftSqlBridge.column(PqAssign(GraftSqlBridge.expression(xe),
       books.map(_.map(_.toArray).toArray).toArray))
 }
+
+/** Native ADC pair score: `sum_j tables(j)(codes(j))` — the inner loop of
+  * batch-query PQ search ([[graft.ops.Pq.adcKnnJoin]]).
+  *
+  * The composable form — `aggregate(zip_with(codes, tables, (c, t) ->
+  * element_at(t, c + 1)), 0L, (a, v) -> a + v)` — is a higher-order
+  * function chain with no `doGenCode`: per PAIR it allocates a zipped
+  * array and interprets 2·m lambda invocations with boxing. At 170M
+  * candidate pairs that interpretation was ~50× the arithmetic (measured
+  * 178 s → see SMOKE); this expression is m primitive reads per pair.
+  *
+  * Contract: `codes(j)` must index into `tables(j)` — out-of-range codes
+  * fail loudly (a silent unsafe read would return garbage distances). A
+  * null entry in either array (a query vector with null components) makes
+  * the whole score null, matching SQL sum-over-null semantics of the HOF
+  * form it replaces.
+  */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] =
+    Seq(ArrayType(IntegerType), ArrayType(ArrayType(LongType)))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_adc_score"
+
+  override def nullSafeEval(codes: Any, tables: Any): Any =
+    PqAdcScore.score(codes.asInstanceOf[ArrayData], tables.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => s"""
+      java.lang.Long r = graft.plans.PqAdcScore.score($c, $t);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcScore {
+  /** null iff any referenced entry is null; throws on shape/range errors. */
+  def score(codes: ArrayData, tables: ArrayData): java.lang.Long = {
+    val m = codes.numElements()
+    if (tables.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: ${m} codes vs ${tables.numElements()} tables")
+    var s = 0L
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j) || tables.isNullAt(j)) return null
+      val t = tables.getArray(j)
+      val c = codes.getInt(j)
+      if (c < 0 || c >= t.numElements())
+        throw new IllegalArgumentException(
+          s"pq_adc_score: code $c out of range for a ${t.numElements()}-entry table")
+      if (t.isNullAt(c)) return null
+      s += t.getLong(c)
+      j += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  def score(codes: Column, tables: Column): Column =
+    GraftSqlBridge.column(PqAdcScore(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(tables)))
+}

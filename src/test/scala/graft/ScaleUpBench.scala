@@ -68,12 +68,17 @@ object ScaleUpBench {
     val iters = args(2).toInt
     val scales = args.drop(3).map(_.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_SCALE_CONF="k=v;k=v": ad-hoc conf for A/B runs at scale
+    sys.env.get("SPARK_GRAFT_SCALE_CONF").toSeq
+      .flatMap(_.split(';')).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
