@@ -792,6 +792,45 @@ object OpStages {
       })
     }
 
+    // batch-query PQ k-NN: every row of the `queries_path` table gets its
+    // ADC top-k over the corpus (trained+encoded in-stage, or reusing a
+    // `model_path` codebook like pq_encode). REPLACES the data with the
+    // (qid, <id>, dist_e6, rank) pair table — the bulk-retrieval analog of
+    // sim_topk's single-query modes.
+    PipelineConfig.register("pq_knn") { (name, cfg) =>
+      val (id, vec) = vecIds(cfg)
+      val k = cfg.getInt("k").getOrElse(5)
+      val dim = cfg.getInt("dim").getOrElse(64)
+      val m0 = cfg.getInt("m").getOrElse(8)
+      val ksub = cfg.getInt("ksub").getOrElse(8)
+      val iters = cfg.getInt("iters").getOrElse(3)
+      val seed = cfg.getInt("seed").map(_.toLong).getOrElse(42L)
+      val frac = cfg.getDouble("train_fraction").getOrElse(1.0)
+      val queriesPath = cfg.getStr("queries_path").getOrElse(throw new
+        IllegalArgumentException(s"stage $name: `queries_path` is required"))
+      val qid = cfg.getStr("query_id_col").getOrElse("qid")
+      val qvec = cfg.getStr("query_vec_col").getOrElse(vec)
+      val modelPath = cfg.getStr("model_path")
+      Pipeline.DataStage(name, m => {
+        val spark = m.data.sparkSession
+        def committed(p: String): Boolean = {
+          val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
+          marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(marker)
+        }
+        val model = modelPath match {
+          case Some(p) if committed(p) => Pq.load(spark, p)
+          case Some(p) =>
+            val trained = Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
+            Pq.save(spark, trained, p)
+            trained
+          case None => Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
+        }
+        Pq.adcKnnJoin(Pq.encode(m.data, vec, model), id, model,
+          spark.read.parquet(queriesPath), qid, qvec, k)
+      })
+    }
+
     // k-NN join: each data row gets its k nearest rows of `right_path`
     // (another parquet table; omitted = self-join) sharing `block_col`.
     // Default output appends a `knn` array column (sorted by rank) so the

@@ -613,6 +613,33 @@ class OpStagesSpec extends SparkSpec {
     assert(e.getMessage.contains("requires `key_col`"))
   }
 
+  test("pq_knn stage: pair table equals the direct adcKnnJoin composition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_knn_stage")
+    val qPath = tmp.resolve("queries").toString
+    val base = emptyMeds(embRows).data
+    base.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .write.parquet(qPath)
+    val out = Pipeline.run(spark, emptyMeds(embRows), PipelineConfig.fromYaml(
+      s"""stages:
+         |  - pq_knn:
+         |      k: 3
+         |      dim: 4
+         |      m: 2
+         |      ksub: 2
+         |      iters: 1
+         |      queries_path: $qPath
+         |""".stripMargin).stages).data
+    val model = graft.ops.Pq.train(base, "vec_id", "embedding", 4, 2, 2, 1)
+    val want = graft.ops.Pq.adcKnnJoin(
+      graft.ops.Pq.encode(base, "embedding", model), "vec_id", model,
+      spark.read.parquet(qPath), "qid", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want && got.size == 3)
+  }
+
   test("normalize_text stage: fixed-order ops, in-place or appended") {
     val messy = spark.createDataFrame(Seq(
       (1L, "Hello,   World! (Again)"),
