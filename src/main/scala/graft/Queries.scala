@@ -2273,7 +2273,7 @@ object Queries {
       |  sum((q.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)
       |    * (q.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
       | FROM cb$PqIters cb CROSS JOIN q GROUP BY 1,2),
-      |sc AS (SELECT a.vec_id, sum(t.dist) AS dist_e6 FROM aF a
+      |sc AS (SELECT a.vec_id, CAST(sum(t.dist) AS BIGINT) AS dist_e6 FROM aF a
       | JOIN t ON t.j = a.j AND t.c = a.code GROUP BY 1)
       |SELECT vec_id, dist_e6 FROM sc
       |ORDER BY dist_e6, vec_id LIMIT 20""".stripMargin))
@@ -2307,7 +2307,7 @@ object Queries {
       |  sum((qt.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)
       |    * (qt.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
       | FROM cb$PqIters cb CROSS JOIN qt GROUP BY 1,2),
-      |sc AS (SELECT a.vec_id, sum(t.dist) AS dist_e6 FROM aF a
+      |sc AS (SELECT a.vec_id, CAST(sum(t.dist) AS BIGINT) AS dist_e6 FROM aF a
       | JOIN t ON t.j = a.j AND t.c = a.code
       | JOIN ed ON ed.vec_id = a.vec_id
       | JOIN probe ON probe.label = ed.label GROUP BY 1)
@@ -2337,7 +2337,7 @@ object Queries {
       |  sum((qs.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)
       |    * (qs.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
       | FROM cb$PqIters cb CROSS JOIN qs GROUP BY 1,2,3),
-      |sc AS (SELECT t.qid, a.vec_id, sum(t.dist) AS dist_e6 FROM aF a
+      |sc AS (SELECT t.qid, a.vec_id, CAST(sum(t.dist) AS BIGINT) AS dist_e6 FROM aF a
       | JOIN t ON t.j = a.j AND t.c = a.code GROUP BY 1,2),
       |rk AS (SELECT qid, vec_id, dist_e6,
       |  row_number() OVER (PARTITION BY qid ORDER BY dist_e6, vec_id) AS rank
