@@ -2278,6 +2278,40 @@ object Queries {
       |SELECT vec_id, dist_e6 FROM sc
       |ORDER BY dist_e6, vec_id LIMIT 20""".stripMargin))
 
+  /** ADC shortlist + exact re-rank — the standard PQ serving recipe
+    * ([[Pq.adcTopKRerank]]): quantization picks a 50-candidate pool, the
+    * exact e6-integer squared L2 picks the final 10. The oracle composes
+    * [[pqTopK]]'s ADC scoring (shortlist CTE) with an exact per-dimension
+    * distance over only the shortlisted vectors. `dist_e6` here is the
+    * EXACT distance (different magnitude than the ADC gates by design).
+    */
+  private val pqRerank: Gate = Gate(
+    (s, dir) => {
+      val model = trainPq(s, dir)
+      val embs = table(s, dir, "embeddings")
+      val qxe = embs.filter(col("vec_id") === 0)
+        .select(Pq.xeCol(col("embedding"))).collect()(0).getSeq[Long](0)
+      Pq.adcTopKRerank(Pq.encode(embs, "embedding", model), "vec_id",
+          "embedding", model, qxe, k = 10, shortlist = 50)
+        .orderBy("dist_e6", "vec_id")
+    },
+    Some(s"""WITH $pqOracleCtes,
+      |q AS (SELECT xe AS qx FROM e WHERE vec_id = 0),
+      |t AS (SELECT cb.j, cb.c,
+      |  sum((q.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)
+      |    * (q.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
+      | FROM cb$PqIters cb CROSS JOIN q GROUP BY 1,2),
+      |sc AS (SELECT a.vec_id, CAST(sum(t.dist) AS BIGINT) AS adc FROM aF a
+      | JOIN t ON t.j = a.j AND t.c = a.code GROUP BY 1),
+      |cand AS (SELECT vec_id FROM sc ORDER BY adc, vec_id LIMIT 50),
+      |ex AS (SELECT e.vec_id,
+      |  CAST(sum((e.xe[d.i + 1] - q.qx[d.i + 1])
+      |    * (e.xe[d.i + 1] - q.qx[d.i + 1])) AS BIGINT) AS dist_e6
+      | FROM e JOIN cand USING (vec_id) CROSS JOIN q
+      | CROSS JOIN range(0,${PqM * PqDsub}) d(i) GROUP BY 1)
+      |SELECT vec_id, dist_e6 FROM ex
+      |ORDER BY dist_e6, vec_id LIMIT 10""".stripMargin))
+
   /** IVF-PQ: label cells prune candidates (the [[simIvfTopK]] probe
     * selection verbatim), ADC scores only the probed cells. The oracle
     * composes the two verified fragments: the centroid/probe CTEs and the
@@ -3468,6 +3502,7 @@ object Queries {
     "sim_topk" -> simTopK,
     "pq_codes" -> pqCodes,
     "pq_topk" -> pqTopK,
+    "pq_rerank" -> pqRerank,
     "ivfpq_topk" -> ivfPqTopK,
     "pq_knn" -> pqKnn,
     "sim_lsh_topk" -> simLshTopK,

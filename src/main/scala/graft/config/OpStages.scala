@@ -774,20 +774,8 @@ object OpStages {
         val clash = Seq("codes", "pq_codes").filter(m.data.columns.contains)
         require(clash.isEmpty, s"stage $name: output column(s) " +
           s"${clash.mkString(", ")} already exist in the input")
-        val spark = m.data.sparkSession
-        def committed(p: String): Boolean = {
-          val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
-          marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(marker)
-        }
-        val model = modelPath match {
-          case Some(p) if committed(p) => Pq.load(spark, p)
-          case Some(p) =>
-            val trained = Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
-            Pq.save(spark, trained, p)
-            trained
-          case None => Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
-        }
+        val model = Pq.trainOrLoad(m.data, id, vec, dim, m0, ksub, iters,
+          seed, frac, modelPath)
         Pq.encode(m.data, vec, model).withColumnRenamed("codes", "pq_codes")
       })
     }
@@ -811,23 +799,21 @@ object OpStages {
       val qid = cfg.getStr("query_id_col").getOrElse("qid")
       val qvec = cfg.getStr("query_vec_col").getOrElse(vec)
       val modelPath = cfg.getStr("model_path")
+      // rerank: N — ADC shortlist of N per query, exact distance on the
+      // shortlist only (the standard PQ serving recipe; ~2× recall@10 at
+      // the gate config, see AnnRecallSmoke). Omitted = ADC-only.
+      val rerank = cfg.getInt("rerank").getOrElse(0)
+      require(rerank == 0 || rerank >= k,
+        s"stage $name: `rerank` ($rerank) must be >= k ($k)")
       Pipeline.DataStage(name, m => {
         val spark = m.data.sparkSession
-        def committed(p: String): Boolean = {
-          val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
-          marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(marker)
-        }
-        val model = modelPath match {
-          case Some(p) if committed(p) => Pq.load(spark, p)
-          case Some(p) =>
-            val trained = Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
-            Pq.save(spark, trained, p)
-            trained
-          case None => Pq.train(m.data, id, vec, dim, m0, ksub, iters, seed, frac)
-        }
-        Pq.adcKnnJoin(Pq.encode(m.data, vec, model), id, model,
-          spark.read.parquet(queriesPath), qid, qvec, k)
+        val model = Pq.trainOrLoad(m.data, id, vec, dim, m0, ksub, iters,
+          seed, frac, modelPath)
+        val queries = spark.read.parquet(queriesPath)
+        val encoded = Pq.encode(m.data, vec, model)
+        if (rerank > 0)
+          Pq.adcKnnJoinRerank(encoded, id, vec, model, queries, qid, qvec, k, rerank)
+        else Pq.adcKnnJoin(encoded, id, model, queries, qid, qvec, k)
       })
     }
 
@@ -897,6 +883,11 @@ object OpStages {
           trainFraction = cfg.getDouble("train_fraction").getOrElse(1.0))
       }
       val queryXe = Pq.xe(query.map(_.toDouble))
+      // rerank: N (pq/ivfpq modes) — ADC shortlist of N, exact re-rank on
+      // the shortlist only. Omitted = ADC-only ranking.
+      val rerank = cfg.getInt("rerank").getOrElse(0)
+      require(rerank == 0 || rerank >= k,
+        s"stage $name: `rerank` ($rerank) must be >= k ($k)")
       Pipeline.DataStage(name, m => mode match {
         case "brute" => Similarity.topK(m.data, id, vec, query, k)
         case "lsh" =>
@@ -912,13 +903,15 @@ object OpStages {
           }
         case "pq" =>
           val model = pqModel(m)
-          Pq.adcTopK(Pq.encode(m.data, vec, model), id, model, queryXe, k)
+          val enc = Pq.encode(m.data, vec, model)
+          if (rerank > 0) Pq.adcTopKRerank(enc, id, vec, model, queryXe, k, rerank)
+          else Pq.adcTopK(enc, id, model, queryXe, k)
         case "ivfpq" =>
           val key = cfg.getStr("key_col").getOrElse(throw new
             IllegalArgumentException(s"stage $name: mode ivfpq requires `key_col`"))
           val model = pqModel(m)
           Pq.ivfPqTopK(Pq.encode(m.data, vec, model), id, key, vec, model,
-            query, queryXe, k, cfg.getInt("n_probe").getOrElse(2))
+            query, queryXe, k, cfg.getInt("n_probe").getOrElse(2), rerank)
         case other => throw new IllegalArgumentException(
           s"stage $name: unknown mode `$other` (brute | lsh | ivf | pq | ivfpq)")
       })

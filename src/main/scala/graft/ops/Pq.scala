@@ -181,6 +181,32 @@ object Pq {
       Vector.tabulate(m)(j => Vector.tabulate(ksub)(c => rows((j, c)))))
   }
 
+  /** Load a committed model from `modelPath`, or train one and persist it
+    * there (when given) — the persist-or-reuse contract shared by the
+    * `pq_encode` / `pq_knn` stages: train on one corpus snapshot, encode
+    * every later run against the SAME model so codes stay comparable
+    * across corpus versions. A path without a `_SUCCESS` marker is treated
+    * as untrained (a partial write is retrained and overwritten).
+    */
+  def trainOrLoad(data: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, ksub: Int, iters: Int, seed: Long, trainFraction: Double,
+      modelPath: Option[String]): PqModel = {
+    val spark = data.sparkSession
+    def committed(p: String): Boolean = {
+      val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(marker)
+    }
+    modelPath match {
+      case Some(p) if committed(p) => load(spark, p)
+      case Some(p) =>
+        val trained = train(data, idCol, vecCol, dim, m, ksub, iters, seed, trainFraction)
+        save(spark, trained, p)
+        trained
+      case None => train(data, idCol, vecCol, dim, m, ksub, iters, seed, trainFraction)
+    }
+  }
+
   /** ADC top-k over an encoded frame: per subspace, the `ksub` exact
     * query-to-centroid distances become a literal lookup array; a row's
     * score is `m` array lookups + an integer sum, and `orderBy + limit`
@@ -212,6 +238,32 @@ object Pq {
       .limit(k)
   }
 
+  /** [[adcTopK]] + exact re-rank — the standard PQ serving recipe: an ADC
+    * shortlist of `shortlist` candidates (quantization error picks the
+    * POOL), then the exact e6-integer squared L2 against `vecCol` on only
+    * those rows (full precision picks the WINNERS). Measured ~2× recall@10
+    * over ADC-only at the gate config (AnnRecallSmoke). Output schema is
+    * [[adcTopK]]'s (idCol, dist_e6), but `dist_e6` is the EXACT distance.
+    *
+    * Scale shape: the shortlist id-frame is a k-row TakeOrdered result,
+    * broadcast into a left-semi join — the corpus is scanned once for ADC
+    * (codes only) and once more to fetch `shortlist` rows' vectors; no
+    * shuffle in either pass. Rows whose exact distance is null (a vector
+    * with null components) are excluded, not ranked.
+    */
+  def adcTopKRerank(encoded: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, queryXe: Seq[Long], k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cand = adcTopK(encoded, idCol, model, queryXe, shortlist).select(idCol)
+    val qlit = array(queryXe.map(lit): _*)
+    encoded.join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.plans.SqDist.dist(xeCol(col(vecCol)), qlit).as("dist_e6"))
+      .where(col("dist_e6").isNotNull)
+      .orderBy(col("dist_e6"), col(idCol))
+      .limit(k)
+  }
+
   /** Batch-query ADC k-NN: every row of a (small) `queries` table gets its
     * top-k over the encoded corpus — the bulk-retrieval shape (RAG corpus
     * lookup, embedding-join between two tables) where per-query [[adcTopK]]
@@ -233,24 +285,35 @@ object Pq {
     * ties broken by ascending id (the adcTopK order). A query row from the
     * corpus itself matches its own encoding (rank 1 at distance ~0) —
     * exclude it downstream if self-matches are unwanted.
+    *
+    * Contracts (all loud or documented, per the fail-loudly convention):
+    *   - `qidCol` must differ from `idCol` (both appear in the output;
+    *     a shared name would be ambiguous) — violations throw here, not as
+    *     an AnalysisException deep in the join.
+    *   - Query rows whose vector is null OR contains a null component
+    *     produce NO output rows (a null component nulls every distance-
+    *     table entry; ranking null distances would silently fill that
+    *     query's top-k with arbitrary ids).
+    *   - Duplicate `qidCol` values MERGE their candidate sets into a
+    *     single top-k (the qid is the group key); give queries distinct
+    *     ids when per-row results are wanted.
+    *   - SESSION-WIDE CONF: raises
+    *     `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to a
+    *     floor of 65536 (never lowers it) for the whole SparkSession —
+    *     past 128 distinct group keys the default silently degrades the
+    *     bounded map-side top-k into a full sort of the N×queries
+    *     candidate set (measured 113.9 s vs 16.4 s at 170M pairs). The
+    *     raise also governs other object aggregates in the session; this
+    *     engine's all carry bounded or sketch-sized state, but sessions
+    *     mixing in unbounded ad-hoc `collect_list` aggregates should scope
+    *     it via a per-pipeline `conf:` block instead.
     */
   def adcKnnJoin(encoded: DataFrame, idCol: String, model: PqModel,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    require(qidCol != idCol,
+      s"query id column `$qidCol` must differ from corpus id column `$idCol` " +
+        "(both appear in the output); alias one side first")
     val (m, ksub, dsub) = (model.m, model.ksub, model.dsub)
-    // ObjectHashAggregate falls back to SORT-BASED aggregation past 128
-    // distinct keys (per partition) by default — for a query batch beyond
-    // 128 rows that silently turns the bounded map-side top-k into a full
-    // sort of the N×queries candidate set (measured 113.9 s vs 16.4 s at
-    // 128k vectors × 1.3k queries). Top-k state is strictly k rows per
-    // key, so a hash map of 64k query keys is a few MB: raise the session
-    // threshold to that floor (never lower it). The conf is read at
-    // execution time; it stays raised for the session, which is safe for
-    // this engine's object aggregates (all carry bounded or sketch-sized
-    // states).
-    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val spark = encoded.sparkSession
-    val current = scala.util.Try(spark.conf.get(fallbackKey).toInt).getOrElse(128)
-    if (current < 65536) spark.conf.set(fallbackKey, "65536")
     val qxe = xeCol(col(qvecCol))
     // m×ksub exact integer distances, one literal-unrolled expression —
     // evaluated once per QUERY row (the small side), never per pair
@@ -262,26 +325,80 @@ object Pq {
         }.reduce(_ + _)
       }: _*)
     }: _*)
+    // internal __qid decouples the query key from corpus column names and
+    // the vector-validity filter runs per QUERY row, not per pair
     val qframe = queries
-      .where(col(qvecCol).isNotNull)
-      .select(col(qidCol), qtab.as("__qtab"))
+      .where(col(qvecCol).isNotNull && !exists(col(qvecCol), _.isNull))
+      .select(col(qidCol).as("__qid"), qtab.as("__qtab"))
     // the per-pair score is the native codegen'd [[graft.plans.PqAdcScore]]
     // (m primitive reads); the equivalent zip_with+aggregate HOF chain is
     // interpreted per pair and measured ~18x slower at 170M pairs
     val scored = encoded
       .where(col("codes").isNotNull)
       .crossJoin(broadcast(qframe))
-      .select(col(qidCol), col(idCol),
+      .select(col("__qid"), col(idCol),
         graft.plans.PqAdcScore.score(col("codes"), col("__qtab")).as("dist_e6"))
+    topKPerQuery(scored, idCol, qidCol, k)
+  }
+
+  /** Shared per-query bounded top-k: map-side collectTopK partials cap
+    * each partition's output at queries×k rows, so the scored side never
+    * shuffles its full volume. Expects (__qid, idCol, dist_e6) rows;
+    * emits (qidCol, idCol, dist_e6, rank).
+    */
+  private def topKPerQuery(scored: DataFrame, idCol: String, qidCol: String,
+      k: Int): DataFrame = {
+    // ObjectHashAggregate falls back to SORT-BASED aggregation past 128
+    // distinct keys (per partition) by default — for a query batch beyond
+    // 128 rows that silently turns the bounded map-side top-k into a full
+    // sort of the candidate set. Top-k state is strictly k rows per key,
+    // so a hash map of 64k query keys is a few MB: raise the session
+    // threshold to that floor (never lower it; read at execution time).
+    // Session-wide side effect — documented in [[adcKnnJoin]]'s scaladoc.
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val spark = scored.sparkSession
+    val current = scala.util.Try(spark.conf.get(fallbackKey).toInt).getOrElse(128)
+    if (current < 65536) spark.conf.set(fallbackKey, "65536")
     import org.apache.spark.sql.GraftSqlBridge
     scored
-      .groupBy(col(qidCol))
+      .groupBy(col("__qid"))
       .agg(GraftSqlBridge.collectTopK(
         struct(col("dist_e6"), col(idCol).as("__id")), k, smallest = true)
         .as("__top"))
-      .select(col(qidCol), posexplode(col("__top")).as(Seq("__r", "__t")))
-      .select(col(qidCol), col("__t.__id").as(idCol),
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("__qid").as(qidCol), col("__t.__id").as(idCol),
         col("__t.dist_e6").as("dist_e6"), (col("__r") + 1).as("rank"))
+  }
+
+  /** [[adcKnnJoin]] + exact re-rank: per query, an ADC shortlist of
+    * `shortlist` candidates, then the exact e6-integer squared L2 against
+    * `vecCol` on only those (qid, id) pairs, re-cut to top-k — the batch
+    * form of [[adcTopKRerank]]. Output schema is [[adcKnnJoin]]'s, with
+    * `dist_e6` the EXACT distance and `rank` re-assigned by it.
+    *
+    * Scale shape: the shortlist pair table (queries × shortlist rows) and
+    * the query xe-frame are both broadcast; the corpus is scanned once for
+    * ADC scoring (codes only) and once more to fetch shortlisted vectors
+    * via a broadcast-hash join — THE CORPUS STILL NEVER SHUFFLES. The
+    * exact distance is the native codegen'd [[graft.plans.SqDist]].
+    */
+  def adcKnnJoinRerank(encoded: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val pairs = adcKnnJoin(encoded, idCol, model, queries, qidCol, qvecCol, shortlist)
+      .select(col(qidCol).as("__qid"), col(idCol))
+    val qv = queries
+      .where(col(qvecCol).isNotNull && !exists(col(qvecCol), _.isNull))
+      .select(col(qidCol).as("__qid"), xeCol(col(qvecCol)).as("__qxe"))
+    val exact = encoded
+      .select(col(idCol), xeCol(col(vecCol)).as("__xe"))
+      .join(broadcast(pairs), Seq(idCol))
+      .join(broadcast(qv), Seq("__qid"))
+      .select(col("__qid"), col(idCol),
+        graft.plans.SqDist.dist(col("__xe"), col("__qxe")).as("dist_e6"))
+      .where(col("dist_e6").isNotNull)
+    topKPerQuery(exact, idCol, qidCol, k)
   }
 
   /** IVF-PQ: the production ANN service shape — coarse cells (an existing
@@ -303,14 +420,17 @@ object Pq {
     */
   def ivfPqTopK(encoded: DataFrame, idCol: String, keyCol: String,
       vecCol: String, model: PqModel, query: Seq[Float], queryXe: Seq[Long],
-      k: Int, nProbe: Int = 2): DataFrame = {
+      k: Int, nProbe: Int = 2, rerank: Int = 0): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val probeCells = Similarity.centroids(encoded, keyCol, vecCol)
       .withColumn("qcos",
         graft.functions.GraftFunctions.cosine(col("centroid"), q))
       .orderBy(col("qcos").desc, col(keyCol)).limit(nProbe)
       .select(keyCol)
-    adcTopK(encoded.join(broadcast(probeCells), Seq(keyCol), "left_semi"),
-      idCol, model, queryXe, k)
+    val probed = encoded.join(broadcast(probeCells), Seq(keyCol), "left_semi")
+    // rerank > 0: ADC shortlist of that many candidates within the probed
+    // cells, exact distance on the shortlist only (the adcTopKRerank recipe)
+    if (rerank > 0) adcTopKRerank(probed, idCol, vecCol, model, queryXe, k, rerank)
+    else adcTopK(probed, idCol, model, queryXe, k)
   }
 }

@@ -131,6 +131,71 @@ case class PqAdcScore(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native exact squared-L2 distance of two e6-integer vectors — the
+  * re-rank step of PQ serving ([[graft.ops.Pq.adcTopKRerank]] /
+  * [[graft.ops.Pq.adcKnnJoinRerank]]): the ADC shortlist is re-scored at
+  * FULL precision, so quantization error picks the candidate pool but the
+  * true distance picks the winners (measured ~2× recall@10 at the gate
+  * config — see AnnRecallSmoke).
+  *
+  * The HOF form (`aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), ...)`)
+  * is interpreted per row; this is one primitive loop of dim integer
+  * multiply-adds, the same pattern as [[PqAdcScore]]. The shortlist is
+  * bounded (queries × shortlist rows), but the expression also sits on the
+  * corpus-side join projection, so it must be codegen-friendly.
+  *
+  * Contract: equal lengths (a ragged pair fails loudly — it means the
+  * caller joined mismatched embedding spaces); a null array yields null
+  * (nullIntolerant); a null ELEMENT yields null, matching SQL sum-over-null
+  * semantics — callers filter null scores rather than ranking them.
+  */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SqDist.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long r = graft.plans.SqDist.dist($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDist {
+  /** null iff any element is null; throws on length mismatch. */
+  def dist(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq_dist: $n vs ${b.numElements()} components")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val t = a.getLong(i) - b.getLong(i)
+      s += t * t
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  def dist(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SqDist(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
+
 object PqAdcScore {
   /** null iff any referenced entry is null; throws on shape/range errors. */
   def score(codes: ArrayData, tables: ArrayData): java.lang.Long = {

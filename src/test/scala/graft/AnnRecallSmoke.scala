@@ -78,22 +78,15 @@ object AnnRecallSmoke {
       val bits = 8 * (32 - Integer.numberOfLeadingZeros(ksub - 1))
       val rPq = recallL2(q =>
         ids(Pq.adcTopK(enc, "vec_id", model, Pq.xe(q.map(_.toDouble)), k)))
-      // the production recipe: ADC shortlist (10k candidates here) ->
-      // exact re-rank of only the shortlist — quantization error picks the
-      // candidate pool, full-precision distance picks the winners
+      // the production recipe, through the stage-reachable API
+      // (Pq.adcTopKRerank = sim_topk's `rerank: N` option): ADC shortlist
+      // of 10k candidates -> exact re-rank of only the shortlist —
+      // quantization error picks the candidate pool, full-precision
+      // distance picks the winners
       val short = 10 * k
-      val rRerank = recallL2 { q =>
-        val cand = Pq.adcTopK(enc, "vec_id", model,
-          Pq.xe(q.map(_.toDouble)), short).select("vec_id")
-        val qc = array(q.map(v => lit(v.toDouble)): _*)
-        ids(embs.join(cand, "vec_id")
-          .select(col("vec_id"),
-            aggregate(
-              zip_with(col("embedding").cast("array<double>"), qc,
-                (a, b) => (a - b) * (a - b)),
-              lit(0.0), (acc, v) => acc + v).as("d2"))
-          .orderBy(col("d2"), col("vec_id")).limit(k))
-      }
+      val rRerank = recallL2(q =>
+        ids(Pq.adcTopKRerank(enc, "vec_id", "embedding", model,
+          Pq.xe(q.map(_.toDouble)), k, short)))
       println(f"SMOKE ann recall@$k PQ m=8 ksub=$ksub ($bits bits/vec vs " +
         f"2048 raw): adc $rPq%.2f, rerank@$short $rRerank%.2f")
     }

@@ -247,6 +247,103 @@ class PqSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  private def naiveExactDist(xe: Vector[Long], q: Vector[Long]): Long = {
+    require(xe.length == q.length)
+    xe.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+  }
+
+  test("adcTopKRerank: exact re-rank of the ADC shortlist matches the naive recipe") {
+    val prop = Prop.forAll(genCorpus) { case (rows, dim, m, packed) =>
+      val (ksub, iters) = (packed / 1000, packed % 1000)
+      val df = toDf(rows)
+      val model = Pq.train(df, "vec_id", "embedding", dim, m, ksub, iters, seed = 42L)
+      val naive = naiveTrain(rows, dim, m, ksub, iters, seed = 42L)
+      val q = naiveXe(rows.head._2)
+      val k = math.min(3, rows.size)
+      val short = math.min(8, rows.size)
+      val got = Pq.adcTopKRerank(Pq.encode(df, "embedding", model), "vec_id",
+          "embedding", model, q, k, short).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // naive: ADC shortlist ids, then EXACT distance over the full vector
+      // on only those, (dist, id) order, cut to k
+      val cand = naiveTopK(naive, dim, m, rows, q, short).map(_._1).toSet
+      val want = rows.filter(r => cand(r._1))
+        .map { case (id, v) => (id, naiveExactDist(naiveXe(v), q)) }
+        .sortBy { case (id, d) => (d, id) }.take(k)
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("adcKnnJoinRerank: per-query exact re-rank matches the naive recipe") {
+    val prop = Prop.forAll(genCorpus) { case (rows, dim, m, packed) =>
+      val (ksub, iters) = (packed / 1000, packed % 1000)
+      val df = toDf(rows)
+      val model = Pq.train(df, "vec_id", "embedding", dim, m, ksub, iters, seed = 42L)
+      val naive = naiveTrain(rows, dim, m, ksub, iters, seed = 42L)
+      val qRows = rows.filter(_._1 % 3 == 0)
+      val queries = toDf(qRows).withColumnRenamed("vec_id", "qid")
+      val k = math.min(3, rows.size)
+      val short = math.min(8, rows.size)
+      val got = Pq.adcKnnJoinRerank(Pq.encode(df, "embedding", model), "vec_id",
+          "embedding", model, queries, "qid", "embedding", k, short)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val want = qRows.flatMap { case (qid, qv) =>
+        val q = naiveXe(qv)
+        val cand = naiveTopK(naive, dim, m, rows, q, short).map(_._1).toSet
+        rows.filter(r => cand(r._1))
+          .map { case (id, v) => (id, naiveExactDist(naiveXe(v), q)) }
+          .sortBy { case (id, d) => (d, id) }.take(k)
+          .zipWithIndex.map { case ((id, d), i) => (qid, id, d, i + 1) }
+      }.toSet
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("adcKnnJoin: qid column colliding with the corpus id column fails loudly") {
+    val rows = (0L until 8L).map(i => (i, Seq.tabulate(8)(d => (i + d) / 3.0)))
+    val df = toDf(rows)
+    val model = Pq.train(df, "vec_id", "embedding", 8, 2, 3, 1)
+    val e = intercept[IllegalArgumentException] {
+      Pq.adcKnnJoin(Pq.encode(df, "embedding", model), "vec_id", model,
+        df, "vec_id", "embedding", k = 2)
+    }
+    assert(e.getMessage.contains("must differ"))
+  }
+
+  test("a query vector with a null COMPONENT produces no output rows, not a null-distance top-k") {
+    val rows = (0L until 10L).map(i => (i, Seq.tabulate(8)(d => math.sin(i * 3 + d))))
+    val df = toDf(rows)
+    val model = Pq.train(df, "vec_id", "embedding", 8, 2, 3, 2)
+    val schema = StructType(Seq(StructField("qid", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // qid 500 has a null element; qid 0 is a clean in-corpus query
+    val queries = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, rows.head._2.map(_.toFloat)),
+        Row(500L, (Seq[Any](null) ++ rows.head._2.tail.map(_.toFloat)): Seq[Any]))),
+      schema)
+    Seq(
+      Pq.adcKnnJoin(Pq.encode(df, "embedding", model), "vec_id", model,
+        queries, "qid", "embedding", k = 3),
+      Pq.adcKnnJoinRerank(Pq.encode(df, "embedding", model), "vec_id",
+        "embedding", model, queries, "qid", "embedding", k = 3, shortlist = 5)
+    ).foreach { out =>
+      val res = out.collect()
+      assert(res.forall(_.getLong(2) >= 0L), "no null/garbage distances")
+      assert(res.map(_.getLong(0)).distinct.toSeq == Seq(0L),
+        "the null-component query contributes no rows")
+      assert(res.count(_.getLong(0) == 0L) == 3)
+    }
+  }
+
   test("save/load round-trips the model exactly; a bad table fails loudly") {
     val rows = (0L until 20L).map(i => (i, Seq.tabulate(8)(d => math.sin(i * 3 + d))))
     val model = Pq.train(toDf(rows), "vec_id", "embedding", 8, 4, 4, 2, seed = 7L)
