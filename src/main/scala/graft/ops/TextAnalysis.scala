@@ -102,9 +102,9 @@ object TextAnalysis {
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1-A1.2 family):
     * line- and n-gram-level duplication fractions plus the ellipsis/bullet
     * line heuristics — the document-internal repetition filters a crawl
-    * pipeline applies before any cross-document dedup. Pure codegen'd
-    * array expressions over one scan; blank/short documents score 0 on
-    * every signal (no nulls — these feed threshold filters directly).
+    * pipeline applies before any cross-document dedup. One native byte
+    * scan; blank/short documents score 0 on every signal (no nulls —
+    * these feed threshold filters directly).
     *
     *  - dup_line_fraction:       1 − distinct / total over nonblank lines
     *  - dup_line_char_fraction:  1 − chars-in-distinct-lines / line chars
@@ -114,77 +114,31 @@ object TextAnalysis {
     *  - ellipsis_line_fraction:  lines ending in `...` or `…`
     *  - bullet_line_fraction:    lines starting with `-`, `*`, or `•`
     */
-  // "nonblank" must see tabs/CR as blank too (one-arg trim is space-only)
-  private def nonblankLines(t: Column): Column =
-    filter(split(t, "\n"), l => length(trim(l, " \t\r\f")) > 0)
 
-  /** The five signals from pre-staged per-row arrays (nonblank lines, their
-    * trimmed forms, their distinct forms, word tokens) — see
-    * [[withRepetitionSignals]] for why staging matters.
-    */
-  private def repetitionExprsFrom(lines: Column, tlines: Column,
-      dlines: Column, ws: Column, n: Int): Seq[Column] = {
-    val nLines = size(lines)
-    val lineChars = aggregate(transform(lines, l => length(l)), lit(0), (a, x) => a + x)
-    val dLineChars = aggregate(transform(dlines, l => length(l)), lit(0), (a, x) => a + x)
-    val totalNgrams = greatest(size(ws) - (n - 1), lit(0))
-    val distinctNgrams =
-      size(graft.plans.VectorExpressions.shingleHash56(ws, n, distinct = true))
-    def frac(num: Column, den: Column): Column =
-      when(den > 0, num.cast("double") / den).otherwise(0.0)
-    Seq(
-      frac(nLines - size(dlines), nLines).as("dup_line_fraction"),
-      frac(lineChars - dLineChars, lineChars).as("dup_line_char_fraction"),
-      frac(totalNgrams - distinctNgrams, totalNgrams).as("dup_ngram_fraction"),
-      frac(size(filter(tlines, s =>
-        endswith(s, lit("...")) || endswith(s, lit("…")))), nLines)
-        .as("ellipsis_line_fraction"),
-      frac(size(filter(tlines, s =>
-        startswith(s, lit("-")) || startswith(s, lit("*")) ||
-          startswith(s, lit("•")))), nLines)
-        .as("bullet_line_fraction"))
-  }
-
-  /** Single-projection form (filter predicates, ad-hoc column use). For a
-    * whole-table signal scan prefer [[withRepetitionSignals]]: higher-order
-    * array functions are CodegenFallback — interpreted, outside codegen's
-    * subexpression elimination — so the five signals here re-split and
-    * re-filter the text per column.
+  /** The five signals, each a field of ONE native byte-scan struct
+    * ([[graft.plans.RepetitionSignals]] — no intermediate arrays, no
+    * interpreted higher-order functions; whole-stage codegen's
+    * subexpression elimination evaluates the shared struct once per row
+    * even though five columns reference it). The zero-coalesce preserves
+    * the historical contract: a NULL text scores 0.0 on every signal,
+    * like an empty one. Semantics (lines, trims, distinct rules, n-gram
+    * joining) are pinned against the original staged-HOF recipe by
+    * RepetitionParitySpec's randomized net.
     */
   def repetitionExprs(t: Column, n: Int = 3): Seq[Column] = {
-    val lines = nonblankLines(t)
-    repetitionExprsFrom(lines, transform(lines, l => trim(l, " \t\r\f")),
-      array_distinct(lines), tokens(t), n)
+    val sig = graft.plans.VectorExpressions.repetitionSignals(t, n)
+    graft.plans.RepetitionSignals.fields.map(f =>
+      coalesce(sig.getField(f), lit(0.0)).as(f))
   }
 
-  /** Append the five repetition signals with the shared per-row arrays
-    * STAGED in a prior projection, each computed once per row: the
-    * higher-order split/filter/distinct chains are interpreted
-    * (CodegenFallback) and invisible to codegen subexpression elimination,
-    * so the single-projection form pays for the line split ~6× per row —
-    * measured 2.3× end-to-end on the sf0.1 gate. CollapseProject keeps
-    * multiply-referenced non-cheap aliases staged rather than re-inlining.
-    */
+  /** Append the five repetition signals. */
   def withRepetitionSignals(docs: DataFrame, textCol: String,
       n: Int = 3): DataFrame = {
-    val tmp = Seq("__rep_lines", "__rep_tlines", "__rep_dlines", "__rep_ws")
-    val outs = Seq("dup_line_fraction", "dup_line_char_fraction",
-      "dup_ngram_fraction", "ellipsis_line_fraction", "bullet_line_fraction")
-    val clash = (tmp ++ outs).intersect(docs.columns.toSeq)
+    val outs = graft.plans.RepetitionSignals.fields
+    val clash = outs.intersect(docs.columns.toSeq)
     require(clash.isEmpty,
       s"withRepetitionSignals: column(s) ${clash.mkString(", ")} already exist")
-    val staged = docs
-      .withColumn("__rep_lines", nonblankLines(col(textCol)))
-      .withColumn("__rep_tlines",
-        transform(col("__rep_lines"), l => trim(l, " \t\r\f")))
-      .withColumn("__rep_dlines", array_distinct(col("__rep_lines")))
-      .withColumn("__rep_ws", tokens(col(textCol)))
-    val sigs = repetitionExprsFrom(col("__rep_lines"), col("__rep_tlines"),
-      col("__rep_dlines"), col("__rep_ws"), n)
-    sigs.foldLeft(staged) { (d, c) =>
-      d.withColumn(org.apache.spark.sql.GraftSqlBridge.aliasName(c)
-        .getOrElse(sys.error("unaliased signal")), c)
-    }.drop(tmp: _*)
+    docs.select(col("*") +: repetitionExprs(col(textCol), n): _*)
   }
 
   /** Repetition signals projected onto the id column. */

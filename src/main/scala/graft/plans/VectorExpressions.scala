@@ -664,6 +664,166 @@ object ShingleHash56 {
   }
 }
 
+/** All five repetition/boilerplate signals in ONE codegen'd byte scan —
+  * the whole-table form behind `text_repetition` / the repetition columns
+  * of `quality_filter` ([[graft.ops.TextAnalysis]]).
+  *
+  * The composable form stages four interpreted higher-order array chains
+  * per row (line split → filter → per-line trim → array_distinct → token
+  * split) and still re-walks those arrays once per signal; measured 1.8×
+  * DuckDB's marginal cost at 320k docs even with the arrays staged. This
+  * expression is two passes over the raw bytes (lines, then tokens), no
+  * intermediate arrays, inside whole-stage codegen — the
+  * [[TokenCount]]/[[BigramCounts]] pattern.
+  *
+  * Exact parity with the staged-HOF recipe it replaces (pinned by
+  * RepetitionParitySpec's randomized net):
+  *  - lines = "\n"-separated segments whose `trim(l, " \t\r\f")` is
+  *    nonempty; per-line counts use the UNtrimmed segment's code-point
+  *    length (`length()` = UTF8String.numChars = non-continuation bytes);
+  *    distinct lines compare the untrimmed segment bytes.
+  *  - ellipsis/bullet tests run on the TRIMMED segment (`...`/`…` suffix;
+  *    `-`/`*`/`•` prefix — the multi-byte marks are byte-compared).
+  *  - n-grams: whitespace tokens (Java `\s` = six ASCII bytes, never
+  *    UTF-8 continuation bytes) joined by a single space; distinct by
+  *    exact string equality, which is what [[ShingleHash56]]'s
+  *    full-digest dedup and the DuckDB oracle's `list_distinct` both
+  *    compute.
+  *  - each fraction is 0.0 when its denominator is 0; a NULL text yields
+  *    a null struct (callers coalesce fields to 0.0, the `when(den > 0)`
+  *    behavior of the HOF form).
+  */
+case class RepetitionSignals(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = RepetitionSignals.schema
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_repetition_signals"
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionSignals.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.RepetitionSignals.compute($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionSignals {
+  val fields: Seq[String] = Seq("dup_line_fraction", "dup_line_char_fraction",
+    "dup_ngram_fraction", "ellipsis_line_fraction", "bullet_line_fraction")
+  val schema: StructType =
+    StructType(fields.map(StructField(_, DoubleType, nullable = false)))
+
+  // trim set of `trim(l, " \t\r\f")`
+  @inline private def isTrim(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\r' || b == '\f'
+  // Java non-Unicode \s — all single-byte, never UTF-8 continuations
+  @inline private def isWs(b: Byte): Boolean = b == 32 || (b >= 9 && b <= 13)
+  // code points in [from, until) = non-continuation bytes (numChars parity)
+  private def chars(b: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0
+    var i = from
+    while (i < until) { if ((b(i) & 0xc0) != 0x80) c += 1; i += 1 }
+    c
+  }
+
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    val len = b.length
+    // pass 1: lines — blank filter, char sums, byte-exact distinct,
+    // trimmed-prefix/suffix marks
+    var nLines = 0
+    var lineChars = 0L
+    var dCount = 0
+    var dChars = 0L
+    var ell = 0
+    var bul = 0
+    val seenLines = new java.util.HashSet[String]()
+    var ls = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || b(i) == '\n') {
+        var s = ls
+        var e = i
+        while (s < e && isTrim(b(s))) s += 1
+        while (e > s && isTrim(b(e - 1))) e -= 1
+        if (e > s) { // nonblank: untrimmed segment is [ls, i), trimmed [s, e)
+          nLines += 1
+          val c = chars(b, ls, i)
+          lineChars += c
+          if (seenLines.add(
+              new String(b, ls, i - ls, java.nio.charset.StandardCharsets.ISO_8859_1))) {
+            dCount += 1
+            dChars += c
+          }
+          if ((e - s >= 3 && b(e - 1) == '.' && b(e - 2) == '.' && b(e - 3) == '.') ||
+              (e - s >= 3 && (b(e - 3) & 0xff) == 0xe2 && (b(e - 2) & 0xff) == 0x80 &&
+                (b(e - 1) & 0xff) == 0xa6)) ell += 1 // "..." or "…"
+          if (b(s) == '-' || b(s) == '*' ||
+              (e - s >= 3 && (b(s) & 0xff) == 0xe2 && (b(s + 1) & 0xff) == 0x80 &&
+                (b(s + 2) & 0xff) == 0xa2)) bul += 1 // "-", "*", "•"
+        }
+        ls = i + 1
+      }
+      i += 1
+    }
+    // pass 2: whitespace tokens → distinct space-joined n-gram windows
+    var tokStarts = new Array[Int](32)
+    var tokEnds = new Array[Int](32)
+    var nTok = 0
+    var ts = -1
+    i = 0
+    while (i <= len) {
+      val ws = i == len || isWs(b(i))
+      if (!ws && ts < 0) ts = i
+      else if (ws && ts >= 0) {
+        if (nTok == tokStarts.length) {
+          tokStarts = java.util.Arrays.copyOf(tokStarts, nTok * 2)
+          tokEnds = java.util.Arrays.copyOf(tokEnds, nTok * 2)
+        }
+        tokStarts(nTok) = ts
+        tokEnds(nTok) = i
+        nTok += 1
+        ts = -1
+      }
+      i += 1
+    }
+    val totalNgrams = math.max(nTok - (n - 1), 0)
+    var distinctNgrams = 0
+    if (totalNgrams > 0) {
+      val seen = new java.util.HashSet[String](totalNgrams * 2)
+      val sb = new java.lang.StringBuilder
+      var w = 0
+      while (w < totalNgrams) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(new String(b, tokStarts(w + j), tokEnds(w + j) - tokStarts(w + j),
+            java.nio.charset.StandardCharsets.ISO_8859_1))
+          j += 1
+        }
+        if (seen.add(sb.toString)) distinctNgrams += 1
+        w += 1
+      }
+    }
+    @inline def frac(num: Long, den: Long): Double =
+      if (den > 0) num.toDouble / den else 0.0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      frac(nLines - dCount, nLines),
+      frac(lineChars - dChars, lineChars),
+      frac(totalNgrams - distinctNgrams, totalNgrams),
+      frac(ell, nLines),
+      frac(bul, nLines)))
+  }
+}
+
 /** JPEG pixel dimensions from the payload's segment stream: walks the
   * marker segments from SOI to the first frame header (SOF0-SOF15, minus
   * DHT/DAC/RST which share the high nibble) and reads the big-endian
@@ -1313,6 +1473,9 @@ object VectorExpressions {
 
   def shingleHash56(tokens: Column, n: Int, distinct: Boolean): Column =
     GraftSqlBridge.column(ShingleHash56(expr(tokens), n, distinct))
+
+  def repetitionSignals(text: Column, n: Int): Column =
+    GraftSqlBridge.column(RepetitionSignals(expr(text), n))
 
   def unigramEntropy(tokens: Column): Column =
     GraftSqlBridge.column(UnigramEntropy(expr(tokens)))

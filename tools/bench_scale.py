@@ -34,23 +34,25 @@ reps = 2
 
 print(f"{'query':20s} {'k':4s} {'rows':10s} seconds")
 for k in scales:
-    con = duckdb.connect()
-    # bound DuckDB's footprint and run each query in a child process: the
-    # PQ-replay oracles allocate unboundedly past memory_limit (observed
-    # 130 GB RSS and a kernel OOM kill at 32k vectors despite a 48 GB
-    # limit + temp_directory) — a DNF must be a recorded data point, not a
-    # dead box. fork() shares the parent's views; the child exits after
-    # one query so a kill only loses that measurement.
-    con.execute("SET memory_limit='48GB'")
-    con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duck_spill'")
-    for p in glob.glob(f"{root}/x{k}/*.parquet"):
-        name = os.path.basename(p).replace(".parquet", "")
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p  # Spark dir layout
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     for q in QUERIES:
         sql = oracle[q]
+        # run each query in a child process: the PQ-replay oracles allocate
+        # unboundedly past memory_limit (observed 130 GB RSS and a kernel
+        # OOM kill at 32k vectors despite a 48 GB limit + temp_directory) —
+        # a DNF must be a recorded data point, not a dead box. The
+        # connection, limits, and views are ALL created inside the child
+        # (fork first, connect after): forking a live multithreaded native
+        # DuckDB connection is unsupported and can deadlock or corrupt —
+        # the parent must hold no DuckDB state.
         pid = os.fork()
-        if pid == 0:  # child: warm + timed reps, then hard-exit
+        if pid == 0:  # child: connect, warm + timed reps, then hard-exit
+            con = duckdb.connect()
+            con.execute("SET memory_limit='48GB'")
+            con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duck_spill'")
+            for p in glob.glob(f"{root}/x{k}/*.parquet"):
+                name = os.path.basename(p).replace(".parquet", "")
+                src = f"{p}/*.parquet" if os.path.isdir(p) else p  # Spark dir layout
+                con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
             rows = len(run_query(con, q, sql))  # warm
             times = []
             for _ in range(reps):
@@ -63,4 +65,3 @@ for k in scales:
         if status != 0:
             print(f"{q:20s} {k:<4d} {'DNF':10s} killed (status {status})",
                   flush=True)
-    con.close()
