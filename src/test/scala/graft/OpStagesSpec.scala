@@ -640,6 +640,58 @@ class OpStagesSpec extends SparkSpec {
     assert(got == want && got.size == 3)
   }
 
+  test("rerank option: sim_topk and pq_knn stages equal the direct rerank compositions") {
+    val base = emptyMeds(embRows).data
+    val model = graft.ops.Pq.train(base, "vec_id", "embedding", 4, 2, 2, 1)
+    val enc = graft.ops.Pq.encode(base, "embedding", model)
+    // sim_topk mode pq + rerank = adcTopKRerank (exact distances, not ADC)
+    val got = Pipeline.run(spark, emptyMeds(embRows), PipelineConfig.fromYaml(
+      """stages:
+        |  - sim_topk:
+        |      k: 2
+        |      query: [1.0, 0.0, 0.0, 0.0]
+        |      mode: pq
+        |      m: 2
+        |      ksub: 2
+        |      iters: 1
+        |      rerank: 4
+        |""".stripMargin).stages).data
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.ops.Pq.adcTopKRerank(enc, "vec_id", "embedding", model,
+      graft.ops.Pq.xe(Seq(1.0, 0.0, 0.0, 0.0)), k = 2, shortlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.size == 2)
+    // pq_knn + rerank = adcKnnJoinRerank
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_rerank_stage")
+    val qPath = tmp.resolve("queries").toString
+    base.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .write.parquet(qPath)
+    val gotKnn = Pipeline.run(spark, emptyMeds(embRows), PipelineConfig.fromYaml(
+      s"""stages:
+         |  - pq_knn:
+         |      k: 2
+         |      dim: 4
+         |      m: 2
+         |      ksub: 2
+         |      iters: 1
+         |      rerank: 4
+         |      queries_path: $qPath
+         |""".stripMargin).stages).data
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val wantKnn = graft.ops.Pq.adcKnnJoinRerank(enc, "vec_id", "embedding",
+      model, spark.read.parquet(qPath), "qid", "embedding", k = 2, shortlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(gotKnn == wantKnn && gotKnn.size == 2)
+    // rerank < k is a config error, caught at parse time
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.fromYaml(
+        "stages:\n  - sim_topk:\n      k: 5\n      query: [1.0, 0.0, 0.0, 0.0]\n" +
+          "      mode: pq\n      rerank: 3\n")
+    }
+    assert(e.getMessage.contains("rerank"))
+  }
+
   test("normalize_text stage: fixed-order ops, in-place or appended") {
     val messy = spark.createDataFrame(Seq(
       (1L, "Hello,   World! (Again)"),

@@ -189,6 +189,31 @@ class PqSpec extends SparkSpec {
     assert(got.forall { case (id, _) => id % 3 != 2 })
   }
 
+  test("ivfPqTopK with rerank equals adcTopKRerank restricted to the probed cells") {
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 18L).map { i =>
+      val base = (i % 3) match {
+        case 0 => Seq(1.0, 0.0, 0.0, 0.0)
+        case 1 => Seq(0.0, 1.0, 0.0, 0.0)
+        case _ => Seq(-1.0, -1.0, 0.0, 0.0)
+      }
+      (i, base.zipWithIndex.map { case (v, d) => v + (i * 13 + d) % 5 * 0.01 })
+    }
+    val labeled = toDf(rows).withColumn("label", (col("vec_id") % 3).cast("int"))
+    val model = Pq.train(labeled, "vec_id", "embedding", 4, 2, 3, 2)
+    val enc = Pq.encode(labeled, "embedding", model)
+    val q = rows.head._2.map(_.toFloat)
+    val qxe = naiveXe(rows.head._2)
+    val got = Pq.ivfPqTopK(enc, "vec_id", "label", "embedding",
+      model, q, qxe, k = 4, nProbe = 2, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Pq.adcTopKRerank(enc.filter(col("label") =!= 2),
+      "vec_id", "embedding", model, qxe, k = 4, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    assert(got.forall { case (id, _) => id % 3 != 2 })
+  }
+
   test("null-embedding rows are excluded from ADC top-k, not ranked first") {
     val rows = (0L until 12L).map(i => (i, Seq.tabulate(8)(d => math.cos(i * 5 + d))))
     val df = toDf(rows)
