@@ -1,0 +1,413 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native whole-word marker counting — the lang-id hot path
+  * ([[graft.ops.TextAnalysis.langScores]]).
+  *
+  * The regex form (`size(regexp_extract_all(lower(text),
+  * "\\b(der|die|...)\\b"))` × one pattern per language) pays a
+  * java.util.regex alternation attempt at every character position, per
+  * language — measured 2.8× DuckDB's RE2 marginal at 320k docs even
+  * though the work is a dictionary lookup. This expression counts ALL
+  * language groups in ONE byte scan: maximal ASCII word runs
+  * (`[A-Za-z0-9_]` — Java's non-Unicode `\w`, so the byte scan is
+  * boundary-exact on UTF-8; bytes ≥ 0x80 are never word bytes) are looked
+  * up in a shared word→groups map.
+  *
+  * Parity with the regex form (pinned by LangIdParitySpec): a `\b(w1|…)\b`
+  * match is exactly a maximal `\w` run equal to some `wi` (no boundary
+  * exists inside a run, so a marker can never match a proper substring of
+  * a run), and runs are non-overlapping, so per-group counts are equal.
+  * The caller passes the already-lowercased text (same as the regex form's
+  * `lower(text)`), keeping case-mapping semantics (incl. İ→i̇ expansion)
+  * byte-identical to the old pipeline. A null text yields null.
+  */
+case class MarkerCounts(child: Expression, groups: Array[Array[String]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(groups.nonEmpty && groups.forall(_.nonEmpty), "empty marker group")
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_marker_counts"
+
+  // the scan-time lookup table is derived once per plan, not per row
+  @transient private lazy val table = MarkerCounts.buildTable(groups)
+
+  override def nullSafeEval(input: Any): Any =
+    MarkerCounts.count(input.asInstanceOf[UTF8String], table, groups.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerTable", table,
+      classOf[MarkerCounts.MarkerTable].getName)
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.MarkerCounts.count($t, $ref, ${groups.length});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // Array fields break case-class equality/semanticEquals (reference
+  // compare) — canonicalize on the contents so CSE can deduplicate the
+  // per-language field extractions over one shared scan
+  override def equals(o: Any): Boolean = o match {
+    case m: MarkerCounts =>
+      m.child == child && m.groups.map(_.toSeq).toSeq == groups.map(_.toSeq).toSeq
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + groups.map(_.toSeq).toSeq.hashCode()
+}
+
+object MarkerCounts {
+  /** Length-bucketed candidate table: a word run of length L compares
+    * byte-wise against only the (few) markers of that length — no String
+    * allocation, no hashing per run (the HashMap form's per-run
+    * allocations dominated the scan at 320k docs). Marker lists are tiny
+    * (a handful per language), so the per-run candidate loop is a couple
+    * of ≤6-byte memcmps; runs longer than the longest marker skip the
+    * lookup entirely.
+    */
+  final class MarkerTable(val maxLen: Int,
+      val words: Array[Array[Array[Byte]]], // [len][cand][bytes]
+      val hits: Array[Array[Array[Int]]])   // [len][cand][group indexes]
+    extends Serializable
+
+  def buildTable(groups: Array[Array[String]]): MarkerTable = {
+    val byWord = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Int]]
+    for (g <- groups.indices; w <- groups(g)) {
+      require(w.nonEmpty && w.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'),
+        s"marker `$w` must be a lowercase ASCII word (it is matched inside \\w runs)")
+      byWord(w) = byWord.getOrElse(w, Vector.empty) :+ g
+    }
+    val maxLen = byWord.keys.map(_.length).max
+    val words = Array.tabulate(maxLen + 1)(l =>
+      byWord.keys.filter(_.length == l).map(_.getBytes("UTF-8")).toArray)
+    val hits = Array.tabulate(maxLen + 1)(l =>
+      byWord.collect { case (w, gs) if w.length == l => gs.toArray }.toArray)
+    new MarkerTable(maxLen, words, hits)
+  }
+
+  @inline private def isWord(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+
+  def count(text: UTF8String, table: MarkerTable,
+      nGroups: Int): GenericArrayData = {
+    val b = text.getBytes
+    val len = b.length
+    val counts = new Array[Int](nGroups)
+    val maxLen = table.maxLen
+    var i = 0
+    var rs = -1
+    while (i <= len) {
+      val w = i < len && isWord(b(i))
+      if (w && rs < 0) rs = i
+      else if (!w && rs >= 0) {
+        val l = i - rs
+        if (l <= maxLen) {
+          val cands = table.words(l)
+          var c = 0
+          while (c < cands.length) {
+            val cand = cands(c)
+            var j = 0
+            while (j < l && cand(j) == b(rs + j)) j += 1
+            if (j == l) {
+              val hit = table.hits(l)(c)
+              var h = 0
+              while (h < hit.length) { counts(hit(h)) += 1; h += 1 }
+              c = cands.length // candidate words are distinct — done
+            } else c += 1
+          }
+        }
+        rs = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  def counts(text: Column, groups: Seq[Seq[String]]): Column =
+    GraftSqlBridge.column(MarkerCounts(GraftSqlBridge.expression(text),
+      groups.map(_.toArray).toArray))
+}
+
+/** Hand matchers for the four FIXED PII patterns of
+  * [[graft.ops.Redaction]] — linear byte scans with java.util.regex-
+  * identical semantics (leftmost match, the patterns' exact greedy/
+  * backtracking and alternation order, non-Unicode `\b` = ASCII `\w`
+  * transitions, boundary context read from the SOURCE bytes exactly like
+  * `Matcher.appendReplacement`). The regex strings in
+  * `Redaction.Patterns` remain the SPEC (and the DuckDB oracle); these
+  * scanners are the engine's execution of it — java.util.regex re-scans
+  * every position through a 4-way alternation head and measured 3.8×
+  * DuckDB's RE2 marginal at 320k docs, all of it engine constant.
+  * PiiParitySpec pins every matcher against `Pattern.compile` of the spec
+  * string on randomized adversarial text.
+  *
+  * All four patterns are pure ASCII; bytes ≥ 0x80 are never word/class
+  * bytes, so byte-level scanning is character-exact on UTF-8.
+  */
+object PiiMatchers {
+  @inline private def isWord(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+  @inline private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  @inline private def isAlpha(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  @inline private def isLocal(b: Byte): Boolean = // [A-Za-z0-9._%+-]
+    isWord(b) || b == '.' || b == '%' || b == '+' || b == '-'
+  @inline private def isDomain(b: Byte): Boolean = // [A-Za-z0-9.-]
+    isAlpha(b) || isDigit(b) || b == '.' || b == '-'
+  @inline private def isSep(b: Byte): Boolean = // [-. ]
+    b == '-' || b == '.' || b == ' '
+  @inline private def pack(s: Int, e: Int): Long = (s.toLong << 32) | e
+  @inline private def bndBefore(b: Array[Byte], i: Int): Boolean =
+    i == 0 || !isWord(b(i - 1))
+  @inline private def bndAfter(b: Array[Byte], i: Int): Boolean =
+    i == b.length || !isWord(b(i))
+
+  /** `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}` — '@'-driven: the
+    * local part is the maximal local-class run ending at the '@' (clipped
+    * at `from`, matching find(from)'s consumption start); the domain is
+    * resolved like the engine's backtracking — dots tried right-to-left
+    * within the maximal domain run, TLD = the greedy letter run after the
+    * dot (≥2).
+    */
+  def findEmail(b: Array[Byte], from: Int): Long = {
+    var j = from + 1
+    val len = b.length
+    while (j < len) {
+      if (b(j) == '@') {
+        var ls = j
+        while (ls > from && isLocal(b(ls - 1))) ls -= 1
+        if (ls < j) {
+          var de = j + 1
+          while (de < len && isDomain(b(de))) de += 1
+          if (de > j + 1) {
+            var d = de - 1
+            while (d >= j + 2) {
+              if (b(d) == '.') {
+                var e = d + 1
+                while (e < de && isAlpha(b(e))) e += 1
+                if (e - d - 1 >= 2) return pack(ls, e)
+              }
+              d -= 1
+            }
+          }
+        }
+      }
+      j += 1
+    }
+    -1L
+  }
+
+  /** `\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b` */
+  def findSsn(b: Array[Byte], from: Int): Long = {
+    val len = b.length
+    var i = from
+    while (i + 11 <= len) {
+      if (isDigit(b(i)) && bndBefore(b, i) &&
+          isDigit(b(i + 1)) && isDigit(b(i + 2)) && b(i + 3) == '-' &&
+          isDigit(b(i + 4)) && isDigit(b(i + 5)) && b(i + 6) == '-' &&
+          isDigit(b(i + 7)) && isDigit(b(i + 8)) && isDigit(b(i + 9)) &&
+          isDigit(b(i + 10)) && bndAfter(b, i + 11))
+        return pack(i, i + 11)
+      i += 1
+    }
+    -1L
+  }
+
+  /** `\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b` — each dotted octet's digit run
+    * must be 1-3 long ({1,3} cannot backtrack past a digit to find the
+    * '.'), and the final run 1-3 long with a non-word follower (a longer
+    * run can never satisfy the trailing `\b` at any backtrack depth).
+    */
+  def findIpv4(b: Array[Byte], from: Int): Long = {
+    val len = b.length
+    var i = from
+    while (i < len) {
+      if (isDigit(b(i)) && bndBefore(b, i)) {
+        var j = i
+        var ok = true
+        var seg = 0
+        while (seg < 3 && ok) {
+          val rs = j
+          while (j < len && isDigit(b(j))) j += 1
+          ok = j - rs >= 1 && j - rs <= 3 && j < len && b(j) == '.'
+          if (ok) j += 1
+          seg += 1
+        }
+        if (ok) {
+          val rs = j
+          while (j < len && isDigit(b(j))) j += 1
+          if (j - rs >= 1 && j - rs <= 3 && bndAfter(b, j)) return pack(i, j)
+        }
+      }
+      i += 1
+    }
+    -1L
+  }
+
+  /** `(?:\+?1[-. ])?(?:\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b`
+    * — alternatives tried in the engine's backtracking order at each
+    * start: prefix `+1<sep>`, then `1<sep>`, then no prefix; within each,
+    * the paren area code before the `\b`-digit one. First success wins
+    * (Java returns the first match in backtracking order, not the
+    * longest).
+    */
+  def findPhone(b: Array[Byte], from: Int): Long = {
+    val len = b.length
+    @inline def digits(at: Int, k: Int): Boolean = {
+      if (at + k > len) return false
+      var i = at
+      while (i < at + k) { if (!isDigit(b(i))) return false; i += 1 }
+      true
+    }
+    // the trailing `<sep>ddd<sep>dddd\b` shared by every alternative
+    @inline def tail(at: Int): Int =
+      if (at < len && isSep(b(at)) && digits(at + 1, 3) &&
+          at + 4 < len && isSep(b(at + 4)) && digits(at + 5, 4) &&
+          bndAfter(b, at + 9)) at + 9
+      else -1
+    @inline def area(at: Int): Int = {
+      if (at < len && b(at) == '(' && digits(at + 1, 3) &&
+          at + 4 < len && b(at + 4) == ')') {
+        val t = tail(at + 5)
+        if (t >= 0) return t
+      }
+      if (bndBefore(b, at) && digits(at, 3)) {
+        val t = tail(at + 3)
+        if (t >= 0) return t
+      }
+      -1
+    }
+    var p = from
+    while (p < len) {
+      val c = b(p)
+      // candidate starts only: '+'/'1' (prefix), '(' or a boundary digit
+      if (c == '+' || c == '1' || c == '(' || (isDigit(c) && bndBefore(b, p))) {
+        var e = -1
+        if (c == '+' && p + 2 < len && b(p + 1) == '1' && isSep(b(p + 2)))
+          e = area(p + 3)
+        if (e < 0 && c == '1' && p + 1 < len && isSep(b(p + 1)))
+          e = area(p + 2)
+        if (e < 0) e = area(p)
+        if (e >= 0) return pack(p, e)
+      }
+      p += 1
+    }
+    -1L
+  }
+
+  type Finder = (Array[Byte], Int) => Long
+
+  /** (kind, finder, sentinel bytes) in the fixed application order. */
+  val Kinds: Seq[(String, Finder, Array[Byte])] = Seq(
+    ("email", findEmail _, "<EMAIL>".getBytes),
+    ("phone", findPhone _, "<PHONE>".getBytes),
+    ("ipv4", findIpv4 _, "<IP>".getBytes),
+    ("ssn", findSsn _, "<SSN>".getBytes))
+
+  def countMatches(b: Array[Byte], f: Finder): Int = {
+    var n = 0
+    var from = 0
+    var m = f(b, from)
+    while (m >= 0) {
+      n += 1
+      from = (m & 0xffffffffL).toInt
+      m = if (from < b.length) f(b, from) else -1L
+    }
+    n
+  }
+
+  def replaceAll(b: Array[Byte], f: Finder, sentinel: Array[Byte]): Array[Byte] = {
+    var m = f(b, 0)
+    if (m < 0) return b // common case: no PII, zero allocation
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var from = 0
+    while (m >= 0) {
+      val s = (m >>> 32).toInt
+      val e = (m & 0xffffffffL).toInt
+      out.write(b, from, s - from)
+      out.write(sentinel, 0, sentinel.length)
+      from = e
+      m = if (from < b.length) f(b, from) else -1L
+    }
+    out.write(b, from, b.length - from)
+    out.toByteArray
+  }
+}
+
+/** One-expression PII scan: the sequential redaction (email → phone →
+  * ipv4 → ssn over the evolving text, exactly the chained
+  * `regexp_replace` semantics) AND the per-kind pre-redaction counts on
+  * the ORIGINAL text, as one struct — `redacted` plus `n_<kind>` for each
+  * requested kind. [[graft.ops.Redaction]] extracts fields; codegen CSE
+  * evaluates the scan once per row however many fields are referenced.
+  * A null text yields a null struct (the regexp functions' null
+  * propagation).
+  */
+case class PiiScan(child: Expression, kinds: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  private val known = PiiMatchers.Kinds.map(_._1)
+  require(kinds.nonEmpty && kinds.forall(known.contains),
+    s"unknown PII kind(s) ${kinds.filterNot(known.contains).mkString(", ")}")
+  // fixed application order regardless of request order
+  private val ordered = known.filter(kinds.contains)
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = StructType(
+    StructField("redacted", StringType, nullable = true) +:
+      ordered.map(k => StructField(s"n_$k", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pii_scan"
+
+  @transient private lazy val mask: Int =
+    ordered.map(k => 1 << PiiMatchers.Kinds.indexWhere(_._1 == k)).sum
+
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.compute(input.asInstanceOf[UTF8String], mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.PiiScan.compute($t, $mask);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PiiScan {
+  def compute(text: UTF8String,
+      mask: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val orig = text.getBytes
+    val nKinds = java.lang.Integer.bitCount(mask)
+    val out = new Array[Any](1 + nKinds)
+    var cur = orig
+    var slot = 1
+    var k = 0
+    while (k < PiiMatchers.Kinds.length) {
+      if ((mask & (1 << k)) != 0) {
+        val (_, finder, sentinel) = PiiMatchers.Kinds(k)
+        out(slot) = PiiMatchers.countMatches(orig, finder).toLong
+        slot += 1
+        cur = PiiMatchers.replaceAll(cur, finder, sentinel)
+      }
+      k += 1
+    }
+    out(0) = if (cur eq orig) text else UTF8String.fromBytes(cur)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  def scan(text: Column, kinds: Seq[String]): Column =
+    GraftSqlBridge.column(PiiScan(GraftSqlBridge.expression(text), kinds))
+}
