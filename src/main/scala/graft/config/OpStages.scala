@@ -253,36 +253,40 @@ object OpStages {
         s"${(knownKeys - TextCol).toSeq.sorted.mkString(", ")})")
       Pipeline.DataStage(name, m => {
         val t = col(text)
-        val words = TextAnalysis.tokenCount(t)
-        // signal name -> expression, keyed by the aliases the signal ops
-        // already publish (no duplicated name list to drift)
-        lazy val sigMap: Map[String, org.apache.spark.sql.Column] =
-          (TextAnalysis.qualityExprs(t) ++ TextAnalysis.repetitionExprs(t)).map { c =>
-            org.apache.spark.sql.GraftSqlBridge.aliasName(c)
-              .getOrElse(c.toString) -> c
-          }.toMap
-        def sig(colName: String): org.apache.spark.sql.Column =
-          sigMap.getOrElse(colName, throw new IllegalArgumentException(
-            s"stage $name: unknown signal `$colName`"))
-        val rules = Seq(
-          cfg.getInt("min_words").map(v => words >= v),
-          cfg.getInt("max_words").map(v => words <= v),
-          cfg.getInt("min_chars").map(v => length(t) >= v),
-          cfg.getInt("max_chars").map(v => length(t) <= v),
+        // Filter conjuncts get no codegen subexpression elimination and
+        // predicate pushdown re-inlines projection aliases, so per-rule
+        // signal expressions would re-scan the text once PER RULE
+        // (measured 4.7x DuckDB at 320k docs). Instead each signal FAMILY
+        // is one native scan checked by ONE SignalBounds conjunct, with
+        // the historical per-rule null policy (nullAsZero = the old
+        // coalesce/otherwise(0.0) rules; others yield NULL on null text).
+        import graft.plans.{QualitySignals, SignalBounds}
+        def q(n: String): Int = QualitySignals.fields.indexOf(n)
+        val qChecks: Seq[(Int, Option[Double], Option[Double], Boolean)] = Seq(
+          cfg.getInt("min_words").map(v => (q("n_words"), Some(v.toDouble), None, false)),
+          cfg.getInt("max_words").map(v => (q("n_words"), None, Some(v.toDouble), false)),
+          cfg.getInt("min_chars").map(v => (q("n_chars"), Some(v.toDouble), None, false)),
+          cfg.getInt("max_chars").map(v => (q("n_chars"), None, Some(v.toDouble), false)),
           // mean_word_len is the one signal that is NULL (not 0) on
-          // tokenless text — coalesce so empty docs fail min rules and
+          // tokenless text — nullAsZero so empty docs fail min rules and
           // pass max rules, like every sibling signal
-          cfg.getDouble("min_mean_word_len")
-            .map(v => coalesce(sig("mean_word_len"), lit(0.0)) >= v),
-          cfg.getDouble("max_mean_word_len")
-            .map(v => coalesce(sig("mean_word_len"), lit(0.0)) <= v),
-          cfg.getDouble("min_alpha_ratio").map(v => sig("alpha_ratio") >= v),
-          cfg.getDouble("max_punct_ratio").map(v => sig("punct_ratio") <= v),
-          cfg.getDouble("max_digit_ratio").map(v => sig("digit_ratio") <= v),
-          cfg.getDouble("min_stopword_ratio").map(v => sig("stopword_ratio") >= v),
-          cfg.getDouble("max_repetition_ratio").map(v => sig("repetition_ratio") <= v),
-          cfg.getDouble("max_dup_line_fraction").map(v => sig("dup_line_fraction") <= v),
-          cfg.getDouble("max_dup_ngram_fraction").map(v => sig("dup_ngram_fraction") <= v),
+          cfg.getDouble("min_mean_word_len").map(v => (q("mean_word_len"), Some(v), None, true)),
+          cfg.getDouble("max_mean_word_len").map(v => (q("mean_word_len"), None, Some(v), true)),
+          cfg.getDouble("min_alpha_ratio").map(v => (q("alpha_ratio"), Some(v), None, false)),
+          cfg.getDouble("max_punct_ratio").map(v => (q("punct_ratio"), None, Some(v), false)),
+          cfg.getDouble("max_digit_ratio").map(v => (q("digit_ratio"), None, Some(v), false)),
+          cfg.getDouble("min_stopword_ratio").map(v => (q("stopword_ratio"), Some(v), None, true)),
+          cfg.getDouble("max_repetition_ratio").map(v => (q("repetition_ratio"), None, Some(v), true))
+        ).flatten
+        val rChecks: Seq[(Int, Option[Double], Option[Double], Boolean)] = Seq(
+          cfg.getDouble("max_dup_line_fraction").map(v => (0, None, Some(v), true)),
+          cfg.getDouble("max_dup_ngram_fraction").map(v => (2, None, Some(v), true))
+        ).flatten
+        val rules = Seq(
+          if (qChecks.isEmpty) None else Some(SignalBounds.bounds(
+            QualitySignals.signals(t, TextAnalysis.DefaultStopwords), qChecks)),
+          if (rChecks.isEmpty) None else Some(SignalBounds.bounds(
+            graft.plans.VectorExpressions.repetitionSignals(t, 3), rChecks)),
           // unigram entropy (bits): min catches degenerate repetition,
           // max catches structureless gibberish (entropy ~ log2(n_words))
           cfg.getDouble("min_entropy").map(v => TextAnalysis.unigramEntropy(t) >= v),

@@ -34,24 +34,22 @@ object TextAnalysis {
     * id-projected [[qualitySignals]] and the column-appending stage form.
     */
   def qualityExprs(t: Column, stopwords: Seq[String] = DefaultStopwords): Seq[Column] = {
-    val nChars = length(t)
-    val words = tokens(t)
-    val nWords = size(words)
-    val countMatches = (pat: String) => size(regexp_extract_all(t, lit(pat), lit(0)))
-    val nStop = size(filter(words, w => array_contains(
-      array(stopwords.map(lit(_)): _*), lower(w))))
-    val sumWordLen = aggregate(transform(words, w => length(w)), lit(0), (acc, x) => acc + x)
+    // one native byte scan for all eight signals (graft.plans
+    // .QualitySignals — the old per-signal regex/HOF chains, whose
+    // semantics it preserves exactly per QualityParitySpec, re-scanned
+    // the text per signal wherever projection CSE could not reach). The
+    // coalesces preserve the historical null-text contract: every field
+    // null except the two `otherwise(0.0)` ratios.
+    val sig = graft.plans.QualitySignals.signals(t, stopwords)
     Seq(
-      nChars.as("n_chars"),
-      nWords.as("n_words"),
-      when(nWords > 0, sumWordLen.cast("double") / nWords).as("mean_word_len"),
-      (countMatches("[\\p{Punct}]").cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
-      (countMatches("[A-Za-z]").cast("double") / greatest(nChars, lit(1))).as("alpha_ratio"),
-      (countMatches("[0-9]").cast("double") / greatest(nChars, lit(1))).as("digit_ratio"),
-      when(nWords > 0, nStop.cast("double") / nWords).otherwise(0.0).as("stopword_ratio"),
-      // repetition: fraction of word occurrences that are repeats (Gopher-style)
-      when(nWords > 0, lit(1.0) - size(array_distinct(words)).cast("double") / nWords)
-        .otherwise(0.0).as("repetition_ratio"))
+      sig.getField("n_chars").as("n_chars"),
+      sig.getField("n_words").as("n_words"),
+      sig.getField("mean_word_len").as("mean_word_len"),
+      sig.getField("punct_ratio").as("punct_ratio"),
+      sig.getField("alpha_ratio").as("alpha_ratio"),
+      sig.getField("digit_ratio").as("digit_ratio"),
+      coalesce(sig.getField("stopword_ratio"), lit(0.0)).as("stopword_ratio"),
+      coalesce(sig.getField("repetition_ratio"), lit(0.0)).as("repetition_ratio"))
   }
 
   /** Quality signals: lengths, word stats, punctuation/alpha/digit/space

@@ -140,6 +140,277 @@ object MarkerCounts {
       groups.map(_.toArray).toArray))
 }
 
+/** All eight text-quality signals in ONE codegen'd byte scan — the
+  * whole-table and filter-predicate form behind `text_quality` /
+  * `quality_filter` ([[graft.ops.TextAnalysis.qualityExprs]]).
+  *
+  * The composable form re-tokenizes and re-scans per signal (regex class
+  * counts, interpreted HOF word folds), which a projection's codegen CSE
+  * dedups — but a FILTER's split conjuncts get no CSE, so every
+  * quality_filter rule paid the whole chain again (measured 4.7× DuckDB
+  * at 320k docs while text_quality alone was 0.83×). One pass over the
+  * bytes: code-point count, `[\p{Punct}]`/`[A-Za-z]`/`[0-9]` class counts
+  * (POSIX punct = the 32 ASCII graphic non-alphanumerics — regex-exact,
+  * non-ASCII code points are in no class), whitespace tokens with
+  * per-token code-point lengths, byte-exact distinct tokens, and
+  * stopword hits (ASCII tokens lowercase byte-compared with zero
+  * allocation against a length-bucketed table; tokens with non-ASCII
+  * bytes take a slow path through the same full-Unicode lowercasing
+  * `lower()` uses, so İ/K-style case edges match the old
+  * `array_contains(..., lower(w))` exactly).
+  *
+  * Field semantics mirror the old expressions (QualityParitySpec pins
+  * them): `mean_word_len` is NULL on tokenless text; the two
+  * `otherwise(0.0)` ratios are zero there; a NULL text yields a null
+  * struct (callers re-apply the old per-field null policy).
+  */
+case class QualitySignals(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = QualitySignals.schema
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_quality_signals"
+
+  @transient private lazy val table = QualitySignals.buildStopTable(stopwords)
+
+  override def nullSafeEval(input: Any): Any =
+    QualitySignals.compute(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopTable", table,
+      classOf[QualitySignals.StopTable].getName)
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.QualitySignals.compute($t, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QualitySignals {
+  val fields: Seq[String] = Seq("n_chars", "n_words", "mean_word_len",
+    "punct_ratio", "alpha_ratio", "digit_ratio", "stopword_ratio",
+    "repetition_ratio")
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = true),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("alpha_ratio", DoubleType, nullable = false),
+    StructField("digit_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("repetition_ratio", DoubleType, nullable = false)))
+
+  /** ASCII stopwords (length-bucketed bytes, zero-alloc compare) + the
+    * non-ASCII remainder as strings for the rare slow path. Stopwords
+    * containing uppercase ASCII can never equal a lowercased token and
+    * are dropped up front (semantics-preserving).
+    */
+  final class StopTable(val maxLen: Int,
+      val ascii: Array[Array[Array[Byte]]],
+      val other: java.util.HashSet[String]) extends Serializable
+
+  def buildStopTable(stopwords: Seq[String]): StopTable = {
+    val (asciiWords, other) = stopwords.distinct.partition(_.forall(_ < 0x80))
+    val usable = asciiWords.filterNot(_.exists(c => c >= 'A' && c <= 'Z'))
+    val maxLen = (usable.map(_.length) :+ 0).max
+    val ascii = Array.tabulate(maxLen + 1)(l =>
+      usable.filter(_.length == l).map(_.getBytes("UTF-8")).toArray)
+    val set = new java.util.HashSet[String]()
+    other.foreach(set.add)
+    new StopTable(maxLen, ascii, set)
+  }
+
+  @inline private def isWs(b: Byte): Boolean = b == 32 || (b >= 9 && b <= 13)
+  @inline private def isPunct(b: Byte): Boolean = // POSIX [\p{Punct}]
+    (b >= '!' && b <= '/') || (b >= ':' && b <= '@') ||
+      (b >= '[' && b <= '`') || (b >= '{' && b <= '~')
+  @inline private def lowerAscii(b: Byte): Byte =
+    if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+
+  def compute(text: UTF8String,
+      stop: StopTable): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.getBytes
+    val len = b.length
+    var chars = 0
+    var alpha = 0
+    var digit = 0
+    var punct = 0
+    var nTok = 0
+    var sumWordLen = 0L
+    var nStop = 0
+    val seen = new java.util.HashSet[String]()
+    var ts = -1
+    var tokChars = 0
+    var tokNonAscii = false
+    var i = 0
+    while (i <= len) {
+      val c = if (i < len) b(i) else ' '.toByte
+      if (i < len && (c & 0xc0) != 0x80) {
+        chars += 1
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
+        else if (c >= '0' && c <= '9') digit += 1
+        else if (isPunct(c)) punct += 1
+      }
+      val ws = i == len || isWs(c)
+      if (!ws) {
+        if (ts < 0) { ts = i; tokChars = 0; tokNonAscii = false }
+        if ((c & 0xc0) != 0x80) tokChars += 1
+        if ((c & 0x80) != 0) tokNonAscii = true
+      } else if (ts >= 0) {
+        nTok += 1
+        sumWordLen += tokChars
+        seen.add(new String(b, ts, i - ts,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+        val l = i - ts
+        if (!tokNonAscii) {
+          if (l <= stop.maxLen) {
+            val cands = stop.ascii(l)
+            var ci = 0
+            while (ci < cands.length) {
+              val cand = cands(ci)
+              var j = 0
+              while (j < l && cand(j) == lowerAscii(b(ts + j))) j += 1
+              if (j == l) { nStop += 1; ci = cands.length }
+              else ci += 1
+            }
+          }
+        } else if (!stop.other.isEmpty || stop.maxLen > 0) {
+          // rare path: full-Unicode lowercase, the same mapping lower() uses
+          val lowered = new String(b, ts, l, java.nio.charset.StandardCharsets.UTF_8)
+            .toLowerCase
+          if (stop.other.contains(lowered)) nStop += 1
+          else if (lowered.forall(_ < 0x80)) {
+            val lb = lowered.getBytes("UTF-8")
+            if (lb.length <= stop.maxLen) {
+              val cands = stop.ascii(lb.length)
+              var ci = 0
+              while (ci < cands.length) {
+                if (java.util.Arrays.equals(cands(ci), lb)) { nStop += 1; ci = cands.length }
+                else ci += 1
+              }
+            }
+          }
+        }
+        ts = -1
+      }
+      i += 1
+    }
+    val denom = math.max(chars, 1).toDouble
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      chars, nTok,
+      if (nTok > 0) (sumWordLen.toDouble / nTok): java.lang.Double else null,
+      punct / denom, alpha / denom, digit / denom,
+      if (nTok > 0) nStop.toDouble / nTok else 0.0,
+      if (nTok > 0) 1.0 - seen.size.toDouble / nTok else 0.0))
+  }
+
+  def signals(text: Column, stopwords: Seq[String]): Column =
+    GraftSqlBridge.column(QualitySignals(GraftSqlBridge.expression(text), stopwords))
+}
+
+/** Bounds check over ONE evaluation of a struct-valued child — the
+  * quality_filter predicate shape. A Filter's split conjuncts get no
+  * codegen subexpression elimination and predicate pushdown re-inlines
+  * projection aliases, so `k` threshold rules as separate conjuncts
+  * evaluate the signal struct `k` times; this expression evaluates it
+  * ONCE and applies every bound, with the stage's exact per-rule
+  * three-valued semantics: a check whose field (or whole input) is null
+  * compares as 0.0 when `nullAsZero` (the stage's historical
+  * `coalesce(sig, 0.0)` / `otherwise(0.0)` rules), else yields NULL;
+  * checks combine under SQL AND (any false → false, else any null →
+  * null).
+  */
+case class SignalBounds(child: Expression,
+    checks: Seq[(Int, Option[Double], Option[Double], Boolean)])
+    extends UnaryExpression {
+  require(checks.nonEmpty, "SignalBounds needs at least one check")
+  private val structType = child.dataType.asInstanceOf[StructType]
+  checks.foreach { case (f, lo, hi, _) =>
+    require(f >= 0 && f < structType.length, s"field $f out of range")
+    require(lo.nonEmpty || hi.nonEmpty, s"check on field $f has no bound")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_signal_bounds"
+
+  // packed per-check metadata for the shared eval/codegen helper
+  @transient private lazy val meta: Array[Array[Double]] =
+    SignalBounds.packMeta(checks, structType)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    SignalBounds.check(v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], meta)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("boundsMeta", meta, "double[][]")
+    // NOT nullSafeCodeGen: a null child (null text) must still reach the
+    // helper — nullAsZero checks compare 0.0 there, the others yield NULL
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = false;
+      boolean ${ev.value} = false;
+      java.lang.Boolean ${ev.value}Tmp = graft.plans.SignalBounds.check(
+        ${c.isNull} ? null : ${c.value}, $ref);
+      if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Tmp.booleanValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignalBounds {
+  /** per check: [fieldIdx, lo or NaN, hi or NaN, nullAsZero(1/0), isDouble(1/0)] */
+  def packMeta(checks: Seq[(Int, Option[Double], Option[Double], Boolean)],
+      structType: StructType): Array[Array[Double]] =
+    checks.map { case (f, lo, hi, nz) =>
+      val isDouble = structType(f).dataType match {
+        case DoubleType => 1.0
+        case IntegerType => 0.0
+        case LongType => 2.0
+        case other => throw new IllegalArgumentException(
+          s"SignalBounds field ${structType(f).name}: unsupported type $other")
+      }
+      Array(f.toDouble, lo.getOrElse(Double.NaN), hi.getOrElse(Double.NaN),
+        if (nz) 1.0 else 0.0, isDouble)
+    }.toArray
+
+  def check(row: org.apache.spark.sql.catalyst.InternalRow,
+      meta: Array[Array[Double]]): java.lang.Boolean = {
+    var sawNull = false
+    var i = 0
+    while (i < meta.length) {
+      val m = meta(i)
+      val f = m(0).toInt
+      val isNull = row == null || row.isNullAt(f)
+      if (isNull && m(3) == 0.0) sawNull = true
+      else {
+        val v =
+          if (isNull) 0.0
+          else if (m(4) == 1.0) row.getDouble(f)
+          else if (m(4) == 2.0) row.getLong(f).toDouble
+          else row.getInt(f).toDouble
+        if (!m(1).isNaN && !(v >= m(1))) return java.lang.Boolean.FALSE
+        if (!m(2).isNaN && !(v <= m(2))) return java.lang.Boolean.FALSE
+      }
+      i += 1
+    }
+    if (sawNull) null else java.lang.Boolean.TRUE
+  }
+
+  def bounds(child: Column,
+      checks: Seq[(Int, Option[Double], Option[Double], Boolean)]): Column =
+    GraftSqlBridge.column(SignalBounds(GraftSqlBridge.expression(child), checks))
+}
+
 /** Hand matchers for the four FIXED PII patterns of
   * [[graft.ops.Redaction]] — linear byte scans with java.util.regex-
   * identical semantics (leftmost match, the patterns' exact greedy/
