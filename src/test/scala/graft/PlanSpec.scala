@@ -216,6 +216,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("filter-stage signal scans evaluate ONCE per family, not once per rule") {
+    // Filter conjuncts get no codegen CSE and predicate pushdown
+    // re-inlines projection aliases, so per-rule signal expressions would
+    // re-scan the text once PER RULE (the round-12 quality_filter/c4 find:
+    // 4.7x / 8.0x DuckDB at 320k docs). The SignalBounds shape pins one
+    // scan per family; a revert to per-rule conjuncts multiplies the
+    // occurrence counts and fails here.
+    // parquet-backed: a LocalRelation constant-folds the whole plan away
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def occurrences(df: DataFrame, token: String): Int = {
+      val s = df.queryExecution.optimizedPlan.toString
+      s.sliding(token.length).count(_ == token)
+    }
+    val meds = graft.meds.MedsData(docs, spark.emptyDataFrame, spark.emptyDataFrame)
+    val qf = graft.operators.Pipeline.run(spark, meds,
+      graft.config.PipelineConfig.fromYaml(
+        """stages:
+          |  - quality_filter:
+          |      min_words: 2
+          |      max_punct_ratio: 0.5
+          |      min_stopword_ratio: 0.1
+          |      max_dup_line_fraction: 0.9
+          |      max_dup_ngram_fraction: 0.9
+          |""".stripMargin).stages).data
+    assert(occurrences(qf, "graft_quality_signals") == 1,
+      s"three quality rules must share ONE scan:\n${qf.queryExecution.optimizedPlan}")
+    assert(occurrences(qf, "graft_repetition_signals") == 1,
+      s"two repetition rules must share ONE scan:\n${qf.queryExecution.optimizedPlan}")
+    val c4 = graft.ops.TextAnalysis.c4Filters(docs, "doc_id", "text",
+      minLineWords = 1, minLines = 1)
+    // one eval in the keep-filter + one in the replacement projection
+    assert(occurrences(c4, "graft_c4_lines") == 2,
+      s"c4 line scan must appear once in filter and once in projection:\n${c4.queryExecution.optimizedPlan}")
+    assert(occurrences(c4, "graft_phrase_hit") == 1)
+  }
+
   test("dedup_against never shuffles document text — both joins are broadcast") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
