@@ -34,12 +34,12 @@ import graft.functions.GraftFunctions.tokens
 object Decontaminate {
 
   private def gramHashes(textCol: String, n: Int): Column =
-    graft.plans.VectorExpressions.shingleHash56(tokens(col(textCol)), n,
+    graft.plans.VectorExpressions.shingleHash56Text(col(textCol), n,
       distinct = true)
 
   /** Distinct n-gram hashes of the eval corpus (one LONG column `__g`). */
   private def evalGrams(eval: DataFrame, textCol: String, n: Int): DataFrame =
-    eval.filter(size(tokens(col(textCol))) >= n)
+    eval.filter(graft.plans.VectorExpressions.tokenCount(col(textCol)) >= n)
       .select(explode(gramHashes(textCol, n)).as("__g"))
       .distinct()
 
@@ -58,7 +58,7 @@ object Decontaminate {
     */
   private def contaminatedIdsVs(train: DataFrame, grams: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame =
-    train.filter(size(tokens(col(textCol))) >= n)
+    train.filter(graft.plans.VectorExpressions.tokenCount(col(textCol)) >= n)
       .select(col(idCol), explode(gramHashes(textCol, n)).as("__g"))
       .join(broadcast(grams), Seq("__g"), "left_semi")
       .select(idCol).distinct()
@@ -130,7 +130,7 @@ object Decontaminate {
       s"contaminationProbe: eval corpus exceeds $MaxDriverGrams distinct " +
         "grams — use decontaminateBloom's distributed path instead")
     val bloomBytes = driverBloom(local.map(_.getLong(0)), 0L)
-    Some(size(tokens(col(textCol))) >= n &&
+    Some(graft.plans.VectorExpressions.tokenCount(col(textCol)) >= n &&
       graft.plans.VectorExpressions.bloomAnyContain(
         gramHashes(textCol, n), bloomBytes))
   }
@@ -177,7 +177,7 @@ object Decontaminate {
   private def probeAndConfirm(train: DataFrame, grams: DataFrame,
       bloomBytes: Array[Byte], idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val flagged = train.filter(size(tokens(col(textCol))) >= n)
+    val flagged = train.filter(graft.plans.VectorExpressions.tokenCount(col(textCol)) >= n)
       .filter(graft.plans.VectorExpressions.bloomAnyContain(
         gramHashes(textCol, n), bloomBytes))
     train.join(

@@ -107,14 +107,15 @@ object Dedup {
   private def hashArrays(docs: DataFrame, idCol: String, textCol: String,
       n: Int, distinct: Boolean): DataFrame =
     docs
-      .filter(size(tokens(col(textCol))) >= n)
-      // one codegen'd pass from the TOKEN array to the hash array
-      // (graft.plans.ShingleHash56): token bytes stream into the digest, so
-      // the shingle strings and the zip_with/array_distinct intermediates
-      // of the composable form (interpreted per element — higher-order
-      // functions are CodegenFallback) never materialize
+      .filter(graft.plans.VectorExpressions.tokenCount(col(textCol)) >= n)
+      // one codegen'd pass from the TEXT BYTES to the hash array
+      // (graft.plans.ShingleHashText): token bytes stream into the digest,
+      // so the regex tokenizer, the token array, the shingle strings, and
+      // the zip_with/array_distinct intermediates of the composable form
+      // never materialize — the gram stream is evaluated twice by design
+      // (count side + probe side) and each evaluation is one byte pass
       .select(col(idCol),
-        graft.plans.VectorExpressions.shingleHash56(tokens(col(textCol)), n, distinct)
+        graft.plans.VectorExpressions.shingleHash56Text(col(textCol), n, distinct)
           .as("__hs"))
 
   /** Winnowing document fingerprints (Schleimer et al.'s rolling-hash
@@ -143,9 +144,9 @@ object Dedup {
     * (the exploded form drops them).
     */
   def winnowFingerprintArray(text: Column, n: Int, w: Int): Column =
-    when(size(tokens(text)) >= n,
+    when(graft.plans.VectorExpressions.tokenCount(text) >= n,
       array_distinct(graft.plans.VectorExpressions.winnowMins(
-        graft.plans.VectorExpressions.shingleHash56(tokens(text), n, distinct = false), w)))
+        graft.plans.VectorExpressions.shingleHash56Text(text, n, distinct = false), w)))
 
   /** Word n-gram shingles with their start position, one row per shingle:
     * posexplode the token array once, then assemble each shingle from window

@@ -664,6 +664,102 @@ object ShingleHash56 {
   }
 }
 
+/** [[ShingleHash56]] fed straight from the TEXT — byte-identical output
+  * to `ShingleHash56(tokens(text), n, distinct)` without the
+  * `split("\\s+")` java.util.regex pass or the token-array
+  * materialization the composed form pays per evaluation (dup_spans'
+  * generation stages, which evaluate the gram stream twice by design,
+  * spent 90% of their task time there at 320k docs). Tokens are maximal
+  * non-whitespace byte runs (Java's ASCII `\s`, the [[TokenCount]]
+  * argument); token bytes stream into the digest directly with the same
+  * single-space separators. Parity pinned by ShingleTextParitySpec.
+  */
+case class ShingleHashText(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hash56_text"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashText.hashText(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.ShingleHashText.hashText($t, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashText {
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private val Space = Array[Byte](' ')
+  @inline private def isWs(b: Byte): Boolean = b == 32 || (b >= 9 && b <= 13)
+
+  def hashText(text: UTF8String, n: Int,
+      distinct: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = text.getBytes
+    val len = b.length
+    // token spans in one pass (growable offset arrays, no String per token)
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    var nTok = 0
+    var ts = -1
+    var i = 0
+    while (i <= len) {
+      val ws = i == len || isWs(b(i))
+      if (!ws && ts < 0) ts = i
+      else if (ws && ts >= 0) {
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = ts
+        ends(nTok) = i
+        nTok += 1
+        ts = -1
+      }
+      i += 1
+    }
+    val wins = nTok - n + 1
+    if (wins <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = md5.get()
+    val out = new Array[Any](wins)
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    var k = 0
+    var w = 0
+    while (w < wins) {
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(Space)
+        md.update(b, starts(w + j), ends(w + j) - starts(w + j))
+        j += 1
+      }
+      val d = md.digest() // resets for the next window
+      // full-digest dedup = string-level DISTINCT (the ShingleHash56 rule)
+      if (seen == null || seen.add(
+          new String(d, java.nio.charset.StandardCharsets.ISO_8859_1))) {
+        out(k) = ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) |
+          ((d(2) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |
+          ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) | (d(6) & 0xffL)
+        k += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (k == wins) out else out.take(k))
+  }
+}
+
 /** All five repetition/boilerplate signals in ONE codegen'd byte scan —
   * the whole-table form behind `text_repetition` / the repetition columns
   * of `quality_filter` ([[graft.ops.TextAnalysis]]).
@@ -1476,6 +1572,9 @@ object VectorExpressions {
 
   def repetitionSignals(text: Column, n: Int): Column =
     GraftSqlBridge.column(RepetitionSignals(expr(text), n))
+
+  def shingleHash56Text(text: Column, n: Int, distinct: Boolean): Column =
+    GraftSqlBridge.column(ShingleHashText(expr(text), n, distinct))
 
   def unigramEntropy(tokens: Column): Column =
     GraftSqlBridge.column(UnigramEntropy(expr(tokens)))
