@@ -2379,6 +2379,47 @@ object Queries {
       |SELECT qid, vec_id, dist_e6, rank FROM rk WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin))
 
+  /** Batch-query rerank ([[Pq.adcKnnJoinRerank]]): per query, an ADC
+    * shortlist of 15 re-scored at full precision and re-cut to top-5 —
+    * the batch form of [[pqRerank]]. The oracle extends [[pqKnn]]'s
+    * per-qid replay with an exact per-dimension distance over the
+    * shortlisted (qid, vec_id) pairs.
+    */
+  private val pqKnnRerank: Gate = Gate(
+    (s, dir) => {
+      val model = trainPq(s, dir)
+      val embs = table(s, dir, "embeddings")
+      val queries = embs.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Pq.adcKnnJoinRerank(Pq.encode(embs, "embedding", model), "vec_id",
+          "embedding", model, queries, "qid", "embedding", k = 5, shortlist = 15)
+        .select(col("qid"), col("vec_id"), col("dist_e6"),
+          col("rank").cast(LongType).as("rank"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH $pqOracleCtes,
+      |qs AS (SELECT vec_id AS qid, xe AS qx FROM e WHERE vec_id % 97 = 0),
+      |t AS (SELECT qs.qid, cb.j, cb.c,
+      |  sum((qs.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)
+      |    * (qs.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
+      | FROM cb$PqIters cb CROSS JOIN qs GROUP BY 1,2,3),
+      |sc AS (SELECT t.qid, a.vec_id, CAST(sum(t.dist) AS BIGINT) AS adc FROM aF a
+      | JOIN t ON t.j = a.j AND t.c = a.code GROUP BY 1,2),
+      |cand AS (SELECT qid, vec_id FROM (
+      |  SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS r
+      |  FROM sc) WHERE r <= 15),
+      |ex AS (SELECT c.qid, c.vec_id,
+      |  CAST(sum((e.xe[d.i + 1] - qs.qx[d.i + 1])
+      |    * (e.xe[d.i + 1] - qs.qx[d.i + 1])) AS BIGINT) AS dist_e6
+      | FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN qs ON qs.qid = c.qid
+      | CROSS JOIN range(0,${PqM * PqDsub}) d(i) GROUP BY 1,2),
+      |rk AS (SELECT qid, vec_id, dist_e6,
+      |  row_number() OVER (PARTITION BY qid ORDER BY dist_e6, vec_id) AS rank
+      | FROM ex)
+      |SELECT qid, vec_id, dist_e6, rank FROM rk WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin))
+
   private val winnowFp: Gate = Gate(
     (s, dir) => Dedup.winnowFingerprints(table(s, dir, "documents"), "doc_id", "text",
       n = 3, w = 4)
@@ -3505,6 +3546,7 @@ object Queries {
     "pq_rerank" -> pqRerank,
     "ivfpq_topk" -> ivfPqTopK,
     "pq_knn" -> pqKnn,
+    "pq_knn_rerank" -> pqKnnRerank,
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
     "sim_ivf_indexed" -> simIvfIndexed,
