@@ -73,7 +73,8 @@ class MetricsSpec extends SparkSpec {
     "pq_codes" -> 450_000L,                   // measured 170 KB (train partials + output sort)
     "ivfpq_topk" -> 96_000L,                  // measured 32 KB (train partials; ADC needs no exchange)
     "pq_knn" -> 48_000L,                      // measured 16.9 KB (train partials + queries*k top-k lists — corpus never shuffles)
-    "pq_rerank" -> 32_000L)                   // measured 12.8 KB (train partials only: shortlist + exact re-rank are broadcast/TakeOrdered — corpus never shuffles)
+    "pq_rerank" -> 32_000L,                   // measured 12.8 KB (train partials only: shortlist + exact re-rank are broadcast/TakeOrdered — corpus never shuffles)
+    "pq_knn_rerank" -> 64_000L)               // measured 21.4 KB (train partials + two bounded top-k exchanges — corpus never shuffles on either pass)
 
   for ((q, cap) <- bounds)
     test(s"$q: shuffle volume within pinned bound, zero spill") {
