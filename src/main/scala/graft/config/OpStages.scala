@@ -278,9 +278,10 @@ object OpStages {
           cfg.getDouble("min_stopword_ratio").map(v => (q("stopword_ratio"), Some(v), None, true)),
           cfg.getDouble("max_repetition_ratio").map(v => (q("repetition_ratio"), None, Some(v), true))
         ).flatten
+        def r(n: String): Int = graft.plans.RepetitionSignals.fields.indexOf(n)
         val rChecks: Seq[(Int, Option[Double], Option[Double], Boolean)] = Seq(
-          cfg.getDouble("max_dup_line_fraction").map(v => (0, None, Some(v), true)),
-          cfg.getDouble("max_dup_ngram_fraction").map(v => (2, None, Some(v), true))
+          cfg.getDouble("max_dup_line_fraction").map(v => (r("dup_line_fraction"), None, Some(v), true)),
+          cfg.getDouble("max_dup_ngram_fraction").map(v => (r("dup_ngram_fraction"), None, Some(v), true))
         ).flatten
         val rules = Seq(
           if (qChecks.isEmpty) None else Some(SignalBounds.bounds(
@@ -892,6 +893,11 @@ object OpStages {
       val rerank = cfg.getInt("rerank").getOrElse(0)
       require(rerank == 0 || rerank >= k,
         s"stage $name: `rerank` ($rerank) must be >= k ($k)")
+      // fail loudly on an inapplicable key: brute is already exact, and
+      // lsh/ivf have no ADC shortlist to re-rank — a silently ignored
+      // `rerank` would misreport the recall a user thinks they bought
+      require(rerank == 0 || mode == "pq" || mode == "ivfpq",
+        s"stage $name: `rerank` only applies to modes pq | ivfpq (got `$mode`)")
       Pipeline.DataStage(name, m => mode match {
         case "brute" => Similarity.topK(m.data, id, vec, query, k)
         case "lsh" =>

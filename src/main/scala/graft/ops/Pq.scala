@@ -187,22 +187,43 @@ object Pq {
     * every later run against the SAME model so codes stay comparable
     * across corpus versions. A path without a `_SUCCESS` marker is treated
     * as untrained (a partial write is retrained and overwritten).
+    *
+    * Concurrency: last-committer-wins, not a lock. Training writes to a
+    * temp sibling and renames into place (rename is atomic on HDFS-like
+    * stores), and the marker is re-checked after training — so two racing
+    * pipelines can never interleave files from DIFFERENT models, and the
+    * loser of the race adopts the winner's committed model (preserving the
+    * codes-stay-comparable contract) rather than clobbering it. On stores
+    * without atomic rename (e.g. raw object stores), provide a
+    * single-writer guarantee externally.
     */
   def trainOrLoad(data: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int, ksub: Int, iters: Int, seed: Long, trainFraction: Double,
       modelPath: Option[String]): PqModel = {
     val spark = data.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
     def committed(p: String): Boolean = {
       val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
-      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(marker)
+      marker.getFileSystem(hconf).exists(marker)
     }
     modelPath match {
       case Some(p) if committed(p) => load(spark, p)
       case Some(p) =>
         val trained = train(data, idCol, vecCol, dim, m, ksub, iters, seed, trainFraction)
-        save(spark, trained, p)
-        trained
+        // write-to-temp + atomic rename + re-check: a racing trainer that
+        // committed first wins, and its model is adopted (see scaladoc)
+        val target = new org.apache.hadoop.fs.Path(p)
+        val tmp = new org.apache.hadoop.fs.Path(
+          target.getParent, s".${target.getName}.tmp-${java.util.UUID.randomUUID}")
+        save(spark, trained, tmp.toString)
+        val fs = target.getFileSystem(hconf)
+        // a stale UNcommitted partial at the target blocks rename (Hadoop
+        // rename-onto-existing-dir nests instead of replacing): clear it
+        if (!committed(p) && fs.exists(target)) fs.delete(target, true)
+        if (committed(p) || !fs.rename(tmp, target)) {
+          fs.delete(tmp, true)
+          load(spark, p)
+        } else trained
       case None => train(data, idCol, vecCol, dim, m, ksub, iters, seed, trainFraction)
     }
   }
@@ -358,7 +379,12 @@ object Pq {
     val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val spark = scored.sparkSession
     val current = scala.util.Try(spark.conf.get(fallbackKey).toInt).getOrElse(128)
-    if (current < 65536) spark.conf.set(fallbackKey, "65536")
+    if (current < 65536) {
+      org.slf4j.LoggerFactory.getLogger("graft.ops.Pq").info(
+        s"graft.Pq: raising session conf $fallbackKey $current -> 65536 " +
+          "(bounded per-query top-k state; never lowered back)")
+      spark.conf.set(fallbackKey, "65536")
+    }
     import org.apache.spark.sql.GraftSqlBridge
     scored
       .groupBy(col("__qid"))

@@ -49,19 +49,21 @@ object Redaction {
     * docs — pure engine constant on the identical patterns.
     */
   def redact(text: Column, kinds: Seq[String] = Patterns.map(_._1)): Column =
-    graft.plans.PiiScan.scan(text, kindsOf(kinds).map(_._1))
+    graft.plans.PiiScan.scan(text, kindsOf(kinds).map(_._1), counts = false)
       .getField("redacted")
 
   /** Pre-redaction match counts, one `n_<kind>` column per requested kind.
     * Counted independently per kind on the ORIGINAL text (a phone inside a
     * larger email-ish token counts for both — counts are audit signals,
-    * not a partition of the character stream). Shares ONE [[graft.plans
-    * .PiiScan]] evaluation with [[redact]] under codegen CSE; a null text
+    * not a partition of the character stream). Counts-only [[graft.plans
+    * .PiiScan]] — the redaction chain is skipped, so counts callers and
+    * [[redact]] callers each pay exactly their own byte pass (a combined
+    * redact_pii stage pays counts + replace once, as before); a null text
     * yields null counts (the regexp_extract_all null propagation).
     */
   def piiCounts(text: Column, kinds: Seq[String] = Patterns.map(_._1)): Seq[Column] = {
     val requested = kindsOf(kinds).map(_._1)
-    val scan = graft.plans.PiiScan.scan(text, requested)
+    val scan = graft.plans.PiiScan.scan(text, requested, redact = false)
     requested.map(k => scan.getField(s"n_$k").as(s"n_$k"))
   }
 }

@@ -822,23 +822,27 @@ object PiiMatchers {
   * ipv4 → ssn over the evolving text, exactly the chained
   * `regexp_replace` semantics) AND the per-kind pre-redaction counts on
   * the ORIGINAL text, as one struct — `redacted` plus `n_<kind>` for each
-  * requested kind. [[graft.ops.Redaction]] extracts fields; codegen CSE
-  * evaluates the scan once per row however many fields are referenced.
+  * requested kind. [[graft.ops.Redaction]] extracts fields; the `counts` /
+  * `redact` flags prune the unneeded pass per call site (field pruning
+  * cannot reach inside a single struct-producing function, so a
+  * redact-only caller would otherwise pay one count scan per kind).
   * A null text yields a null struct (the regexp functions' null
   * propagation).
   */
-case class PiiScan(child: Expression, kinds: Seq[String])
+case class PiiScan(child: Expression, kinds: Seq[String],
+    counts: Boolean = true, redact: Boolean = true)
     extends UnaryExpression with ImplicitCastInputTypes {
   private val known = PiiMatchers.Kinds.map(_._1)
   require(kinds.nonEmpty && kinds.forall(known.contains),
     s"unknown PII kind(s) ${kinds.filterNot(known.contains).mkString(", ")}")
+  require(counts || redact, "PiiScan with neither counts nor redact is empty")
   // fixed application order regardless of request order
   private val ordered = known.filter(kinds.contains)
 
   override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = StructType(
-    StructField("redacted", StringType, nullable = true) +:
-      ordered.map(k => StructField(s"n_$k", LongType, nullable = false)))
+    (if (redact) Seq(StructField("redacted", StringType, nullable = true)) else Nil) ++
+      (if (counts) ordered.map(k => StructField(s"n_$k", LongType, nullable = false)) else Nil))
   override def nullable: Boolean = child.nullable
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_pii_scan"
@@ -847,38 +851,43 @@ case class PiiScan(child: Expression, kinds: Seq[String])
     ordered.map(k => 1 << PiiMatchers.Kinds.indexWhere(_._1 == k)).sum
 
   override def nullSafeEval(input: Any): Any =
-    PiiScan.compute(input.asInstanceOf[UTF8String], mask)
+    PiiScan.compute(input.asInstanceOf[UTF8String], mask, counts, redact)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.plans.PiiScan.compute($t, $mask);")
+      s"${ev.value} = graft.plans.PiiScan.compute($t, $mask, $counts, $redact);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object PiiScan {
-  def compute(text: UTF8String,
-      mask: Int): org.apache.spark.sql.catalyst.InternalRow = {
+  def compute(text: UTF8String, mask: Int, counts: Boolean,
+      redact: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val orig = text.getBytes
-    val nKinds = java.lang.Integer.bitCount(mask)
-    val out = new Array[Any](1 + nKinds)
+    val nKinds = if (counts) java.lang.Integer.bitCount(mask) else 0
+    val base = if (redact) 1 else 0
+    val out = new Array[Any](base + nKinds)
     var cur = orig
-    var slot = 1
+    var slot = base
     var k = 0
     while (k < PiiMatchers.Kinds.length) {
       if ((mask & (1 << k)) != 0) {
         val (_, finder, sentinel) = PiiMatchers.Kinds(k)
-        out(slot) = PiiMatchers.countMatches(orig, finder).toLong
-        slot += 1
-        cur = PiiMatchers.replaceAll(cur, finder, sentinel)
+        if (counts) {
+          out(slot) = PiiMatchers.countMatches(orig, finder).toLong
+          slot += 1
+        }
+        if (redact) cur = PiiMatchers.replaceAll(cur, finder, sentinel)
       }
       k += 1
     }
-    out(0) = if (cur eq orig) text else UTF8String.fromBytes(cur)
+    if (redact) out(0) = if (cur eq orig) text else UTF8String.fromBytes(cur)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 
-  def scan(text: Column, kinds: Seq[String]): Column =
-    GraftSqlBridge.column(PiiScan(GraftSqlBridge.expression(text), kinds))
+  def scan(text: Column, kinds: Seq[String], counts: Boolean = true,
+      redact: Boolean = true): Column =
+    GraftSqlBridge.column(
+      PiiScan(GraftSqlBridge.expression(text), kinds, counts, redact))
 }
