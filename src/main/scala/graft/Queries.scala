@@ -2348,6 +2348,51 @@ object Queries {
       |SELECT vec_id, dist_e6 FROM sc
       |ORDER BY dist_e6, vec_id LIMIT 10""".stripMargin))
 
+  /** IVF-PQ + exact re-rank ([[Pq.ivfPqTopK]] with `rerank`): the probed
+    * cells prune candidates, ADC picks a 50-candidate shortlist WITHIN
+    * those cells, the exact e6-integer distance picks the final 10. The
+    * oracle composes [[ivfPqTopK]]'s probe CTEs with [[pqRerank]]'s
+    * exact-distance CTE restricted to the probed shortlist — the one
+    * rerank combination that was spec-only before this gate.
+    */
+  private val ivfPqRerank: Gate = Gate(
+    (s, dir) => {
+      val model = trainPq(s, dir)
+      val embs = table(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val qxe = embs.filter(col("vec_id") === 0)
+        .select(Pq.xeCol(col("embedding"))).collect()(0).getSeq[Long](0)
+      Pq.ivfPqTopK(Pq.encode(embs, "embedding", model), "vec_id", "label",
+          "embedding", model, queryVec(s, dir), qxe, k = 10, nProbe = 2,
+          rerank = 50)
+        .orderBy("dist_e6", "vec_id")
+    },
+    Some(s"""WITH $pqOracleCtes,
+      |ed AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q2 AS (SELECT v AS qv FROM ed WHERE vec_id = 0),
+      |exv AS (SELECT label, unnest(range(1, len(v)+1)) AS dim, unnest(v) AS val FROM ed),
+      |cm AS (SELECT label, dim, avg(val) AS mv FROM exv GROUP BY 1,2),
+      |cent AS (SELECT label, list(mv ORDER BY dim) AS centroid FROM cm GROUP BY 1),
+      |probe AS (SELECT label FROM cent, q2
+      |  ORDER BY list_cosine_similarity(centroid, qv) DESC, label LIMIT 2),
+      |qt AS (SELECT xe AS qx FROM e WHERE vec_id = 0),
+      |t AS (SELECT cb.j, cb.c,
+      |  sum((qt.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)
+      |    * (qt.qx[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
+      | FROM cb$PqIters cb CROSS JOIN qt GROUP BY 1,2),
+      |sc AS (SELECT a.vec_id, CAST(sum(t.dist) AS BIGINT) AS adc FROM aF a
+      | JOIN t ON t.j = a.j AND t.c = a.code
+      | JOIN ed ON ed.vec_id = a.vec_id
+      | JOIN probe ON probe.label = ed.label GROUP BY 1),
+      |cand AS (SELECT vec_id FROM sc ORDER BY adc, vec_id LIMIT 50),
+      |exd AS (SELECT e.vec_id,
+      |  CAST(sum((e.xe[d.i + 1] - qt.qx[d.i + 1])
+      |    * (e.xe[d.i + 1] - qt.qx[d.i + 1])) AS BIGINT) AS dist_e6
+      | FROM e JOIN cand USING (vec_id) CROSS JOIN qt
+      | CROSS JOIN range(0,${PqM * PqDsub}) d(i) GROUP BY 1)
+      |SELECT vec_id, dist_e6 FROM exd
+      |ORDER BY dist_e6, vec_id LIMIT 10""".stripMargin))
+
   /** Batch-query ADC k-NN: a deterministic query sample (every 97th
     * vector) against the encoded corpus in ONE pass. The oracle reuses the
     * training replay and generalizes [[pqTopK]]'s single-query distance
@@ -3545,6 +3590,7 @@ object Queries {
     "pq_topk" -> pqTopK,
     "pq_rerank" -> pqRerank,
     "ivfpq_topk" -> ivfPqTopK,
+    "ivfpq_rerank" -> ivfPqRerank,
     "pq_knn" -> pqKnn,
     "pq_knn_rerank" -> pqKnnRerank,
     "sim_lsh_topk" -> simLshTopK,
