@@ -136,49 +136,88 @@ object Multimodal {
         .as("duration_s")))
   }
 
-  /** STUB decode: deterministic fake "image" properties derived from the
-    * payload bytes. Replace the three expressions with a real codec call
-    * (for PIXEL decoding; [[imageDimensions]] already parses real container
-    * headers); the output schema and the per-row batch shape are the
-    * production contract.
-    */
-  def decodeStub(media: DataFrame): DataFrame =
-    media.select(
-      col("media_id"),
-      (octet_length(col("payload")) % 640 + 1).as("width"),
-      (octet_length(col("payload")) * 7 % 480 + 1).as("height"),
-      // engine-portable deterministic fake intensity (sha2 prefix mod 256)
-      (conv(substring(sha2(col("payload"), 256), 1, 6), 16, 10) % 256)
-        .cast("int").as("mean_intensity"))
+  final case class DecodedImage(media_id: Long, format: Option[String],
+      width: Option[Long], height: Option[Long], mean_intensity: Option[Long])
 
-  final case class DecodedMedia(media_id: Long, width: Int, height: Int,
-      mean_intensity: Int)
-
-  /** The deterministic stub codec in batch form: one SHA-256 instance per
-    * PARTITION (the init-once-per-batch slot a real codec/model needs),
-    * matching [[decodeStub]] bit-for-bit on non-null payloads.
+  /** Decode one payload to RGB samples with a REUSED `ImageReader` — the
+    * per-batch amortization the codec seam exists for (`ImageIO.read`
+    * re-discovers a reader and re-wraps streams per call; a reused reader
+    * is the difference between ~µs and ~ms per tiny image). Returns
+    * (formatName, width, height, row-major RGB ints) or null for payloads
+    * no installed reader accepts / corrupt streams — a bad blob must yield
+    * a null row, never kill the scan.
     */
-  def stubCodec(rows: Iterator[(Long, Array[Byte])]): Iterator[DecodedMedia] = {
-    val md = java.security.MessageDigest.getInstance("SHA-256") // per-batch init
+  private final class ImageDecoder {
+    private var reader: javax.imageio.ImageReader = _
+    private var readerFormat: String = _
+
+    def decode(payload: Array[Byte]): (String, Int, Int, Array[Int]) = {
+      if (payload == null) return null
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        if (reader != null) {
+          // fast path: probe the cached reader before a registry scan
+          iis.mark()
+          val ok = try reader.getOriginatingProvider.canDecodeInput(iis)
+            catch { case _: Exception => false }
+          iis.reset()
+          if (!ok) { reader.dispose(); reader = null; readerFormat = null }
+        }
+        if (reader == null) {
+          val it = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!it.hasNext) return null
+          reader = it.next()
+          readerFormat = reader.getFormatName.toLowerCase
+        }
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        (readerFormat, w, h, img.getRGB(0, 0, w, h, null, 0, w))
+      } catch {
+        case _: Exception =>
+          if (reader != null) { reader.dispose(); reader = null; readerFormat = null }
+          null
+      } finally iis.close()
+    }
+  }
+
+  /** REAL pixel codec: `javax.imageio` (PNG/JPEG/BMP/GIF ship in the JDK —
+    * zero added dependencies) through the batch seam. Emits format, pixel
+    * dimensions, and `mean_intensity` = floor(sum of all R,G,B samples /
+    * (3·w·h)) — integer arithmetic end-to-end so lossless formats are
+    * engine-replayable exactly. Undecodable payloads yield a null-field
+    * row (the corrupt-blob contract of [[imageDimensions]]).
+    */
+  def imageIoCodec(rows: Iterator[(Long, Array[Byte])]): Iterator[DecodedImage] = {
+    val dec = new ImageDecoder // per-partition init (the seam's purpose)
     rows.map { case (id, payload) =>
-      val n = if (payload == null) 0 else payload.length
-      md.reset()
-      val digest = md.digest(if (payload == null) Array.emptyByteArray else payload)
-      val prefix24 = ((digest(0) & 0xffL) << 16) | ((digest(1) & 0xffL) << 8) | (digest(2) & 0xffL)
-      DecodedMedia(id, n % 640 + 1, n * 7 % 480 + 1, (prefix24 % 256).toInt)
+      dec.decode(payload) match {
+        case null => DecodedImage(id, None, None, None, None)
+        case (fmt, w, h, rgb) =>
+          var sum = 0L
+          var i = 0
+          while (i < rgb.length) {
+            val p = rgb(i)
+            sum += ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)
+            i += 1
+          }
+          DecodedImage(id, Some(fmt), Some(w.toLong), Some(h.toLong),
+            Some(sum / (3L * w * h)))
+      }
     }
   }
 
   /** Batched decode through an injectable codec — the Scala analog of a
     * `mapInPandas` Arrow-batch UDF: the codec sees a whole partition's
-    * (id, payload) iterator and yields decoded rows, so a production
-    * implementation amortizes codec/model initialization per batch and
-    * controls batch size via `spark.sql.files.maxPartitionBytes` /
-    * `repartition`. Output schema is the fixed production contract; the
-    * default codec is the deterministic stub (no media libs here).
+    * (id, payload) iterator and yields decoded rows, so the implementation
+    * amortizes codec/model initialization per batch and controls batch
+    * size via `spark.sql.files.maxPartitionBytes` / `repartition`. Output
+    * schema is the fixed production contract; the default codec is the
+    * REAL JDK `ImageIO` decoder ([[imageIoCodec]]).
     */
   def decodeBatched(media: DataFrame,
-      codec: Iterator[(Long, Array[Byte])] => Iterator[DecodedMedia] = stubCodec): DataFrame = {
+      codec: Iterator[(Long, Array[Byte])] => Iterator[DecodedImage] = imageIoCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
@@ -187,26 +226,86 @@ object Multimodal {
       .toDF()
   }
 
-  /** STUB resize: target dimensions plus the scale factors from the decoded
-    * (stub) source dimensions, and a deterministic digest of the "resized"
-    * payload. A real implementation replaces the digest expression with the
-    * codec's resize call (via [[decodeBatched]]'s batch slot); the schema —
-    * (media_id, width, height, scale_x, scale_y, resized_digest) — and the
-    * pure-projection shape (no shuffle, runs inside the scan's codegen
-    * stage) are the production contract.
+  final case class ResizedImage(media_id: Long, width: Long, height: Long,
+      scale_x: Option[Double], scale_y: Option[Double],
+      resized_digest: Option[String])
+
+  /** REAL resize: decode via `ImageIO`, then FIXED-POINT bilinear to
+    * `targetW`×`targetH` — every weight and rounding is 16.16/32-bit
+    * integer arithmetic, so the resized bytes are bit-deterministic across
+    * JVMs and SQL-replayable (no dependence on `Graphics2D` interpolation
+    * internals, which pin neither). Mapping is align-corners:
+    * `fx = X·(srcW−1)·65536 ∕ (targetW−1)` (0 when targetW = 1), sample =
+    * `(top·(65536−dy) + bot·dy + 2³¹) >> 32` with `top`/`bot` the
+    * dx-interpolated row pairs.
+    *
+    * `resized_digest` = SHA-256 of the LOWERCASE-HEX string of the resized
+    * row-major RGB bytes — hex-string form because the oracle engine's
+    * `sha256` accepts VARCHAR only, and a digest convention the oracle
+    * cannot evaluate would gate nothing. Undecodable payloads keep the
+    * target dims but null scales/digest.
     */
-  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0, "resize targets must be positive")
-    val srcW = octet_length(col("payload")) % 640 + 1
-    val srcH = octet_length(col("payload")) * 7 % 480 + 1
-    media.select(
-      col("media_id"),
-      lit(targetW).cast("long").as("width"),
-      lit(targetH).cast("long").as("height"),
-      round(srcW.cast("double") / targetW, 4).as("scale_x"),
-      round(srcH.cast("double") / targetH, 4).as("scale_y"),
-      sha2(concat(col("payload"), lit(s"${targetW}x$targetH").cast("binary")), 256)
-        .as("resized_digest"))
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val dec = new ImageDecoder
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hexDigits = "0123456789abcdef".getBytes
+        rows.map { case (id, payload) =>
+          dec.decode(payload) match {
+            case null =>
+              ResizedImage(id, targetW.toLong, targetH.toLong, None, None, None)
+            case (_, w, h, rgb) =>
+              val hex = new Array[Byte](targetH * targetW * 6)
+              var o = 0
+              var ty = 0
+              while (ty < targetH) {
+                val fy = if (targetH == 1) 0L else ty.toLong * (h - 1) * 65536L / (targetH - 1)
+                val y0 = (fy >> 16).toInt
+                val dy = fy & 0xffffL
+                val y1 = math.min(y0 + 1, h - 1)
+                var tx = 0
+                while (tx < targetW) {
+                  val fx = if (targetW == 1) 0L else tx.toLong * (w - 1) * 65536L / (targetW - 1)
+                  val x0 = (fx >> 16).toInt
+                  val dx = fx & 0xffffL
+                  val x1 = math.min(x0 + 1, w - 1)
+                  val p00 = rgb(y0 * w + x0); val p01 = rgb(y0 * w + x1)
+                  val p10 = rgb(y1 * w + x0); val p11 = rgb(y1 * w + x1)
+                  var sh = 16
+                  while (sh >= 0) {
+                    val top = ((p00 >>> sh) & 0xff) * (65536L - dx) + ((p01 >>> sh) & 0xff) * dx
+                    val bot = ((p10 >>> sh) & 0xff) * (65536L - dx) + ((p11 >>> sh) & 0xff) * dx
+                    val v = ((top * (65536L - dy) + bot * dy + (1L << 31)) >> 32).toInt
+                    hex(o) = hexDigits(v >>> 4); hex(o + 1) = hexDigits(v & 0xf)
+                    o += 2
+                    sh -= 8
+                  }
+                  tx += 1
+                }
+                ty += 1
+              }
+              md.reset()
+              val digest = md.digest(hex)
+              val out = new Array[Byte](64)
+              var i = 0
+              while (i < 32) {
+                out(2 * i) = hexDigits((digest(i) >>> 4) & 0xf)
+                out(2 * i + 1) = hexDigits(digest(i) & 0xf)
+                i += 1
+              }
+              ResizedImage(id, targetW.toLong, targetH.toLong,
+                Some(math.rint(w.toDouble / targetW * 10000) / 10000),
+                Some(math.rint(h.toDouble / targetH * 10000) / 10000),
+                Some(new String(out, java.nio.charset.StandardCharsets.US_ASCII)))
+          }
+        }
+      }
+      .toDF()
   }
 
   /** STUB frame sampling: emit `n` evenly-spaced frame indices with a

@@ -84,33 +84,46 @@ object ScaleUpBench {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    // SPARK_GRAFT_SCALE_REUSE=1: skip the replication writes when the dir is
-    // already populated — the one-query-per-JVM convention re-invokes this
-    // main once per gate and the setup write would otherwise dominate
+    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+    // SPARK_GRAFT_SCALE_REUSE=1: skip the replication write for any table
+    // whose dir is already populated — the one-query-per-JVM convention
+    // re-invokes this main once per gate and the setup write would
+    // otherwise dominate (per-table guards: an events.parquet can be added
+    // to a dir that already carries documents/embeddings replicas)
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
+    def needs(dir: String, tbl: String): Boolean =
+      !(reuse && new java.io.File(s"$dir/$tbl/_SUCCESS").exists())
     val dirs = scales.map { k =>
       val dir = s"$outRoot/x$k"
-      if (reuse && new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()
-          && new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
-        k -> dir
-      } else {
-      replicate(docs, k).repartition(math.max(k, 4))
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      if (needs(dir, "documents.parquet"))
+        replicate(docs, k).repartition(math.max(k, 4))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       // embeddings for the ANN/PQ gates: replicas get disjoint ids and a
       // per-replica deterministic scaling (1 + i/1024 — float-exact for
       // small i) so codebook training sees k× distinct vectors, not k
       // identical copies collapsing into the same centroids
-      (0 until k).map { i =>
-        embs
-          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
-          .withColumn("embedding",
-            if (i == 0) col("embedding")
-            else transform(col("embedding"),
-              v => (v * lit(1.0f + i / 1024.0f)).cast("float")))
-      }.reduce(_ unionByName _).repartition(math.max(k / 4, 4))
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      if (needs(dir, "embeddings.parquet"))
+        (0 until k).map { i =>
+          embs
+            .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
+            .withColumn("embedding",
+              if (i == 0) col("embedding")
+              else transform(col("embedding"),
+                v => (v * lit(1.0f + i / 1024.0f)).cast("float")))
+        }.reduce(_ unionByName _).repartition(math.max(k / 4, 4))
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // events for the streaming/temporal gates: disjoint event AND user
+      // ids per replica — key cardinality grows k×, per-key event density
+      // (and so per-key streaming state) stays constant, which is the
+      // "same pipeline over more data" regime keyed state scales in
+      if (needs(dir, "events.parquet"))
+        (0 until k).map { i =>
+          evs
+            .withColumn("event_id", col("event_id") + lit(i.toLong * 100_000_000L))
+            .withColumn("user_id", col("user_id") + lit(i.toLong * 10_000_000L))
+        }.reduce(_ unionByName _).repartition(math.max(k / 4, 4))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
       k -> dir
-      }
     }
 
     // one warm pass per query at the smallest scale: codegen + JIT, the
