@@ -3378,37 +3378,128 @@ object Queries {
       | sha256(text) AS sha256
       |FROM documents ORDER BY media_id""".stripMargin))
 
+  /** REAL-PNG media table: one [[graft.plans.PngSynth]] payload per document,
+    * dimensions derived from `doc_id` (w in 4..11, h in 3..9) so every gate
+    * row exercises a different geometry. The payload is a spec-complete
+    * truecolor PNG whose pixels follow the documented `(id, x, y)` formula —
+    * the oracle never sees the bytes, it recomputes the decoded values
+    * arithmetically.
+    */
+  private def pngMedia(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      col("doc_id").cast(LongType).as("media_id"),
+      graft.plans.PngSynth.png(col("doc_id").cast(LongType),
+        (col("doc_id") % 8 + 4).cast("int"),
+        (col("doc_id") % 7 + 3).cast("int")).as("payload"),
+      lit("image/png").as("mime_type"))
+
+  /** The REAL `javax.imageio` decoder over real PNG payloads; the oracle
+    * replays the synth pixel formula (sum of all three channels over the
+    * raster, integer mean) per row via a lateral `range(0, w·h)`.
+    */
   private val multimodalDecode: Gate = Gate(
-    (s, dir) => Multimodal.decodeStub(media(s, dir))
-      .select(col("media_id"), col("width").cast(LongType).as("width"),
-        col("height").cast(LongType).as("height"),
-        col("mean_intensity").cast(LongType).as("mean_intensity"))
+    (s, dir) => Multimodal.decodeBatched(pngMedia(s, dir))
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("mean_intensity"))
       .orderBy("media_id"),
-    Some("""SELECT doc_id AS media_id,
-      | CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-      | CAST(octet_length(encode(text)) * 7 % 480 + 1 AS BIGINT) AS height,
-      | CAST(('0x' || substr(sha256(text),1,6))::BIGINT % 256 AS BIGINT) AS mean_intensity
-      |FROM documents ORDER BY media_id""".stripMargin))
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id % 8 + 4 AS w, doc_id % 7 + 3 AS h,
+      |         doc_id % 251 AS b
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.media_id, d.w, d.h,
+      |    sum((d.b + r.s) % 256 + (d.b + 2*r.s + 7) % 256
+      |        + (d.b + 3*r.s + 13) % 256) AS total
+      |  FROM dims d, LATERAL (SELECT unnest(range(0, d.w*d.h)) AS s) r
+      |  GROUP BY 1, 2, 3)
+      |SELECT media_id, 'png' AS format, CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(total // (3*w*h) AS BIGINT) AS mean_intensity
+      |FROM px ORDER BY media_id""".stripMargin))
 
+  /** Decode + FIXED-POINT bilinear resize to 8×8 over real PNG payloads;
+    * because every weight is 16.16 integer arithmetic, the oracle replays
+    * the interpolation exactly — `fy = ty·(h−1)·65536 // 7`, the four-tap
+    * blend, the `+2³¹ >> 32` rounding — as BIGINT CASE arithmetic over the
+    * 8·8·3 target-sample grid, then hashes the same lowercase-hex raster
+    * string. Any disagreement between the JDK decoder, the Scala resampler,
+    * and the SQL replay breaks the digest.
+    */
   private val multimodalResize: Gate = Gate(
-    (s, dir) => Multimodal.resizeStub(media(s, dir), targetW = 64, targetH = 64)
+    (s, dir) => Multimodal.resizeImages(pngMedia(s, dir), targetW = 8, targetH = 8)
       .orderBy("media_id"),
-    Some("""SELECT doc_id AS media_id,
-      | CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
-      | round((octet_length(encode(text)) % 640 + 1)/64.0, 4) AS scale_x,
-      | round((octet_length(encode(text)) * 7 % 480 + 1)/64.0, 4) AS scale_y,
-      | sha256(text || '64x64') AS resized_digest
-      |FROM documents ORDER BY media_id""".stripMargin))
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id % 8 + 4 AS w, doc_id % 7 + 3 AS h,
+      |         doc_id % 251 AS b
+      |  FROM documents),
+      |grid AS (
+      |  SELECT d.*, t1.range AS ty, t2.range AS tx, c.range AS ch
+      |  FROM dims d, range(0,8) t1, range(0,8) t2, range(0,3) c),
+      |fp AS (
+      |  SELECT *, ty*(h-1)*65536 // 7 AS fy, tx*(w-1)*65536 // 7 AS fx FROM grid),
+      |co AS (
+      |  SELECT *, fy // 65536 AS y0, fy % 65536 AS dy,
+      |         least(fy // 65536 + 1, h-1) AS y1,
+      |         fx // 65536 AS x0, fx % 65536 AS dx,
+      |         least(fx // 65536 + 1, w-1) AS x1
+      |  FROM fp),
+      |pix AS (
+      |  SELECT media_id, w, h, ty, tx, ch, dy, dx,
+      |    CASE ch WHEN 0 THEN (b + (y0*w+x0)) % 256 WHEN 1 THEN (b + 2*(y0*w+x0) + 7) % 256 ELSE (b + 3*(y0*w+x0) + 13) % 256 END AS p00,
+      |    CASE ch WHEN 0 THEN (b + (y0*w+x1)) % 256 WHEN 1 THEN (b + 2*(y0*w+x1) + 7) % 256 ELSE (b + 3*(y0*w+x1) + 13) % 256 END AS p01,
+      |    CASE ch WHEN 0 THEN (b + (y1*w+x0)) % 256 WHEN 1 THEN (b + 2*(y1*w+x0) + 7) % 256 ELSE (b + 3*(y1*w+x0) + 13) % 256 END AS p10,
+      |    CASE ch WHEN 0 THEN (b + (y1*w+x1)) % 256 WHEN 1 THEN (b + 2*(y1*w+x1) + 7) % 256 ELSE (b + 3*(y1*w+x1) + 13) % 256 END AS p11
+      |  FROM co),
+      |samp AS (
+      |  SELECT media_id, w, h, ty, tx, ch,
+      |    ((p00*(65536-dx) + p01*dx) * (65536-dy)
+      |     + (p10*(65536-dx) + p11*dx) * dy + 2147483648) // 4294967296 AS v
+      |  FROM pix),
+      |hx AS (
+      |  SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+      |    string_agg(printf('%02x', v), '' ORDER BY ty, tx, ch) AS hexstr
+      |  FROM samp GROUP BY media_id)
+      |SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+      |  round(w/8.0, 4) AS scale_x, round(h/8.0, 4) AS scale_y,
+      |  sha256(hexstr) AS resized_digest
+      |FROM hx ORDER BY media_id""".stripMargin))
 
+  /** REAL multi-frame sampling: [[graft.plans.GifSynth]] animated-GIF
+    * payloads (w in 3..8, h in 3..7, 2..5 frames per doc) through the JDK
+    * GIF reader's `getNumImages`/`read(idx)` random access; the oracle
+    * replays the sampled-frame formula `(b + s + 17·idx) % 256` — index
+    * selection, per-frame mean, and the red-channel hex digest — entirely
+    * arithmetically.
+    */
   private val multimodalFrames: Gate = Gate(
-    (s, dir) => Multimodal.sampleFramesStub(media(s, dir), n = 4)
-      .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"),
-        col("frame_digest"))
-      .orderBy("media_id", "frame_idx"),
-    Some("""SELECT doc_id AS media_id, CAST(f.i AS BIGINT) AS frame_idx,
-      | sha256(text || f.i::VARCHAR) AS frame_digest
-      |FROM documents, (SELECT unnest(range(0,4)) AS i) f
-      |ORDER BY media_id, frame_idx""".stripMargin))
+    (s, dir) => Multimodal.sampleFrames(
+      table(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("media_id"),
+        graft.plans.GifSynth.gif(col("doc_id").cast(LongType),
+          (col("doc_id") % 6 + 3).cast("int"),
+          (col("doc_id") % 5 + 3).cast("int"),
+          (col("doc_id") % 4 + 2).cast("int")).as("payload")),
+      n = 4)
+      .orderBy("media_id", "sample_ord"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id % 6 + 3 AS w, doc_id % 5 + 3 AS h,
+      |         doc_id % 4 + 2 AS fcnt, doc_id % 251 AS b
+      |  FROM documents),
+      |samp AS (
+      |  SELECT d.*, j.range AS j, (j.range * (d.fcnt-1)) // 3 AS idx
+      |  FROM dims d, range(0,4) j),
+      |px AS (
+      |  SELECT sp.media_id, sp.j, sp.idx, sp.fcnt, sp.w, sp.h,
+      |    sum((sp.b + r.s + 17*sp.idx) % 256) AS total,
+      |    string_agg(printf('%02x', (sp.b + r.s + 17*sp.idx) % 256), ''
+      |      ORDER BY r.s) AS hexstr
+      |  FROM samp sp, LATERAL (SELECT unnest(range(0, sp.w*sp.h)) AS s) r
+      |  GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT media_id, CAST(j AS INT) AS sample_ord,
+      |  CAST(idx AS BIGINT) AS frame_idx, CAST(fcnt AS BIGINT) AS n_frames,
+      |  CAST(total // (w*h) AS BIGINT) AS mean_intensity,
+      |  sha256(hexstr) AS frame_digest
+      |FROM px ORDER BY media_id, sample_ord""".stripMargin))
 
   /** Synthetic-but-structurally-real MP4 round trip: BUILD a spec-shaped
     * ISO-BMFF box tree (ftyp + moov(mvhd + trak(tkhd))) per document from

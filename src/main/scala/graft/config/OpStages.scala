@@ -771,6 +771,12 @@ object OpStages {
       // train on one snapshot, encode every later run against the SAME
       // model so codes stay comparable across corpus versions)
       val modelPath = cfg.getStr("model_path")
+      // opq: true — learn the signed-Hadamard-permutation rotation by
+      // alternating minimization before quantizing (Pq.trainOpq); same
+      // fixed-point determinism, measurably higher recall at the same
+      // bit budget (AnnRecallSmoke)
+      val opq = cfg.getBool("opq").getOrElse(false)
+      val alts = cfg.getInt("opq_alternations").getOrElse(2)
       Pipeline.DataStage(name, m => {
         // encode() appends `codes` and the stage publishes it as `pq_codes`:
         // either name pre-existing would mean silent replacement / an
@@ -779,9 +785,17 @@ object OpStages {
         val clash = Seq("codes", "pq_codes").filter(m.data.columns.contains)
         require(clash.isEmpty, s"stage $name: output column(s) " +
           s"${clash.mkString(", ")} already exist in the input")
-        val model = Pq.trainOrLoad(m.data, id, vec, dim, m0, ksub, iters,
-          seed, frac, modelPath)
-        Pq.encode(m.data, vec, model).withColumnRenamed("codes", "pq_codes")
+        val encoded =
+          if (opq) {
+            val om = Pq.trainOrLoadOpq(m.data, id, vec, dim, m0, ksub, iters,
+              seed, frac, alts, modelPath)
+            Pq.encodeOpq(m.data, vec, om)
+          } else {
+            val model = Pq.trainOrLoad(m.data, id, vec, dim, m0, ksub, iters,
+              seed, frac, modelPath)
+            Pq.encode(m.data, vec, model)
+          }
+        encoded.withColumnRenamed("codes", "pq_codes")
       })
     }
 
@@ -1308,12 +1322,12 @@ object OpStages {
         s"stage $name: `target_w` is required"))
       val h = cfg.getInt("target_h").getOrElse(throw new IllegalArgumentException(
         s"stage $name: `target_h` is required"))
-      Pipeline.DataStage(name, m => Multimodal.resizeStub(m.data, w, h))
+      Pipeline.DataStage(name, m => Multimodal.resizeImages(m.data, w, h))
     }
     PipelineConfig.register("media_frames") { (name, cfg) =>
       val n = cfg.getInt("n_frames").getOrElse(throw new IllegalArgumentException(
         s"stage $name: `n_frames` is required"))
-      Pipeline.DataStage(name, m => Multimodal.sampleFramesStub(m.data, n))
+      Pipeline.DataStage(name, m => Multimodal.sampleFrames(m.data, n))
     }
   }
 }

@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
-  * columns with typed metadata, plus decode / feature-extract operators.
+  * columns with typed metadata, plus decode / resize / feature-extract
+  * operators.
   *
-  * The Spark-side plumbing (schema, batching, partition sizing) is real; the
-  * codec itself is STUBBED with a deterministic fake — this container has no
-  * image/audio libraries, and in production the `decodeStub` body is the only
-  * thing to replace (e.g. with a JNI codec or a `mapInPandas`-equivalent
-  * Arrow batch UDF on the Python side).
+  * The image path is REAL end-to-end: container metadata via codegen'd
+  * header parses, pixel decode via the JDK's `javax.imageio` readers
+  * (PNG/JPEG/BMP/GIF — zero added dependencies) behind the batch seam, a
+  * fixed-point bilinear resize, and multi-frame sampling through the same
+  * readers' `getNumImages`/`read(idx)` random access ([[sampleFrames]]).
   */
 object Multimodal {
 
@@ -298,9 +299,13 @@ object Multimodal {
                 out(2 * i + 1) = hexDigits(digest(i) & 0xf)
                 i += 1
               }
+              // HALF_UP, not rint's half-even: SQL oracles' round() is
+              // half-away-from-zero, and a .00005 tie must not diverge
               ResizedImage(id, targetW.toLong, targetH.toLong,
-                Some(math.rint(w.toDouble / targetW * 10000) / 10000),
-                Some(math.rint(h.toDouble / targetH * 10000) / 10000),
+                Some(BigDecimal(w.toDouble / targetW)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
+                Some(BigDecimal(h.toDouble / targetH)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
                 Some(new String(out, java.nio.charset.StandardCharsets.US_ASCII)))
           }
         }
@@ -308,18 +313,93 @@ object Multimodal {
       .toDF()
   }
 
-  /** STUB frame sampling: emit `n` evenly-spaced frame indices with a
-    * deterministic per-frame digest — the row-explosion plumbing (one row per
-    * sampled frame, repartitionable downstream) is the real part.
+  final case class FrameSample(media_id: Long, sample_ord: Int,
+      frame_idx: Option[Long], n_frames: Option[Long],
+      mean_intensity: Option[Long], frame_digest: Option[String])
+
+  /** REAL frame sampling: open each payload with the JDK's `javax.imageio`
+    * GIF reader (multi-frame via `getNumImages(allowSearch = true)`), pick
+    * `n` evenly-spaced frame indices align-corners (`idx_j = j·(F−1)/(n−1)`,
+    * integer division; all 0 when n = 1), decode each sampled frame, and
+    * emit one row per sample: frame index, total frame count,
+    * `mean_intensity` = floor(Σ(R+G+B) / (3·w·h)) (the [[decodeBatched]]
+    * convention), and `frame_digest` = SHA-256 of the lowercase-hex string
+    * of the frame's row-major RED-channel bytes — the luma digest for
+    * grayscale-palette fixtures, hex-string form so a SQL oracle can
+    * recompute it arithmetically. Payloads that are not multi-frame-readable
+    * images yield `n` rows with null frame fields (the structural row count
+    * survives; the corrupt-blob contract of [[decodeBatched]] holds), never
+    * a scan failure.
+    *
+    * Scale shape: per-row decode behind the same `mapPartitions` seam as
+    * the image codec — reader instance reused across a partition, no
+    * shuffle; the n-row explosion is bounded and explicit.
     */
-  def sampleFramesStub(media: DataFrame, n: Int): DataFrame = {
-    require(n > 0, s"sampleFramesStub: n must be positive, got $n" +
-      " (sequence(0, n-1) with n=0 would emit frames 0 and -1)")
-    media.select(col("media_id"), col("payload"),
-      explode(sequence(lit(0), lit(n - 1))).as("frame_idx"))
-      .select(
-        col("media_id"), col("frame_idx"),
-        sha2(concat(col("payload"), col("frame_idx").cast("string").cast("binary")), 256)
-          .as("frame_digest"))
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"sampleFrames: n must be positive, got $n")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hexDigits = "0123456789abcdef".getBytes
+        rows.flatMap { case (id, payload) =>
+          val nulls = (0 until n).map(j => FrameSample(id, j, None, None, None, None))
+          if (payload == null) nulls
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val it = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!it.hasNext) nulls
+              else {
+                val reader = it.next()
+                try {
+                  // seekForwardOnly = false: getNumImages(true) walks the
+                  // whole stream, then read(idx) random-accesses frames
+                  reader.setInput(iis, false, true)
+                  val frames = reader.getNumImages(true)
+                  if (frames <= 0) nulls
+                  else (0 until n).map { j =>
+                    val idx =
+                      if (n == 1) 0
+                      else (j.toLong * (frames - 1) / (n - 1)).toInt
+                    val img = reader.read(idx)
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+                    var sum = 0L
+                    val hex = new Array[Byte](rgb.length * 2)
+                    var i = 0
+                    while (i < rgb.length) {
+                      val p = rgb(i)
+                      val r = (p >>> 16) & 0xff
+                      sum += r + ((p >>> 8) & 0xff) + (p & 0xff)
+                      hex(2 * i) = hexDigits(r >>> 4)
+                      hex(2 * i + 1) = hexDigits(r & 0xf)
+                      i += 1
+                    }
+                    md.reset()
+                    val dg = md.digest(hex)
+                    val out = new Array[Byte](64)
+                    i = 0
+                    while (i < 32) {
+                      out(2 * i) = hexDigits((dg(i) >>> 4) & 0xf)
+                      out(2 * i + 1) = hexDigits(dg(i) & 0xf)
+                      i += 1
+                    }
+                    FrameSample(id, j, Some(idx.toLong), Some(frames.toLong),
+                      Some(sum / (3L * w * h)),
+                      Some(new String(out, java.nio.charset.StandardCharsets.US_ASCII)))
+                  }
+                } catch {
+                  case _: Exception => nulls
+                } finally reader.dispose()
+              }
+            } finally iis.close()
+          }
+        }
+      }
+      .toDF()
   }
 }

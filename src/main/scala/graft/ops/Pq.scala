@@ -88,11 +88,20 @@ object Pq {
     */
   def train(embs: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
       ksub: Int, iters: Int, seed: Long = 42L,
-      trainFraction: Double = 1.0): PqModel = {
+      trainFraction: Double = 1.0): PqModel =
+    trainBase(
+      embs.select(col(idCol).as("__id"), xeCol(col(vecCol)).as("__xe")),
+      dim, m, ksub, iters, seed, trainFraction)
+
+  /** [[train]] over a prepared `(__id, __xe)` base — the entry the OPQ
+    * path uses to fit codebooks on ROTATED e6 vectors with the identical
+    * seeding/update/tie-break rules (and so the identical SQL replay).
+    */
+  private def trainBase(base0: DataFrame, dim: Int, m: Int,
+      ksub: Int, iters: Int, seed: Long, trainFraction: Double): PqModel = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     require(ksub > 0 && iters >= 0, "ksub must be positive and iters non-negative")
     val dsub = dim / m
-    val base0 = embs.select(col(idCol).as("__id"), xeCol(col(vecCol)).as("__xe"))
     val base = if (trainFraction < 1.0)
       base0.filter(Sampling.unitHash(col("__id"), seed) < trainFraction)
     else base0
@@ -143,6 +152,216 @@ object Pq {
     */
   def encode(embs: DataFrame, vecCol: String, model: PqModel): DataFrame =
     embs.withColumn("codes", codesExpr(xeCol(col(vecCol)), model.codebooks))
+
+  // ---- OPQ: learned signed-Hadamard-permutation rotation ------------------
+  // OPQ fits an orthogonal rotation R so PQ quantizes R·x with less error
+  // than x (Ge et al., "Optimized Product Quantization", CVPR 2013). The
+  // classic non-parametric update solves a Procrustes problem by SVD —
+  // float linear algebra no SQL oracle can replay. This engine restricts
+  // the rotation family to R = P·H·D (±1 sign diagonal, Walsh-Hadamard,
+  // learned output permutation): HD is the standard structured-random
+  // rotation (Ailon-Chazelle FJLT) that spreads energy uniformly across
+  // dimensions, and P is fit by ALTERNATING MINIMIZATION — alternate
+  // (a) Lloyd codebook fit on the rotated vectors with (b) a permutation
+  // update that rebalances per-dimension quantization error across the m
+  // subspaces (rank dims by error, deal them round-robin). Every step is
+  // e6-integer arithmetic, so training AND encode replay bit-for-bit as
+  // unrolled SQL CTEs — the pq_codes oracle convention extends to OPQ.
+
+  /** The rotation half of an OPQ model: `z = P·(H·(D·x)) / √dim` in pure
+    * integer arithmetic (see [[graft.plans.HdRotate]]). `dim` must be a
+    * power of 4 so √dim is exact.
+    */
+  final case class OpqRotation(dim: Int, signs: Vector[Int], perm: Vector[Int]) {
+    require(signs.length == dim && perm.length == dim,
+      s"rotation arity mismatch: dim=$dim, ${signs.length} signs, ${perm.length} perm")
+    def rotateCol(xe: Column): Column =
+      graft.plans.HdRotate.col(xe, signs, perm)
+    /** Driver-side twin for literal query vectors — bit-identical to
+      * [[rotateCol]] on the same e6 input.
+      */
+    def rotateXe(v: Seq[Long]): Vector[Long] =
+      graft.plans.HdRotate.rotate(v.toArray, signs.toArray, perm.toArray).toVector
+  }
+
+  final case class OpqModel(rotation: OpqRotation, pq: PqModel)
+
+  /** The deterministic ±1 sign diagonal: dimension j flips iff the engine's
+    * 56-bit portable hash of "j:seed" lands in the upper half of the 1e9
+    * unit space — the Sampling.unitHash convention, replayed by the oracle
+    * as `('0x'||substr(md5(j||':'||seed),1,14))::BIGINT % 1000000000 >= 500000000`.
+    */
+  def opqSigns(dim: Int, seed: Long): Vector[Int] =
+    Vector.tabulate(dim) { j =>
+      if (graft.plans.Hash56.hash56(s"$j:$seed".getBytes("UTF-8"))
+        % 1000000000L < 500000000L) 1 else -1
+    }
+
+  /** Alternating-minimization OPQ training. Each alternation fits Lloyd
+    * codebooks on the currently-rotated vectors ([[train]]'s exact rules),
+    * then — except after the last — rebalances the output permutation:
+    * per-POSITION integer quantization error is summed in one scan
+    * (`Σ (z_i − centroid_code_i)²`, exact Longs), positions rank by
+    * (error desc, position asc), and rank r's HD dimension moves to
+    * subspace `r mod m`, slot `r div m` — high-error dimensions spread
+    * across subspaces instead of concentrating in one codebook's budget.
+    * Error is measured on the same deterministic hash sample training
+    * uses, so `trainFraction` bounds the whole fit's cost.
+    *
+    * Scale shape: per alternation, one Lloyd fit (its shuffle is m·ksub
+    * keys, corpus-size-independent) plus one 64-column aggregate scan for
+    * the error sums — no new shuffle classes; the collect is dim Longs.
+    */
+  def trainOpq(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, ksub: Int, iters: Int, seed: Long = 42L,
+      trainFraction: Double = 1.0, alternations: Int = 2): OpqModel = {
+    require(alternations >= 1, s"alternations must be >= 1, got $alternations")
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val signs = opqSigns(dim, seed)
+    val xeBase = embs.select(col(idCol).as("__id"), xeCol(col(vecCol)).as("__xe0"))
+    var perm = Vector.range(0, dim)
+    var model: PqModel = null
+    var a = 0
+    while (a < alternations) {
+      val rot = OpqRotation(dim, signs, perm)
+      val base = xeBase.select(col("__id"), rot.rotateCol(col("__xe0")).as("__xe"))
+      model = trainBase(base, dim, m, ksub, iters, seed, trainFraction)
+      if (a < alternations - 1) {
+        val books = model.codebooks
+        val sample = if (trainFraction < 1.0)
+          base.filter(Sampling.unitHash(col("__id"), seed) < trainFraction)
+        else base
+        val enc = sample.withColumn("__codes", codesExpr(col("__xe"), books))
+        val errAggs = (0 until dim).map { i =>
+          val j = i / dsub
+          val d = i % dsub
+          // this position's centroid component for the row's assigned code
+          val cvals = typedLit(books(j).map(_(d)))
+          val diff = element_at(col("__xe"), i + 1) -
+            element_at(cvals, element_at(col("__codes"), j + 1) + 1)
+          sum(diff * diff).as(s"e$i")
+        }
+        val row = enc.agg(errAggs.head, errAggs.tail: _*).collect()(0)
+        require(!row.isNullAt(0), "opq: no rows to measure quantization error on")
+        val errs = Vector.tabulate(dim)(i => row.getLong(i))
+        val ranked = (0 until dim).sortBy(i => (-errs(i), i))
+        val next = new Array[Int](dim)
+        ranked.zipWithIndex.foreach { case (pos, r) =>
+          next((r % m) * dsub + r / m) = perm(pos)
+        }
+        perm = next.toVector
+      }
+      a += 1
+    }
+    OpqModel(OpqRotation(dim, signs, perm), model)
+  }
+
+  /** [[encode]] under an OPQ rotation: rotate, then assign — one scan, one
+    * codegen'd pipeline (HdRotate feeds PqAssign in-row).
+    */
+  def encodeOpq(embs: DataFrame, vecCol: String, om: OpqModel): DataFrame =
+    embs.withColumn("codes",
+      codesExpr(om.rotation.rotateCol(xeCol(col(vecCol))), om.pq.codebooks))
+
+  /** Driver-side query view under OPQ: e6-scale then rotate — feed the
+    * result to [[adcTopK]] with `om.pq`.
+    */
+  def xeOpq(v: Seq[Double], om: OpqModel): Vector[Long] =
+    om.rotation.rotateXe(xe(v))
+
+  /** [[adcTopKRerank]] under OPQ: the ADC shortlist runs in ROTATED space
+    * (codes were fit there), the exact re-rank in RAW space — rotation is
+    * near-isometric but the serving contract is exact distances on the
+    * stored vectors.
+    */
+  def adcTopKRerankOpq(encoded: DataFrame, idCol: String, vecCol: String,
+      om: OpqModel, queryXeRaw: Seq[Long], k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cand = adcTopK(encoded, idCol, om.pq, om.rotation.rotateXe(queryXeRaw),
+      shortlist).select(idCol)
+    val qlit = array(queryXeRaw.map(lit): _*)
+    encoded.join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.plans.SqDist.dist(xeCol(col(vecCol)), qlit).as("dist_e6"))
+      .where(col("dist_e6").isNotNull)
+      .orderBy(col("dist_e6"), col(idCol))
+      .limit(k)
+  }
+
+  /** Persist an OPQ model: the PQ codebooks via [[save]] plus a
+    * `_rotation` sidecar of (kind, i, v) rows — both tiny, both exact.
+    */
+  def saveOpq(spark: org.apache.spark.sql.SparkSession, om: OpqModel,
+      path: String): Unit = {
+    import spark.implicits._
+    save(spark, om.pq, path)
+    val rows =
+      om.rotation.signs.zipWithIndex.map { case (s, i) => ("sign", i, s.toLong) } ++
+      om.rotation.perm.zipWithIndex.map { case (p, i) => ("perm", i, p.toLong) }
+    rows.toDF("kind", "i", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_rotation")
+  }
+
+  /** Load an OPQ model written by [[saveOpq]] — validates the sidecar
+    * covers every dimension exactly once.
+    */
+  def loadOpq(spark: org.apache.spark.sql.SparkSession, path: String): OpqModel = {
+    val pq = load(spark, path)
+    val rows = spark.read.parquet(s"$path/_rotation")
+      .select(col("kind"), col("i").cast("int"), col("v").cast("long"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val dim = pq.dim
+    def vec(kind: String): Vector[Int] = Vector.tabulate(dim) { i =>
+      rows.getOrElse((kind, i), throw new IllegalArgumentException(
+        s"opq load: rotation sidecar at $path missing $kind[$i]")).toInt
+    }
+    val perm = vec("perm")
+    require(perm.sorted == Vector.range(0, dim),
+      s"opq load: perm at $path is not a permutation of 0..${dim - 1}")
+    OpqModel(OpqRotation(dim, vec("sign"), perm), pq)
+  }
+
+  /** [[trainOrLoad]]'s OPQ twin — same commit protocol (temp + atomic
+    * rename + post-rename nest check), model plus rotation sidecar commit
+    * together under the one `_SUCCESS` marker.
+    */
+  def trainOrLoadOpq(data: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, ksub: Int, iters: Int, seed: Long, trainFraction: Double,
+      alternations: Int, modelPath: Option[String]): OpqModel = {
+    val spark = data.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def committed(p: String): Boolean = {
+      val marker = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
+      marker.getFileSystem(hconf).exists(marker)
+    }
+    modelPath match {
+      case Some(p) if committed(p) => loadOpq(spark, p)
+      case Some(p) =>
+        val trained = trainOpq(data, idCol, vecCol, dim, m, ksub, iters, seed,
+          trainFraction, alternations)
+        val target = new org.apache.hadoop.fs.Path(p)
+        val tmp = new org.apache.hadoop.fs.Path(
+          target.getParent, s".${target.getName}.tmp-${java.util.UUID.randomUUID}")
+        // write codebooks first (their _SUCCESS lands at tmp root), then
+        // the sidecar — the rename publishes both or neither
+        saveOpq(spark, trained, tmp.toString)
+        val fs = target.getFileSystem(hconf)
+        if (!committed(p) && fs.exists(target)) fs.delete(target, true)
+        if (committed(p) || !fs.rename(tmp, target)) {
+          fs.delete(tmp, true)
+          loadOpq(spark, p)
+        } else {
+          val nested = new org.apache.hadoop.fs.Path(target, tmp.getName)
+          if (fs.exists(nested)) {
+            fs.delete(nested, true)
+            loadOpq(spark, p)
+          } else trained
+        }
+      case None => trainOpq(data, idCol, vecCol, dim, m, ksub, iters, seed,
+        trainFraction, alternations)
+    }
+  }
 
   /** Persist a trained model as a tiny parquet of (j, c, v) rows — train
     * once, encode/search many (the production shape: codebooks are fit on
@@ -223,7 +442,18 @@ object Pq {
         if (committed(p) || !fs.rename(tmp, target)) {
           fs.delete(tmp, true)
           load(spark, p)
-        } else trained
+        } else {
+          // TOCTOU net: if a racing trainer committed between the re-check
+          // and our rename, Hadoop rename onto the now-existing directory
+          // NESTS tmp inside it and still returns true — in that case we
+          // LOST: remove the nested litter and adopt the winner's model
+          // (the codes-stay-comparable contract), never our divergent one.
+          val nested = new org.apache.hadoop.fs.Path(target, tmp.getName)
+          if (fs.exists(nested)) {
+            fs.delete(nested, true)
+            load(spark, p)
+          } else trained
+        }
       case None => train(data, idCol, vecCol, dim, m, ksub, iters, seed, trainFraction)
     }
   }

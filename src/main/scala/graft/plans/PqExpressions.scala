@@ -223,3 +223,94 @@ object PqAdcScore {
     GraftSqlBridge.column(PqAdcScore(
       GraftSqlBridge.expression(codes), GraftSqlBridge.expression(tables)))
 }
+
+/** Native OPQ rotation: `z = P · (H · (D · x)) / √d` over the e6-integer
+  * vector, where `D` is a ±1 sign diagonal, `H` the Walsh-Hadamard matrix
+  * (natural ordering, `H(i)(j) = (−1)^popcount(i AND j)`), `√d` exact
+  * (dim must be a power of 4: 16, 64, 256 …), and `P` a learned output
+  * permutation — the orthogonal family [[graft.ops.Pq]] restricts OPQ to
+  * so that BOTH training and encode stay bit-replayable as integer SQL
+  * (a Procrustes/SVD rotation would make the oracle unverifiable).
+  *
+  * The division rounds as `(t + √d/2) floor-div √d` — DuckDB's
+  * `(t + 4) // 8` exactly, for d = 64. One O(d log d) butterfly per row,
+  * codegen'd; null vector → null; a wrong-length vector fails loudly.
+  */
+case class HdRotate(child: Expression, signs: Array[Int], perm: Array[Int])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hd_rotate"
+
+  override def nullSafeEval(input: Any): Any =
+    HdRotate.rotateData(input.asInstanceOf[ArrayData], signs, perm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("signs", signs, "int[]")
+    val pRef = ctx.addReferenceObj("perm", perm, "int[]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.HdRotate.rotateData($arr, $sRef, $pRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HdRotate {
+  /** Core integer rotation, shared by the expression and the driver-side
+    * query-literal twin ([[graft.ops.Pq.OpqRotation.rotateXe]]).
+    */
+  def rotate(xe: Array[Long], signs: Array[Int], perm: Array[Int]): Array[Long] = {
+    val d = signs.length
+    require(xe.length == d,
+      s"hd_rotate: vector has ${xe.length} components, rotation expects $d")
+    val half = Integer.numberOfTrailingZeros(d) / 2
+    val sqrtD = 1 << half
+    require(sqrtD * sqrtD == d, s"hd_rotate: dim $d is not a power of 4")
+    val t = new Array[Long](d)
+    var i = 0
+    while (i < d) { t(i) = signs(i) * xe(i); i += 1 }
+    var len = 1
+    while (len < d) {
+      var b = 0
+      while (b < d) {
+        var j = b
+        while (j < b + len) {
+          val a = t(j); val c = t(j + len)
+          t(j) = a + c
+          t(j + len) = a - c
+          j += 1
+        }
+        b += len << 1
+      }
+      len <<= 1
+    }
+    val out = new Array[Long](d)
+    i = 0
+    while (i < d) {
+      // floor((t + sqrtD/2) / sqrtD): >> on the shifted value is floor
+      // division for negatives too — DuckDB's (t + 4) // 8
+      out(i) = (t(perm(i)) + (sqrtD >> 1)) >> half
+      i += 1
+    }
+    out
+  }
+
+  def rotateData(xe: ArrayData, signs: Array[Int], perm: Array[Int]): GenericArrayData = {
+    val d = signs.length
+    if (xe.numElements() != d)
+      throw new IllegalArgumentException(
+        s"hd_rotate: vector has ${xe.numElements()} components, rotation expects $d")
+    val in = new Array[Long](d)
+    var i = 0
+    while (i < d) { in(i) = xe.getLong(i); i += 1 }
+    new GenericArrayData(rotate(in, signs, perm))
+  }
+
+  def col(xe: Column, signs: Seq[Int], perm: Seq[Int]): Column =
+    GraftSqlBridge.column(HdRotate(GraftSqlBridge.expression(xe),
+      signs.toArray, perm.toArray))
+}

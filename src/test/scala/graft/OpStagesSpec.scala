@@ -807,12 +807,13 @@ class OpStagesSpec extends SparkSpec {
         |""".stripMargin
     val out = Pipeline.run(spark, emptyMeds(docs),
       PipelineConfig.fromYaml(yaml).stages).data
-    assert(out.columns.toSeq == Seq("media_id", "frame_idx", "frame_digest"))
-    assert(out.count() == 18) // 6 docs x 3 frames
+    assert(out.columns.toSeq == Seq("media_id", "sample_ord", "frame_idx",
+      "n_frames", "mean_intensity", "frame_digest"))
+    assert(out.count() == 18) // 6 docs x 3 samples (text payloads -> null frames)
     val decoded = Pipeline.run(spark, emptyMeds(docs), PipelineConfig.fromYaml(
       "stages:\n  - as_media\n  - media_decode\n").stages).data
     assert(decoded.columns.toSeq ==
-      Seq("media_id", "width", "height", "mean_intensity"))
+      Seq("media_id", "format", "width", "height", "mean_intensity"))
     assert(decoded.count() == 6)
   }
 

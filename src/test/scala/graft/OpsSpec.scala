@@ -916,27 +916,141 @@ class TextAnalysisSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("media plumbing: payload bytes, digests, stub decode, frame explosion") {
+  test("media plumbing: payload bytes, digests, real decode, frame explosion") {
     val docs = Seq((0L, "hello"), (1L, "worlds")).toDF("doc_id", "text")
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val meta = Multimodal.payloadMetadata(media).collect()
       .map(r => r.getLong(0) -> r.getAs[Int]("n_bytes")).toMap
     assert(meta == Map(0L -> 5, 1L -> 6))
-    val dec = Multimodal.decodeStub(media).orderBy("media_id").head()
-    assert(dec.getAs[Number]("width").intValue() == 6) // 5 % 640 + 1
-    val frames = Multimodal.sampleFramesStub(media, 3)
-    assert(frames.count() == 6)
-    assert(frames.select("frame_digest").distinct().count() == 6) // per-frame digest differs
-    // resize: target dims, scale factors from the stub source dims, and a
-    // digest equal to sha256(payload ++ "WxH")
-    val rz = Multimodal.resizeStub(media, 64, 32).orderBy("media_id").head()
+    // text payloads are not images: the real decoder must yield null-field
+    // rows (the corrupt-blob contract), never throw
+    val dec = Multimodal.decodeBatched(media).orderBy("media_id").collect()
+    assert(dec.length == 2 && dec.forall(r =>
+      r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
+    // frame sampling over non-image payloads: the n-row structural
+    // explosion survives, frame fields are null (corrupt-blob contract)
+    val frames = Multimodal.sampleFrames(media, 3).collect()
+    assert(frames.length == 6)
+    assert(frames.forall(r => r.isNullAt(2) && r.isNullAt(5)))
+    // resize over undecodable payloads: target dims survive, scales/digest null
+    val rz = Multimodal.resizeImages(media, 64, 32).orderBy("media_id").head()
     assert(rz.getLong(1) == 64L && rz.getLong(2) == 32L)
-    assert(math.abs(rz.getDouble(3) - 6.0 / 64) < 1e-4) // srcW=6 ("hello"), 4dp-rounded
-    assert(math.abs(rz.getDouble(4) - 36.0 / 32) < 1e-4) // srcH=5*7%480+1=36, 4dp-rounded
+    assert(rz.isNullAt(3) && rz.isNullAt(4) && rz.isNullAt(5))
+  }
+
+  /** The reference pixel formula (ImageExpressions.scala:17-19), Scala-side. */
+  private def synthPixel(id: Long, s: Long, ch: Int): Int = {
+    val b = id % 251
+    val v = ch match {
+      case 0 => b + s
+      case 1 => b + 2 * s + 7
+      case _ => b + 3 * s + 13
+    }
+    (v % 256).toInt
+  }
+
+  test("decode parity: PngSynth payload -> ImageIO codec -> pixel formula, exact") {
+    val ids = Seq(0L, 1L, 7L, 42L, 250L, 251L, 1000L)
+    val media = ids.toDF("media_id")
+      .select(col("media_id"),
+        graft.plans.PngSynth.png(col("media_id"),
+          (col("media_id") % 8 + 4).cast("int"),
+          (col("media_id") % 7 + 3).cast("int")).as("payload"))
+    val got = Multimodal.decodeBatched(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val w = (id % 8 + 4).toInt
+      val h = (id % 7 + 3).toInt
+      var sum = 0L
+      (0L until w.toLong * h).foreach { s =>
+        sum += synthPixel(id, s, 0) + synthPixel(id, s, 1) + synthPixel(id, s, 2)
+      }
+      val r = got(id)
+      assert(r.getString(1) == "png", s"id=$id format")
+      assert(r.getLong(2) == w && r.getLong(3) == h, s"id=$id dims")
+      assert(r.getLong(4) == sum / (3L * w * h), s"id=$id mean intensity")
+    }
+    // header-parse agreement: imageDimensions reads the same dims without decode
+    val hdr = media.select(col("media_id"),
+        Multimodal.imageDimensions(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getString(0), r.getStruct(1).getLong(1), r.getStruct(1).getLong(2))).toMap
+    ids.foreach { id =>
+      assert(hdr(id) == (("png", id % 8 + 4, id % 7 + 3)), s"id=$id header dims")
+    }
+  }
+
+  test("frame parity: GifSynth payload -> ImageIO GIF reader -> per-frame formula, exact") {
+    val ids = Seq(0L, 1L, 9L, 250L, 777L)
+    val media = ids.toDF("media_id")
+      .select(col("media_id"),
+        graft.plans.GifSynth.gif(col("media_id"),
+          (col("media_id") % 6 + 3).cast("int"),
+          (col("media_id") % 5 + 3).cast("int"),
+          (col("media_id") % 4 + 2).cast("int")).as("payload"))
+    val got = Multimodal.sampleFrames(media, n = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val expect = md.digest("hello64x32".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(rz.getString(5) == expect)
+    ids.foreach { id =>
+      val w = (id % 6 + 3).toInt; val h = (id % 5 + 3).toInt
+      val frames = (id % 4 + 2).toInt
+      (0 until 4).foreach { j =>
+        val idx = (j.toLong * (frames - 1) / 3).toInt
+        val vs = (0 until w * h).map(s => ((id % 251 + s + 17L * idx) % 256).toInt)
+        md.reset()
+        val expect = md.digest(vs.map(v => f"$v%02x").mkString.getBytes("US-ASCII"))
+          .map("%02x".format(_)).mkString
+        val r = got((id, j))
+        assert(r.getLong(2) == idx && r.getLong(3) == frames, s"id=$id j=$j idx")
+        assert(r.getLong(4) == 3L * vs.sum / (3L * w * h), s"id=$id j=$j mean")
+        assert(r.getString(5) == expect, s"id=$id j=$j digest")
+      }
+    }
+  }
+
+  test("resize parity: fixed-point bilinear matches an independent integer replay") {
+    val ids = Seq(3L, 11L, 123L)
+    val media = ids.toDF("media_id")
+      .select(col("media_id"),
+        graft.plans.PngSynth.png(col("media_id"),
+          (col("media_id") % 8 + 4).cast("int"),
+          (col("media_id") % 7 + 3).cast("int")).as("payload"))
+    val got = Multimodal.resizeImages(media, targetW = 8, targetH = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    ids.foreach { id =>
+      val w = (id % 8 + 4).toInt
+      val h = (id % 7 + 3).toInt
+      val sb = new StringBuilder
+      (0 until 8).foreach { ty =>
+        val fy = ty.toLong * (h - 1) * 65536L / 7
+        val y0 = (fy >> 16).toInt; val dy = fy & 0xffffL
+        val y1 = math.min(y0 + 1, h - 1)
+        (0 until 8).foreach { tx =>
+          val fx = tx.toLong * (w - 1) * 65536L / 7
+          val x0 = (fx >> 16).toInt; val dx = fx & 0xffffL
+          val x1 = math.min(x0 + 1, w - 1)
+          (0 until 3).foreach { ch =>
+            val p00 = synthPixel(id, y0.toLong * w + x0, ch)
+            val p01 = synthPixel(id, y0.toLong * w + x1, ch)
+            val p10 = synthPixel(id, y1.toLong * w + x0, ch)
+            val p11 = synthPixel(id, y1.toLong * w + x1, ch)
+            val top = p00 * (65536L - dx) + p01 * dx
+            val bot = p10 * (65536L - dx) + p11 * dx
+            val v = ((top * (65536L - dy) + bot * dy + (1L << 31)) >> 32).toInt
+            sb.append(f"$v%02x")
+          }
+        }
+      }
+      md.reset()
+      val expect = md.digest(sb.toString.getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString
+      val r = got(id)
+      assert(r.getLong(1) == 8L && r.getLong(2) == 8L)
+      assert(r.getDouble(3) == BigDecimal(w / 8.0).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, s"id=$id scale_x")
+      assert(r.getString(5) == expect, s"id=$id digest")
+    }
   }
 
   test("imageDimensions parses real PNG/GIF/BMP headers; garbage yields null") {
@@ -1126,15 +1240,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got(10L) == null && got(11L) == null)
   }
 
-  test("batched decode (mapPartitions codec) matches the expression stub bit-for-bit") {
-    val docs = (0 until 50).map(i => (i.toLong, s"payload $i " * (i + 1))).toDF("doc_id", "text")
-    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
-    val viaExpr = Multimodal.decodeStub(media)
-      .collect().map(r => (r.getLong(0), r.getAs[Number](1).intValue(),
-        r.getAs[Number](2).intValue(), r.getAs[Number](3).intValue())).toSet
-    val viaBatch = Multimodal.decodeBatched(media.repartition(4))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
-    assert(viaBatch == viaExpr)
+  test("batched decode is partitioning-invariant and null-safe on mixed payloads") {
+    // 50 real PNGs + interleaved garbage payloads, shuffled across 4
+    // partitions: results must be identical to the single-partition run,
+    // and every garbage row must decode to a null-field row in place
+    val media = (0 until 50).map(_.toLong).toDF("media_id")
+      .select(col("media_id"),
+        when(col("media_id") % 5 === 0, lit("not an image".getBytes))
+          .otherwise(graft.plans.PngSynth.png(col("media_id"),
+            (col("media_id") % 6 + 2).cast("int"),
+            (col("media_id") % 5 + 2).cast("int"))).as("payload"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeBatched(df).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val one = run(media.coalesce(1))
+    val four = run(media.repartition(4))
+    assert(one == four)
+    assert(one.count(_._2 == null) == 10) // every media_id % 5 == 0 row
+    assert(one.count(_._2 == "png") == 40)
   }
 }
 
