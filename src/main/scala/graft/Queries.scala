@@ -2209,36 +2209,45 @@ object Queries {
     * integer-mean update with the empty-code carry-over, ending at `aF`
     * (the final assignment = the encoding) against `cb<iters>`.
     */
-  private def pqOracleCtes: String = {
+  private def pqOracleCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+      | v -> CAST(round(v*1000000) AS BIGINT)) AS xe FROM embeddings),""".stripMargin +
+      pqLloydCtes("")
+
+  /** The Lloyd-replay fragment alone, every CTE name prefixed with `pfx` so
+    * the OPQ oracle can run TWO bit-exact replays (one per alternation) in a
+    * single statement. Reads e6 vectors from `<pfx>e (vec_id, xe)`; final
+    * assignment lands in `<pfx>aF`, final codebook in `<pfx>cb$PqIters`.
+    */
+  private def pqLloydCtes(pfx: String): String = {
     val sb = new StringBuilder
-    sb ++= s"""e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
-      | v -> CAST(round(v*1000000) AS BIGINT)) AS xe FROM embeddings),
-      |ranked AS (SELECT vec_id, xe, row_number() OVER (ORDER BY
+    sb ++= s"""
+      |${pfx}ranked AS (SELECT vec_id, xe, row_number() OVER (ORDER BY
       |  ('0x' || substr(md5(vec_id::VARCHAR || ':42'),1,14))::BIGINT
-      |    % 1000000000, vec_id) - 1 AS rk FROM e),
-      |cb0 AS (SELECT tj.j, r.rk AS c, td.d, r.xe[tj.j*$PqDsub + td.d + 1] AS v
-      | FROM ranked r CROSS JOIN range(0,$PqM) tj(j)
+      |    % 1000000000, vec_id) - 1 AS rk FROM ${pfx}e),
+      |${pfx}cb0 AS (SELECT tj.j, r.rk AS c, td.d, r.xe[tj.j*$PqDsub + td.d + 1] AS v
+      | FROM ${pfx}ranked r CROSS JOIN range(0,$PqM) tj(j)
       | CROSS JOIN range(0,$PqDsub) td(d) WHERE r.rk < $PqKsub),""".stripMargin
     def assign(tag: String, cb: String): String =
-      s"""d$tag AS (SELECT e.vec_id, cb.j, cb.c,
+      s"""${pfx}d$tag AS (SELECT e.vec_id, cb.j, cb.c,
         | sum((e.xe[cb.j*$PqDsub + cb.d + 1] - cb.v)
         |   * (e.xe[cb.j*$PqDsub + cb.d + 1] - cb.v)) AS dist
-        | FROM e CROSS JOIN $cb cb GROUP BY 1,2,3),
-        |a$tag AS (SELECT vec_id, j, (min(struct_pack(ds := dist, c := c))).c AS code
-        | FROM d$tag GROUP BY 1,2),""".stripMargin
+        | FROM ${pfx}e e CROSS JOIN $cb cb GROUP BY 1,2,3),
+        |${pfx}a$tag AS (SELECT vec_id, j, (min(struct_pack(ds := dist, c := c))).c AS code
+        | FROM ${pfx}d$tag GROUP BY 1,2),""".stripMargin
     (0 until PqIters).foreach { i =>
-      sb ++= "\n" + assign(i.toString, s"cb$i")
+      sb ++= "\n" + assign(i.toString, s"${pfx}cb$i")
       sb ++= s"""
-        |s$i AS (SELECT a.j, a.code AS c, td.d,
+        |${pfx}s$i AS (SELECT a.j, a.code AS c, td.d,
         |  sum(e.xe[a.j*$PqDsub + td.d + 1]) AS sv, count(*) AS n
-        | FROM a$i a JOIN e ON e.vec_id = a.vec_id
+        | FROM ${pfx}a$i a JOIN ${pfx}e e ON e.vec_id = a.vec_id
         | CROSS JOIN range(0,$PqDsub) td(d) GROUP BY 1,2,3),
-        |cb${i + 1} AS (SELECT cb.j, cb.c, cb.d,
+        |${pfx}cb${i + 1} AS (SELECT cb.j, cb.c, cb.d,
         |  coalesce(CAST(round(CAST(s.sv AS DOUBLE)/s.n) AS BIGINT), cb.v) AS v
-        | FROM cb$i cb LEFT JOIN s$i s
+        | FROM ${pfx}cb$i cb LEFT JOIN ${pfx}s$i s
         |   ON s.j = cb.j AND s.c = cb.c AND s.d = cb.d),""".stripMargin
     }
-    sb ++= "\n" + assign("F", s"cb$PqIters").stripSuffix(",")
+    sb ++= "\n" + assign("F", s"${pfx}cb$PqIters").stripSuffix(",")
     sb.toString
   }
 
@@ -2464,6 +2473,90 @@ object Queries {
       | FROM ex)
       |SELECT qid, vec_id, dist_e6, rank FROM rk WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin))
+
+  // ---- OPQ: the rotation TRAINING replayed end-to-end ---------------------
+  // R = P·H·D with D the md5-hash sign diagonal, H the 64-dim Walsh-Hadamard
+  // transform (6 butterfly stages, each a self-join pairing i with xor(i,
+  // len)), /8 exact normalization as (t+4)//8, and P fit by alternating
+  // minimization. alternations=2 means the oracle runs the Lloyd replay
+  // TWICE: once under the identity permutation, then ranks per-position
+  // quantization error (desc, position asc) and deals ranks round-robin
+  // across subspaces — rank r's dimension lands at output index
+  // (r%m)·dsub + r/m — and replays Lloyd again on the re-permuted vectors.
+  // The gate hashes the FINAL assignment, so one integer diverging anywhere
+  // in signs → WHT → rounding → Lloyd A → error ranking → perm → Lloyd B
+  // goes red. See Pq.trainOpq (ops/Pq.scala) for the engine side.
+
+  /** The WHT-rotation CTE fragment: `w6(vec_id, i, v)` holds H·(D·x) before
+    * normalization; `Ae` the alternation-0 rotated vectors (identity perm).
+    */
+  /** log2(√dim) of the PQ gate geometry — exact because dim is a power of
+    * 4. The WHT normalization is `(t + sqrtD/2) >> half`; the oracle MUST
+    * replay it with DuckDB's `>>` (arithmetic shift, floor semantics on
+    * negatives — WHT outputs go negative), NOT `//`, which truncates
+    * toward zero in DuckDB and diverges one ulp on every negative odd
+    * multiple.
+    */
+  private val OpqHalf: Int = Integer.numberOfTrailingZeros(PqM * PqDsub) / 2
+  private val OpqSqrtD: Int = 1 << OpqHalf
+
+  private def opqWhtCtes: String = {
+    val dim = PqM * PqDsub
+    val sb = new StringBuilder
+    sb ++= s"""e0 AS MATERIALIZED (SELECT vec_id, list_transform(embedding::DOUBLE[],
+      | v -> CAST(round(v*1000000) AS BIGINT)) AS xe FROM embeddings),
+      |sgn AS (SELECT t.i, CASE WHEN ('0x' || substr(md5(t.i::VARCHAR || ':42'),1,14))::BIGINT
+      |    % 1000000000 < 500000000 THEN 1 ELSE -1 END AS s
+      |  FROM range(0,$dim) t(i)),
+      |w0 AS MATERIALIZED (SELECT e0.vec_id, t.i, sgn.s * e0.xe[t.i + 1] AS v
+      |  FROM e0 CROSS JOIN range(0,$dim) t(i) JOIN sgn ON sgn.i = t.i),""".stripMargin
+    var len = 1
+    var k = 0
+    while (len < dim) {
+      k += 1
+      sb ++= s"""
+        |w$k AS MATERIALIZED (SELECT p.vec_id, p.i,
+        |  CASE WHEN (p.i & $len) = 0 THEN p.v + q.v ELSE q.v - p.v END AS v
+        | FROM w${k - 1} p JOIN w${k - 1} q
+        |   ON q.vec_id = p.vec_id AND q.i = xor(p.i, $len)),""".stripMargin
+      len <<= 1
+    }
+    sb ++= s"""
+      |Ae AS MATERIALIZED (SELECT vec_id, list((v + ${OpqSqrtD / 2}) >> $OpqHalf ORDER BY i) AS xe
+      |  FROM w$k GROUP BY vec_id),""".stripMargin
+    sb.toString
+  }
+
+  /** OPQ codes of every vector — rotation + permutation TRAINING and the
+    * rotated encode all under full oracle replay ([[Pq.trainOpq]] /
+    * [[Pq.encodeOpq]]), unnested to (vec_id, subspace, code) rows like
+    * [[pqCodes]].
+    */
+  private val opqCodes: Gate = Gate(
+    (s, dir) => {
+      val om = Pq.trainOpq(table(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = PqM * PqDsub, m = PqM, ksub = PqKsub, iters = PqIters, seed = 42L)
+      Pq.encodeOpq(table(s, dir, "embeddings"), "embedding", om)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+        .select(col("vec_id"), col("j").cast(LongType).as("j"),
+          col("code").cast(LongType).as("code"))
+        .orderBy("vec_id", "j")
+    },
+    Some(s"""WITH $opqWhtCtes${pqLloydCtes("A")},
+      |errs AS (SELECT t.i,
+      |  sum((e.xe[t.i + 1] - cb.v) * (e.xe[t.i + 1] - cb.v)) AS err
+      | FROM Ae e CROSS JOIN range(0,${PqM * PqDsub}) t(i)
+      | JOIN AaF a ON a.vec_id = e.vec_id AND a.j = t.i // $PqDsub
+      | JOIN Acb$PqIters cb ON cb.j = t.i // $PqDsub AND cb.c = a.code
+      |   AND cb.d = t.i % $PqDsub
+      | GROUP BY 1),
+      |pr AS (SELECT i AS pos, row_number() OVER (ORDER BY err DESC, i) - 1 AS r
+      |  FROM errs),
+      |pm AS (SELECT (r % $PqM) * $PqDsub + r // $PqM AS i, pos AS src FROM pr),
+      |Be AS MATERIALIZED (SELECT w.vec_id, list((w.v + ${OpqSqrtD / 2}) >> $OpqHalf ORDER BY p.i) AS xe
+      |  FROM pm p JOIN w${Integer.numberOfTrailingZeros(PqM * PqDsub)} w ON w.i = p.src
+      |  GROUP BY w.vec_id),${pqLloydCtes("B")}
+      |SELECT vec_id, j, code FROM BaF ORDER BY vec_id, j""".stripMargin))
 
   private val winnowFp: Gate = Gate(
     (s, dir) => Dedup.winnowFingerprints(table(s, dir, "documents"), "doc_id", "text",
@@ -3684,6 +3777,7 @@ object Queries {
     "ivfpq_rerank" -> ivfPqRerank,
     "pq_knn" -> pqKnn,
     "pq_knn_rerank" -> pqKnnRerank,
+    "opq_codes" -> opqCodes,
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
     "sim_ivf_indexed" -> simIvfIndexed,

@@ -292,7 +292,8 @@ object HdRotate {
     i = 0
     while (i < d) {
       // floor((t + sqrtD/2) / sqrtD): >> on the shifted value is floor
-      // division for negatives too — DuckDB's (t + 4) // 8
+      // division for negatives too — DuckDB's arithmetic `(t + 4) >> 3`
+      // (NOT `//`, which truncates toward zero in DuckDB)
       out(i) = (t(perm(i)) + (sqrtD >> 1)) >> half
       i += 1
     }

@@ -87,8 +87,23 @@ object AnnRecallSmoke {
       val rRerank = recallL2(q =>
         ids(Pq.adcTopKRerank(enc, "vec_id", "embedding", model,
           Pq.xe(q.map(_.toDouble)), k, short)))
+      // OPQ at the SAME bit budget: the signed-Hadamard-permutation
+      // rotation spreads energy across subspaces before quantization —
+      // the lift column is what `opq: true` buys for free at serve time
+      // (rotation is a per-row codegen'd butterfly, no extra shuffle)
+      val om = Pq.trainOpq(embs, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = ksub, iters = 3)
+      val encO = Pq.encodeOpq(embs, "embedding", om).localCheckpoint()
+      val rOpq = recallL2(q =>
+        ids(Pq.adcTopK(encO, "vec_id", om.pq,
+          Pq.xeOpq(q.map(_.toDouble), om), k)))
+      val rOpqRerank = recallL2(q =>
+        ids(Pq.adcTopKRerankOpq(encO, "vec_id", "embedding", om,
+          Pq.xe(q.map(_.toDouble)), k, short)))
       println(f"SMOKE ann recall@$k PQ m=8 ksub=$ksub ($bits bits/vec vs " +
-        f"2048 raw): adc $rPq%.2f, rerank@$short $rRerank%.2f")
+        f"2048 raw): adc $rPq%.2f -> opq $rOpq%.2f (lift ${rOpq - rPq}%+.2f), " +
+        f"rerank@$short $rRerank%.2f -> opq $rOpqRerank%.2f " +
+        f"(lift ${rOpqRerank - rRerank}%+.2f)")
     }
     println("SMOKE all ok")
     spark.stop()
