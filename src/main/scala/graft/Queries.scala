@@ -732,6 +732,38 @@ object Queries {
     * ordering for a null timestamp (the batch path's NULLS FIRST convention
     * is a window-order artifact a watermark would drop anyway).
     */
+  /** Streaming file source over the events table, branching on the table's
+    * physical layout: `events.parquet` is a flat FILE in the shipped
+    * testdata (streamed via `pathGlobFilter` on the parent dir — a file
+    * cannot be a stream source root, "basePath must be a directory") but a
+    * DIRECTORY of part files in replicated scale dirs (ScaleUpBench) and
+    * any engine-written output (streamed directly — the glob filter on the
+    * parent matched ZERO part files there, so the stream silently ran no
+    * batches at scale until round 14).
+    */
+  private def eventsStream(ss: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(ss.sessionState.newHadoopConf())
+    val reader = ss.readStream.schema(table(ss, dir, "events").schema)
+    restoreTs(
+      if (fs.getFileStatus(p).isDirectory) reader.parquet(p.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
+
+  /** State partitions for the streaming gates, scoped to the DATA, not a
+    * constant: each HDFS-backed state store pays a per-batch open/commit
+    * regardless of row count (r8 tuning: 2 beats 8 at 100k rows), but a
+    * constant 2 throttles a replicated 6M-row scale run. ~50k input rows
+    * per store (the measured r8 sweet spot) from the parquet FOOTER counts
+    * — no data scan — clamped to [2, defaultParallelism].
+    */
+  private def streamStatePartitions(ss: SparkSession, dir: String): Int = {
+    val rows = graft.plans.ParquetStats
+      .rowCount(ss, s"$dir/events.parquet").getOrElse(100000L)
+    math.max(2L, math.min(ss.sparkContext.defaultParallelism.toLong,
+      rows / 50000L)).toInt
+  }
+
   private def rmTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.isDirectory(p)) {
@@ -766,9 +798,9 @@ object Queries {
         // 4.19 s here — per-partition native-DB open/commit dwarfs its
         // benefits until state is orders of magnitude larger (StreamSmoke
         // carries the RocksDB evidence at scale).
-        ss.conf.set("spark.sql.shuffle.partitions", "2")
-        val src = restoreTs(ss.readStream.schema(table(ss, dir, "events").schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        ss.conf.set("spark.sql.shuffle.partitions",
+          streamStatePartitions(ss, dir).toString)
+        val src = eventsStream(ss, dir)
           .filter(col("ts").isNotNull) // watermark column must be non-null
         val doubled = src
           .withColumn("__copy", explode(array(lit(0), lit(1))))
@@ -778,8 +810,12 @@ object Queries {
           .writeStream.outputMode("append")
           .option("checkpointLocation", tmp.resolve("ckpt").toString)
           .trigger(Trigger.AvailableNow())
+          // per-batch overwrite dirs keep replayed micro-batches idempotent;
+          // NO coalesce(1): a single-threaded write of a replicated-scale
+          // batch (6.4M rows at x64) serializes the sink — the state
+          // partitioning already bounds the file count per batch
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.coalesce(1).write.mode("overwrite").parquet(s"$outDir/b$batchId"); ()
+            batch.write.mode("overwrite").parquet(s"$outDir/b$batchId"); ()
           }
           .start()
         q.awaitTermination()
@@ -807,10 +843,9 @@ object Queries {
         // SQLConf) instead of flipping the shared session's conf, which a
         // concurrently-running gate would silently inherit
         val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "2")
-        // file source takes a directory; glob-pin it to the events table
-        val src = restoreTs(ss.readStream.schema(table(ss, dir, "events").schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        ss.conf.set("spark.sql.shuffle.partitions",
+          streamStatePartitions(ss, dir).toString)
+        val src = eventsStream(ss, dir)
         val evs = src.filter(col("ts").isNotNull)
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
           .as[Sessionize.Ev]
@@ -822,7 +857,7 @@ object Queries {
           // sink, unfinished commit log) IDEMPOTENT — a plain append sink
           // is only at-least-once and would double-count retried partials
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[Sessionize.SessionOut], batchId: Long) =>
-            batch.coalesce(1).write.mode("overwrite").parquet(s"$outDir/b$batchId"); ()
+            batch.write.mode("overwrite").parquet(s"$outDir/b$batchId"); ()
           }
           .start()
         q.awaitTermination()
@@ -2823,10 +2858,10 @@ object Queries {
       val outDir = tmp.resolve("out").toString
       try {
         val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "2")
+        ss.conf.set("spark.sql.shuffle.partitions",
+          streamStatePartitions(ss, dir).toString)
         import ss.implicits._
-        val src = restoreTs(ss.readStream.schema(table(ss, dir, "events").schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val src = eventsStream(ss, dir)
         val tev = src.filter(col("event_type").isin("click", "view"))
           .select(col("user_id").as("k"),
             when(col("ts").isNotNull, unix_micros(col("ts"))).as("t"),
