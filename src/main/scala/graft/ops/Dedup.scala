@@ -692,7 +692,7 @@ object Dedup {
     * non-text columns pass through unchanged.
     *
     * Skew-proof by construction: "first occurrence" is a map-side-combinable
-    * `min(struct(id, pos))` aggregation on the 56-bit line hash, so a
+    * `min(packed (id, pos))` HashAggregate on the 56-bit line hash, so a
     * boilerplate line with a billion copies compresses to one candidate per
     * task BEFORE the shuffle — the obvious `row_number() over (partition by
     * line)` alternative co-locates every copy of the hot line in a single
@@ -700,15 +700,35 @@ object Dedup {
     * itself never shuffles on the dedup key: the aggregate carries only
     * (hash, id, pos).
     */
+  /** (id, pos) lexicographic order packed into ONE primitive long, so the
+    * first-occurrence aggregate runs as a HashAggregate: `min(struct(id,
+    * pos))` silently downgrades the WHOLE aggregation to SortAggregate
+    * (structs are not mutable hash-agg buffer types), which sorts the full
+    * exploded gram/line stream on both sides of the shuffle — measured as
+    * a 3.4× DuckDB marginal on dup_spans at x256 before this. Encoding:
+    * `id << 24 | pos`; a null id propagates to a null packed value, so
+    * null-id rows never win the election and never pass the equality
+    * filters — exactly the rows the previous struct-equality comparisons
+    * dropped (null `===` is null). Bounds fail LOUDLY: pos < 2^24 per
+    * document, 0 ≤ id < 2^38 — far wider than any corpus this engine
+    * meets, and a silent wrap would corrupt dedup results, not just slow
+    * them.
+    */
+  private def packFirst(id: Column, pos: Column): Column =
+    when(pos < 0 || pos >= (1 << 24) || id < 0 || id >= (1L << 38),
+      raise_error(concat(lit("packFirst out of range: id="),
+        coalesce(id.cast("string"), lit("null")),
+        lit(" pos="), pos.cast("string"))).cast("long"))
+      .otherwise(shiftleft(id.cast("long"), 24) + pos)
+
   def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "__line")))
       .withColumn("__h", portableHash56(col("__line")))
     val first = lines.groupBy("__h")
-      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .agg(min(packFirst(col(idCol), col("pos"))).as("__firstp"))
     val survivors = lines.join(first, Seq("__h"))
-      .filter(col("__first")(idCol) === col(idCol) &&
-        col("__first")("pos") === col("pos"))
+      .filter(packFirst(col(idCol), col("pos")) === col("__firstp"))
       .groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("__line")))),
@@ -734,29 +754,35 @@ object Dedup {
     * duplicated substring survives downstream span removal instead of the
     * text vanishing from the corpus entirely.
     *
-    * Scale shape: one posexplode of the precomputed in-row gram-hash array
-    * (ShingleHash56 — token bytes stream into the digest once), a map-side-
-    * combined count/min aggregation on the gram hash (hot boilerplate grams
-    * compress per-task before the shuffle), one equi-join of positions
-    * against the df≥2 survivors (AQE broadcasts it when the duplicated
-    * vocabulary is small), then a per-document window whose partitions are
-    * bounded by document length — no corpus-sized window partition anywhere.
-    * The follow-up groupBy(id, span) reuses the window's hash partitioning
-    * on id (no extra exchange).
+    * Scale shape (round-14 rewrite): ONE posexplode of the precomputed
+    * in-row gram-hash array (ShingleHash56 — token bytes stream into the
+    * digest once), ONE shuffle on the gram hash, and a whole-partition
+    * window computing (df, first occurrence) in a single sort — replacing
+    * the previous two-sided agg+join plan, whose map-side combine bought
+    * nothing (grams measured 95% unique at x256, so the partial aggregate
+    * shuffled the full stream anyway: 2.1 GB, a 61M-key final hash
+    * aggregate, and a dual-sorted SMJ on top — 23.9 vs 12.5 s at x256;
+    * shuffle-hash and runtime-bloom A/Bs of the old plan lost too, 44.5
+    * and 21.7 s). Skew note, stated honestly: a pathological hot gram now
+    * lands in ONE window partition, but its per-row work is a running
+    * count/min (linear, no pair blowup), and the old plan's probe side
+    * co-located the same rows in one SMJ partition anyway — the only
+    * regression is losing AQE's skewed-SMJ split, traded for halving the
+    * gram generation and shuffle. The follow-up groupBy(id, span) is
+    * bounded by document length per group.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, keepFirst: Boolean = true): DataFrame = {
     val grams = hashArrays(docs, idCol, textCol, k, distinct = false)
       .select(col(idCol), posexplode(col("__hs")).as(Seq("pos", "__h")))
-    val dup = grams.groupBy("__h")
-      .agg(count(lit(1)).as("__df"),
-        min(struct(col(idCol), col("pos"))).as("__first"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val marked = grams
+      .withColumn("__df", count(lit(1)).over(w))
+      .withColumn("__firstp", min(packFirst(col(idCol), col("pos"))).over(w))
       .filter(col("__df") >= 2)
-    val marked = grams.join(dup, Seq("__h"))
     val removable =
       if (keepFirst)
-        marked.filter(!(col("__first")(idCol) === col(idCol) &&
-          col("__first")("pos") === col("pos")))
+        marked.filter(packFirst(col(idCol), col("pos")) =!= col("__firstp"))
       else marked
     // span assembly: ONE hash aggregation per document (collect positions,
     // no sort-before-aggregate) + a per-row fold over the sorted position
