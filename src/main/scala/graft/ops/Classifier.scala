@@ -83,7 +83,7 @@ object Classifier {
       tokenCounts: DataFrame, priors: DataFrame): DataFrame = {
     val (likScores, classes) = scoredFrames(docs, idCol, textCol, tokenCounts, priors)
     docs.select(col(idCol))
-      .join(argmax(likScores, idCol), Seq(idCol), "left")
+      .join(argmax(likScores, classes, idCol), Seq(idCol), "left")
       .crossJoin(broadcast(priorArgmax(classes)))
       .select(col(idCol), coalesce(col("pred"), col("__prior_pred")).as("pred"))
   }
@@ -99,20 +99,40 @@ object Classifier {
       labelCol: String, tokenCounts: DataFrame, priors: DataFrame): DataFrame = {
     val (likScores, classes) = scoredFrames(eval, idCol, textCol, tokenCounts, priors)
     eval.select(col(idCol), col(labelCol).as("label"))
-      .join(argmax(likScores, idCol), Seq(idCol), "left")
+      .join(argmax(likScores, classes, idCol), Seq(idCol), "left")
       .crossJoin(broadcast(priorArgmax(classes)))
       .groupBy(col("label"), coalesce(col("pred"), col("__prior_pred")).as("pred"))
       .agg(count(lit(1)).as("n"))
   }
 
   /** argmax over exact integers: min of (−score, label) ⇒ highest score,
-    * tie → lexicographically-smallest label.
+    * tie → lexicographically-smallest label. The (−score, label) order is
+    * packed into ONE long — `−s_e6·1024 + labelIdx`, with `labelIdx` the
+    * dense LEXICOGRAPHIC label rank from the broadcast-tiny class frame —
+    * because `min(struct)` silently forces SortAggregate (structs are not
+    * mutable hash-agg buffer types), sorting the corpus-sized (doc × class)
+    * stream on both shuffle sides; the packed min is a plain HashAggregate
+    * (the Dedup.packFirst trap, same round-14 measurement). Bounds fail
+    * loudly: ≤1024 classes, |s_e6| < 2^53 (a petabyte-of-tokens document).
     */
-  private def argmax(scoredE6: DataFrame, idCol: String): DataFrame =
-    scoredE6.groupBy(col(idCol))
-      .agg(min(struct((-col("__s_e6")).as("ns"), col("label").as("l")))
-        .as("__b"))
-      .select(col(idCol), col("__b.l").as("pred"))
+  private def argmax(scoredE6: DataFrame, classes: DataFrame,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("label"))
+    val idx = classes.select(col("label"),
+      (row_number().over(w) - 1).cast("long").as("__li"))
+    val packed = when(abs(col("__s_e6")) >= lit(1L << 53) ||
+        col("__li") >= 1024L,
+      raise_error(concat(lit("nb argmax packing out of range: s_e6="),
+        col("__s_e6").cast("string"), lit(" labelIdx="),
+        col("__li").cast("string"))).cast("long"))
+      .otherwise(-col("__s_e6") * lit(1024L) + col("__li"))
+    scoredE6.join(broadcast(idx), Seq("label"))
+      .groupBy(col(idCol))
+      .agg(min(packed).as("__p"))
+      .select(col(idCol), pmod(col("__p"), lit(1024L)).as("__li"))
+      .join(broadcast(idx), Seq("__li"))
+      .select(col(idCol), col("label").as("pred"))
+  }
 
   /** The class a tokenless document gets: argmax of the priors alone, as a
     * 1-row broadcastable frame (same exact-integer tiebreak).
