@@ -332,11 +332,20 @@ object AsOfJoin {
           s"asOf: dedupRight ($w) must be a tiebreak column, not the time key")
         val payFields = (w +: valueCols.distinct.filterNot(_ == w))
           .filterNot(_ == rightTime)
-        val payload = struct(payFields.map(col): _*)
-        rBase.groupBy((keyCols.map(col) :+ col(rightTime)): _*)
-          .agg(max(payload).as("__pay"))
-          .select((keyCols.map(col) :+ col(rightTime)) ++
-            payFields.map(c => col(s"__pay.$c").as(c)): _*)
+        // single-payload case: max(struct(x)) ≡ max(x), but the struct form
+        // silently forces SortAggregate over every (key, time) group
+        // (structs are not mutable hash-agg buffer types) — the plain max
+        // stays a HashAggregate for atomic tiebreak columns
+        if (payFields.sizeIs == 1)
+          rBase.groupBy((keyCols.map(col) :+ col(rightTime)): _*)
+            .agg(max(col(w)).as(w))
+        else {
+          val payload = struct(payFields.map(col): _*)
+          rBase.groupBy((keyCols.map(col) :+ col(rightTime)): _*)
+            .agg(max(payload).as("__pay"))
+            .select((keyCols.map(col) :+ col(rightTime)) ++
+              payFields.map(c => col(s"__pay.$c").as(c)): _*)
+        }
     }
   }
 

@@ -103,7 +103,7 @@ object ReshardToSplit {
       shardCount: Column => Column, seed: Long): DataFrame = {
     // seeded permutation key: portable 56-bit hash of (subject, seed) — the
     // same construction every sampling op uses, reproducible across engines
-    val hashed = splits.dropDuplicates(SubjectId)
+    val hashed = oneSplitPerSubject(splits)
       .select(col(SubjectId), col(Split),
         GraftFunctions.portableHash56(
           concat_ws(":", col(SubjectId), lit(seed))).as("__h"))
@@ -188,10 +188,34 @@ object ReshardToSplit {
     ranked.select(col(SubjectId), split.as(Split))
   }
 
+  /** One split per subject, HASH-aggregated. `dropDuplicates(SubjectId)`
+    * keeps the non-key `split` via a First(string) buffer, which silently
+    * forces SortAggregate over the full cohort (strings are not mutable
+    * hash-agg buffer types — the round-14 min(struct) trap, string
+    * edition). The split vocabulary is tiny by construction: index it
+    * (lexicographic, nulls first, null-safe join back), min the INDEX per
+    * subject (long buffer → HashAggregate), map back — which also upgrades
+    * dropDuplicates' ARBITRARY winner to a deterministic one (the
+    * lexicographically-smallest split), closing a nondeterminism hole when
+    * a subject appears under two splits.
+    */
+  private def oneSplitPerSubject(splits: DataFrame): DataFrame = {
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .orderBy(col(Split).asc_nulls_first)
+    val splitIdx = splits.groupBy(col(Split)).agg(count(lit(1)).as("__cnt"))
+      .select(col(Split), (row_number().over(wIdx) - 1).cast("long").as("__si"))
+    splits
+      .join(broadcast(splitIdx), splits(Split) <=> splitIdx(Split))
+      .groupBy(splits(SubjectId).as(SubjectId))
+      .agg(min(col("__si")).as("__si"))
+      .join(broadcast(splitIdx), Seq("__si"))
+      .select(col(SubjectId), col(Split))
+  }
+
   def apply(data: DataFrame, splits: DataFrame, nShards: Int): DataFrame =
     // defensive dedup (as in Pipeline.trainOnly): a duplicated subject row in
     // the splits table must not multiply event rows through the join
-    applyAssigned(data, assignShards(splits.dropDuplicates(SubjectId), nShards))
+    applyAssigned(data, assignShards(oneSplitPerSubject(splits), nShards))
 
   /** Reshard against a precomputed {subject → (split, shard)} assignment
     * (from any of the assignShards* variants). The join is deliberately
