@@ -3642,6 +3642,52 @@ object Queries {
       |  sha256(hexstr) AS frame_digest
       |FROM px ORDER BY media_id, sample_ord""".stripMargin))
 
+  /** REAL audio sample decode: [[graft.plans.WavSynth]] RIFF/WAVE PCM
+    * payloads (100..499 samples, 8/12/16 kHz by doc_id) through the JDK's
+    * `javax.sound.sampled` WAVE reader; every 9th payload is truncated
+    * after "RIFF" and must yield a null-fielded row, not a scan failure.
+    * The oracle replays the sample formula `v16 = (b + 37·i) mod 65536`
+    * (AudioExpressions.scala) — integer duration, mean/peak |sample|, and
+    * the %04x bit-pattern digest — entirely arithmetically.
+    */
+  private val audioDecode: Gate = Gate(
+    (s, dir) => Multimodal.decodeAudio(
+      table(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("media_id"),
+        when(col("doc_id") % 9 === 0, unhex(lit("52494646")))
+          .otherwise(graft.plans.WavSynth.wav(col("doc_id").cast(LongType),
+            (col("doc_id") % 400 + 100).cast("int"),
+            (col("doc_id") % 3 * 4000 + 8000).cast("int"))).as("payload")))
+      .orderBy("media_id"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id % 400 + 100 AS n,
+      |         doc_id % 3 * 4000 + 8000 AS rate, doc_id % 251 AS b,
+      |         doc_id % 9 = 0 AS corrupt
+      |  FROM documents),
+      |sm AS (
+      |  SELECT d.media_id, sp.i, (d.b + 37 * sp.i) % 65536 AS v16
+      |  FROM dims d, LATERAL (SELECT unnest(range(0, d.n)) AS i) sp
+      |  WHERE NOT d.corrupt),
+      |ag AS (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN v16 >= 32768 THEN 65536 - v16 ELSE v16 END) AS BIGINT) AS total_abs,
+      |    CAST(max(CASE WHEN v16 >= 32768 THEN 65536 - v16 ELSE v16 END) AS BIGINT) AS peak_abs,
+      |    string_agg(printf('%04x', v16), '' ORDER BY i) AS hexstr
+      |  FROM sm GROUP BY 1)
+      |SELECT d.media_id,
+      |  CASE WHEN d.corrupt THEN NULL ELSE 'wave' END AS format,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(d.rate AS BIGINT) END AS sample_rate,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(1 AS BIGINT) END AS channels,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(16 AS BIGINT) END AS bits,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(d.n AS BIGINT) END AS n_frames,
+      |  CASE WHEN d.corrupt THEN NULL
+      |       ELSE CAST(d.n * 1000000 // d.rate AS BIGINT) END AS duration_us,
+      |  CAST(a.total_abs // d.n AS BIGINT) AS mean_abs,
+      |  a.peak_abs,
+      |  sha256(a.hexstr) AS pcm_digest
+      |FROM dims d LEFT JOIN ag a USING (media_id)
+      |ORDER BY d.media_id""".stripMargin))
+
   /** Synthetic-but-structurally-real MP4 round trip: BUILD a spec-shaped
     * ISO-BMFF box tree (ftyp + moov(mvhd + trak(tkhd))) per document from
     * doc_id-derived timing/dimension values using pure binary expressions,
@@ -3855,6 +3901,7 @@ object Queries {
     "multimodal_decode" -> multimodalDecode,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
+    "audio_decode" -> audioDecode,
     "video_metadata" -> videoMeta,
     "mp3_metadata" -> mp3Meta,
     "bpe_pair_counts" -> bpePairCounts,

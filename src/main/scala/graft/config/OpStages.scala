@@ -1329,5 +1329,8 @@ object OpStages {
         s"stage $name: `n_frames` is required"))
       Pipeline.DataStage(name, m => Multimodal.sampleFrames(m.data, n))
     }
+    PipelineConfig.register("media_audio_decode") { (name, _) =>
+      Pipeline.DataStage(name, m => Multimodal.decodeAudio(m.data))
+    }
   }
 }

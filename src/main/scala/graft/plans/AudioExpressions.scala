@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Deterministic REAL-WAV synthesis: a spec-complete RIFF/WAVE container
+  * (RIFF header, `fmt ` chunk, `data` chunk) carrying mono 16-bit signed
+  * little-endian PCM whose samples are a fixed arithmetic function of
+  * `(id, i)` — the fixture generator for the REAL `javax.sound.sampled`
+  * decoder behind [[graft.ops.Multimodal.decodeAudio]], the audio analog of
+  * [[PngSynth]]/[[GifSynth]]. Any disagreement between this writer, the
+  * JDK's WAVE file reader, and the documented sample formula breaks the
+  * gate hash.
+  *
+  * Sample formula (the SQL-replayable contract, sample index `i`,
+  * `b = id mod 251`):
+  * {{{ v16 = (b + 37*i) mod 65536  // the unsigned 16-bit PCM bit pattern
+  *     signed = v16 < 32768 ? v16 : v16 - 65536 }}}
+  * `v16` sweeps the full 16-bit range (37 is odd, so the orbit has period
+  * 65536/gcd(37,65536) = 65536), exercising sign handling on both ends.
+  */
+case class WavSynth(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] =
+    Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_wav_synth"
+
+  override def nullSafeEval(id: Any, n: Any, rate: Any): Any =
+    WavSynth.compute(id.asInstanceOf[Long], n.asInstanceOf[Int],
+      rate.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (id, n, rate) => s"graft.plans.WavSynth.compute($id, $n, $rate)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object WavSynth {
+  /** The sample generator (unsigned 16-bit bit pattern) — shared by
+    * [[compute]] and (arithmetically) by the oracle SQL.
+    */
+  @inline def sample(id: Long, i: Long): Int =
+    ((id % 251 + 37L * i) % 65536L).toInt
+
+  def compute(id: Long, nSamples: Int, rate: Int): Array[Byte] = {
+    require(nSamples > 0 && nSamples <= (1 << 22) && rate > 0,
+      s"wav_synth: n=$nSamples rate=$rate out of range")
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(16)            // fmt chunk length
+    bb.putShort(1)           // audio format: PCM
+    bb.putShort(1)           // channels: mono
+    bb.putInt(rate)          // sample rate
+    bb.putInt(rate * 2)      // byte rate
+    bb.putShort(2)           // block align
+    bb.putShort(16)          // bits per sample
+    bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(sample(id, i).toShort) // LE, bit pattern = unsigned v16
+      i += 1
+    }
+    out
+  }
+
+  def wav(id: Column, nSamples: Column, rate: Column): Column =
+    GraftSqlBridge.column(WavSynth(GraftSqlBridge.expression(id),
+      GraftSqlBridge.expression(nSamples), GraftSqlBridge.expression(rate)))
+}

@@ -1008,6 +1008,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio parity: WavSynth payload -> javax.sound decoder -> sample formula, exact") {
+    val ids = Seq(0L, 1L, 8L, 42L, 250L, 251L, 999L)
+    val media = ids.toDF("media_id")
+      .select(col("media_id"),
+        graft.plans.WavSynth.wav(col("media_id"),
+          (col("media_id") % 50 + 10).cast("int"),
+          (col("media_id") % 3 * 4000 + 8000).cast("int")).as("payload"))
+    val got = Multimodal.decodeAudio(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    ids.foreach { id =>
+      val n = (id % 50 + 10).toInt
+      val rate = (id % 3 * 4000 + 8000).toInt
+      val v16s = (0 until n).map(i => ((id % 251 + 37L * i) % 65536).toInt)
+      val abss = v16s.map(v => if (v >= 32768) 65536 - v else v)
+      md.reset()
+      val expect = md.digest(v16s.map(v => f"$v%04x").mkString.getBytes("US-ASCII"))
+        .map("%02x".format(_)).mkString
+      val r = got(id)
+      assert(r.getString(1) == "wave", s"id=$id format")
+      assert(r.getLong(2) == rate && r.getLong(3) == 1L && r.getLong(4) == 16L,
+        s"id=$id declared format fields")
+      assert(r.getLong(5) == n, s"id=$id frames")
+      assert(r.getLong(6) == n.toLong * 1000000L / rate, s"id=$id duration")
+      assert(r.getLong(7) == abss.map(_.toLong).sum / n, s"id=$id mean")
+      assert(r.getLong(8) == abss.max.toLong, s"id=$id peak")
+      assert(r.getString(9) == expect, s"id=$id digest")
+    }
+    // corrupt / non-audio payloads: null-fielded rows, never a scan failure
+    val bad = Seq((0L, Array[Byte](82, 73, 70, 70)), (1L, "not audio".getBytes))
+      .toDF("media_id", "payload")
+    val badRows = Multimodal.decodeAudio(bad).collect()
+    assert(badRows.length == 2 && badRows.forall(r => (1 to 9).forall(r.isNullAt)))
+  }
+
+  test("audio decode: long clips cross the frame buffer; stereo halves frames") {
+    // 10000 samples > the decoder's 4096-frame read buffer: statistics must
+    // be identical to a single-buffer pass (streamed digest, no truncation)
+    val id = 17L
+    val long = Seq((id, graft.plans.WavSynth.compute(id, 10000, 8000)))
+      .toDF("media_id", "payload")
+    val r = Multimodal.decodeAudio(long).head()
+    val v16s = (0 until 10000).map(i => ((id % 251 + 37L * i) % 65536).toInt)
+    val abss = v16s.map(v => if (v >= 32768) 65536 - v else v)
+    assert(r.getLong(5) == 10000L && r.getLong(7) == abss.map(_.toLong).sum / 10000)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest(v16s.map(v => f"$v%04x").mkString.getBytes("US-ASCII"))
+      .map("%02x".format(_)).mkString
+    assert(r.getString(9) == expect)
+    // stereo: patch the mono header (channels@22=2, byteRate@28=4*rate,
+    // blockAlign@32=4) — same PCM bytes now read as n/2 interleaved frames;
+    // per-sample statistics are unchanged, frame count and duration halve
+    val st = graft.plans.WavSynth.compute(id, 10000, 8000).clone()
+    st(22) = 2; st(28) = ((8000 * 4) & 0xff).toByte
+    st(29) = (((8000 * 4) >> 8) & 0xff).toByte; st(32) = 4
+    val r2 = Multimodal.decodeAudio(
+      Seq((id, st)).toDF("media_id", "payload")).head()
+    assert(r2.getLong(3) == 2L && r2.getLong(5) == 5000L)
+    assert(r2.getLong(6) == 5000L * 1000000L / 8000)
+    assert(r2.getLong(7) == r.getLong(7) && r2.getString(9) == r.getString(9))
+  }
+
   test("resize parity: fixed-point bilinear matches an independent integer replay") {
     val ids = Seq(3L, 11L, 123L)
     val media = ids.toDF("media_id")
