@@ -202,7 +202,8 @@ class OpStagesSpec extends SparkSpec {
     val expected = Set("winnow_fingerprint", "embed_dedup", "semdedup", "knn_join",
       "pq_encode",
       "sim_topk", "as_media", "media_metadata", "media_decode",
-      "media_resize", "media_frames", "media_dimensions", "audio_metadata",
+      "media_resize", "media_frames", "media_audio_decode",
+      "media_dimensions", "audio_metadata",
       "mp3_metadata", "video_metadata", "sessionize",
       "filter_rows", "json_extract", "normalize_text", "text_repetition",
       "decontaminate", "pack_sequences", "redact_pii", "quality_filter",
@@ -815,6 +816,13 @@ class OpStagesSpec extends SparkSpec {
     assert(decoded.columns.toSeq ==
       Seq("media_id", "format", "width", "height", "mean_intensity"))
     assert(decoded.count() == 6)
+    val audio = Pipeline.run(spark, emptyMeds(docs), PipelineConfig.fromYaml(
+      "stages:\n  - as_media\n  - media_audio_decode\n").stages).data
+    assert(audio.columns.toSeq == Seq("media_id", "format", "sample_rate",
+      "channels", "bits", "n_frames", "duration_us", "mean_abs", "peak_abs",
+      "pcm_digest"))
+    assert(audio.count() == 6) // text payloads -> null-fielded rows
+    assert(audio.where(col("format").isNull).count() == 6)
   }
 
   test("corpus pipeline end-to-end through the CLI on a non-MEDS root") {

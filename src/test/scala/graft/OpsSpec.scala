@@ -1070,6 +1070,36 @@ class MultimodalSpec extends SparkSpec {
     assert(r2.getLong(7) == r.getLong(7) && r2.getString(9) == r.getString(9))
   }
 
+  test("audio decode: big-endian AIFF exercises the decoder's byte-order branch") {
+    // hand-built minimal AIFF (FORM/AIFF + COMM with the rate as an 80-bit
+    // extended float + SSND), samples big-endian from the same WavSynth
+    // formula: statistics and digest must match the little-endian WAV path
+    val id = 42L; val n = 300
+    val v16s = (0 until n).map(i => graft.plans.WavSynth.sample(id, i))
+    val bb = java.nio.ByteBuffer.allocate(12 + 26 + 16 + 2 * n)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("FORM".getBytes("US-ASCII")); bb.putInt(4 + 26 + 16 + 2 * n)
+    bb.put("AIFF".getBytes("US-ASCII"))
+    bb.put("COMM".getBytes("US-ASCII")); bb.putInt(18)
+    bb.putShort(1); bb.putInt(n); bb.putShort(16)
+    // 8000.0 as 80-bit IEEE extended: exp 16383+12, mantissa 0x1F40 << 51
+    bb.put(Array[Byte](0x40, 0x0b, 0xfa.toByte, 0, 0, 0, 0, 0, 0, 0))
+    bb.put("SSND".getBytes("US-ASCII")); bb.putInt(8 + 2 * n)
+    bb.putInt(0); bb.putInt(0)
+    v16s.foreach(v => bb.putShort(v.toShort))
+    val r = Multimodal.decodeAudio(
+      Seq((id, bb.array())).toDF("media_id", "payload")).head()
+    val abss = v16s.map(v => if (v >= 32768) 65536 - v else v)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest(v16s.map(v => f"$v%04x").mkString.getBytes("US-ASCII"))
+      .map("%02x".format(_)).mkString
+    assert(r.getString(1) == "aiff")
+    assert(r.getLong(2) == 8000L && r.getLong(3) == 1L && r.getLong(5) == n)
+    assert(r.getLong(7) == abss.map(_.toLong).sum / n)
+    assert(r.getLong(8) == abss.max.toLong)
+    assert(r.getString(9) == expect)
+  }
+
   test("resize parity: fixed-point bilinear matches an independent integer replay") {
     val ids = Seq(3L, 11L, 123L)
     val media = ids.toDF("media_id")
