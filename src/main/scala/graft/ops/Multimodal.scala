@@ -154,7 +154,11 @@ object Multimodal {
 
     def decode(payload: Array[Byte]): (String, Int, Int, Array[Int]) = {
       if (payload == null) return null
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory consults the stream-SPI registry per call and, with
+      // the default useCache=true, backs each stream with a TEMP FILE —
+      // a file create+delete per image. The payload is already in memory.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         if (reader != null) {
@@ -344,57 +348,73 @@ object Multimodal {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
         val hexDigits = "0123456789abcdef".getBytes
+        // reader cached per partition with a canDecodeInput fast-path probe
+        // (the [[ImageDecoder]] rationale — getImageReaders is a registry
+        // scan per call); disposed only on decode failure or format change
+        var reader: javax.imageio.ImageReader = null
         rows.flatMap { case (id, payload) =>
           val nulls = (0 until n).map(j => FrameSample(id, j, None, None, None, None))
           if (payload == null) nulls
           else {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
+            // memory-cached stream, not ImageIO.createImageInputStream —
+            // the factory's default useCache=true backs each stream with a
+            // temp FILE (see [[ImageDecoder.decode]])
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(payload))
             try {
-              val it = javax.imageio.ImageIO.getImageReaders(iis)
-              if (!it.hasNext) nulls
-              else {
-                val reader = it.next()
-                try {
-                  // seekForwardOnly = false: getNumImages(true) walks the
-                  // whole stream, then read(idx) random-accesses frames
-                  reader.setInput(iis, false, true)
-                  val frames = reader.getNumImages(true)
-                  if (frames <= 0) nulls
-                  else (0 until n).map { j =>
-                    val idx =
-                      if (n == 1) 0
-                      else (j.toLong * (frames - 1) / (n - 1)).toInt
-                    val img = reader.read(idx)
-                    val (w, h) = (img.getWidth, img.getHeight)
-                    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-                    var sum = 0L
-                    val hex = new Array[Byte](rgb.length * 2)
-                    var i = 0
-                    while (i < rgb.length) {
-                      val p = rgb(i)
-                      val r = (p >>> 16) & 0xff
-                      sum += r + ((p >>> 8) & 0xff) + (p & 0xff)
-                      hex(2 * i) = hexDigits(r >>> 4)
-                      hex(2 * i + 1) = hexDigits(r & 0xf)
-                      i += 1
-                    }
-                    md.reset()
-                    val dg = md.digest(hex)
-                    val out = new Array[Byte](64)
-                    i = 0
-                    while (i < 32) {
-                      out(2 * i) = hexDigits((dg(i) >>> 4) & 0xf)
-                      out(2 * i + 1) = hexDigits(dg(i) & 0xf)
-                      i += 1
-                    }
-                    FrameSample(id, j, Some(idx.toLong), Some(frames.toLong),
-                      Some(sum / (3L * w * h)),
-                      Some(new String(out, java.nio.charset.StandardCharsets.US_ASCII)))
+              if (reader != null) {
+                iis.mark()
+                val ok = try reader.getOriginatingProvider.canDecodeInput(iis)
+                  catch { case _: Exception => false }
+                iis.reset()
+                if (!ok) { reader.dispose(); reader = null }
+              }
+              if (reader == null) {
+                val it = javax.imageio.ImageIO.getImageReaders(iis)
+                if (it.hasNext) reader = it.next()
+              }
+              if (reader == null) nulls
+              else try {
+                // seekForwardOnly = false: getNumImages(true) walks the
+                // whole stream, then read(idx) random-accesses frames
+                reader.setInput(iis, false, true)
+                val frames = reader.getNumImages(true)
+                if (frames <= 0) nulls
+                else (0 until n).map { j =>
+                  val idx =
+                    if (n == 1) 0
+                    else (j.toLong * (frames - 1) / (n - 1)).toInt
+                  val img = reader.read(idx)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+                  var sum = 0L
+                  val hex = new Array[Byte](rgb.length * 2)
+                  var i = 0
+                  while (i < rgb.length) {
+                    val p = rgb(i)
+                    val r = (p >>> 16) & 0xff
+                    sum += r + ((p >>> 8) & 0xff) + (p & 0xff)
+                    hex(2 * i) = hexDigits(r >>> 4)
+                    hex(2 * i + 1) = hexDigits(r & 0xf)
+                    i += 1
                   }
-                } catch {
-                  case _: Exception => nulls
-                } finally reader.dispose()
+                  md.reset()
+                  val dg = md.digest(hex)
+                  val out = new Array[Byte](64)
+                  i = 0
+                  while (i < 32) {
+                    out(2 * i) = hexDigits((dg(i) >>> 4) & 0xf)
+                    out(2 * i + 1) = hexDigits(dg(i) & 0xf)
+                    i += 1
+                  }
+                  FrameSample(id, j, Some(idx.toLong), Some(frames.toLong),
+                    Some(sum / (3L * w * h)),
+                    Some(new String(out, java.nio.charset.StandardCharsets.US_ASCII)))
+                }
+              } catch {
+                case _: Exception =>
+                  if (reader != null) { reader.dispose(); reader = null }
+                  nulls
               }
             } finally iis.close()
           }
