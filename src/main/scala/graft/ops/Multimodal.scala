@@ -173,7 +173,9 @@ object Multimodal {
           val it = javax.imageio.ImageIO.getImageReaders(iis)
           if (!it.hasNext) return null
           reader = it.next()
-          readerFormat = reader.getFormatName.toLowerCase
+          // Locale.ROOT: the default locale would turn "GIF"/"AIFF" into
+          // dotless-ı forms under tr/az locales
+          readerFormat = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
         }
         reader.setInput(iis, true, true)
         val img = reader.read(0)
@@ -183,7 +185,13 @@ object Multimodal {
         case _: Exception =>
           if (reader != null) { reader.dispose(); reader = null; readerFormat = null }
           null
-      } finally iis.close()
+      } finally {
+        // drop the cached reader's reference to this payload's stream so
+        // the memory-cached bytes are collectable between rows (the reader
+        // INSTANCE stays cached — that is the point; its input must not)
+        if (reader != null) try reader.setInput(null) catch { case _: Exception => () }
+        iis.close()
+      }
     }
   }
 
@@ -295,14 +303,6 @@ object Multimodal {
                 ty += 1
               }
               md.reset()
-              val digest = md.digest(hex)
-              val out = new Array[Byte](64)
-              var i = 0
-              while (i < 32) {
-                out(2 * i) = hexDigits((digest(i) >>> 4) & 0xf)
-                out(2 * i + 1) = hexDigits(digest(i) & 0xf)
-                i += 1
-              }
               // HALF_UP, not rint's half-even: SQL oracles' round() is
               // half-away-from-zero, and a .00005 tie must not diverge
               ResizedImage(id, targetW.toLong, targetH.toLong,
@@ -310,12 +310,29 @@ object Multimodal {
                   .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
                 Some(BigDecimal(h.toDouble / targetH)
                   .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
-                Some(new String(out, java.nio.charset.StandardCharsets.US_ASCII)))
+                Some(hexDigest(md.digest(hex))))
           }
         }
       }
       .toDF()
   }
+
+  /** 32-byte digest → 64-char lowercase hex: the one digest-rendering
+    * convention every codec gate's oracle replays (`sha256(hexstr)` in
+    * DuckDB yields lowercase hex).
+    */
+  private def hexDigest(dg: Array[Byte]): String = {
+    val hexDigits = HexDigits
+    val out = new Array[Byte](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = hexDigits((dg(i) >>> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(dg(i) & 0xf)
+      i += 1
+    }
+    new String(out, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+  private val HexDigits = "0123456789abcdef".getBytes
 
   final case class FrameSample(media_id: Long, sample_ord: Int,
       frame_idx: Option[Long], n_frames: Option[Long],
@@ -399,24 +416,20 @@ object Multimodal {
                     i += 1
                   }
                   md.reset()
-                  val dg = md.digest(hex)
-                  val out = new Array[Byte](64)
-                  i = 0
-                  while (i < 32) {
-                    out(2 * i) = hexDigits((dg(i) >>> 4) & 0xf)
-                    out(2 * i + 1) = hexDigits(dg(i) & 0xf)
-                    i += 1
-                  }
                   FrameSample(id, j, Some(idx.toLong), Some(frames.toLong),
-                    Some(sum / (3L * w * h)),
-                    Some(new String(out, java.nio.charset.StandardCharsets.US_ASCII)))
+                    Some(sum / (3L * w * h)), Some(hexDigest(md.digest(hex))))
                 }
               } catch {
                 case _: Exception =>
                   if (reader != null) { reader.dispose(); reader = null }
                   nulls
               }
-            } finally iis.close()
+            } finally {
+              // release the payload stream from the cached reader (the
+              // [[ImageDecoder.decode]] rationale)
+              if (reader != null) try reader.setInput(null) catch { case _: Exception => () }
+              iis.close()
+            }
           }
         }
       }
@@ -525,7 +538,8 @@ object Multimodal {
                     val whole = avail - avail % 2
                     var i = 0
                     while (i < whole) {
-                      val (b0, b1) = (buf(i) & 0xff, buf(i + 1) & 0xff)
+                      val b0 = buf(i) & 0xff
+                      val b1 = buf(i + 1) & 0xff
                       val v16 = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
                       val sv = (v16 << 16) >> 16 // sign-extend
                       val a = math.abs(sv).toLong
@@ -545,21 +559,13 @@ object Multimodal {
                 }
                 if (nSamples == 0 || rate <= 0) nullRow
                 else {
-                  val dg = md.digest()
-                  val hx = new Array[Byte](64)
-                  var i = 0
-                  while (i < 32) {
-                    hx(2 * i) = hexDigits((dg(i) >>> 4) & 0xf)
-                    hx(2 * i + 1) = hexDigits(dg(i) & 0xf)
-                    i += 1
-                  }
                   DecodedAudio(id,
-                    Some(ff.getType.toString.toLowerCase),
+                    Some(ff.getType.toString.toLowerCase(java.util.Locale.ROOT)),
                     Some(rate), Some(channels.toLong), Some(16L),
                     Some(nSamples / channels),
                     Some(nSamples / channels * 1000000L / rate),
                     Some(sumAbs / nSamples), Some(peak),
-                    Some(new String(hx, java.nio.charset.StandardCharsets.US_ASCII)))
+                    Some(hexDigest(md.digest())))
                 }
               }
             } finally ais.close()
