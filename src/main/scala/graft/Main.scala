@@ -189,8 +189,11 @@ object Main {
       }.toMap
     }.getOrElse(Map.empty[String, String])
     val input = MedsIO.read(spark, inputRoot)
-    val out = Pipeline.run(spark, input, stages, checkpoints)
+    val (out, persisted) = Pipeline.runTracked(spark, input, stages, checkpoints)
     MedsIO.write(out, outputRoot)
+    // release the fork-point caches now that the output root is committed —
+    // a shared session running many pipelines must not accumulate entries
+    persisted.foreach(_.unpersist(false))
     MedsIO.writeDatasetMetadata(outputRoot,
       MedsIO.readDatasetMetadata(inputRoot).getOrElse("dataset_name", "dataset"),
       // provenance must list the stages that actually RAN (one stage in

@@ -825,8 +825,14 @@ object Queries {
           .localCheckpoint() // free the sink/checkpoint dirs immediately
       } finally rmTree(tmp)
     },
-    Some("""SELECT event_id, ts, user_id, event_type, value, props
-      |FROM events WHERE ts IS NOT NULL ORDER BY event_id""".stripMargin))
+    // the oracle performs the same WORK as the gate, not just the same
+    // result: a real DISTINCT over the doubled input (r14 VERDICT: the old
+    // `SELECT ... FROM events` form was a stateless sort posing as a dedup
+    // baseline). It is also more robust — a full-row duplicate already in
+    // the events table collapses on BOTH sides now.
+    Some("""SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+      |FROM (SELECT * FROM events UNION ALL SELECT * FROM events) t
+      |WHERE ts IS NOT NULL ORDER BY event_id""".stripMargin))
 
   private val eventsSessionizeStream: Gate = Gate(
     (s, dir) => {
@@ -3558,6 +3564,38 @@ object Queries {
       |  CAST(total // (3*w*h) AS BIGINT) AS mean_intensity
       |FROM px ORDER BY media_id""".stripMargin))
 
+  /** The REAL JDK JPEG decoder over real baseline-JPEG payloads — the lossy
+    * member of the codec matrix, made hash-checkable by
+    * [[graft.plans.JpegSynth]]'s DC-only construction (flat 8×8 blocks with
+    * q00 = 8 decode bit-exactly to `g_k = (b + 23k) % 256` gray; see the
+    * expression doc for the exactness argument). Geometry varies per row
+    * (1..5 × 1..3 blocks); the oracle replays block means arithmetically:
+    * mean_intensity = floor(Σ 192·g_k ∕ 192·nb) = Σ g_k ∕ nb (integer).
+    */
+  private val multimodalDecodeJpeg: Gate = Gate(
+    (s, dir) => Multimodal.decodeBatched(
+      table(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("media_id"),
+        graft.plans.JpegSynth.jpeg(col("doc_id").cast(LongType),
+          (col("doc_id") % 5 + 1).cast("int"),
+          (col("doc_id") % 3 + 1).cast("int")).as("payload")))
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("mean_intensity"))
+      .orderBy("media_id"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id % 5 + 1 AS wb, doc_id % 3 + 1 AS hb,
+      |         doc_id % 251 AS b
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.media_id, d.wb, d.hb,
+      |    sum((d.b + 23*r.k) % 256) AS total
+      |  FROM dims d, LATERAL (SELECT unnest(range(0, d.wb*d.hb)) AS k) r
+      |  GROUP BY 1, 2, 3)
+      |SELECT media_id, 'jpeg' AS format, CAST(wb*8 AS BIGINT) AS width,
+      |  CAST(hb*8 AS BIGINT) AS height,
+      |  CAST(total // (wb*hb) AS BIGINT) AS mean_intensity
+      |FROM px ORDER BY media_id""".stripMargin))
+
   /** Decode + FIXED-POINT bilinear resize to 8×8 over real PNG payloads;
     * because every weight is 16.16 integer arithmetic, the oracle replays
     * the interpolation exactly — `fy = ty·(h−1)·65536 // 7`, the four-tap
@@ -3682,6 +3720,62 @@ object Queries {
       |  CASE WHEN d.corrupt THEN NULL ELSE CAST(d.n AS BIGINT) END AS n_frames,
       |  CASE WHEN d.corrupt THEN NULL
       |       ELSE CAST(d.n * 1000000 // d.rate AS BIGINT) END AS duration_us,
+      |  CAST(a.total_abs // d.n AS BIGINT) AS mean_abs,
+      |  a.peak_abs,
+      |  sha256(a.hexstr) AS pcm_digest
+      |FROM dims d LEFT JOIN ag a USING (media_id)
+      |ORDER BY d.media_id""".stripMargin))
+
+  /** REAL non-PCM audio decode: [[graft.plans.AuSynth]] Sun/NeXT `.snd`
+    * payloads carrying 8-bit G.711 μ-law (80..379 samples at 8 kHz — the
+    * telephony container/encoding pair) through the JDK's AU reader, with
+    * the engine expanding each byte via the exact public g711 integer
+    * arithmetic; every 9th payload is truncated after the magic and must
+    * yield a null-fielded row. The oracle replays byte formula AND
+    * expansion — `v = 255−u; t = ((v%16)·8+132)·2^((v∕16)%8);
+    * s = ±(t−132)` — duration, mean/peak |sample|, and the %04x
+    * bit-pattern digest, entirely arithmetically.
+    */
+  private val audioDecodeUlaw: Gate = Gate(
+    (s, dir) => Multimodal.decodeAudio(
+      table(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("media_id"),
+        when(col("doc_id") % 9 === 0, unhex(lit("2e736e64")))
+          .otherwise(graft.plans.AuSynth.au(col("doc_id").cast(LongType),
+            (col("doc_id") % 300 + 80).cast("int"),
+            lit(8000))).as("payload")))
+      .orderBy("media_id"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id % 300 + 80 AS n,
+      |         doc_id % 251 AS b, doc_id % 9 = 0 AS corrupt
+      |  FROM documents),
+      |sm AS (
+      |  SELECT d.media_id, sp.i, 255 - ((d.b + 11 * sp.i) % 256) AS v
+      |  FROM dims d, LATERAL (SELECT unnest(range(0, d.n)) AS i) sp
+      |  WHERE NOT d.corrupt),
+      |ex AS (
+      |  SELECT media_id, i,
+      |    CASE WHEN v >= 128
+      |      THEN 132 - (((v % 16) * 8 + 132) * (1 << ((v // 16) % 8)))
+      |      ELSE (((v % 16) * 8 + 132) * (1 << ((v // 16) % 8))) - 132
+      |    END AS sv
+      |  FROM sm),
+      |ag AS (
+      |  SELECT media_id,
+      |    CAST(sum(abs(sv)) AS BIGINT) AS total_abs,
+      |    CAST(max(abs(sv)) AS BIGINT) AS peak_abs,
+      |    string_agg(printf('%04x',
+      |      CASE WHEN sv < 0 THEN sv + 65536 ELSE sv END), ''
+      |      ORDER BY i) AS hexstr
+      |  FROM ex GROUP BY 1)
+      |SELECT d.media_id,
+      |  CASE WHEN d.corrupt THEN NULL ELSE 'au' END AS format,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(8000 AS BIGINT) END AS sample_rate,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(1 AS BIGINT) END AS channels,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(8 AS BIGINT) END AS bits,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(d.n AS BIGINT) END AS n_frames,
+      |  CASE WHEN d.corrupt THEN NULL
+      |       ELSE CAST(d.n * 1000000 // 8000 AS BIGINT) END AS duration_us,
       |  CAST(a.total_abs // d.n AS BIGINT) AS mean_abs,
       |  a.peak_abs,
       |  sha256(a.hexstr) AS pcm_digest
@@ -3899,9 +3993,11 @@ object Queries {
     "temperature_mix" -> temperatureMixGate,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_decode_jpeg" -> multimodalDecodeJpeg,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
     "audio_decode" -> audioDecode,
+    "audio_decode_ulaw" -> audioDecodeUlaw,
     "video_metadata" -> videoMeta,
     "mp3_metadata" -> mp3Meta,
     "bpe_pair_counts" -> bpePairCounts,

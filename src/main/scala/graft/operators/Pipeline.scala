@@ -93,7 +93,37 @@ object Pipeline {
       input: MedsData,
       stages: Seq[Stage],
       checkpoints: Map[String, String] = Map.empty,
-      resume: Boolean = true): MedsData = {
+      resume: Boolean = true,
+      autoPersist: Boolean = true): MedsData =
+    runTracked(spark, input, stages, checkpoints, resume, autoPersist)._1
+
+  /** [[run]], additionally returning the DataFrames auto-persisted at
+    * lineage fork points so the caller can `unpersist` them once the final
+    * output is written (graft.Main does) — repeated pipeline invocations on
+    * a shared session must not accumulate cache entries.
+    *
+    * AUTO-PERSIST (the checkpoint-placement guidance VERDICT r14 asked
+    * for, made mechanical): Spark performs no common-subplan
+    * materialization, so when a Metadata/Splits stage aggregates the
+    * current data lineage and the SAME lineage is traversed again by the
+    * final write (and by any later metadata stage, and by stages' eager
+    * driver jobs — shrink-dtype min/max, vocabulary collects), every
+    * traversal re-executes the whole transformation chain. At each such
+    * fork point the data frame is persisted MEMORY_AND_DISK (spills, never
+    * OOMs) — but ONLY when the lineage actually contains unmaterialized
+    * transformations: caching a raw parquet scan would defeat column
+    * pruning and pin untouched columns in memory for nothing. Pipelines
+    * running under a `checkpointRoot` re-read each stage from disk, so
+    * their lineage is never dirty at a fork and this is a no-op —
+    * explicit checkpoint placement always wins over the heuristic.
+    */
+  def runTracked(
+      spark: SparkSession,
+      input: MedsData,
+      stages: Seq[Stage],
+      checkpoints: Map[String, String] = Map.empty,
+      resume: Boolean = true,
+      autoPersist: Boolean = true): (MedsData, Seq[org.apache.spark.sql.DataFrame]) = {
     // resume from the LAST complete checkpoint: stages before it must not
     // even be CONSTRUCTED — several run eager driver jobs while building
     // (shrink-dtype min/max, vocabulary collect), which would execute full
@@ -105,18 +135,39 @@ object Pipeline {
     val start =
       if (lastComplete < 0) input
       else MedsIO.read(spark, checkpoints(stages(lastComplete).name))
-    stages.drop(lastComplete + 1).foldLeft(start) { (m, stage) =>
+    val persisted = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    // data lineage carries unmaterialized transformations since the last
+    // scan / checkpoint read / persist
+    var dirty = false
+    val out = stages.drop(lastComplete + 1).foldLeft(start) { (m0, stage) =>
+      val m = stage match {
+        case (_: MetadataStage | _: SplitsStage) if autoPersist && dirty =>
+          println(s"[graft] auto-persist: transformed data lineage forks at " +
+            s"stage '${stage.name}' (aggregation + final write would each " +
+            "re-execute it)")
+          val d = m0.data.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += d
+          dirty = false
+          m0.withData(d)
+        case _ => m0
+      }
       val next = stage match {
-        case DataStage(_, f) => m.withData(f(m))
+        case DataStage(_, f) =>
+          dirty = true
+          m.withData(f(m))
         case MetadataStage(_, f) => m.withCodes(f(trainOnly(m)))
         case SplitsStage(_, f) => m.withSplits(f(m))
       }
       checkpoints.get(stage.name) match {
         case Some(dir) =>
           MedsIO.write(next, dir)
+          dirty = false
           MedsIO.read(spark, dir)
         case None => next
       }
     }
+    (out, persisted.toSeq)
   }
 }

@@ -152,6 +152,17 @@ object Multimodal {
     private var reader: javax.imageio.ImageReader = _
     private var readerFormat: String = _
 
+    /** Release the cached reader's native/heap resources eagerly — called
+      * when the partition iterator is exhausted (see [[completing]]), the
+      * same explicit-dispose discipline the error paths already follow.
+      */
+    def dispose(): Unit = {
+      if (reader != null) {
+        try reader.dispose() catch { case _: Exception => () }
+        reader = null; readerFormat = null
+      }
+    }
+
     def decode(payload: Array[Byte]): (String, Int, Int, Array[Int]) = {
       if (payload == null) return null
       // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
@@ -202,9 +213,26 @@ object Multimodal {
     * engine-replayable exactly. Undecodable payloads yield a null-field
     * row (the corrupt-blob contract of [[imageDimensions]]).
     */
+  /** Run `onDone` exactly once when `it` is exhausted — the hook that lets a
+    * per-partition cached codec (ImageReader) be disposed deterministically
+    * instead of waiting for GC. `hasNext` is the trigger (Spark's task
+    * runner always drains via hasNext); a non-drained iterator still falls
+    * back to GC, so the hook only ADDS eagerness, never leaks.
+    */
+  private def completing[T](it: Iterator[T])(onDone: => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var fired = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !fired) { fired = true; onDone }
+        h
+      }
+      override def next(): T = it.next()
+    }
+
   def imageIoCodec(rows: Iterator[(Long, Array[Byte])]): Iterator[DecodedImage] = {
     val dec = new ImageDecoder // per-partition init (the seam's purpose)
-    rows.map { case (id, payload) =>
+    completing(rows.map { case (id, payload) =>
       dec.decode(payload) match {
         case null => DecodedImage(id, None, None, None, None)
         case (fmt, w, h, rgb) =>
@@ -218,7 +246,7 @@ object Multimodal {
           DecodedImage(id, Some(fmt), Some(w.toLong), Some(h.toLong),
             Some(sum / (3L * w * h)))
       }
-    }
+    })(dec.dispose())
   }
 
   /** Batched decode through an injectable codec — the Scala analog of a
@@ -268,7 +296,7 @@ object Multimodal {
         val dec = new ImageDecoder
         val md = java.security.MessageDigest.getInstance("SHA-256")
         val hexDigits = "0123456789abcdef".getBytes
-        rows.map { case (id, payload) =>
+        completing(rows.map { case (id, payload) =>
           dec.decode(payload) match {
             case null =>
               ResizedImage(id, targetW.toLong, targetH.toLong, None, None, None)
@@ -312,7 +340,7 @@ object Multimodal {
                   .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble),
                 Some(hexDigest(md.digest(hex))))
           }
-        }
+        })(dec.dispose())
       }
       .toDF()
   }
@@ -367,9 +395,10 @@ object Multimodal {
         val hexDigits = "0123456789abcdef".getBytes
         // reader cached per partition with a canDecodeInput fast-path probe
         // (the [[ImageDecoder]] rationale — getImageReaders is a registry
-        // scan per call); disposed only on decode failure or format change
+        // scan per call); disposed on decode failure, format change, or
+        // (via the completing wrapper below) iterator exhaustion
         var reader: javax.imageio.ImageReader = null
-        rows.flatMap { case (id, payload) =>
+        completing(rows.flatMap { case (id, payload) =>
           val nulls = (0 until n).map(j => FrameSample(id, j, None, None, None, None))
           if (payload == null) nulls
           else {
@@ -431,6 +460,11 @@ object Multimodal {
               iis.close()
             }
           }
+        }) {
+          if (reader != null) {
+            try reader.dispose() catch { case _: Exception => () }
+            reader = null
+          }
         }
       }
       .toDF()
@@ -452,9 +486,12 @@ object Multimodal {
     * floor(Σ|sample| / total samples), `peak_abs` = max|sample|, and
     * `pcm_digest` = SHA-256 of the lowercase-hex string of each sample's
     * unsigned 16-bit bit pattern (`%04x`, stream order, channels
-    * interleaved). Payloads no installed provider accepts, truncated
-    * streams, and non-16-bit encodings yield a null-fielded row (the
-    * corrupt-blob contract of [[decodeBatched]]), never a scan failure.
+    * interleaved). 8-bit G.711 μ-law streams (AU containers) are expanded
+    * to 16-bit linear with the exact public g711 integer arithmetic and
+    * fed through the same conventions (`bits` reports the declared 8).
+    * Payloads no installed provider accepts, truncated streams, and other
+    * encodings yield a null-fielded row (the corrupt-blob contract of
+    * [[decodeBatched]]), never a scan failure.
     *
     * Scale shape: per-row decode, no shuffle; statistics and digest are
     * streamed per frame chunk, so memory is O(frame buffer), not O(clip).
@@ -466,6 +503,26 @@ object Multimodal {
     * the contention entirely), the audio analog of the image codec's
     * reused-`ImageReader` rationale.
     */
+  /** Container name from the payload's own magic bytes — a FIXED vocabulary
+    * (`wave`/`aiff`/`aifc`/`au`), independent of whatever string a
+    * third-party `AudioFileReader` would report via
+    * `AudioFileFormat.getType.toString` (a provider registered ahead of the
+    * JDK one could say "WAV" and silently break the oracle's 'wave'
+    * literal). Only consulted after a provider accepted the payload, so
+    * `unknown` marks a container outside the canonical set, not a corrupt
+    * blob.
+    */
+  private def containerName(p: Array[Byte]): String =
+    if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E') "wave"
+    else if (p.length >= 12 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' &&
+        p(3) == 'M' && p(8) == 'A' && p(9) == 'I' && p(10) == 'F')
+      (if (p(11) == 'C') "aifc" else "aiff")
+    else if (p.length >= 4 && p(0) == '.' && p(1) == 's' && p(2) == 'n' &&
+        p(3) == 'd') "au"
+    else "unknown"
+
   def decodeAudio(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -482,18 +539,17 @@ object Multimodal {
           b.result()
         }
         var last = -1 // index of the provider that accepted the previous payload
-        def open(payload: Array[Byte]): (javax.sound.sampled.AudioFileFormat,
-            javax.sound.sampled.AudioInputStream) = {
+        // ONE header parse per payload (getAudioInputStream alone — the
+        // container type comes from the magic bytes below, so the old
+        // getAudioFileFormat pre-parse is gone), amortized further by the
+        // last-successful-provider fast path
+        def open(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
           def tryOne(i: Int) =
             try {
-              // separate streams per call: a provider's header parse may
-              // leave marks/positions behind on a shared stream
-              val ff = providers(i).getAudioFileFormat(
-                new java.io.ByteArrayInputStream(payload))
               val ais = providers(i).getAudioInputStream(
                 new java.io.ByteArrayInputStream(payload))
               last = i
-              (ff, ais)
+              ais
             } catch { case _: Exception => null }
           var out = if (last >= 0) tryOne(last) else null
           var i = 0
@@ -508,14 +564,59 @@ object Multimodal {
             DecodedAudio(id, None, None, None, None, None, None, None, None, None)
           if (payload == null) nullRow
           else try {
-            val opened = open(payload)
-            if (opened == null) nullRow
+            val ais = open(payload)
+            if (ais == null) nullRow
             else {
-            val (ff, ais) = opened
             try {
               val f = ais.getFormat
               val enc = f.getEncoding
-              if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              if (enc == javax.sound.sampled.AudioFormat.Encoding.ULAW &&
+                  f.getSampleSizeInBits == 8) {
+                // G.711 μ-law (AU containers): expand each byte to 16-bit
+                // linear with the public-domain g711 ulaw2linear arithmetic
+                // (exact integers — `t = ((m<<3)+0x84)<<seg; ±(t-0x84)`),
+                // then apply the SAME stats/digest conventions as the PCM
+                // path, so a SQL oracle replays the expansion formula.
+                // `bits` reports the container's declared 8.
+                val channels = f.getChannels
+                val rate = math.round(f.getSampleRate.toDouble)
+                md.reset()
+                val buf = new Array[Byte](8192)
+                val hex = new Array[Byte](buf.length * 4)
+                var sumAbs = 0L
+                var peak = 0L
+                var nSamples = 0L
+                var eof = false
+                while (!eof) {
+                  val k = ais.read(buf, 0, buf.length)
+                  if (k <= 0) eof = true
+                  else {
+                    var i = 0
+                    while (i < k) {
+                      val v = ~buf(i) & 0xff
+                      val t = (((v & 0x0f) << 3) + 0x84) << ((v & 0x70) >> 4)
+                      val sv = if ((v & 0x80) != 0) 0x84 - t else t - 0x84
+                      val a = math.abs(sv).toLong
+                      sumAbs += a
+                      if (a > peak) peak = a
+                      val p16 = sv & 0xffff
+                      hex(4 * i) = hexDigits(p16 >>> 12)
+                      hex(4 * i + 1) = hexDigits((p16 >>> 8) & 0xf)
+                      hex(4 * i + 2) = hexDigits((p16 >>> 4) & 0xf)
+                      hex(4 * i + 3) = hexDigits(p16 & 0xf)
+                      nSamples += 1
+                      i += 1
+                    }
+                    md.update(hex, 0, k * 4)
+                  }
+                }
+                if (nSamples == 0 || rate <= 0 || channels <= 0) nullRow
+                else DecodedAudio(id, Some(containerName(payload)), Some(rate),
+                  Some(channels.toLong), Some(8L), Some(nSamples / channels),
+                  Some(nSamples / channels * 1000000L / rate),
+                  Some(sumAbs / nSamples), Some(peak),
+                  Some(hexDigest(md.digest())))
+              } else if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
                   f.getSampleSizeInBits != 16) nullRow
               else {
                 val channels = f.getChannels
@@ -560,7 +661,7 @@ object Multimodal {
                 if (nSamples == 0 || rate <= 0) nullRow
                 else {
                   DecodedAudio(id,
-                    Some(ff.getType.toString.toLowerCase(java.util.Locale.ROOT)),
+                    Some(containerName(payload)),
                     Some(rate), Some(channels.toLong), Some(16L),
                     Some(nSamples / channels),
                     Some(nSamples / channels * 1000000L / rate),

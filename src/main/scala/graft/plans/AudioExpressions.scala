@@ -28,8 +28,10 @@ case class WavSynth(first: Expression, second: Expression, third: Expression)
   override def inputTypes: Seq[GraftSqlBridge.AbstractType] =
     Seq(LongType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean =
-    first.nullable || second.nullable || third.nullable
+  // always nullable: out-of-range (n, rate) yields null, matching the
+  // corrupt-blob contract of the decoders this expression feeds — an
+  // adversarial row must produce a null payload, never kill the scan
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_wav_synth"
 
@@ -38,8 +40,10 @@ case class WavSynth(first: Expression, second: Expression, third: Expression)
       rate.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (id, n, rate) => s"graft.plans.WavSynth.compute($id, $n, $rate)")
+    nullSafeCodeGen(ctx, ev, (id, n, rate) => s"""
+      ${ev.value} = graft.plans.WavSynth.compute($id, $n, $rate);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
@@ -53,9 +57,12 @@ object WavSynth {
   @inline def sample(id: Long, i: Long): Int =
     ((id % 251 + 37L * i) % 65536L).toInt
 
+  /** Null (not an exception) for out-of-range arguments — the expression's
+    * nullable contract; fixture generators feed decoders whose corrupt-blob
+    * contract is null-row, and a thrown require would kill the whole scan.
+    */
   def compute(id: Long, nSamples: Int, rate: Int): Array[Byte] = {
-    require(nSamples > 0 && nSamples <= (1 << 22) && rate > 0,
-      s"wav_synth: n=$nSamples rate=$rate out of range")
+    if (nSamples <= 0 || nSamples > (1 << 22) || rate <= 0) return null
     val dataLen = nSamples * 2
     val out = new Array[Byte](44 + dataLen)
     val bb = java.nio.ByteBuffer.wrap(out)
@@ -83,5 +90,76 @@ object WavSynth {
 
   def wav(id: Column, nSamples: Column, rate: Column): Column =
     GraftSqlBridge.column(WavSynth(GraftSqlBridge.expression(id),
+      GraftSqlBridge.expression(nSamples), GraftSqlBridge.expression(rate)))
+}
+
+/** Deterministic REAL-AU synthesis: a spec-complete Sun/NeXT `.snd`
+  * container (big-endian: magic, data offset, data size, encoding 1 =
+  * 8-bit G.711 μ-law, sample rate, channels) carrying mono μ-law bytes
+  * that are a fixed arithmetic function of `(id, i)` — the fixture for the
+  * non-PCM leg of [[graft.ops.Multimodal.decodeAudio]] (the JDK's AU
+  * reader parses the container and reports ULAW/8-bit; the G.711
+  * expansion to 16-bit linear is exact integer arithmetic a SQL oracle
+  * replays).
+  *
+  * Byte formula (the SQL-replayable contract, `b = id mod 251`):
+  * {{{ u_i = (b + 11·i) mod 256 }}}
+  * — period 256 in i (11 is odd), so every μ-law code point, both signs
+  * and all 8 segments, is exercised.
+  */
+case class AuSynth(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] =
+    Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  // nullable: out-of-range (n, rate) yields null — the corrupt-blob
+  // contract of the decoder this feeds
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_au_synth"
+
+  override def nullSafeEval(id: Any, n: Any, rate: Any): Any =
+    AuSynth.compute(id.asInstanceOf[Long], n.asInstanceOf[Int],
+      rate.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (id, n, rate) => s"""
+      ${ev.value} = graft.plans.AuSynth.compute($id, $n, $rate);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object AuSynth {
+  /** The μ-law byte generator — shared by [[compute]] and (arithmetically)
+    * by the oracle SQL.
+    */
+  @inline def ulawByte(id: Long, i: Long): Int =
+    ((id % 251 + 11L * i) % 256L).toInt
+
+  def compute(id: Long, nSamples: Int, rate: Int): Array[Byte] = {
+    if (nSamples <= 0 || nSamples > (1 << 22) || rate <= 0) return null
+    val out = new Array[Byte](24 + nSamples)
+    val bb = java.nio.ByteBuffer.wrap(out) // AU is big-endian
+    bb.put(".snd".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(24)       // data offset
+    bb.putInt(nSamples) // data size in bytes (1 byte per μ-law sample)
+    bb.putInt(1)        // encoding: 8-bit G.711 μ-law
+    bb.putInt(rate)
+    bb.putInt(1)        // channels: mono
+    var i = 0
+    while (i < nSamples) {
+      bb.put(ulawByte(id, i).toByte)
+      i += 1
+    }
+    out
+  }
+
+  def au(id: Column, nSamples: Column, rate: Column): Column =
+    GraftSqlBridge.column(AuSynth(GraftSqlBridge.expression(id),
       GraftSqlBridge.expression(nSamples), GraftSqlBridge.expression(rate)))
 }

@@ -30,20 +30,40 @@ object EventStream {
     * non-event-time subset would grow state without bound; this API exists for
     * exactly that, Spark 3.5+). Streaming analog of ops.Dedup.exact.
     *
-    * The combined hash is unambiguous: each column is md5'd SEPARATELY
-    * (fixed-width hex) before the join, so no value can smuggle a separator
-    * across column boundaries, and a null column's "NULL" sentinel cannot
-    * collide with any md5 output (hex-only). (a, null, b) vs (a, b, null)
-    * and ("a,b", "c") vs ("a", "b,c") all hash differently.
+    * Default key: TWO domain-separated `xxhash64` values over the columns —
+    * 128 key bits total, entirely inside whole-stage codegen, and the state
+    * row is two longs instead of a 32-char hex string (the r14 scale run
+    * measured the per-row state path, not the watermark, as the bottleneck;
+    * key compute + key width are the per-row costs this trims). Null
+    * ambiguity is removed structurally: Spark's hash functions SKIP null
+    * inputs (hash(a, null) == hash(a)), so each column is preceded by its
+    * `isNull` flag — (null, x) hashes the sequence (true, false, x) and
+    * (x, null) hashes (false, x, true), which differ. Field-boundary
+    * ambiguity ("ab","" vs "a","b") requires a simultaneous collision in
+    * both domain-separated chains — negligible for organic data.
+    *
+    * `crypto = true` restores the per-column-md5 scheme (each column md5'd
+    * separately to fixed-width hex, then the concatenation md5'd): XXH64 is
+    * not collision-resistant against ADVERSARIAL inputs (seed-independent
+    * collision constructions are published), so corpora where a hostile
+    * writer controls field bytes should pay the md5 cost.
     */
   def streamingDedup(events: DataFrame, hashCols: Seq[String],
-      watermark: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .withColumn("__content_hash", md5(concat_ws(",",
-        hashCols.map(c => coalesce(md5(col(c).cast("string")), lit("NULL"))): _*)))
-      .dropDuplicatesWithinWatermark("__content_hash")
-      .drop("__content_hash")
+      watermark: String = "1 hour", crypto: Boolean = false): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    if (crypto)
+      wm.withColumn("__content_hash", md5(concat_ws(",",
+          hashCols.map(c => coalesce(md5(col(c).cast("string")), lit("NULL"))): _*)))
+        .dropDuplicatesWithinWatermark("__content_hash")
+        .drop("__content_hash")
+    else {
+      val tagged = hashCols.flatMap(c => Seq(col(c).isNull, col(c)))
+      wm.withColumn("__h1", xxhash64((lit(1) +: tagged): _*))
+        .withColumn("__h2", xxhash64((lit(2) +: tagged): _*))
+        .dropDuplicatesWithinWatermark("__h1", "__h2")
+        .drop("__h1", "__h2")
+    }
+  }
 
   /** Continuous ingestion into a MEDS dataset root: the exactly-once parquet
     * file sink, partitioned by split, writing under `root/data`. The sink's

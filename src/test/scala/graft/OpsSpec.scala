@@ -980,6 +980,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decode parity: JpegSynth payload -> JDK JPEG codec -> block formula, exact") {
+    // the LOSSY member of the codec matrix: DC-only blocks with q00 = 8 and
+    // chroma pinned at 128 decode bit-exactly (JpegSynth doc has the
+    // argument); this test is the empirical leg — JDK decoder vs formula
+    val ids = Seq(0L, 1L, 7L, 42L, 250L, 251L, 123456789L)
+    val media = ids.toDF("media_id")
+      .select(col("media_id"),
+        graft.plans.JpegSynth.jpeg(col("media_id"),
+          (col("media_id") % 5 + 1).cast("int"),
+          (col("media_id") % 3 + 1).cast("int")).as("payload"))
+    val got = Multimodal.decodeBatched(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val wb = (id % 5 + 1).toInt; val hb = (id % 3 + 1).toInt
+      val nb = wb * hb
+      val sum = (0L until nb.toLong)
+        .map(k => graft.plans.JpegSynth.blockGray(id, k).toLong).sum
+      val r = got(id)
+      assert(r.getString(1) == "jpeg", s"id=$id format")
+      assert(r.getLong(2) == wb * 8 && r.getLong(3) == hb * 8, s"id=$id dims")
+      // mean over all RGB samples = sum(64·3·g_k) / (3·64·nb) = sum(g)/nb
+      assert(r.getLong(4) == sum / nb, s"id=$id mean intensity")
+    }
+    // every pixel of every block, not just the mean: decode driver-side
+    ids.take(3).foreach { id =>
+      val wb = (id % 5 + 1).toInt; val hb = (id % 3 + 1).toInt
+      val bytes = graft.plans.JpegSynth.compute(id, wb, hb)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until hb * 8; x <- 0 until wb * 8) {
+        val g = graft.plans.JpegSynth.blockGray(id, (y / 8).toLong * wb + x / 8)
+        val p = img.getRGB(x, y)
+        assert(((p >>> 16) & 0xff) == g && ((p >>> 8) & 0xff) == g &&
+          (p & 0xff) == g, s"id=$id pixel ($x,$y)")
+      }
+    }
+    // null contract: out-of-range block counts yield a null payload (and
+    // so a null-field decoded row), never a thrown scan failure
+    assert(graft.plans.JpegSynth.compute(1L, 0, 1) == null)
+    assert(graft.plans.WavSynth.compute(1L, -1, 8000) == null)
+    val badRow = Multimodal.decodeBatched(
+      Seq(5L).toDF("media_id").select(col("media_id"),
+        graft.plans.JpegSynth.jpeg(col("media_id"), lit(-1), lit(1)).as("payload")))
+      .head()
+    assert(badRow.isNullAt(1) && badRow.isNullAt(4))
+  }
+
   test("frame parity: GifSynth payload -> ImageIO GIF reader -> per-frame formula, exact") {
     val ids = Seq(0L, 1L, 9L, 250L, 777L)
     val media = ids.toDF("media_id")
@@ -1041,6 +1087,57 @@ class MultimodalSpec extends SparkSpec {
       .toDF("media_id", "payload")
     val badRows = Multimodal.decodeAudio(bad).collect()
     assert(badRows.length == 2 && badRows.forall(r => (1 to 9).forall(r.isNullAt)))
+  }
+
+  test("ulaw parity: AuSynth payload -> AU reader + g711 expansion -> formula, exact") {
+    // reference expansion (the oracle's arithmetic, Scala-side)
+    def expand(u: Int): Int = {
+      val v = ~u & 0xff
+      val t = (((v & 0x0f) << 3) + 0x84) << ((v & 0x70) >> 4)
+      if ((v & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    // cross-check the arithmetic against the JDK's OWN μ-law codec: decode
+    // an AU payload through AudioSystem's ULAW→PCM_SIGNED conversion and
+    // compare sample-by-sample — two independent implementations of G.711
+    val id = 42L
+    val n = 256 // one full period: every μ-law code point
+    val au = graft.plans.AuSynth.compute(id, n, 8000)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(au))
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false), ais)
+    val raw = pcm.readAllBytes()
+    assert(raw.length == 2 * n)
+    (0 until n).foreach { i =>
+      val jdk = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toInt
+      val mine = expand(graft.plans.AuSynth.ulawByte(id, i))
+      assert(jdk == mine, s"sample $i: jdk=$jdk g711=$mine")
+    }
+    // engine path: decodeAudio over AU payloads matches the formula
+    val ids = Seq(0L, 1L, 8L, 250L, 999L)
+    val media = ids.toDF("media_id")
+      .select(col("media_id"),
+        graft.plans.AuSynth.au(col("media_id"),
+          (col("media_id") % 60 + 20).cast("int"), lit(8000)).as("payload"))
+    val got = Multimodal.decodeAudio(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    ids.foreach { mid =>
+      val cnt = (mid % 60 + 20).toInt
+      val svs = (0 until cnt).map(i => expand(graft.plans.AuSynth.ulawByte(mid, i)))
+      md.reset()
+      val expect = md.digest(svs.map(v => f"${v & 0xffff}%04x").mkString
+        .getBytes("US-ASCII")).map("%02x".format(_)).mkString
+      val r = got(mid)
+      assert(r.getString(1) == "au", s"id=$mid format")
+      assert(r.getLong(2) == 8000L && r.getLong(3) == 1L && r.getLong(4) == 8L,
+        s"id=$mid declared fields")
+      assert(r.getLong(5) == cnt && r.getLong(6) == cnt.toLong * 1000000L / 8000,
+        s"id=$mid frames/duration")
+      assert(r.getLong(7) == svs.map(v => math.abs(v).toLong).sum / cnt, s"id=$mid mean")
+      assert(r.getLong(8) == svs.map(v => math.abs(v).toLong).max, s"id=$mid peak")
+      assert(r.getString(9) == expect, s"id=$mid digest")
+    }
   }
 
   test("audio decode: long clips cross the frame buffer; stereo halves frames") {
