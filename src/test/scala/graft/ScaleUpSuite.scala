@@ -78,13 +78,22 @@ object ScaleUpSuite {
     // the ScaleUpBench trio, same conventions
     write(ScaleUpBench.replicate(t("documents"), k), "documents",
       math.max(k / 2, 4))
+    // DIRECTION-perturbed replicas, not ScaleUpBench's pure (1 + i/1024)
+    // scaling: scaling preserves cosine EXACTLY, so scaled replicas are
+    // exact cosine ties to every query and top-k rank order inside a tie
+    // group degenerates to fp-ulps (the knn_join x4 divergence measured in
+    // SMOKE.md round 15 — result sets identical, rank pairing inside equal-
+    // cos groups not). Offsetting coordinate 0 by i/16 changes the
+    // direction, so replica cosines are distinct and rank order is
+    // well-defined at every scale.
     write((0 until k).map { i =>
       t("embeddings")
         .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
         .withColumn("embedding",
           if (i == 0) col("embedding")
-          else transform(col("embedding"),
-            v => (v * lit(1.0f + i / 1024.0f)).cast("float")))
+          else transform(col("embedding"), (v, idx) =>
+            when(idx === 0, (v + lit(i / 16.0f)).cast("float"))
+              .otherwise((v * lit(1.0f + i / 1024.0f)).cast("float"))))
     }.reduce(_ unionByName _), "embeddings", math.max(k / 4, 2))
     write(shifted(t("events"), k,
       "event_id" -> 100_000_000L, "user_id" -> 10_000_000L),
