@@ -94,8 +94,10 @@ object Pipeline {
       stages: Seq[Stage],
       checkpoints: Map[String, String] = Map.empty,
       resume: Boolean = true,
-      autoPersist: Boolean = true): MedsData =
-    runTracked(spark, input, stages, checkpoints, resume, autoPersist)._1
+      autoPersist: Boolean = true,
+      initialDirty: Boolean = false): MedsData =
+    runTracked(spark, input, stages, checkpoints, resume, autoPersist,
+      initialDirty)._1
 
   /** [[run]], additionally returning the DataFrames auto-persisted at
     * lineage fork points so the caller can `unpersist` them once the final
@@ -106,16 +108,25 @@ object Pipeline {
     * for, made mechanical): Spark performs no common-subplan
     * materialization, so when a Metadata/Splits stage aggregates the
     * current data lineage and the SAME lineage is traversed again by the
-    * final write (and by any later metadata stage, and by stages' eager
-    * driver jobs — shrink-dtype min/max, vocabulary collects), every
-    * traversal re-executes the whole transformation chain. At each such
-    * fork point the data frame is persisted MEMORY_AND_DISK (spills, never
-    * OOMs) — but ONLY when the lineage actually contains unmaterialized
-    * transformations: caching a raw parquet scan would defeat column
-    * pruning and pin untouched columns in memory for nothing. Pipelines
-    * running under a `checkpointRoot` re-read each stage from disk, so
-    * their lineage is never dirty at a fork and this is a no-op —
-    * explicit checkpoint placement always wins over the heuristic.
+    * final write (and by any later metadata stage), every traversal
+    * re-executes the whole transformation chain. At each such fork point —
+    * ENTERING a Metadata/Splits stage with a dirty data lineage — the data
+    * frame is persisted MEMORY_AND_DISK (spills, never OOMs), but ONLY
+    * when the lineage actually contains unmaterialized transformations:
+    * caching a raw parquet scan would defeat column pruning and pin
+    * untouched columns in memory for nothing. SCOPE: the fork detector
+    * covers exactly that Metadata/Splits re-traversal; an eager driver job
+    * fired INSIDE a DataStage (shrink-dtype min/max, vocabulary collects)
+    * still re-executes its own dirty lineage — place an explicit
+    * checkpoint before such a stage if that matters. Pipelines running
+    * under a `checkpointRoot` re-read each stage from disk, so their
+    * lineage is never dirty at a fork and this is a no-op — explicit
+    * checkpoint placement always wins over the heuristic.
+    *
+    * `initialDirty`: the dirty flag starts false because `input` is
+    * normally a raw `MedsIO.read` scan; pass true when handing in a
+    * MedsData whose `data` already carries in-memory transformations, so
+    * the first fork persists it too.
     */
   def runTracked(
       spark: SparkSession,
@@ -123,7 +134,8 @@ object Pipeline {
       stages: Seq[Stage],
       checkpoints: Map[String, String] = Map.empty,
       resume: Boolean = true,
-      autoPersist: Boolean = true): (MedsData, Seq[org.apache.spark.sql.DataFrame]) = {
+      autoPersist: Boolean = true,
+      initialDirty: Boolean = false): (MedsData, Seq[org.apache.spark.sql.DataFrame]) = {
     // resume from the LAST complete checkpoint: stages before it must not
     // even be CONSTRUCTED — several run eager driver jobs while building
     // (shrink-dtype min/max, vocabulary collect), which would execute full
@@ -138,8 +150,8 @@ object Pipeline {
     val persisted = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.DataFrame]
     // data lineage carries unmaterialized transformations since the last
-    // scan / checkpoint read / persist
-    var dirty = false
+    // scan / checkpoint read / persist; a resume re-read is never dirty
+    var dirty = initialDirty && lastComplete < 0
     val out = stages.drop(lastComplete + 1).foldLeft(start) { (m0, stage) =>
       val m = stage match {
         case (_: MetadataStage | _: SplitsStage) if autoPersist && dirty =>

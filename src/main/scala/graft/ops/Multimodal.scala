@@ -215,20 +215,28 @@ object Multimodal {
     */
   /** Run `onDone` exactly once when `it` is exhausted — the hook that lets a
     * per-partition cached codec (ImageReader) be disposed deterministically
-    * instead of waiting for GC. `hasNext` is the trigger (Spark's task
-    * runner always drains via hasNext); a non-drained iterator still falls
-    * back to GC, so the hook only ADDS eagerness, never leaks.
+    * instead of waiting for GC. Two triggers, whichever fires first:
+    * `hasNext` returning false (the common full-drain path), and the
+    * task-completion listener — which also covers consumers that abandon
+    * the iterator early (`limit`/`take` short-circuits, task kills), where
+    * eager disposal matters most. `onDone` must therefore be idempotent
+    * and safe to call from the task-cleanup thread (ImageReader.dispose
+    * and stream closes are).
     */
-  private def completing[T](it: Iterator[T])(onDone: => Unit): Iterator[T] =
+  private def completing[T](it: Iterator[T])(onDone: => Unit): Iterator[T] = {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def fire(): Unit = if (fired.compareAndSet(false, true)) onDone
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => fire())
     new Iterator[T] {
-      private var fired = false
       override def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !fired) { fired = true; onDone }
+        if (!h) fire()
         h
       }
       override def next(): T = it.next()
     }
+  }
 
   def imageIoCodec(rows: Iterator[(Long, Array[Byte])]): Iterator[DecodedImage] = {
     val dec = new ImageDecoder // per-partition init (the seam's purpose)

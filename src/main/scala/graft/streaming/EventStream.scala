@@ -47,6 +47,18 @@ object EventStream {
     * not collision-resistant against ADVERSARIAL inputs (seed-independent
     * collision constructions are published), so corpora where a hostile
     * writer controls field bytes should pay the md5 cost.
+    *
+    * ==CHECKPOINT COMPATIBILITY (breaking change vs the md5-only era)==
+    * The default key changed from ONE md5 string column to TWO xxhash64
+    * longs. `dropDuplicatesWithinWatermark` persists its key columns in the
+    * state store, and Spark's state-schema compatibility check REJECTS a
+    * restart whose key columns/types differ — a query checkpointed under
+    * the old scheme cannot resume with today's default. Either restart it
+    * with `crypto = true` (bit-identical to the old key — resumes cleanly)
+    * or start a fresh checkpoint and accept a one-watermark-window
+    * re-dedup overlap. New queries should take the default: the key is
+    * codegen'd end-to-end and the state row is 16 bytes instead of a
+    * 32-char string.
     */
   def streamingDedup(events: DataFrame, hashCols: Seq[String],
       watermark: String = "1 hour", crypto: Boolean = false): DataFrame = {

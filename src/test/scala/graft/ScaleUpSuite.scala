@@ -48,14 +48,27 @@ object ScaleUpSuite {
       df.repartition(parts).write.mode("overwrite").parquet(s"$dir/$name.parquet")
 
     /** Union k copies with the named key columns shifted by
-      * replica-disjoint offsets (offset per column = i·step).
+      * replica-disjoint offsets (offset per column = i·step). Guard: the
+      * fixed steps below only keep replicas disjoint while every source key
+      * fits under its step — for a source dir past roughly sf50 the shifted
+      * ranges would overlap and silently corrupt FK closure, so assert
+      * max(key) < step up front instead.
       */
-    def shifted(df: DataFrame, k: Int, shifts: (String, Long)*): DataFrame =
+    def shifted(df: DataFrame, k: Int, shifts: (String, Long)*): DataFrame = {
+      val maxes = df.select(shifts.map { case (c, _) =>
+        max(col(c).cast("long")).as(c) }: _*).head()
+      shifts.zipWithIndex.foreach { case ((c, step), idx) =>
+        val mx = if (maxes.isNullAt(idx)) 0L else maxes.getLong(idx)
+        require(mx < step,
+          s"replica step for '$c' ($step) <= max key ($mx): shifted replicas " +
+            "would overlap — raise the step for this source scale")
+      }
       (0 until k).map { i =>
         shifts.foldLeft(df) { case (d, (c, step)) =>
           d.withColumn(c, col(c) + lit(i * step))
         }
       }.reduce(_ unionByName _)
+    }
 
     val C = 10_000_000L // custkey step
     val O = 100_000_000L // orderkey step
@@ -86,6 +99,11 @@ object ScaleUpSuite {
     // cos groups not). Offsetting coordinate 0 by i/16 changes the
     // direction, so replica cosines are distinct and rank order is
     // well-defined at every scale.
+    val maxVecId = t("embeddings")
+      .agg(max(col("vec_id").cast("long"))).head.getLong(0)
+    require(maxVecId < 10_000_000L,
+      s"embeddings vec_id step (10M) <= max vec_id ($maxVecId): replicas " +
+        "would overlap")
     write((0 until k).map { i =>
       t("embeddings")
         .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))

@@ -24,6 +24,7 @@ so this mimic must reject type drift that float-coercion used to mask:
 Other representational kind differences (e.g. date32->object vs datetime64)
 are value-compared as before but flagged with a NOTE so they're visible.
 """
+import argparse
 import json, sys, glob, os
 import duckdb
 import numpy as np
@@ -31,16 +32,16 @@ import pandas as pd
 
 WIDENED = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
-args = [a for a in sys.argv[1:]]
-fork_mode = "--fork" in args
-only = None
-for a in list(args):
-    if a.startswith("--only"):
-        only = set((a.split("=", 1)[1] if "=" in a
-                    else args[args.index(a) + 1]).split(","))
-positional = [a for i, a in enumerate(args)
-              if not a.startswith("--") and not (i > 0 and args[i - 1] == "--only")]
-sf_dir, out_dir = positional[0], positional[1]
+_p = argparse.ArgumentParser(description=__doc__)
+_p.add_argument("sf_dir")
+_p.add_argument("out_dir")
+_p.add_argument("--fork", action="store_true")
+_p.add_argument("--only", default=None,
+                help="comma-separated query names to restrict to")
+_a = _p.parse_args()
+fork_mode = _a.fork
+only = set(_a.only.split(",")) if _a.only else None
+sf_dir, out_dir = _a.sf_dir, _a.out_dir
 
 
 def connect():
