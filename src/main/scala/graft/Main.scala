@@ -184,7 +184,8 @@ object Main {
     // chained per-stage orchestration still resumes off completed work
     val checkpoints = checkpointRoot.map { root =>
       parsed.stages.zipWithIndex.collect {
-        case (s, i) if stages.exists(_.name == s.name) =>
+        case (s, i) if stages.exists(_.name == s.name) &&
+            !parsed.noCheckpoint(s.name) =>
           s.name -> f"$root/$i%02d_${s.name}"
       }.toMap
     }.getOrElse(Map.empty[String, String])

@@ -22,7 +22,8 @@ import graft.operators._
 object PipelineConfig {
 
   final case class Parsed(description: Option[String], stages: Seq[Pipeline.Stage],
-      conf: Seq[(String, String)] = Nil)
+      conf: Seq[(String, String)] = Nil,
+      noCheckpoint: Set[String] = Set.empty)
 
   def fromJson(json: String): Parsed = fromCfg(Cfg.fromJson(json))
 
@@ -59,7 +60,15 @@ object PipelineConfig {
   def fromCfg(cfg: Cfg): Parsed = {
     val m = cfg.asInstanceOf[M].v
     val desc = m.get("description").collect { case S(s) => s }
-    val stages = m("stages").asInstanceOf[L].v.map(parseStageEntry)
+    val entries = m("stages").asInstanceOf[L].v.map(parseStageEntry)
+    val stages = entries.map(_._1)
+    // stages declaring `checkpoint: false` are excluded from a
+    // checkpointRoot run's materialization: a narrow stage (a filter, a
+    // projection) costs a full write+read cycle per run if checkpointed —
+    // pure per-stage floor at ANY scale, since the downstream stage's scan
+    // re-applies the narrow op for free. Default (absent) stays true:
+    // materialize-every-stage is the reference's own execution model.
+    val noCkpt = entries.collect { case (s, false) => s.name }.toSet
     // stage names key checkpoint dirs and resume lookups — duplicates would
     // silently collapse two stages onto one checkpoint, so reject them
     val dups = stages.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
@@ -82,17 +91,24 @@ object PipelineConfig {
       case other => throw new IllegalArgumentException(
         s"`conf` must be a map of scalars, got $other")
     }.getOrElse(Nil)
-    Parsed(desc, stages, conf)
+    Parsed(desc, stages, conf, noCkpt)
   }
 
-  private def parseStageEntry(entry: Cfg): Pipeline.Stage = entry match {
-    case S(name) => buildStage(name, name, Cfg.map())
+  /** Returns the built stage plus its `checkpoint` flag (default true). */
+  private def parseStageEntry(entry: Cfg): (Pipeline.Stage, Boolean) = entry match {
+    case S(name) => (buildStage(name, name, Cfg.map()), true)
     case M(m) if m.size == 1 =>
       val (name, stageCfg) = m.head
       val cfgMap = stageCfg match { case mm: M => mm; case Null => Cfg.map().asInstanceOf[M]
         case other => throw new IllegalArgumentException(s"bad stage config for $name: $other") }
       val base = cfgMap.v.get("_base_stage").collect { case S(s) => s }.getOrElse(name)
-      buildStage(name, base, M(cfgMap.v - "_base_stage"))
+      val ckpt = cfgMap.v.get("checkpoint") match {
+        case Some(B(b)) => b
+        case Some(other) => throw new IllegalArgumentException(
+          s"stage $name: `checkpoint` must be a boolean, got $other")
+        case None => true
+      }
+      (buildStage(name, base, M(cfgMap.v - "_base_stage" - "checkpoint")), ckpt)
     case other => throw new IllegalArgumentException(s"bad stage entry: $other")
   }
 

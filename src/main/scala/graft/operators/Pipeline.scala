@@ -153,6 +153,7 @@ object Pipeline {
     // scan / checkpoint read / persist; a resume re-read is never dirty
     var dirty = initialDirty && lastComplete < 0
     val out = stages.drop(lastComplete + 1).foldLeft(start) { (m0, stage) =>
+      val t0 = System.nanoTime()
       val m = stage match {
         case (_: MetadataStage | _: SplitsStage) if autoPersist && dirty =>
           println(s"[graft] auto-persist: transformed data lineage forks at " +
@@ -172,13 +173,21 @@ object Pipeline {
         case MetadataStage(_, f) => m.withCodes(f(trainOnly(m)))
         case SplitsStage(_, f) => m.withSplits(f(m))
       }
-      checkpoints.get(stage.name) match {
+      val res = checkpoints.get(stage.name) match {
         case Some(dir) =>
           MedsIO.write(next, dir)
           dirty = false
           MedsIO.read(spark, dir)
         case None => next
       }
+      // per-stage wall time, the runner-log convention of the reference
+      // (runner.py logs each stage's duration); a checkpointed stage's
+      // time INCLUDES its materializing write, an uncheckpointed one is
+      // construction-only (lazy)
+      println(f"[graft] stage '${stage.name}' " +
+        f"${if (checkpoints.contains(stage.name)) "materialized" else "constructed"}" +
+        f" in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      res
     }
     (out, persisted.toSeq)
   }

@@ -201,6 +201,44 @@ class PipelineConfigSpec extends SparkSpec {
     assert(spark.conf.get(defaulted) == "true")
   }
 
+  test("per-stage `checkpoint: false` skips materialization under a checkpointRoot") {
+    val parsed = graft.config.PipelineConfig.fromYaml(
+      """stages:
+        |  - filter_measurements:
+        |      allowed_codes: ["A"]
+        |      checkpoint: false
+        |  - reorder_measurements:
+        |      ordered_code_patterns: ["A.*"]
+        |""".stripMargin)
+    assert(parsed.noCheckpoint == Set("filter_measurements"))
+    // the flag is config plumbing only — the built stage must not see it
+    assert(parsed.stages.map(_.name) ==
+      Seq("filter_measurements", "reorder_measurements"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nockpt").toString
+    val meds = MedsIO.read(spark, "/root/reference/example/data")
+    MedsIO.write(meds, s"$tmp/in")
+    Main.run(Array(writeYaml(tmp,
+      """stages:
+        |  - filter_measurements:
+        |      allowed_codes: ["DOB", "ADMISSION//CARDIAC", "DISCHARGE"]
+        |      checkpoint: false
+        |  - reorder_measurements:
+        |      ordered_code_patterns: ["DOB"]
+        |""".stripMargin), s"$tmp/in", s"$tmp/out", s"$tmp/ckpt"), spark)
+    val ckpts = new java.io.File(s"$tmp/ckpt").list()
+    assert(ckpts != null && ckpts.toSet == Set("01_reorder_measurements"),
+      s"only the checkpoint-eligible stage materializes, got ${Option(ckpts).map(_.toSeq)}")
+    assert(!MedsIO.read(spark, s"$tmp/out").data.isEmpty)
+    // a malformed flag fails loudly at parse time
+    intercept[IllegalArgumentException] {
+      graft.config.PipelineConfig.fromYaml(
+        """stages:
+          |  - filter_measurements:
+          |      checkpoint: "nope"
+          |""".stripMargin)
+    }
+  }
+
   private def writeYaml(tmp: String, yaml: String): String = {
     val p = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(tmp), "pipe", ".yaml")
