@@ -3621,6 +3621,43 @@ object Queries {
       |  CAST(total // (wb*hb) AS BIGINT) AS mean_intensity
       |FROM px ORDER BY media_id""".stripMargin))
 
+  /** The codec matrix's VIDEO pixel gate: real MJPEG-in-AVI payloads
+    * ([[graft.plans.AviSynth]] — public RIFF/AVI container around
+    * [[graft.plans.JpegSynth]] DC-only frames) through
+    * `Multimodal.videoFrames`'s container walk + the REAL JDK JPEG
+    * decoder. Geometry and frame count vary per row (1..4 × 1..2 blocks,
+    * 2..4 frames); frame `f`'s block `k` decodes to
+    * `((doc_id + 89f) % 251 + 23k) % 256` gray (the JpegSynth exactness
+    * argument, shifted per frame), which the oracle replays
+    * arithmetically per (doc, frame, block).
+    */
+  private val videoFramesMjpeg: Gate = Gate(
+    (s, dir) => Multimodal.videoFrames(
+      table(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("media_id"),
+        graft.plans.AviSynth.avi(col("doc_id").cast(LongType),
+          (col("doc_id") % 4 + 1).cast("int"),
+          (col("doc_id") % 2 + 1).cast("int"),
+          (col("doc_id") % 3 + 2).cast("int")).as("payload")))
+      .orderBy("media_id", "frame_idx"),
+    Some("""WITH dims AS (
+      |  SELECT doc_id AS media_id, doc_id % 4 + 1 AS wb, doc_id % 2 + 1 AS hb,
+      |         doc_id % 3 + 2 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT d.*, f.f FROM dims d,
+      |    LATERAL (SELECT unnest(range(0, d.nf)) AS f) f),
+      |px AS (
+      |  SELECT fr.media_id, fr.f, fr.wb, fr.hb,
+      |    sum(((fr.media_id + 89*fr.f) % 251 + 23*r.k) % 256) AS total
+      |  FROM fr, LATERAL (SELECT unnest(range(0, fr.wb*fr.hb)) AS k) r
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT media_id, CAST(f AS BIGINT) AS frame_idx, 'avi' AS container,
+      |  'jpeg' AS format, CAST(wb*8 AS BIGINT) AS width,
+      |  CAST(hb*8 AS BIGINT) AS height,
+      |  CAST(total // (wb*hb) AS BIGINT) AS mean_intensity
+      |FROM px ORDER BY media_id, frame_idx""".stripMargin))
+
   /** Decode + FIXED-POINT bilinear resize to 8×8 over real PNG payloads;
     * because every weight is 16.16 integer arithmetic, the oracle replays
     * the interpolation exactly — `fy = ty·(h−1)·65536 // 7`, the four-tap
@@ -4019,6 +4056,7 @@ object Queries {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_decode_jpeg" -> multimodalDecodeJpeg,
+    "video_frames_mjpeg" -> videoFramesMjpeg,
     "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
     "audio_decode" -> audioDecode,

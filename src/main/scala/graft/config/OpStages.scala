@@ -1332,5 +1332,8 @@ object OpStages {
     PipelineConfig.register("media_audio_decode") { (name, _) =>
       Pipeline.DataStage(name, m => Multimodal.decodeAudio(m.data))
     }
+    PipelineConfig.register("media_video_frames") { (name, _) =>
+      Pipeline.DataStage(name, m => Multimodal.videoFrames(m.data))
+    }
   }
 }

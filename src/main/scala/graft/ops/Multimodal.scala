@@ -478,6 +478,104 @@ object Multimodal {
       .toDF()
   }
 
+  final case class VideoFrame(media_id: Long, frame_idx: Option[Long],
+      container: Option[String], format: Option[String],
+      width: Option[Long], height: Option[Long], mean_intensity: Option[Long])
+
+  /** Byte ranges `(offset, length)` of the video-data chunks (`##dc`/`##db`)
+    * inside a RIFF AVI payload's `LIST movi`, in stream order — or null for
+    * anything that is not a well-formed AVI (wrong magic, truncated chunk,
+    * size running past the buffer). Pure byte walk, no allocation beyond
+    * the result; the public RIFF rules (little-endian sizes, word-aligned
+    * chunks) are the whole grammar.
+    */
+  private def aviVideoChunks(p: Array[Byte]): Array[(Int, Int)] = {
+    def le32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def isFcc(o: Int, s: String): Boolean =
+      (p(o) & 0xff) == s.charAt(0) && (p(o + 1) & 0xff) == s.charAt(1) &&
+        (p(o + 2) & 0xff) == s.charAt(2) && (p(o + 3) & 0xff) == s.charAt(3)
+    if (p.length < 12 || !isFcc(0, "RIFF") || !isFcc(8, "AVI ")) return null
+    val riffEnd = math.min(p.length.toLong, 8 + le32(4))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = 12L
+    while (pos + 8 <= riffEnd) {
+      val size = le32(pos.toInt + 4)
+      val dataStart = pos + 8
+      if (dataStart + size > riffEnd) return null // truncated chunk
+      if (isFcc(pos.toInt, "LIST")) {
+        if (size < 4) return null
+        if (isFcc(dataStart.toInt, "movi")) {
+          var sp = dataStart + 4
+          val listEnd = dataStart + size
+          while (sp + 8 <= listEnd) {
+            val ssz = le32(sp.toInt + 4)
+            if (sp + 8 + ssz > listEnd) return null
+            val b2 = p(sp.toInt + 2) & 0xff
+            val b3 = p(sp.toInt + 3) & 0xff
+            if (b2 == 'd' && (b3 == 'c' || b3 == 'b'))
+              out += ((sp.toInt + 8, ssz.toInt))
+            sp += 8 + ssz + (ssz & 1)
+          }
+        }
+        // non-movi LISTs (hdrl, odml) carry no frame data — skip whole
+      }
+      pos += 8 + size + (size & 1)
+    }
+    out.toArray
+  }
+
+  /** REAL video pixel decode: MJPEG-in-AVI frames through the JDK JPEG
+    * reader — the container walked by [[aviVideoChunks]] (public RIFF/AVI
+    * structure), each `00dc` frame handed to the same per-partition cached
+    * [[ImageDecoder]] the image gates use. One output row per frame:
+    * (frame_idx, container, frame format, dimensions, integer
+    * mean_intensity — the [[imageIoCodec]] statistic). Non-AVI / truncated
+    * payloads yield ONE null-fielded row (corrupt-blob contract); a valid
+    * container whose individual frame fails to decode yields that frame's
+    * row with null decode fields.
+    *
+    * Scale shape: per-row decode at the codec seam, zero shuffle; frame
+    * payloads are sliced views of the already-in-memory blob.
+    */
+  def videoFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val dec = new ImageDecoder
+        completing(rows.flatMap { case (id, payload) =>
+          val corrupt = Seq(VideoFrame(id, None, None, None, None, None, None))
+          if (payload == null) corrupt
+          else {
+            val chunks = try aviVideoChunks(payload) catch {
+              case _: IndexOutOfBoundsException => null
+            }
+            if (chunks == null || chunks.isEmpty) corrupt
+            else chunks.iterator.zipWithIndex.map { case ((off, len), f) =>
+              dec.decode(java.util.Arrays.copyOfRange(payload, off, off + len)) match {
+                case null => VideoFrame(id, Some(f.toLong), Some("avi"),
+                  None, None, None, None)
+                case (fmt, w, h, rgb) =>
+                  var sum = 0L
+                  var i = 0
+                  while (i < rgb.length) {
+                    val px = rgb(i)
+                    sum += ((px >>> 16) & 0xff) + ((px >>> 8) & 0xff) + (px & 0xff)
+                    i += 1
+                  }
+                  VideoFrame(id, Some(f.toLong), Some("avi"), Some(fmt),
+                    Some(w.toLong), Some(h.toLong), Some(sum / (3L * w * h)))
+              }
+            }.toSeq
+          }
+        })(dec.dispose())
+      }
+      .toDF()
+  }
+
   final case class DecodedAudio(media_id: Long, format: Option[String],
       sample_rate: Option[Long], channels: Option[Long], bits: Option[Long],
       n_frames: Option[Long], duration_us: Option[Long],

@@ -1026,6 +1026,81 @@ class MultimodalSpec extends SparkSpec {
     assert(badRow.isNullAt(1) && badRow.isNullAt(4))
   }
 
+  test("video parity: AviSynth MJPEG payload -> container walk + JDK JPEG -> per-frame formula") {
+    val ids = Seq(0L, 1L, 7L, 42L, 250L, 251L, 999L)
+    val media = ids.toDF("media_id")
+      .select(col("media_id"),
+        graft.plans.AviSynth.avi(col("media_id"),
+          (col("media_id") % 4 + 1).cast("int"),
+          (col("media_id") % 2 + 1).cast("int"),
+          (col("media_id") % 3 + 2).cast("int")).as("payload"))
+    val got = Multimodal.videoFrames(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    ids.foreach { id =>
+      val wb = (id % 4 + 1).toInt; val hb = (id % 2 + 1).toInt
+      val nf = (id % 3 + 2).toInt
+      val nb = wb * hb
+      (0 until nf).foreach { f =>
+        val sum = (0L until nb.toLong)
+          .map(k => graft.plans.JpegSynth.blockGray(id + 89L * f, k).toLong).sum
+        val r = got((id, f.toLong))
+        assert(r.getString(2) == "avi" && r.getString(3) == "jpeg",
+          s"id=$id f=$f container/format")
+        assert(r.getLong(4) == wb * 8 && r.getLong(5) == hb * 8, s"id=$id f=$f dims")
+        assert(r.getLong(6) == sum / nb, s"id=$id f=$f mean intensity")
+      }
+    }
+    assert(got.size == ids.map(id => (id % 3 + 2).toInt).sum,
+      "one row per (payload, frame), nothing extra")
+    // independent leg: slice the frame bytes out with plain RIFF arithmetic
+    // and hand them to ImageIO DIRECTLY — a videoFrames bug cannot hide
+    // behind its own parser
+    val id = 42L
+    val bytes = graft.plans.AviSynth.compute(id, 3, 2, 4)
+    def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+    assert(le32(4) == bytes.length - 8, "RIFF size covers the whole payload")
+    var pos = 12
+    var framesSeen = 0
+    while (pos + 8 <= bytes.length) {
+      val fcc = new String(bytes, pos, 4, "US-ASCII")
+      val size = le32(pos + 4)
+      if (fcc == "LIST" && new String(bytes, pos + 8, 4, "US-ASCII") == "movi") {
+        var sp = pos + 12
+        while (sp + 8 <= pos + 8 + size) {
+          assert(new String(bytes, sp, 4, "US-ASCII") == "00dc")
+          val fsz = le32(sp + 4)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(bytes, sp + 8, sp + 8 + fsz)))
+          val g0 = graft.plans.JpegSynth.blockGray(id + 89L * framesSeen, 0L)
+          assert((img.getRGB(0, 0) & 0xff) == g0,
+            s"frame $framesSeen block-0 gray via direct ImageIO")
+          framesSeen += 1
+          sp += 8 + fsz + (fsz & 1)
+        }
+      }
+      pos += 8 + size + (size & 1)
+    }
+    assert(framesSeen == 4, "movi carries exactly nf frames")
+    // corrupt-blob contract: non-AVI bytes and truncated containers yield
+    // ONE null-fielded row, never a scan failure
+    val bad = Seq(
+      (1L, "not an avi".getBytes("US-ASCII")),
+      (2L, java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val badRows = Multimodal.videoFrames(bad).orderBy("media_id").collect()
+    assert(badRows.length == 3 && badRows.forall(r =>
+      r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(6)))
+    // partitioning invariance: the per-partition cached decoder is an
+    // optimization, not a semantic
+    val rep = Multimodal.videoFrames(media.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6))).toSet
+    assert(rep == got.values.map(r => (r.getLong(0), r.getLong(1), r.getLong(6))).toSet)
+  }
+
   test("frame parity: GifSynth payload -> ImageIO GIF reader -> per-frame formula, exact") {
     val ids = Seq(0L, 1L, 9L, 250L, 777L)
     val media = ids.toDF("media_id")
