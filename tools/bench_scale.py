@@ -7,8 +7,13 @@ per scale.
 Usage: python3 tools/bench_scale.py <oracleSqlJson> <scaleRoot> <k...>
   <oracleSqlJson>  oracle_sql.json from a graft.Verify run
   <scaleRoot>      dir containing x<k>/documents.parquet subdirs
+
+GRAFT_ORACLE_TIMEOUT (seconds, default 600): per-query wall deadline — the
+parent kills the forked child past it and records a DNF(timeout). The
+recursive-CTE CC oracle ran 50+ minutes at x10 before being killed by hand;
+a suite-wide re-time must not hinge on hand intervention.
 """
-import json, sys, glob, os, tempfile, time
+import json, signal, sys, glob, os, tempfile, time
 
 import duckdb
 
@@ -61,7 +66,20 @@ for k in scales:
                 times.append(time.perf_counter() - t0)
             print(f"{q:20s} {k:<4d} {rows:<10d} {min(times):.2f}", flush=True)
             os._exit(0)
-        _, status = os.waitpid(pid, 0)
-        if status != 0:
+        deadline = time.monotonic() + int(os.environ.get(
+            "GRAFT_ORACLE_TIMEOUT", "600"))
+        status = None
+        while True:
+            done, st = os.waitpid(pid, os.WNOHANG)
+            if done == pid:
+                status = st
+                break
+            if time.monotonic() > deadline:
+                os.kill(pid, signal.SIGKILL)
+                os.waitpid(pid, 0)
+                print(f"{q:20s} {k:<4d} {'DNF':10s} timeout", flush=True)
+                break
+            time.sleep(0.25)
+        if status is not None and status != 0:
             print(f"{q:20s} {k:<4d} {'DNF':10s} killed (status {status})",
                   flush=True)
