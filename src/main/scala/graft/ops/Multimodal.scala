@@ -558,6 +558,11 @@ object Multimodal {
               dec.decode(java.util.Arrays.copyOfRange(payload, off, off + len)) match {
                 case null => VideoFrame(id, Some(f.toLong), Some("avi"),
                   None, None, None, None)
+                // a decoder reporting a zero dimension is a failed decode,
+                // not a divide-by-zero scan failure (corrupt-blob contract)
+                case (_, w, h, _) if w <= 0 || h <= 0 =>
+                  VideoFrame(id, Some(f.toLong), Some("avi"),
+                    None, None, None, None)
                 case (fmt, w, h, rgb) =>
                   var sum = 0L
                   var i = 0

@@ -43,8 +43,11 @@ if QUERIES == ["all"]:  # the suite-level re-time (BENCH_x10)
 # the fair pairing for a Spark side that also ran one timed pass, and it
 # keeps a feasible-but-slow query from burning its wall deadline on the
 # warm-up).
-reps = int(os.environ.get("GRAFT_ORACLE_REPS", "2"))
 warm = os.environ.get("GRAFT_ORACLE_WARM", "1") != "0"
+# cold mode means ONE cold-timed run: a min-of-2 would still include a warm
+# second rep, silently defeating the documented cold pairing — so reps
+# defaults to 1 (and is forced to 1) when the warm run is disabled.
+reps = 1 if not warm else int(os.environ.get("GRAFT_ORACLE_REPS", "2"))
 
 print(f"{'query':20s} {'k':4s} {'rows':10s} seconds")
 for k in scales:

@@ -32,15 +32,22 @@ print(f"{'query':26s}{'spark':>8s}{'duckdb':>8s}{'ratio':>7s}")
 for q, s, o, r in sorted(rows, key=lambda x: -x[3]):
     flag = " <floor" if o < floor else (" >2x" if r > 2 else "")
     print(f"{q:26s}{s:8.2f}{o:8.2f}{r:7.2f}{flag}")
-ts = sum(s for _, s, _, _ in rows)
-to = sum(o for _, _, o, _ in rows)
-print(f"\ncomparable ({len(rows)} queries): spark {ts:.1f}s / duckdb {to:.1f}s"
-      f" = {ts / to:.2f}x")
-prop = [(q, s, o, r) for q, s, o, r in rows if o >= floor]
+# a 0.00s oracle time would yield an inf ratio yet contribute 0 to the
+# denominator — exclude those rows from both totals; and when everything
+# is a DNF (plausible at higher scales) the row set is empty: print n/a
+# instead of dividing by zero.
+finite = [(q, s, o, r) for q, s, o, r in rows if o > 0]
+ts = sum(s for _, s, _, _ in finite)
+to = sum(o for _, _, o, _ in finite)
+ratio = f"{ts / to:.2f}x" if to > 0 else "n/a (zero oracle total)"
+print(f"\ncomparable ({len(finite)} queries): spark {ts:.1f}s / duckdb {to:.1f}s"
+      f" = {ratio}")
+prop = [(q, s, o, r) for q, s, o, r in finite if o >= floor]
 tsp = sum(s for _, s, _, _ in prop)
 top = sum(o for _, _, o, _ in prop)
+pratio = f"{tsp / top:.2f}x" if top > 0 else "n/a (empty/zero denominator)"
 print(f"data-proportional (oracle >= {floor}s, {len(prop)} queries): "
-      f"spark {tsp:.1f}s / duckdb {top:.1f}s = {tsp / top:.2f}x")
+      f"spark {tsp:.1f}s / duckdb {top:.1f}s = {pratio}")
 over = [q for q, s, o, r in prop if r > 2]
 print(f">2x set (oracle >= {floor}s): {over}")
 print(f"oracle DNFs ({len(dnf)}): {dnf}")
