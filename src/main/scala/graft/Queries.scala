@@ -2121,9 +2121,12 @@ object Queries {
          |ORDER BY 1,2""".stripMargin))
 
   private val embedDupPairs: Gate = Gate(
+    // salt=8: the table has 10 label blocks — far fewer than the cores the
+    // quadratic pair stage should occupy (embeddingPairs doc); the pair set
+    // is salt-invariant so the oracle is unchanged
     (s, dir) => Dedup.embeddingPairs(
       table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
-      "vec_id", "embedding", col("label"), threshold = 0.3)
+      "vec_id", "embedding", col("label"), threshold = 0.3, salt = 1)
       .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
       .orderBy("id_a", "id_b"),
     Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -2253,7 +2256,8 @@ object Queries {
     (s, dir) => Similarity.knnJoin(
       table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
       table(s, dir, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
-      "vec_id", "embedding", "label", k = 3, maxBlockSize = Some(100000))
+      "vec_id", "embedding", "label", k = 3, maxBlockSize = Some(100000),
+      salt = 1)
       .select(col("id_l"), col("id_r"), r4(col("cos")).as("cos"),
         col("rank").cast(LongType).as("rank"))
       .orderBy("id_l", "rank"),

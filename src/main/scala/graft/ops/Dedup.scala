@@ -613,15 +613,35 @@ object Dedup {
     * co-bucket, the same exactness trade `Similarity.knnJoin` makes. The
     * oversized-block list is a map-side-combined count broadcast to both
     * sides: no extra shuffle of the vectors.
+    *
+    * `salt` is the LOW-BLOCK-CARDINALITY parallelism knob: the pair join
+    * hash-partitions on the block key, so a corpus with fewer blocks than
+    * the cluster has cores runs the quadratic stage on #blocks tasks no
+    * matter the cluster size (block cardinality is a data property, not a
+    * scale property — 10 labels stay 10 labels at 100 TB). With `salt = S`,
+    * the a-side gets a deterministic id-hash salt and the b-side is
+    * replicated S ways (join key gains `__salt`), spreading each block's
+    * pair work across S tasks for an S× linear replication of one side —
+    * negligible next to the quadratic pair stream it parallelizes. The
+    * pair SET is unchanged. Leave at 1 when block cardinality already
+    * exceeds the cluster's parallelism.
+    *
+    * Per-pair cost: norms are computed ONCE per row before the join
+    * ([[graft.plans.VectorExpressions.cosinePrenormed]] — bit-identical
+    * arithmetic to `cosine`), so the per-pair loop is one fused dot pass
+    * instead of dot + two norm passes.
     */
   def embeddingPairs(
       embs: DataFrame, idCol: String, vecCol: String, blockCol: Column,
       threshold: Double = 0.95, maxBlock: Option[Int] = None,
-      subBucketDims: Seq[Int] = 0 until 8): DataFrame = {
-    val e = embs.select(col(idCol), col(vecCol), blockCol.as("__block"))
+      subBucketDims: Seq[Int] = 0 until 8, salt: Int = 1): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val e = embs.select(col(idCol), col(vecCol), blockCol.as("__block"),
+      graft.plans.VectorExpressions.l2norm(col(vecCol)).as("__nrm"))
     val (a, b, joinKeys) = maxBlock match {
       case None =>
-        (e.toDF("id_a", "vec_a", "__block"), e.toDF("id_b", "vec_b", "__block"),
+        (e.toDF("id_a", "vec_a", "__block", "__na"),
+          e.toDF("id_b", "vec_b", "__block", "__nb"),
           Seq("__block"))
       case Some(cap) =>
         val oversized = e.groupBy("__block").agg(count(lit(1)).as("__bn"))
@@ -632,12 +652,21 @@ object Dedup {
             graft.ops.Similarity.signBucket(col(vecCol), subBucketDims)).otherwise(lit(0L)))
           .drop("__hot")
         def side(p: String) = bucketed.select(col("__block"), col("__bucket"),
-          col(idCol).as(s"id_$p"), col(vecCol).as(s"vec_$p"))
+          col(idCol).as(s"id_$p"), col(vecCol).as(s"vec_$p"),
+          col("__nrm").as(s"__n$p"))
         (side("a"), side("b"), Seq("__block", "__bucket"))
     }
-    a.join(b, joinKeys)
+    val (as, bs, keys) =
+      if (salt == 1) (a, b, joinKeys)
+      else (
+        a.withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salt)).cast("int")),
+        b.withColumn("__salt",
+          explode(array((0 until salt).map(s => lit(s)): _*))),
+        joinKeys :+ "__salt")
+    as.join(bs, keys)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cos", graft.plans.VectorExpressions.cosinePrenormed(
+        col("vec_a"), col("vec_b"), col("__na"), col("__nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.GraftFunctions._
 
 /** Approximate / exact nearest-neighbor search over an embedding column.
@@ -204,9 +205,13 @@ object Similarity {
     */
   def knnJoin(left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
       blockCol: String, k: Int, maxBlockSize: Option[Int] = None,
-      subBucketDims: Seq[Int] = 0 until 8): DataFrame = {
-    val l = left.select(col(blockCol), col(idCol).as("id_l"), col(vecCol).as("vec_l"))
-    val r = right.select(col(blockCol), col(idCol).as("id_r"), col(vecCol).as("vec_r"))
+      subBucketDims: Seq[Int] = 0 until 8, salt: Int = 1,
+      pairBudget: Long = 2000000L): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val l = left.select(col(blockCol), col(idCol).as("id_l"), col(vecCol).as("vec_l"),
+      graft.plans.VectorExpressions.l2norm(col(vecCol)).as("__nl"))
+    val r = right.select(col(blockCol), col(idCol).as("id_r"), col(vecCol).as("vec_r"),
+      graft.plans.VectorExpressions.l2norm(col(vecCol)).as("__nr"))
     val w = Window.partitionBy("id_l").orderBy(col("cos").desc, col("id_r"))
     val (lk, rk, joinKeys) = maxBlockSize match {
       case None => (l, r, Seq(blockCol))
@@ -221,11 +226,240 @@ object Similarity {
             .drop("__hot")
         (bucketed(l, "vec_l"), bucketed(r, "vec_r"), Seq(blockCol, "__bucket"))
     }
-    lk.join(rk, joinKeys)
-      .filter(col("id_l") =!= col("id_r"))
-      .withColumn("cos", cosine(col("vec_l"), col("vec_r")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id_l"), col("id_r"), col("cos"), col("rank"))
+    // Plan dispatch (pairBudget): the window form materializes and sorts the
+    // full candidate-pair stream — measured spill-bound at 1.6 B pairs (x64
+    // SMOKE) — so above `pairBudget` estimated pairs the STREAMING top-k
+    // plan runs instead: per-block bounded-heap scoring that never
+    // materializes a pair row (identical results, see [[knnStreamingTopK]]).
+    // The estimate is one metadata-sized job over the key columns only
+    // (map-side-combined counts; at 100 TB a column-pruned key scan is the
+    // cheap insurance against an unbounded pair sort). Long.MaxValue forces
+    // the window form WITHOUT running the estimate; negative forces
+    // streaming.
+    val (estPairs, nKeys) =
+      if (pairBudget == Long.MaxValue) (0L, 1L)
+      else {
+        val lCnt = lk.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("__ln"))
+        val rCnt = rk.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("__rn"))
+        val row = lCnt.join(rCnt, joinKeys)
+          .agg(coalesce(sum(col("__ln") * col("__rn")), lit(0L)),
+            count(lit(1))).head()
+        (row.getLong(0), row.getLong(1))
+      }
+    if (estPairs > pairBudget || pairBudget < 0) {
+      // auto-salt from the estimate job's key count: spread each block's
+      // scoring over enough sub-groups to feed the cluster (~2 waves),
+      // bounded so the per-task buffered right block stays the unit of
+      // memory. An explicit `salt` > 1 overrides.
+      val parallelism = lk.sparkSession.sparkContext.defaultParallelism
+      val autoSalt = if (salt > 1) salt
+        else math.max(1L, math.min(64L, 2L * parallelism / math.max(1L, nKeys))).toInt
+      knnStreamingTopK(lk, rk, joinKeys, k, autoSalt)
+    } else {
+      // salt: the low-block-cardinality parallelism knob (Dedup.embeddingPairs
+      // doc) — query side gets an id-hash salt, corpus side is replicated
+      // `salt` ways, spreading each block's quadratic scoring across `salt`
+      // tasks. The result is invariant: every (id_l, *) pair still meets, and
+      // the rank window re-partitions on id_l afterwards regardless.
+      // (Measured at x10/local[32]: salt hurts the WINDOW form — the SMJ's
+      // replicated-side sort outweighs the parallelism gain when the pair
+      // stream already fits; it pays on the streaming form, which is the
+      // plan that runs when parallelism actually matters.)
+      val (ls, rs, keys) =
+        if (salt == 1) (lk, rk, joinKeys)
+        else (
+          lk.withColumn("__salt", pmod(xxhash64(col("id_l")), lit(salt)).cast("int")),
+          rk.withColumn("__salt",
+            explode(array((0 until salt).map(s => lit(s)): _*))),
+          joinKeys :+ "__salt")
+      ls.join(rs, keys)
+        .filter(col("id_l") =!= col("id_r"))
+        .withColumn("cos", graft.plans.VectorExpressions.cosinePrenormed(
+          col("vec_l"), col("vec_r"), col("__nl"), col("__nr")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("id_l"), col("id_r"), col("cos"), col("rank"))
+    }
+  }
+
+  /** The SCALE plan for [[knnJoin]]: per-block streaming top-k with a
+    * bounded insertion heap — cogroup left/right on the (salted) block key,
+    * buffer each group's RIGHT side once as primitive arrays, stream LEFT
+    * rows against it keeping only the best k slots. No joined pair row is
+    * ever materialized, no pair-stream sort, no window: task memory is one
+    * right block + k slots, independent of the pair count that spill-bound
+    * the window form at 1.6 B pairs (SMOKE x64).
+    *
+    * Result-identical to the window form by construction:
+    *  - equi-join semantics: rows with any null join key never match
+    *    (filtered before grouping);
+    *  - the `id_l =!= id_r` filter: null ids drop on both sides, equality
+    *    via the same comparator that orders ties;
+    *  - cosine arithmetic: sequential dot, sqrt of sequential sum of
+    *    squares computed ONCE per row, norm product, divide — the exact op
+    *    order of the native expressions ([[graft.plans.VectorExpressions]]),
+    *    verified bit-identical at x10 (ScaleInvariantSmoke); try_divide's
+    *    divisor==0 → null and null/mismatched/null-element arrays → null;
+    *  - ordering: cos DESC NULLS LAST (NaN greatest, ±0.0 equal — Spark's
+    *    normalized float ordering), ties by id_r ASC under Spark's binary
+    *    string order (unsigned UTF-8 bytes, not UTF-16 chars).
+    *
+    * `salt` splits each group's LEFT side into `salt` sub-groups and
+    * replicates the buffered right block per sub-group — parallelism for
+    * corpora whose block count is below the cluster's core count, at the
+    * cost of salt× replication of the (bounded) right blocks.
+    */
+  private[graft] def knnStreamingTopK(lk: DataFrame, rk: DataFrame,
+      joinKeys: Seq[String], k: Int, salt: Int): DataFrame = {
+    val spark = lk.sparkSession
+    val idType = lk.schema("id_l").dataType
+    require(rk.schema("id_r").dataType == idType,
+      s"knnJoin id types differ: $idType vs ${rk.schema("id_r").dataType}")
+    val keyCols = if (salt == 1) joinKeys else joinKeys :+ "__salt"
+    def prepared(df: DataFrame, id: String, vec: String): DataFrame = {
+      val base = df.filter(joinKeys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(id).isNotNull)
+      val salted =
+        if (salt == 1) base
+        else if (id == "id_l")
+          base.withColumn("__salt", pmod(xxhash64(col(id)), lit(salt)).cast("int"))
+        else base.withColumn("__salt",
+          explode(array((0 until salt).map(s => lit(s)): _*)))
+      salted.select(struct(keyCols.map(col): _*).as("__k"), col(id),
+        col(vec).cast(ArrayType(DoubleType)).as("__v"))
+    }
+    val lp = prepared(lk, "id_l", "vec_l")
+    val rp = prepared(rk, "id_r", "vec_r")
+    val keySchema = lp.schema("__k").dataType.asInstanceOf[StructType]
+    val keyEnc = Encoders.row(keySchema)
+    val outSchema = StructType(Seq(
+      StructField("id_l", idType), StructField("id_r", idType),
+      StructField("cos", DoubleType), StructField("rank", IntegerType)))
+    val gl = lp.groupByKey((r: Row) => r.getStruct(0))(keyEnc)
+    val gr = rp.groupByKey((r: Row) => r.getStruct(0))(keyEnc)
+    gl.cogroup(gr) { (_, ls, rs) =>
+      // buffer the right block ONCE: ids, vectors, norms (norm arithmetic
+      // identical to L2Norm: sequential sum of squares, one sqrt)
+      val rIds = new scala.collection.mutable.ArrayBuffer[Any]
+      val rVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]] // null = invalid
+      val rNorms = new scala.collection.mutable.ArrayBuffer[Double]
+      rs.foreach { row =>
+        rIds += row.get(1)
+        val v = toVec(row, 2)
+        rVecs += v
+        rNorms += (if (v == null) 0.0 else norm(v))
+      }
+      val n = rIds.length
+      if (n == 0) Iterator.empty
+      else ls.flatMap { lrow =>
+        val lid = lrow.get(1)
+        val lv = toVec(lrow, 2)
+        val ln = if (lv == null) 0.0 else norm(lv)
+        // bounded insertion top-k under (cos desc nulls-last, id asc)
+        val tc = new Array[Double](k)
+        val tNull = new Array[Boolean](k)
+        val ti = new Array[Any](k)
+        var m = 0
+        var b = 0
+        while (b < n) {
+          val rid = rIds(b)
+          if (compareIds(lid, rid) != 0) {
+            val rv = rVecs(b)
+            var cNull = false
+            var c = 0.0
+            if (lv == null || rv == null || lv.length != rv.length) cNull = true
+            else {
+              var dot = 0.0; var i = 0
+              while (i < lv.length) { dot += lv(i) * rv(i); i += 1 }
+              val div = ln * rNorms(b)
+              if (div == 0.0) cNull = true // try_divide: /0 → null (±0.0)
+              else c = dot / div
+            }
+            // candidate-before-slot comparator: negative = candidate wins
+            @inline def cmpSlot(p: Int): Int =
+              if (!cNull && tNull(p)) -1
+              else if (cNull && !tNull(p)) 1
+              else if (cNull && tNull(p)) compareIds(rid, ti(p))
+              else {
+                val d = java.lang.Double.compare(norm0(tc(p)), norm0(c))
+                if (d != 0) d else compareIds(rid, ti(p))
+              }
+            var p = m
+            while (p > 0 && cmpSlot(p - 1) < 0) p -= 1
+            if (p < k) {
+              var q = math.min(m, k - 1)
+              while (q > p) {
+                tc(q) = tc(q - 1); tNull(q) = tNull(q - 1); ti(q) = ti(q - 1)
+                q -= 1
+              }
+              tc(p) = c; tNull(p) = cNull; ti(p) = rid
+              if (m < k) m += 1
+            }
+          }
+          b += 1
+        }
+        Iterator.range(0, m).map { r =>
+          Row(lid, ti(r), if (tNull(r)) null else java.lang.Double.valueOf(tc(r)),
+            java.lang.Integer.valueOf(r + 1))
+        }
+      }
+    }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Vector at row ordinal `i` as a primitive array, or null when the value
+    * is null or any element is null (the native expressions' null contract).
+    */
+  private def toVec(row: Row, i: Int): Array[Double] = {
+    if (row.isNullAt(i)) return null
+    val s = row.getSeq[Any](i)
+    val out = new Array[Double](s.length)
+    var j = 0
+    val it = s.iterator
+    while (it.hasNext) {
+      val v = it.next()
+      if (v == null) return null
+      out(j) = v.asInstanceOf[Double]
+      j += 1
+    }
+    out
+  }
+
+  /** Sequential sum of squares + sqrt — L2Norm's exact op order. */
+  @inline private def norm(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** ±0.0 normalized for ordering (Spark's NormalizeFloatingNumbers). */
+  @inline private def norm0(d: Double): Double = if (d == 0.0) 0.0 else d
+
+  /** Spark's ordering/equality for the id types a knn join realistically
+    * keys on. Strings compare as unsigned UTF-8 BYTES (Spark's binary
+    * collation), not UTF-16 chars; floats normalize ±0.0 and put NaN
+    * greatest; everything else is its external type's natural Comparable.
+    */
+  private[graft] def compareIds(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      val xa = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val ya = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nn = math.min(xa.length, ya.length)
+      var i = 0
+      while (i < nn) {
+        val c = (xa(i) & 0xff) - (ya(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      xa.length - ya.length
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      java.lang.Double.compare(norm0(x), norm0(y))
+    case (x: java.lang.Float, y: java.lang.Float) =>
+      java.lang.Float.compare(
+        (if (x == 0.0f) 0.0f else x.floatValue),
+        (if (y == 0.0f) 0.0f else y.floatValue))
+    case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported knn id type: ${a.getClass}")
   }
 }

@@ -1608,4 +1608,14 @@ object VectorExpressions {
     */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.try_divide(dot(a, b), l2norm(a) * l2norm(b))
+
+  /** [[cosine]] with norms PRECOMPUTED once per row (`na`/`nb` must be
+    * `l2norm` of the respective vector): bit-identical arithmetic — the
+    * same sequential dot, the same norm product, the same try_divide —
+    * but one array pass per candidate pair instead of three. This is the
+    * form every block-quadratic pair join should use: at N² pairs the two
+    * redundant norm passes are the dominant flop count.
+    */
+  def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column): Column =
+    org.apache.spark.sql.functions.try_divide(dot(a, b), na * nb)
 }

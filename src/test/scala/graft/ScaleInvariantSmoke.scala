@@ -115,13 +115,61 @@ object ScaleInvariantSmoke {
     println(s"[inv] cluster_reps VERIFIED at $dir: ${distLbl0.count()} clustered " +
       s"ids, ${roots.count()} components")
 
+    // ============ dedup_clusters & minhash_lsh_dedup_stage ================
+    // The other two transitive-closure gates whose DuckDB oracles DNF at
+    // x10 ride the SAME chain the five invariants above just verified
+    // (identical n/bands/rows/threshold constants). Each gate's OWN entry —
+    // the real SparkEntry query, including the YAML→registry→Pipeline path
+    // for the dedup stage — is checked against the verified label table:
+    //  - dedup_clusters output must EQUAL the five-way-verified labels;
+    //  - the dedup stage's survivors must equal the min-label survivorship
+    //    derived from those labels (drop id ⟺ verified label ≠ id), with
+    //    unclustered and null-text rows passing through.
+    val gateLabels = timed("gate dedup_clusters (SparkEntry entry)") {
+      graft.SparkEntry.queries("dedup_clusters")(spark, dir).persist()
+    }
+    assertZero("dedup_clusters gate vs verified labels",
+      gateLabels.select(col("id").cast("long").as("id"),
+          col("cluster_id").cast("long").as("cluster_id"))
+        .except(distLbl0.select(col("id").cast("long").as("id"),
+          col("cluster_id").cast("long").as("cluster_id"))).count() +
+      distLbl0.select(col("id").cast("long").as("id"),
+          col("cluster_id").cast("long").as("cluster_id"))
+        .except(gateLabels.select(col("id").cast("long").as("id"),
+          col("cluster_id").cast("long").as("cluster_id"))).count())
+    val gateSurvivors = timed("gate minhash_lsh_dedup_stage (Pipeline path)") {
+      graft.SparkEntry.queries("minhash_lsh_dedup_stage")(spark, dir).persist()
+    }
+    val expectedSurvivors = docs.select(col("doc_id")).join(
+      distLbl0.filter(col("cluster_id") =!= col("id"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    assertZero("dedup-stage survivors vs label-derived survivorship",
+      gateSurvivors.select("doc_id").except(expectedSurvivors).count() +
+      expectedSurvivors.except(gateSurvivors.select("doc_id")).count())
+    println(s"[inv] dedup_clusters + minhash_lsh_dedup_stage VERIFIED at " +
+      s"$dir: ${gateSurvivors.count()} survivors of ${docs.count()} docs")
+
     // ================== knn_join ========================================
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
-    val engine = timed("engine knnJoin (blocked join + window)") {
+    val engine = timed("engine knnJoin (production dispatch)") {
       graft.ops.Similarity.knnJoin(embs, embs, "vec_id", "embedding", "label",
         k = 3, maxBlockSize = Some(100000)).persist()
     }
+    // the window form is the third, structurally-different plan; it is only
+    // runnable while the pair stream fits — guard on ESTIMATED PAIRS, not
+    // rows (x64's 128k rows look small but make 1.64 B pairs, the exact
+    // spill-bound shape the streaming plan replaces)
+    val estPairs = embs.groupBy("label").count()
+      .agg(sum(col("count") * col("count"))).head.getLong(0)
+    println(s"[inv] knn estimated pairs: $estPairs")
+    val windowed = if (estPairs > 100000000L) None else Some(
+      timed("engine knnJoin (window form, forced)") {
+        graft.ops.Similarity.knnJoin(embs, embs, "vec_id", "embedding", "label",
+          k = 3, maxBlockSize = Some(100000), pairBudget = Long.MaxValue)
+          .persist()
+      })
     val indep = timed("independent pass (groupByKey + in-memory all-pairs)") {
       embs.select(col("label").cast("int"), col("vec_id").cast("long"),
           col("embedding"))
@@ -180,6 +228,13 @@ object ScaleInvariantSmoke {
         .except(indep.select("id_l", "id_r", "rank")).count() +
       indep.select("id_l", "id_r", "rank")
         .except(engine.select("id_l", "id_r", "rank")).count())
+    windowed.foreach { wf =>
+      assertZero("knn window-form vs production-plan drift",
+        engine.select("id_l", "id_r", "rank")
+          .except(wf.select("id_l", "id_r", "rank")).count() +
+        wf.select("id_l", "id_r", "rank")
+          .except(engine.select("id_l", "id_r", "rank")).count())
+    }
     val maxDiff = engine.select(col("id_l"), col("id_r"), col("cos").as("c1"))
       .join(indep.select(col("id_l"), col("id_r"), col("cos").as("c2")),
         Seq("id_l", "id_r"))
