@@ -3884,6 +3884,99 @@ object Queries {
       |FROM dims d LEFT JOIN ag a USING (media_id)
       |ORDER BY d.media_id""".stripMargin))
 
+  /** REAL compressed-audio decode: [[graft.plans.AdpcmSynth]] IMA/DVI ADPCM
+    * WAVE payloads (fmt tag 0x11, 100..499 samples, 8/12/16 kHz by doc_id)
+    * through the ENGINE'S OWN integer predictor decode (the JDK ships no
+    * ADPCM codec); every 9th payload truncated after "RIFF" → null row.
+    * The oracle replays the predictor RECURRENCE itself — per block
+    * (header predictor 0 / step index 0 = sample 0, then 16 nibbles
+    * low-first, nib_g = (b + 7g) mod 16) as a 17-deep recursive CTE over
+    * the public step/index tables with the exact clamp arithmetic — then
+    * the stats/digest conventions of the other audio gates. Any drift in a
+    * table entry, a clamp bound, nibble order, or the block layout breaks
+    * the hash.
+    */
+  private val audioDecodeAdpcm: Gate = Gate(
+    (s, dir) => Multimodal.decodeAudio(
+      table(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("media_id"),
+        when(col("doc_id") % 9 === 0, unhex(lit("52494646")))
+          .otherwise(graft.plans.AdpcmSynth.adpcm(col("doc_id").cast(LongType),
+            (col("doc_id") % 400 + 100).cast("int"),
+            (col("doc_id") % 3 * 4000 + 8000).cast("int"))).as("payload")))
+      .orderBy("media_id"),
+    Some {
+      val stepValues = ImaStepTable.zipWithIndex
+        .map { case (v, i) => s"($i,$v)" }.mkString(", ")
+      s"""WITH RECURSIVE dims AS (
+      |  SELECT doc_id AS media_id, doc_id % 400 + 100 AS n,
+      |         doc_id % 3 * 4000 + 8000 AS rate, doc_id % 251 AS b,
+      |         doc_id % 9 = 0 AS corrupt
+      |  FROM documents),
+      |steps(si, sv) AS (VALUES $stepValues),
+      |blocks AS (
+      |  SELECT d.media_id, d.b, d.n, bp.blk
+      |  FROM dims d, LATERAL (SELECT unnest(range(0, (d.n + 16) // 17)) AS blk) bp
+      |  WHERE NOT d.corrupt),
+      |st AS (
+      |  SELECT media_id, b, n, blk, CAST(0 AS BIGINT) AS k,
+      |         CAST(0 AS BIGINT) AS pred, CAST(0 AS BIGINT) AS idx
+      |  FROM blocks
+      |  UNION ALL
+      |  SELECT media_id, b, n, blk, k + 1,
+      |    greatest(-32768, least(32767,
+      |      pred + (CASE WHEN (nib & 8) != 0 THEN -d ELSE d END))),
+      |    greatest(0, least(88,
+      |      idx + (CASE WHEN (nib % 8) < 4 THEN -1 ELSE 2 * ((nib % 8) - 3) END)))
+      |  FROM (
+      |    SELECT st.media_id, st.b, st.n, st.blk, st.k, st.pred, st.idx,
+      |      ((st.b + 7 * (st.blk * 16 + st.k)) % 16) AS nib,
+      |      (s.sv // 8)
+      |       + (CASE WHEN (((st.b + 7 * (st.blk * 16 + st.k)) % 16) & 4) != 0
+      |           THEN s.sv ELSE 0 END)
+      |       + (CASE WHEN (((st.b + 7 * (st.blk * 16 + st.k)) % 16) & 2) != 0
+      |           THEN s.sv // 2 ELSE 0 END)
+      |       + (CASE WHEN (((st.b + 7 * (st.blk * 16 + st.k)) % 16) & 1) != 0
+      |           THEN s.sv // 4 ELSE 0 END) AS d
+      |    FROM st JOIN steps s ON s.si = st.idx
+      |    WHERE st.k < 16 AND st.blk * 17 + st.k + 1 < st.n)),
+      |ag AS (
+      |  SELECT media_id,
+      |    CAST(sum(abs(pred)) AS BIGINT) AS total_abs,
+      |    CAST(max(abs(pred)) AS BIGINT) AS peak_abs,
+      |    string_agg(printf('%04x',
+      |      CASE WHEN pred < 0 THEN pred + 65536 ELSE pred END), ''
+      |      ORDER BY blk * 17 + k) AS hexstr
+      |  FROM st GROUP BY 1)
+      |SELECT d.media_id,
+      |  CASE WHEN d.corrupt THEN NULL ELSE 'wave' END AS format,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(d.rate AS BIGINT) END AS sample_rate,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(1 AS BIGINT) END AS channels,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(4 AS BIGINT) END AS bits,
+      |  CASE WHEN d.corrupt THEN NULL ELSE CAST(d.n AS BIGINT) END AS n_frames,
+      |  CASE WHEN d.corrupt THEN NULL
+      |       ELSE CAST(d.n * 1000000 // d.rate AS BIGINT) END AS duration_us,
+      |  CAST(a.total_abs // d.n AS BIGINT) AS mean_abs,
+      |  a.peak_abs,
+      |  sha256(a.hexstr) AS pcm_digest
+      |FROM dims d LEFT JOIN ag a USING (media_id)
+      |ORDER BY d.media_id""".stripMargin
+    })
+
+  /** The public IMA step table — shared (as SQL VALUES) by the ADPCM
+    * oracle; the engine side lives in `ops/Multimodal.scala`
+    * (ImaAdpcmTables) and a spec pins the two against the reference
+    * algorithm's published values.
+    */
+  private lazy val ImaStepTable: Seq[Int] = Seq(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
   /** Synthetic-but-structurally-real MP4 round trip: BUILD a spec-shaped
     * ISO-BMFF box tree (ftyp + moov(mvhd + trak(tkhd))) per document from
     * doc_id-derived timing/dimension values using pure binary expressions,
@@ -4101,6 +4194,7 @@ object Queries {
     "multimodal_frames" -> multimodalFrames,
     "audio_decode" -> audioDecode,
     "audio_decode_ulaw" -> audioDecodeUlaw,
+    "audio_decode_adpcm" -> audioDecodeAdpcm,
     "video_metadata" -> videoMeta,
     "mp3_metadata" -> mp3Meta,
     "bpe_pair_counts" -> bpePairCounts,

@@ -674,6 +674,14 @@ object Multimodal {
           val nullRow =
             DecodedAudio(id, None, None, None, None, None, None, None, None, None)
           if (payload == null) nullRow
+          else {
+          // IMA/DVI ADPCM WAVE (fmt tag 0x11): the JDK has no ADPCM codec,
+          // so the engine's own integer predictor decode handles it —
+          // imaAdpcmWav returns null only when the payload is NOT an
+          // IMA-ADPCM WAVE (providers then get their turn), and a
+          // null-fielded row for a malformed one (corrupt-blob contract)
+          val adpcmRow = imaAdpcmWav(id, payload, md, hexDigits)
+          if (adpcmRow != null) adpcmRow
           else try {
             val ais = open(payload)
             if (ais == null) nullRow
@@ -785,8 +793,132 @@ object Multimodal {
           } catch {
             case _: Exception => nullRow
           }
+          }
         }
       }
       .toDF()
   }
+
+  /** Decode an IMA/DVI ADPCM WAVE payload (fmt tag 0x11, mono, 4-bit) with
+    * the public IMA integer predictor arithmetic — step/index tables, the
+    * `(step>>3) + conditional step>>2/step>>1/step` magnitude expansion,
+    * ±32768 predictor clamp, 0..88 index clamp — through the SAME stats and
+    * digest conventions as the PCM path ([[decodeAudio]] doc). Each block's
+    * 4-byte header (initial predictor int16 LE, step index, reserved) IS
+    * the block's first sample; data nibbles decode LOW nibble first. The
+    * `fact` chunk bounds the emitted frame count (the final block may carry
+    * padding nibbles); a missing `fact` derives the count from full blocks.
+    *
+    * Returns null when the payload is NOT an IMA-ADPCM WAVE (other readers
+    * get their turn), a null-fielded row when it claims to be one but is
+    * malformed (non-mono, wrong bit width, truncated data, zero rate —
+    * the corrupt-blob contract), never throws.
+    */
+  private def imaAdpcmWav(id: Long, p: Array[Byte],
+      md: java.security.MessageDigest, hexDigits: Array[Byte]): DecodedAudio = {
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+        p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' ||
+        p(11) != 'E') return null
+    val nullRow =
+      DecodedAudio(id, None, None, None, None, None, None, None, None, None)
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    // chunk walk (word-aligned sizes, bounds-guarded)
+    var fmtTag = -1; var channels = 0; var rate = 0L; var blockAlign = 0
+    var bits = 0; var spb = 0
+    var factFrames = -1L
+    var dataOff = -1; var dataLen = 0
+    var pos = 12
+    while (pos + 8 <= p.length) {
+      val size = le32(pos + 4)
+      val ds = pos + 8
+      if (ds + size > p.length) return nullRow // truncated chunk
+      val isFmt = p(pos) == 'f' && p(pos + 1) == 'm' && p(pos + 2) == 't' &&
+        p(pos + 3) == ' '
+      val isFact = p(pos) == 'f' && p(pos + 1) == 'a' && p(pos + 2) == 'c' &&
+        p(pos + 3) == 't'
+      val isData = p(pos) == 'd' && p(pos + 1) == 'a' && p(pos + 2) == 't' &&
+        p(pos + 3) == 'a'
+      if (isFmt && size >= 16) {
+        fmtTag = le16(ds)
+        channels = le16(ds + 2)
+        rate = le32(ds + 4)
+        blockAlign = le16(ds + 12)
+        bits = le16(ds + 14)
+        spb = if (size >= 20 && le16(ds + 16) >= 2) le16(ds + 18)
+          else if (blockAlign > 4) (blockAlign - 4) * 2 + 1 else 0
+      } else if (isFact && size >= 4) factFrames = le32(ds)
+      else if (isData) { dataOff = ds; dataLen = size.toInt }
+      pos = ds + size.toInt + (size.toInt & 1)
+    }
+    if (fmtTag != 0x11) return null // not IMA ADPCM — not ours
+    if (channels != 1 || bits != 4 || rate <= 0 || blockAlign < 5 ||
+        spb < 1 || spb > (blockAlign - 4) * 2 + 1 || dataOff < 0)
+      return nullRow
+    val blocks = dataLen / blockAlign
+    val frames = if (factFrames >= 0) factFrames else blocks.toLong * spb
+    if (frames <= 0 ||
+        frames > blocks.toLong * spb) return nullRow // data can't cover fact
+    md.reset()
+    val hex = new Array[Byte](4)
+    var sumAbs = 0L; var peak = 0L; var emitted = 0L
+    var blk = 0
+    while (blk < blocks && emitted < frames) {
+      val off = dataOff + blk * blockAlign
+      var pred = (le16(off) << 16) >> 16 // sign-extended initial predictor
+      var idx = p(off + 2) & 0xff
+      if (idx > 88) idx = 88
+      @inline def emit(s: Int): Unit = {
+        val a = math.abs(s).toLong
+        sumAbs += a
+        if (a > peak) peak = a
+        val v16 = s & 0xffff
+        hex(0) = hexDigits(v16 >>> 12)
+        hex(1) = hexDigits((v16 >>> 8) & 0xf)
+        hex(2) = hexDigits((v16 >>> 4) & 0xf)
+        hex(3) = hexDigits(v16 & 0xf)
+        md.update(hex)
+        emitted += 1
+      }
+      emit(pred) // the header predictor is sample 0 of the block
+      var inBlock = 1
+      var m = 0
+      while (m < (blockAlign - 4) * 2 && inBlock < spb && emitted < frames) {
+        val byte = p(off + 4 + (m >> 1)) & 0xff
+        val nib = if ((m & 1) == 0) byte & 0xf else byte >>> 4
+        val step = ImaAdpcmTables.Step(idx)
+        var diff = step >> 3
+        if ((nib & 4) != 0) diff += step
+        if ((nib & 2) != 0) diff += step >> 1
+        if ((nib & 1) != 0) diff += step >> 2
+        pred = if ((nib & 8) != 0) pred - diff else pred + diff
+        if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+        idx += ImaAdpcmTables.IndexDelta(nib)
+        if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+        emit(pred)
+        inBlock += 1
+        m += 1
+      }
+      blk += 1
+    }
+    if (emitted < frames) return nullRow // truncated data chunk
+    DecodedAudio(id, Some(containerName(p)), Some(rate), Some(1L), Some(4L),
+      Some(frames), Some(frames * 1000000L / rate),
+      Some(sumAbs / frames), Some(peak), Some(hexDigest(md.digest())))
+  }
+}
+
+/** The public IMA/DVI ADPCM tables (IMA ADPCM reference algorithm). */
+private object ImaAdpcmTables {
+  val Step: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  val IndexDelta: Array[Int] = Array(
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 }

@@ -134,6 +134,113 @@ case class AuSynth(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** Deterministic REAL-IMA-ADPCM WAV synthesis: a spec-complete RIFF/WAVE
+  * container with `fmt ` tag 0x11 (IMA/DVI ADPCM, mono, 4-bit), the
+  * required `fact` chunk (total sample frames — compressed WAV needs it),
+  * and fixed-size data blocks — the fixture for the engine's own IMA
+  * predictor decode (the JDK's `javax.sound.sampled` has no ADPCM codec,
+  * so [[graft.ops.Multimodal.decodeAudio]] implements the public IMA
+  * integer arithmetic directly).
+  *
+  * Layout contract (the SQL-replayable spec):
+  *  - `blockAlign` = 12 bytes ⇒ `samplesPerBlock` = (12−4)·2+1 = 17: the
+  *    4-byte block header (initial predictor int16 LE = 0, step index = 0,
+  *    reserved = 0) IS sample 0 of the block; the 8 data bytes carry 16
+  *    nibbles, LOW nibble first.
+  *  - nibble g (GLOBAL index, g = blk·16 + within-block position):
+  *    {{{ nib_g = (id mod 251 + 7·g) mod 16 }}}
+  *    period 16 in g, so every 4-bit code (both signs, all magnitude bits)
+  *    is exercised in every block.
+  *  - every block resets predictor/index to 0 (valid per spec — the header
+  *    re-seeds the decoder), which is what makes the oracle's per-block
+  *    recursive replay independent and 17 levels deep, not clip-deep.
+  *  - the final block is written FULL; `fact` limits decode to n samples.
+  */
+case class AdpcmSynth(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] =
+    Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  // nullable: out-of-range (n, rate) yields null — the corrupt-blob
+  // contract of the decoder this feeds
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_adpcm_synth"
+
+  override def nullSafeEval(id: Any, n: Any, rate: Any): Any =
+    AdpcmSynth.compute(id.asInstanceOf[Long], n.asInstanceOf[Int],
+      rate.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (id, n, rate) => s"""
+      ${ev.value} = graft.plans.AdpcmSynth.compute($id, $n, $rate);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object AdpcmSynth {
+  val BlockAlign = 12
+  val SamplesPerBlock: Int = (BlockAlign - 4) * 2 + 1 // 17
+
+  /** The nibble generator (global nibble index) — shared by [[compute]]
+    * and (arithmetically) by the oracle SQL.
+    */
+  @inline def nibble(id: Long, g: Long): Int =
+    ((id % 251 + 7L * g) % 16L).toInt
+
+  def compute(id: Long, nSamples: Int, rate: Int): Array[Byte] = {
+    if (nSamples <= 0 || nSamples > (1 << 22) || rate <= 0) return null
+    val blocks = (nSamples + SamplesPerBlock - 1) / SamplesPerBlock
+    val dataLen = blocks * BlockAlign
+    val out = new Array[Byte](12 + 28 + 12 + 8 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii))
+    bb.putInt(out.length - 8)
+    bb.put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii))
+    bb.putInt(20)                  // fmt chunk length (16 + cbSize ext)
+    bb.putShort(0x11)              // audio format: IMA/DVI ADPCM
+    bb.putShort(1)                 // channels: mono
+    bb.putInt(rate)
+    // byte rate for ADPCM: rate * blockAlign / samplesPerBlock (integer)
+    bb.putInt((rate.toLong * BlockAlign / SamplesPerBlock).toInt)
+    bb.putShort(BlockAlign.toShort)
+    bb.putShort(4)                 // bits per (encoded) sample
+    bb.putShort(2)                 // cbSize
+    bb.putShort(SamplesPerBlock.toShort)
+    bb.put("fact".getBytes(ascii))
+    bb.putInt(4)
+    bb.putInt(nSamples)
+    bb.put("data".getBytes(ascii))
+    bb.putInt(dataLen)
+    var blk = 0
+    while (blk < blocks) {
+      bb.putShort(0) // initial predictor
+      bb.put(0.toByte) // initial step index
+      bb.put(0.toByte) // reserved
+      var m = 0
+      while (m < BlockAlign - 4) {
+        val g = blk.toLong * 16 + 2 * m
+        bb.put((nibble(id, g) | (nibble(id, g + 1) << 4)).toByte)
+        m += 1
+      }
+      blk += 1
+    }
+    out
+  }
+
+  def adpcm(id: Column, nSamples: Column, rate: Column): Column =
+    GraftSqlBridge.column(AdpcmSynth(GraftSqlBridge.expression(id),
+      GraftSqlBridge.expression(nSamples), GraftSqlBridge.expression(rate)))
+}
+
 object AuSynth {
   /** The μ-law byte generator — shared by [[compute]] and (arithmetically)
     * by the oracle SQL.

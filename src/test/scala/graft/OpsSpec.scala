@@ -1215,6 +1215,76 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ima adpcm parity: AdpcmSynth payload -> engine predictor decode -> recurrence, exact") {
+    // independent replay of the published IMA recurrence (the oracle's
+    // arithmetic, Scala-side): per block, predictor/index seed 0/0, the
+    // header predictor is sample 0, nibbles decode low-first
+    val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+      28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+      130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+      494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+      1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+      4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635,
+      13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    def samples(id: Long, n: Int): IndexedSeq[Int] =
+      (0 until (n + 16) / 17).flatMap { blk =>
+        var pred = 0; var idx = 0
+        Iterator.single(0) ++ (0 until 16).iterator.map { j =>
+          val nib = ((id % 251 + 7L * (blk * 16 + j)) % 16).toInt
+          val s = step(idx)
+          var d = s >> 3
+          if ((nib & 4) != 0) d += s
+          if ((nib & 2) != 0) d += s >> 1
+          if ((nib & 1) != 0) d += s >> 2
+          pred = math.max(-32768, math.min(32767,
+            if ((nib & 8) != 0) pred - d else pred + d))
+          idx = math.max(0, math.min(88, idx +
+            (if ((nib & 7) < 4) -1 else 2 * ((nib & 7) - 3))))
+          pred
+        }
+      }.take(n)
+    val ids = Seq(0L, 1L, 8L, 42L, 250L, 251L, 999L)
+    val media = ids.toDF("media_id")
+      .select(col("media_id"),
+        graft.plans.AdpcmSynth.adpcm(col("media_id"),
+          (col("media_id") % 80 + 20).cast("int"),
+          (col("media_id") % 3 * 4000 + 8000).cast("int")).as("payload"))
+    val got = Multimodal.decodeAudio(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    ids.foreach { id =>
+      val n = (id % 80 + 20).toInt
+      val rate = (id % 3 * 4000 + 8000).toInt
+      val svs = samples(id, n)
+      md.reset()
+      val expect = md.digest(svs.map(v => f"${v & 0xffff}%04x").mkString
+        .getBytes("US-ASCII")).map("%02x".format(_)).mkString
+      val r = got(id)
+      assert(r.getString(1) == "wave", s"id=$id format")
+      assert(r.getLong(2) == rate && r.getLong(3) == 1L && r.getLong(4) == 4L,
+        s"id=$id declared fields")
+      assert(r.getLong(5) == n && r.getLong(6) == n.toLong * 1000000L / rate,
+        s"id=$id frames/duration")
+      assert(r.getLong(7) == svs.map(v => math.abs(v).toLong).sum / n, s"id=$id mean")
+      assert(r.getLong(8) == svs.map(v => math.abs(v).toLong).max, s"id=$id peak")
+      assert(r.getString(9) == expect, s"id=$id digest")
+    }
+    // malformed IMA payloads take the null row, never a scan failure — and
+    // a PCM WAVE is untouched by the ADPCM branch (provider path decodes it)
+    val good = graft.plans.AdpcmSynth.compute(3L, 40, 8000)
+    // header intact, data chunk declared longer than the buffer holds
+    val truncated = java.util.Arrays.copyOfRange(good, 0, good.length - 8)
+    val stereo = good.clone()
+    stereo(22) = 2 // channels=2: unsupported layout for the mono decoder
+    val rows = Multimodal.decodeAudio(Seq(
+      (0L, truncated), (1L, stereo),
+      (2L, graft.plans.WavSynth.compute(7L, 25, 8000))
+    ).toDF("media_id", "payload")).collect().sortBy(_.getLong(0))
+    assert((1 to 9).forall(rows(0).isNullAt), "truncated adpcm -> null row")
+    assert((1 to 9).forall(rows(1).isNullAt), "stereo adpcm -> null row")
+    assert(rows(2).getLong(4) == 16L, "pcm wave still takes the provider path")
+  }
+
   test("audio decode: long clips cross the frame buffer; stereo halves frames") {
     // 10000 samples > the decoder's 4096-frame read buffer: statistics must
     // be identical to a single-buffer pass (streamed digest, no truncation)

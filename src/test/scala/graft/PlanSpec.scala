@@ -371,8 +371,11 @@ class PlanSpec extends SparkSpec {
     val (tc, priors) = graft.ops.Classifier.trainNaiveBayes(d, "text", "lang")
     val nb = graft.ops.Classifier.nbScores(d, "doc_id", "text", tc, priors)
     nb.collect()
-    // 4 = token-class counts (reused by totals/vocabulary), per-doc grams,
-    // priors (reused by class list/N), id-only scan
-    assert(distinctScans(nb) === 4, s"nbScores scans:\n${nb.queryExecution.executedPlan}")
+    // 1 = the id-universe scan alone: since r17 the shared frames (model
+    // rows, priors, class frame, gram table) are localCheckpoint-pinned
+    // inside scoredFrames — every other consumer reads materialized blocks,
+    // so the corpus parquet appears exactly ONCE in the final plan (was 4
+    // under lazy AQE stage reuse, and 20 in nb_confusion's wider chain)
+    assert(distinctScans(nb) === 1, s"nbScores scans:\n${nb.queryExecution.executedPlan}")
   }
 }
