@@ -162,26 +162,23 @@ object Classifier {
     */
   private def scoredFrames(docs: DataFrame, idCol: String, textCol: String,
       tokenCounts: DataFrame, priors: DataFrame): (DataFrame, DataFrame) = {
-    // The shared frames below are localCheckpoint-MATERIALIZED once: the
-    // model table feeds three aggregations (totals, vocabulary, scored
-    // rows), the class frame three consumers (likelihoods, argmax index,
-    // prior argmax), and the gram frame two (per-class sums, token totals).
-    // Lazy, canonical-equality-dependent reuse left 11 tokenize subtrees /
-    // 20 scans in nb_confusion's plan (r17 plan audit); pinning the frames
-    // costs one job each over model-sized data (the model and the class
-    // list are vocabulary-bounded, never corpus-bounded) and makes every
-    // re-derivation a block read. The cnt>0 / isnotnull filters drop
-    // degenerate null-keyed model rows before materialization.
+    // cnt>0 is a semantic no-op and the isnotnull filters only drop
+    // degenerate null-keyed model rows; their real job is PLAN CONVERGENCE:
+    // downstream joins infer exactly these constraints and push a different
+    // subset into each copy of this subtree, and any pushed-filter
+    // difference breaks the canonical equality AQE stage reuse needs —
+    // stating the superset explicitly keeps self-training to one seed scan
     val tcUsed = tokenCounts.where(col("cnt") > 0 &&
-      col("token").isNotNull && col("label").isNotNull).localCheckpoint()
+      col("token").isNotNull && col("label").isNotNull)
     // per-class token totals and the shared smoothing vocabulary, derived
     // from the model table itself
     val classTotals = tcUsed.groupBy("label").agg(sum("cnt").as("__tot"))
     val vocab = tcUsed.agg(count_distinct(col("token")).as("__v"))
     // unlabeled (null-label) seed rows are ignored by training ENTIRELY —
-    // they are no class and do not count toward N (frame pinned: class-count
-    // rows, two consumers)
-    val priUsed = priors.where(col("label").isNotNull).localCheckpoint()
+    // they are no class and do not count toward N; filtering the shared
+    // priors frame once also keeps the nTotal branch's subtree identical
+    // to the class-list branch's, so the seed aggregation is reused
+    val priUsed = priors.where(col("label").isNotNull)
     val nTotal = priUsed.agg(sum("n_docs").as("__n"))
     val classes = priUsed.join(classTotals, Seq("label"), "left")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nTotal))
@@ -191,22 +188,20 @@ object Classifier {
         round(log(coalesce(col("__tot"), lit(0L)) + col("__v")) * lit(1e6))
           .cast(LongType).as("__lnt_e6"))
       // always true (n_docs <= N ⇒ ln prior <= 0; tot+V >= 1 ⇒ lnt >= 0;
-      // a null label would be a degenerate null class): states the
-      // constraints the consumers would otherwise infer asymmetrically.
-      // Pinned: one row per class, three consumers.
+      // a null label would be a degenerate null class): pins BOTH derived
+      // columns — and transitively priors/nTotal/totals/vocab — into every
+      // consumer's column set and states the constraint the outer join
+      // would infer on only one copy, so the copies of this frame prune
+      // and filter identically and the seed aggregations are computed once
+      // instead of re-scanning per branch
       .where(col("__prior_e6") <= 0L && col("__lnt_e6") >= 0L &&
         col("label").isNotNull)
-      .localCheckpoint()
 
-    // pinned: the corpus tokenization — (id, token, k) rows bounded by
-    // Σ distinct tokens per doc — consumed by the per-class sums AND the
-    // per-doc token totals; without the pin both consumers re-tokenize
     val grams = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("__k"))
       .where(col(idCol).isNotNull && col("token").isNotNull)
-      .localCheckpoint()
 
     val tcScored = tcUsed.select(col("token"), col("label"),
       round(log(col("cnt") + lit(1.0)) * lit(1e6)).cast(LongType)
@@ -215,7 +210,17 @@ object Classifier {
       .join(tcScored, Seq("token"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("__k") * col("__lnc_e6")).as("__sum_e6"))
-    val kTot = grams.groupBy(col(idCol)).agg(sum("__k").as("__kk"))
+    // K_id = Σ __k = the doc's total token count — derivable as a ZERO-
+    // SHUFFLE projection (size of the token array) instead of a second
+    // aggregation over the gram exchange (r17 probe: that agg was its own
+    // 2 s-CPU stage at x10). The `> 0` filter preserves the gram form's
+    // absence semantics EXACTLY: null/empty-text docs have no kTot row and
+    // score through the prior-only path, as before.
+    val kTot = docs
+      .where(col(idCol).isNotNull)
+      .select(col(idCol),
+        coalesce(size(tokens(col(textCol))), lit(0)).cast(LongType).as("__kk"))
+      .where(col("__kk") > 0L)
     val likScores = kTot.crossJoin(broadcast(classes))
       .join(sums, Seq(idCol, "label"), "left")
       .select(col(idCol), col("label"),

@@ -634,7 +634,8 @@ object Dedup {
   def embeddingPairs(
       embs: DataFrame, idCol: String, vecCol: String, blockCol: Column,
       threshold: Double = 0.95, maxBlock: Option[Int] = None,
-      subBucketDims: Seq[Int] = 0 until 8, salt: Int = 1): DataFrame = {
+      subBucketDims: Seq[Int] = 0 until 8, salt: Int = 1,
+      pairBudget: Long = 2000000L): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     val e = embs.select(col(idCol), col(vecCol), blockCol.as("__block"),
       graft.plans.VectorExpressions.l2norm(col(vecCol)).as("__nrm"))
@@ -656,19 +657,40 @@ object Dedup {
           col("__nrm").as(s"__n$p"))
         (side("a"), side("b"), Seq("__block", "__bucket"))
     }
-    val (as, bs, keys) =
-      if (salt == 1) (a, b, joinKeys)
-      else (
-        a.withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salt)).cast("int")),
-        b.withColumn("__salt",
-          explode(array((0 until salt).map(s => lit(s)): _*))),
-        joinKeys :+ "__salt")
-    as.join(bs, keys)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", graft.plans.VectorExpressions.cosinePrenormed(
-        col("vec_a"), col("vec_b"), col("__na"), col("__nb")))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+    // Plan dispatch, same contract as Similarity.knnJoin: above `pairBudget`
+    // estimated pairs (one metadata-sized key-count job) the STREAMING
+    // form runs — cogroup per block, each unordered pair's cosine computed
+    // ONCE (the join form materializes N² pair rows and filters half away
+    // before scoring), no SortMergeJoin row copies. Long.MaxValue forces
+    // the join form without the estimate; negative forces streaming.
+    val (estPairs, nKeys) =
+      if (pairBudget == Long.MaxValue) (0L, 1L)
+      else {
+        val cnt = a.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("__an"))
+        val row = cnt.agg(coalesce(sum(col("__an") * col("__an")), lit(0L)),
+          count(lit(1))).head()
+        (row.getLong(0), row.getLong(1))
+      }
+    if (estPairs > pairBudget || pairBudget < 0) {
+      val parallelism = embs.sparkSession.sparkContext.defaultParallelism
+      val autoSalt = if (salt > 1) salt
+        else math.max(1L, math.min(64L, 2L * parallelism / math.max(1L, nKeys))).toInt
+      Similarity.streamingThresholdPairs(a, b, joinKeys, threshold, autoSalt)
+    } else {
+      val (as, bs, keys) =
+        if (salt == 1) (a, b, joinKeys)
+        else (
+          a.withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salt)).cast("int")),
+          b.withColumn("__salt",
+            explode(array((0 until salt).map(s => lit(s)): _*))),
+          joinKeys :+ "__salt")
+      as.join(bs, keys)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", graft.plans.VectorExpressions.cosinePrenormed(
+          col("vec_a"), col("vec_b"), col("__na"), col("__nb")))
+        .filter(col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    }
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an

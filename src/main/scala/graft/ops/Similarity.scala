@@ -407,10 +407,100 @@ object Similarity {
       .toDF()
   }
 
+  /** The STREAMING form of a block-quadratic THRESHOLD pair join
+    * (Dedup.embeddingPairs' scale plan — same dispatch contract as
+    * [[knnStreamingTopK]]): cogroup the two prepared sides on the (salted)
+    * block key, buffer the b block once as primitive arrays, stream a rows
+    * against it and emit (id_a, id_b, cos) for every pair with
+    * id_a < id_b whose cosine passes the threshold. Each unordered pair's
+    * dot product is computed ONCE (the join form materializes N² pair rows
+    * and discards half before scoring) and no joined row is ever built.
+    *
+    * Result-identical to the join form: null join keys never match, null
+    * ids drop (the `id_a < id_b` comparison), ids order under Spark's
+    * binary collation ([[compareIds]]), cosine arithmetic is the prenormed
+    * expressions' exact op order with try_divide's divisor==0 → null, and
+    * the threshold filter keeps NaN (Spark comparison semantics: NaN is
+    * greater than every number) while dropping null.
+    *
+    * Sides carry (joinKeys..., id_a|id_b, vec_a|vec_b, __na|__nb) — the
+    * prepared frames Dedup.embeddingPairs builds (norms are recomputed
+    * in-JVM from the vector; bit-identical to L2Norm, so the prepared norm
+    * columns are simply unused here).
+    */
+  private[graft] def streamingThresholdPairs(a: DataFrame, b: DataFrame,
+      joinKeys: Seq[String], threshold: Double, salt: Int): DataFrame = {
+    val idType = a.schema("id_a").dataType
+    require(b.schema("id_b").dataType == idType,
+      s"pair id types differ: $idType vs ${b.schema("id_b").dataType}")
+    val keyCols = if (salt == 1) joinKeys else joinKeys :+ "__salt"
+    def prepared(df: DataFrame, id: String, vec: String): DataFrame = {
+      val base = df.filter(joinKeys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(id).isNotNull)
+      val salted =
+        if (salt == 1) base
+        else if (id == "id_a")
+          base.withColumn("__salt", pmod(xxhash64(col(id)), lit(salt)).cast("int"))
+        else base.withColumn("__salt",
+          explode(array((0 until salt).map(s => lit(s)): _*)))
+      salted.select(struct(keyCols.map(col): _*).as("__k"), col(id),
+        col(vec).cast(ArrayType(DoubleType)).as("__v"))
+    }
+    val ap = prepared(a, "id_a", "vec_a")
+    val bp = prepared(b, "id_b", "vec_b")
+    val keySchema = ap.schema("__k").dataType.asInstanceOf[StructType]
+    val keyEnc = Encoders.row(keySchema)
+    val outSchema = StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType),
+      StructField("cos", DoubleType)))
+    val ga = ap.groupByKey((r: Row) => r.getStruct(0))(keyEnc)
+    val gb = bp.groupByKey((r: Row) => r.getStruct(0))(keyEnc)
+    ga.cogroup(gb) { (_, as, bs) =>
+      val bIds = new scala.collection.mutable.ArrayBuffer[Any]
+      val bVecs = new scala.collection.mutable.ArrayBuffer[Array[Double]]
+      val bNorms = new scala.collection.mutable.ArrayBuffer[Double]
+      bs.foreach { row =>
+        bIds += row.get(1)
+        val v = toVec(row, 2)
+        bVecs += v
+        bNorms += (if (v == null) 0.0 else norm(v))
+      }
+      val n = bIds.length
+      if (n == 0) Iterator.empty
+      else as.flatMap { arow =>
+        val aid = arow.get(1)
+        val av = toVec(arow, 2)
+        val an = if (av == null) 0.0 else norm(av)
+        Iterator.range(0, n).flatMap { j =>
+          if (compareIds(aid, bIds(j)) >= 0) Iterator.empty
+          else {
+            val bv = bVecs(j)
+            if (av == null || bv == null || av.length != bv.length)
+              Iterator.empty // null cosine never passes the threshold
+            else {
+              var dot = 0.0; var i = 0
+              while (i < av.length) { dot += av(i) * bv(i); i += 1 }
+              val div = an * bNorms(j)
+              if (div == 0.0) Iterator.empty // try_divide: /0 → null
+              else {
+                val c = dot / div
+                // Spark comparison semantics: NaN >= x is TRUE
+                if (c >= threshold || c.isNaN)
+                  Iterator.single(Row(aid, bIds(j), c))
+                else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Vector at row ordinal `i` as a primitive array, or null when the value
     * is null or any element is null (the native expressions' null contract).
     */
-  private def toVec(row: Row, i: Int): Array[Double] = {
+  private[graft] def toVec(row: Row, i: Int): Array[Double] = {
     if (row.isNullAt(i)) return null
     val s = row.getSeq[Any](i)
     val out = new Array[Double](s.length)
@@ -426,14 +516,14 @@ object Similarity {
   }
 
   /** Sequential sum of squares + sqrt — L2Norm's exact op order. */
-  @inline private def norm(v: Array[Double]): Double = {
+  @inline private[graft] def norm(v: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     math.sqrt(s)
   }
 
   /** ±0.0 normalized for ordering (Spark's NormalizeFloatingNumbers). */
-  @inline private def norm0(d: Double): Double = if (d == 0.0) 0.0 else d
+  @inline private[graft] def norm0(d: Double): Double = if (d == 0.0) 0.0 else d
 
   /** Spark's ordering/equality for the id types a knn join realistically
     * keys on. Strings compare as unsigned UTF-8 BYTES (Spark's binary

@@ -135,4 +135,42 @@ class KnnStreamingSpec extends SparkSpec {
       col("label"), threshold = 0.1, salt = 4)
     assert(collectSet(plain) == collectSet(salted))
   }
+
+  test("embeddingPairs: streaming == join form (values bit-identical)") {
+    val df = randomCorpus(80, 12, 3, seed = 57L)
+    def run(budget: Long) = graft.ops.Dedup.embeddingPairs(df, "vec_id",
+      "embedding", col("label"), threshold = 0.05, pairBudget = budget)
+    assert(bitSet(run(Long.MaxValue)) == bitSet(run(-1L)))
+    // under the hot-block cap too
+    def capped(budget: Long) = graft.ops.Dedup.embeddingPairs(df, "vec_id",
+      "embedding", col("label"), threshold = 0.05, maxBlock = Some(15),
+      pairBudget = budget)
+    assert(bitSet(capped(Long.MaxValue)) == bitSet(capped(-1L)))
+  }
+
+  test("embeddingPairs: streaming == join form on degenerate rows (NaN passes, nulls drop)") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("label", StringType),
+      StructField("embedding", ArrayType(DoubleType, containsNull = true))))
+    val rows = Seq(
+      Row(0L, "a", Seq(1.0, 0.0, 0.0)),
+      Row(1L, "a", Seq(1.0, 0.1, 0.0)),
+      Row(2L, "a", Seq(0.0, 0.0, 0.0)), // zero norm → null cos → dropped
+      Row(3L, "a", null),
+      Row(4L, "a", Seq(1.0, null, 0.0)),
+      Row(5L, "a", Seq(1.0, 0.0)), // length mismatch → null cos
+      Row(6L, null, Seq(1.0, 0.0, 0.0)), // null key never matches
+      Row(null, "a", Seq(0.9, 0.0, 0.0)), // null id drops
+      Row(7L, "b", Seq(Double.NaN, 1.0, 0.0)), // NaN cos PASSES >= in SQL
+      Row(8L, "b", Seq(0.0, 1.0, 0.0)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    def run(budget: Long) = graft.ops.Dedup.embeddingPairs(df, "vec_id",
+      "embedding", col("label"), threshold = 0.5, pairBudget = budget)
+    val joinForm = bitSet(run(Long.MaxValue))
+    assert(joinForm == bitSet(run(-1L)))
+    // the NaN pair survived in BOTH (pinning Spark's NaN >= semantics)
+    assert(joinForm.exists(r => r(0) == 7L && r(1) == 8L))
+  }
 }
