@@ -371,11 +371,14 @@ class PlanSpec extends SparkSpec {
     val (tc, priors) = graft.ops.Classifier.trainNaiveBayes(d, "text", "lang")
     val nb = graft.ops.Classifier.nbScores(d, "doc_id", "text", tc, priors)
     nb.collect()
-    // 1 = the id-universe scan alone: since r17 the shared frames (model
-    // rows, priors, class frame, gram table) are localCheckpoint-pinned
-    // inside scoredFrames — every other consumer reads materialized blocks,
-    // so the corpus parquet appears exactly ONCE in the final plan (was 4
-    // under lazy AQE stage reuse, and 20 in nb_confusion's wider chain)
-    assert(distinctScans(nb) === 1, s"nbScores scans:\n${nb.queryExecution.executedPlan}")
+    // 5 = token-class counts (reused by totals/vocabulary), per-doc grams,
+    // priors (reused by class list/N), id-only scan, plus the kTot
+    // projection's own columnar read (r17: K_id became a zero-shuffle
+    // size-of-token-array scan instead of a second aggregation over the
+    // gram exchange — one extra parquet read replaces a corpus-sized
+    // shuffle stage; the localCheckpoint pinning that briefly made this 1
+    // was reverted after an idle-box A/B showed it a ~3x regression: AQE
+    // exchange reuse already deduplicates the lazy plan's shared subtrees)
+    assert(distinctScans(nb) === 5, s"nbScores scans:\n${nb.queryExecution.executedPlan}")
   }
 }
