@@ -479,10 +479,12 @@ object Pq {
       model.codebooks(j).map(cb =>
         q.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum)
     }
-    val score = (0 until model.m).map { j =>
-      element_at(array(tables(j).map(lit): _*),
-        element_at(col("codes"), j + 1) + 1)
-    }.reduce(_ + _)
+    // ONE Literal + the native m-lookup scorer instead of m literal arrays
+    // of element_at lookups folded with + : same integer sums, ~50x fewer
+    // plan nodes (the per-gate driver planning cost is the serving floor
+    // at bench scale — JobProbe r17)
+    val score = graft.plans.PqAdcScore.score(col("codes"),
+      typedlit[Seq[Seq[Long]]](tables.map(_.toSeq)))
     encoded.where(col("codes").isNotNull)
       .select(col(idCol), score.as("dist_e6"))
       .orderBy(col("dist_e6"), col(idCol))
@@ -564,18 +566,12 @@ object Pq {
     require(qidCol != idCol,
       s"query id column `$qidCol` must differ from corpus id column `$idCol` " +
         "(both appear in the output); alias one side first")
-    val (m, ksub, dsub) = (model.m, model.ksub, model.dsub)
-    val qxe = xeCol(col(qvecCol))
-    // m×ksub exact integer distances, one literal-unrolled expression —
-    // evaluated once per QUERY row (the small side), never per pair
-    val qtab = array((0 until m).map { j =>
-      array((0 until ksub).map { c =>
-        (0 until dsub).map { d =>
-          val diff = element_at(qxe, j * dsub + d + 1) - lit(model.codebooks(j)(c)(d))
-          diff * diff
-        }.reduce(_ + _)
-      }: _*)
-    }: _*)
+    // m×ksub exact integer distances in ONE codegen'd expression
+    // ([[graft.plans.PqAdcTable]]) — evaluated once per QUERY row (the
+    // small side), never per pair. The literal-unrolled Column form this
+    // replaces duplicated the xe subtree into every element_at and cost
+    // ~1.2 s of driver planning per plan at bench scale (JobProbe r17).
+    val qtab = graft.plans.PqAdcTable.table(xeCol(col(qvecCol)), model.codebooks)
     // internal __qid decouples the query key from corpus column names and
     // the vector-validity filter runs per QUERY row, not per pair
     val qframe = queries

@@ -131,6 +131,102 @@ case class PqAdcScore(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native per-query ADC distance table: the m×ksub exact integer
+  * query→centroid distances (`out(j)(c) = Σ_d (xe(j·dsub+d) − books(j)(c)(d))²`)
+  * in ONE codegen'd expression over the query's e6 vector.
+  *
+  * The literal-unrolled Column form this replaces — m·ksub nested `array`s
+  * of dsub-term `element_at(xe,…) − lit` squares — builds a plan tree of
+  * several thousand nodes PER adcKnnJoin call (the xe subtree is duplicated
+  * into every one of the m·ksub·dsub element_at calls), and Catalyst
+  * analysis/optimization/codegen of that tree was measured as a 1.2 s
+  * driver-side gap per pq_knn plan at sf0.1 (JobProbe, r17). This is one
+  * primitive loop with the codebooks attached as a plan reference object —
+  * the same pattern as [[PqAssign]], m·ksub·dsub integer multiply-adds per
+  * QUERY row (the broadcast side; never per pair).
+  *
+  * Semantics match the unrolled form exactly: integer arithmetic, same
+  * per-entry summation order (d ascending — integer addition is associative
+  * so the fold direction cannot matter); a null vector yields null
+  * (nullIntolerant); a null ELEMENT yields a null table — callers filter
+  * query rows with null components before scoring, same as before; a
+  * wrong-length vector fails loudly.
+  */
+case class PqAdcTable(child: Expression, books: Array[Array[Array[Long]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[GraftSqlBridge.AbstractType] = Seq(ArrayType(LongType))
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_adc_table"
+
+  override def nullSafeEval(input: Any): Any =
+    PqAdcTable.table(input.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "long[][][]")
+    nullSafeCodeGen(ctx, ev, arr => s"""
+      org.apache.spark.sql.catalyst.util.GenericArrayData r =
+        graft.plans.PqAdcTable.table($arr, $ref);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqAdcTable {
+  /** null iff any referenced vector element is null; throws on a length
+    * mismatch (ragged rows are a caller contract violation).
+    */
+  def table(xe: ArrayData, books: Array[Array[Array[Long]]]): GenericArrayData = {
+    val m = books.length
+    var total = 0
+    var j = 0
+    while (j < m) { total += books(j)(0).length; j += 1 }
+    if (xe.numElements() != total)
+      throw new IllegalArgumentException(
+        s"pq_adc_table: vector has ${xe.numElements()} components, codebooks span $total")
+    var i = 0
+    while (i < total) {
+      if (xe.isNullAt(i)) return null
+      i += 1
+    }
+    val out = new Array[Any](m)
+    var off = 0
+    j = 0
+    while (j < m) {
+      val book = books(j)
+      val dsub = book(0).length
+      val row = new Array[Long](book.length)
+      var c = 0
+      while (c < book.length) {
+        val cb = book(c)
+        var s = 0L
+        var d = 0
+        while (d < dsub) {
+          val t = xe.getLong(off + d) - cb(d)
+          s += t * t
+          d += 1
+        }
+        row(c) = s
+        c += 1
+      }
+      out(j) = new GenericArrayData(row)
+      off += dsub
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def table(xe: Column, books: Seq[Seq[Seq[Long]]]): Column =
+    GraftSqlBridge.column(PqAdcTable(GraftSqlBridge.expression(xe),
+      books.map(_.map(_.toArray).toArray).toArray))
+}
+
 /** Native exact squared-L2 distance of two e6-integer vectors — the
   * re-rank step of PQ serving ([[graft.ops.Pq.adcTopKRerank]] /
   * [[graft.ops.Pq.adcKnnJoinRerank]]): the ADC shortlist is re-scored at
