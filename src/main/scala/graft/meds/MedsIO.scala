@@ -153,9 +153,38 @@ object MedsIO {
             new org.apache.hadoop.fs.Path(dataPath, name.stripPrefix("split=")))
       }
     }
-    meds.codes.write.mode("overwrite").parquet(s"$root/metadata/codes.parquet")
-    meds.splits.write.mode("overwrite").parquet(s"$root/metadata/subject_splits.parquet")
+    writeMetadataTable(meds.codes, codesSchema, s"$root/metadata/codes.parquet")
+    writeMetadataTable(meds.splits, splitsSchema,
+      s"$root/metadata/subject_splits.parquet")
     markerFs.create(markerPath, true).close()
+  }
+
+  /** Write one metadata side table — skipping the Spark job entirely when
+    * the frame is STATICALLY empty at the canonical schema (an empty
+    * LocalRelation / zero-partition RDD, the shape every pipeline carries
+    * for a metadata table it never populated). read() already falls back
+    * to exactly that empty frame when the file is absent, so the
+    * round-trip is unchanged; the stale target is deleted so a prior
+    * non-empty write to the same root cannot resurface. Each composed
+    * pipeline checkpoint was paying 2 write jobs (~0.1 s each at bench
+    * scale) to persist zero rows — at cluster scale it is 2 fewer
+    * commit-protocol rounds per stage. The emptiness check is plan-only
+    * (no job): a frame that MIGHT be empty but needs execution to know is
+    * written normally.
+    */
+  private def writeMetadataTable(df: DataFrame,
+      canonical: org.apache.spark.sql.types.StructType, path: String): Unit = {
+    val staticallyEmpty = df.schema == canonical &&
+      (df.queryExecution.optimizedPlan match {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l.data.isEmpty
+        case _: org.apache.spark.sql.execution.LogicalRDD =>
+          df.queryExecution.toRdd.getNumPartitions == 0
+        case _ => false
+      })
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (staticallyEmpty) { fsFor(p).delete(p, true); () }
+    else df.write.mode("overwrite").parquet(path)
   }
 
   /** Resharded data layout: one `data/<split>/<shardIdx>.parquet` file per

@@ -164,4 +164,31 @@ class GoldenSpec extends SparkSpec {
     // train-only filtering over a round-tripped root still selects rows
     assert(back.data.filter(col(Split) === "train").count() > 0)
   }
+
+  test("MedsIO.write skips statically-empty metadata tables and still round-trips") {
+    def empty(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val tmp = java.nio.file.Files.createTempDirectory("meds_empty_meta").toString
+    // first write: REAL metadata lands on disk
+    MedsIO.write(graft.meds.MedsData(meds.data, meds.codes, meds.splits), tmp)
+    assert(new java.io.File(s"$tmp/metadata/codes.parquet").exists())
+    // second write to the SAME root with statically-empty metadata: the
+    // write job is skipped AND the stale files are removed — read() must
+    // fall back to the canonical empty frames, not resurrect the old ones
+    MedsIO.write(graft.meds.MedsData(meds.data,
+      empty(MedsSchema.codesSchema), empty(MedsSchema.splitsSchema)), tmp)
+    assert(!new java.io.File(s"$tmp/metadata/codes.parquet").exists(),
+      "stale codes.parquet must be deleted when the empty write is skipped")
+    assert(!new java.io.File(s"$tmp/metadata/subject_splits.parquet").exists())
+    val back = MedsIO.read(spark, tmp)
+    assert(back.codes.schema == MedsSchema.codesSchema && back.codes.count() == 0)
+    assert(back.splits.schema == MedsSchema.splitsSchema && back.splits.count() == 0)
+    // an empty frame at a NON-canonical schema is NOT skippable — its
+    // schema must survive the round-trip exactly
+    val odd = empty(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("weird", DoubleType))))
+    MedsIO.write(graft.meds.MedsData(meds.data, odd, meds.splits), tmp)
+    val back2 = MedsIO.read(spark, tmp)
+    assert(back2.codes.schema.fieldNames.toSeq == Seq("weird"))
+  }
 }
