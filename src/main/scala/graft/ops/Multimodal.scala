@@ -265,11 +265,27 @@ object Multimodal {
     * schema is the fixed production contract; the default codec is the
     * REAL JDK `ImageIO` decoder ([[imageIoCodec]]).
     */
+  /** Widen a small scan to the session's parallelism before a CPU-heavy
+    * per-row codec pass. A toy-scale corpus arrives as ONE input split
+    * (everything under `maxPartitionBytes`), so the decode — whose cost is
+    * per ROW, not per byte — would run single-threaded while every other
+    * core idles (measured: multimodal_frames decoded 2000 frames in one
+    * 1.0 s-CPU task at sf0.1; the guide's §2.5 "input skew: repartition
+    * immediately after the read"). Scale-adaptive, not a local constant:
+    * when the input already carries at least `defaultParallelism`
+    * partitions — the 100 TB case — this is a no-op and payload bytes are
+    * never shuffled.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def decodeBatched(media: DataFrame,
       codec: Iterator[(Long, Array[Byte])] => Iterator[DecodedImage] = imageIoCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id").cast("long"), col("payload"))
+    spread(media.select(col("media_id").cast("long"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions(codec)
       .toDF()
@@ -298,7 +314,7 @@ object Multimodal {
     require(targetW > 0 && targetH > 0, "resize targets must be positive")
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id").cast("long"), col("payload"))
+    spread(media.select(col("media_id").cast("long"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val dec = new ImageDecoder
@@ -396,7 +412,7 @@ object Multimodal {
     require(n > 0, s"sampleFrames: n must be positive, got $n")
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id").cast("long"), col("payload"))
+    spread(media.select(col("media_id").cast("long"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -542,7 +558,7 @@ object Multimodal {
   def videoFrames(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id").cast("long"), col("payload"))
+    spread(media.select(col("media_id").cast("long"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val dec = new ImageDecoder
@@ -637,7 +653,7 @@ object Multimodal {
   def decodeAudio(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id").cast("long"), col("payload"))
+    spread(media.select(col("media_id").cast("long"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
