@@ -3602,6 +3602,31 @@ object Queries {
       | sha256(text) AS sha256
       |FROM documents ORDER BY media_id""".stripMargin))
 
+  /** The documents scan spread to the session's parallelism BEFORE payload
+    * synthesis — the synthetic-media gates' input. The codec work downstream
+    * is per-ROW CPU (a real decoder), but a toy corpus arrives as ONE input
+    * split, so synth+decode would run single-threaded while 31 cores idle
+    * (TfIdfProbe r17: one 1.0 s-CPU task for 2000 frames). The spread MUST
+    * sit below the payload projection: only doc_id crosses the exchange and
+    * the blobs are synthesized after it, in parallel. Repartitioning the
+    * synthesized frame instead measured 9-89 s/run at x10 (one task
+    * materializing + sorting + shuffling every blob — the guide §8 "never
+    * move the heavy bytes" lesson).
+    *
+    * Fires ONLY for the degenerate single-split input (§2.5's "one huge
+    * unsplittable file"): once the scan has ≥2 splits, Spark's own split
+    * sizing already scales parallelism with the data, and an A/B at x10
+    * (5 splits, Bench methodology min-of-4) measured the forced 32-way
+    * exchange SLOWER than the natural 5-way scan (frames 1.60→3.46 s,
+    * audio 2.71→3.39 s — 32 concurrent decoders contend on allocation),
+    * while at sf0.1's single split the same spread wins 1.85→0.76 s.
+    */
+  private def spreadDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select("doc_id")
+    val target = s.sparkContext.defaultParallelism
+    if (target > 1 && d.rdd.getNumPartitions == 1) d.repartition(target) else d
+  }
+
   /** REAL-PNG media table: one [[graft.plans.PngSynth]] payload per document,
     * dimensions derived from `doc_id` (w in 4..11, h in 3..9) so every gate
     * row exercises a different geometry. The payload is a spec-complete
@@ -3610,7 +3635,7 @@ object Queries {
     * arithmetically.
     */
   private def pngMedia(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents").select(
+    spreadDocs(s, dir).select(
       col("doc_id").cast(LongType).as("media_id"),
       graft.plans.PngSynth.png(col("doc_id").cast(LongType),
         (col("doc_id") % 8 + 4).cast("int"),
@@ -3651,7 +3676,7 @@ object Queries {
     */
   private val multimodalDecodeJpeg: Gate = Gate(
     (s, dir) => Multimodal.decodeBatched(
-      table(s, dir, "documents").select(
+      spreadDocs(s, dir).select(
         col("doc_id").cast(LongType).as("media_id"),
         graft.plans.JpegSynth.jpeg(col("doc_id").cast(LongType),
           (col("doc_id") % 5 + 1).cast("int"),
@@ -3685,7 +3710,7 @@ object Queries {
     */
   private val videoFramesMjpeg: Gate = Gate(
     (s, dir) => Multimodal.videoFrames(
-      table(s, dir, "documents").select(
+      spreadDocs(s, dir).select(
         col("doc_id").cast(LongType).as("media_id"),
         graft.plans.AviSynth.avi(col("doc_id").cast(LongType),
           (col("doc_id") % 4 + 1).cast("int"),
@@ -3766,7 +3791,7 @@ object Queries {
     */
   private val multimodalFrames: Gate = Gate(
     (s, dir) => Multimodal.sampleFrames(
-      table(s, dir, "documents").select(
+      spreadDocs(s, dir).select(
         col("doc_id").cast(LongType).as("media_id"),
         graft.plans.GifSynth.gif(col("doc_id").cast(LongType),
           (col("doc_id") % 6 + 3).cast("int"),
@@ -3804,7 +3829,7 @@ object Queries {
     */
   private val audioDecode: Gate = Gate(
     (s, dir) => Multimodal.decodeAudio(
-      table(s, dir, "documents").select(
+      spreadDocs(s, dir).select(
         col("doc_id").cast(LongType).as("media_id"),
         when(col("doc_id") % 9 === 0, unhex(lit("52494646")))
           .otherwise(graft.plans.WavSynth.wav(col("doc_id").cast(LongType),
@@ -3852,7 +3877,7 @@ object Queries {
     */
   private val audioDecodeUlaw: Gate = Gate(
     (s, dir) => Multimodal.decodeAudio(
-      table(s, dir, "documents").select(
+      spreadDocs(s, dir).select(
         col("doc_id").cast(LongType).as("media_id"),
         when(col("doc_id") % 9 === 0, unhex(lit("2e736e64")))
           .otherwise(graft.plans.AuSynth.au(col("doc_id").cast(LongType),
@@ -3910,7 +3935,7 @@ object Queries {
     */
   private val audioDecodeAdpcm: Gate = Gate(
     (s, dir) => Multimodal.decodeAudio(
-      table(s, dir, "documents").select(
+      spreadDocs(s, dir).select(
         col("doc_id").cast(LongType).as("media_id"),
         when(col("doc_id") % 9 === 0, unhex(lit("52494646")))
           .otherwise(graft.plans.AdpcmSynth.adpcm(col("doc_id").cast(LongType),

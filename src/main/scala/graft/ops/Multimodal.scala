@@ -265,27 +265,23 @@ object Multimodal {
     * schema is the fixed production contract; the default codec is the
     * REAL JDK `ImageIO` decoder ([[imageIoCodec]]).
     */
-  /** Widen a small scan to the session's parallelism before a CPU-heavy
-    * per-row codec pass. A toy-scale corpus arrives as ONE input split
-    * (everything under `maxPartitionBytes`), so the decode — whose cost is
-    * per ROW, not per byte — would run single-threaded while every other
-    * core idles (measured: multimodal_frames decoded 2000 frames in one
-    * 1.0 s-CPU task at sf0.1; the guide's §2.5 "input skew: repartition
-    * immediately after the read"). Scale-adaptive, not a local constant:
-    * when the input already carries at least `defaultParallelism`
-    * partitions — the 100 TB case — this is a no-op and payload bytes are
-    * never shuffled.
+  /** NOTE on parallelizing small codec inputs (optimization r17): the codec
+    * seams below deliberately do NOT repartition. A `repartition(n)` here
+    * lands ABOVE the caller's payload projection, so for synthesized or
+    * projected payloads one upstream task materializes, locally sorts
+    * (`spark.sql.execution.sortBeforeRepartition`) and shuffles every blob
+    * before any decode parallelism is gained — measured 9-89 s/run at x10
+    * where the unshuffled form ran 3 s (the guide §8 lesson verbatim:
+    * never move the heavy bytes to fix a scheduling problem). Callers that
+    * need decode parallelism on a near-single-split input must spread the
+    * NARROW side (ids) BEFORE attaching payload bytes — see
+    * `Queries.spreadDocs` for the gate-side pattern.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   def decodeBatched(media: DataFrame,
       codec: Iterator[(Long, Array[Byte])] => Iterator[DecodedImage] = imageIoCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    spread(media.select(col("media_id").cast("long"), col("payload")))
+    media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(codec)
       .toDF()
@@ -314,7 +310,7 @@ object Multimodal {
     require(targetW > 0 && targetH > 0, "resize targets must be positive")
     val spark = media.sparkSession
     import spark.implicits._
-    spread(media.select(col("media_id").cast("long"), col("payload")))
+    media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val dec = new ImageDecoder
@@ -412,7 +408,7 @@ object Multimodal {
     require(n > 0, s"sampleFrames: n must be positive, got $n")
     val spark = media.sparkSession
     import spark.implicits._
-    spread(media.select(col("media_id").cast("long"), col("payload")))
+    media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -558,7 +554,7 @@ object Multimodal {
   def videoFrames(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    spread(media.select(col("media_id").cast("long"), col("payload")))
+    media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val dec = new ImageDecoder
@@ -653,7 +649,7 @@ object Multimodal {
   def decodeAudio(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    spread(media.select(col("media_id").cast("long"), col("payload")))
+    media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
