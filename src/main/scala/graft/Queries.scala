@@ -65,11 +65,34 @@ object Queries {
       sourceStamp(sourcePath).getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Memoized ANALYZED base relations, keyed (session, path, source mtime).
+    *
+    * `spark.read.parquet` does eager driver work on every call — lists the
+    * path into a fresh InMemoryFileIndex and reads a footer for the schema.
+    * Gates re-read the same handful of base tables, and the bench
+    * constructs each gate's plan 3-4× per run, so the suite paid that
+    * listing+schema cost ~350 times per bench (~10-30 ms each — part of
+    * the measured ~0.3-0.5 s/query floor, VERDICT r17 #5). The memo shares
+    * METADATA only: the DataFrame is a lazy plan, every action still scans
+    * the parquet from disk (no `.cache()`, `clearCache()` semantics
+    * unchanged, per-query results always recomputed). The mtime in the key
+    * re-resolves a regenerated input (same convention as [[sourceStamp]]);
+    * the session in the key scopes the relation to the SQLConf it was
+    * resolved under.
+    */
+  private val tableMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]
+
   private def table(s: SparkSession, dir: String, name: String): DataFrame = {
     // the synthetic testdata stores timestamps as TIMESTAMP(NANOS), which
     // Spark only reads under this legacy conf (as raw nanos longs)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    // bound the memo (a long test run creates many sessions/dirs; entries
+    // pin their session via the key) — clearing just re-pays one listing
+    if (tableMemo.size > 512) tableMemo.clear()
+    tableMemo.computeIfAbsent((s, path, sourceStamp(path)),
+      _ => s.read.parquet(path))
   }
 
   /** `ts` normalized to a microsecond TIMESTAMP whatever the parquet stores:
@@ -3620,12 +3643,27 @@ object Queries {
     * exchange SLOWER than the natural 5-way scan (frames 1.60→3.46 s,
     * audio 2.71→3.39 s — 32 concurrent decoders contend on allocation),
     * while at sf0.1's single split the same spread wins 1.85→0.76 s.
+    *
+    * Used ONLY by the two gates whose per-row decode is genuinely
+    * expensive — multi-frame GIF sampling and the AVI walk + per-frame
+    * JPEG decode. The other six codec gates' decoders are microseconds/row
+    * and the exchange is pure overhead there (VERDICT r17 #3; r18 A/B at
+    * sf0.1, min-of-4, spread vs not: frames 1.05→0.74, video 1.21→0.70
+    * WITH the spread, but audio 0.55→0.92, adpcm 0.38→0.91,
+    * ulaw 0.49→0.87, png 0.39→0.70, jpeg 0.56→0.71, resize 0.34→0.68
+    * AGAINST it — those use [[docIds]]).
     */
   private def spreadDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = table(s, dir, "documents").select("doc_id")
+    val d = docIds(s, dir)
     val target = s.sparkContext.defaultParallelism
     if (target > 1 && d.rdd.getNumPartitions == 1) d.repartition(target) else d
   }
+
+  /** The unspread doc_id scan — input of the codec gates whose decode is
+    * too cheap to amortize a spread exchange (see [[spreadDocs]]).
+    */
+  private def docIds(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select("doc_id")
 
   /** REAL-PNG media table: one [[graft.plans.PngSynth]] payload per document,
     * dimensions derived from `doc_id` (w in 4..11, h in 3..9) so every gate
@@ -3635,7 +3673,7 @@ object Queries {
     * arithmetically.
     */
   private def pngMedia(s: SparkSession, dir: String): DataFrame =
-    spreadDocs(s, dir).select(
+    docIds(s, dir).select(
       col("doc_id").cast(LongType).as("media_id"),
       graft.plans.PngSynth.png(col("doc_id").cast(LongType),
         (col("doc_id") % 8 + 4).cast("int"),
@@ -3676,7 +3714,7 @@ object Queries {
     */
   private val multimodalDecodeJpeg: Gate = Gate(
     (s, dir) => Multimodal.decodeBatched(
-      spreadDocs(s, dir).select(
+      docIds(s, dir).select(
         col("doc_id").cast(LongType).as("media_id"),
         graft.plans.JpegSynth.jpeg(col("doc_id").cast(LongType),
           (col("doc_id") % 5 + 1).cast("int"),
@@ -3829,7 +3867,7 @@ object Queries {
     */
   private val audioDecode: Gate = Gate(
     (s, dir) => Multimodal.decodeAudio(
-      spreadDocs(s, dir).select(
+      docIds(s, dir).select(
         col("doc_id").cast(LongType).as("media_id"),
         when(col("doc_id") % 9 === 0, unhex(lit("52494646")))
           .otherwise(graft.plans.WavSynth.wav(col("doc_id").cast(LongType),
@@ -3877,7 +3915,7 @@ object Queries {
     */
   private val audioDecodeUlaw: Gate = Gate(
     (s, dir) => Multimodal.decodeAudio(
-      spreadDocs(s, dir).select(
+      docIds(s, dir).select(
         col("doc_id").cast(LongType).as("media_id"),
         when(col("doc_id") % 9 === 0, unhex(lit("2e736e64")))
           .otherwise(graft.plans.AuSynth.au(col("doc_id").cast(LongType),
@@ -3935,7 +3973,7 @@ object Queries {
     */
   private val audioDecodeAdpcm: Gate = Gate(
     (s, dir) => Multimodal.decodeAudio(
-      spreadDocs(s, dir).select(
+      docIds(s, dir).select(
         col("doc_id").cast(LongType).as("media_id"),
         when(col("doc_id") % 9 === 0, unhex(lit("52494646")))
           .otherwise(graft.plans.AdpcmSynth.adpcm(col("doc_id").cast(LongType),

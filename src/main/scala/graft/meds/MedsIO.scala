@@ -159,18 +159,22 @@ object MedsIO {
     markerFs.create(markerPath, true).close()
   }
 
-  /** Write one metadata side table — skipping the Spark job entirely when
+  /** Write one metadata side table — bypassing the Spark job entirely when
     * the frame is STATICALLY empty at the canonical schema (an empty
     * LocalRelation / zero-partition RDD, the shape every pipeline carries
-    * for a metadata table it never populated). read() already falls back
-    * to exactly that empty frame when the file is absent, so the
-    * round-trip is unchanged; the stale target is deleted so a prior
-    * non-empty write to the same root cannot resurface. Each composed
-    * pipeline checkpoint was paying 2 write jobs (~0.1 s each at bench
-    * scale) to persist zero rows — at cluster scale it is 2 fewer
-    * commit-protocol rounds per stage. The emptiness check is plan-only
-    * (no job): a frame that MIGHT be empty but needs execution to know is
-    * written normally.
+    * for a metadata table it never populated): a single empty parquet FILE
+    * (footer-only, zero row groups) is written driver-side instead. Each
+    * composed pipeline checkpoint was paying 2 write jobs (~0.1 s each at
+    * bench scale) to persist zero rows — at cluster scale it is 2 fewer
+    * commit-protocol rounds per stage. Unlike r17's skip-and-delete, the
+    * canonical file SET stays on disk (ADVICE r17 medium: the reference's
+    * compute_fn does an unguarded read of metadata/codes.parquet, and
+    * MEDS consumers expect the file to exist, possibly empty), and
+    * Main's zero-job footer row counts keep working. The emptiness check
+    * is plan-only (no job): a frame that MIGHT be empty but needs
+    * execution to know is written normally. The stale target (possibly a
+    * directory from a prior distributed write) is removed first so a
+    * prior non-empty write to the same root cannot resurface.
     */
   private def writeMetadataTable(df: DataFrame,
       canonical: org.apache.spark.sql.types.StructType, path: String): Unit = {
@@ -183,8 +187,29 @@ object MedsIO {
         case _ => false
       })
     val p = new org.apache.hadoop.fs.Path(path)
-    if (staticallyEmpty) { fsFor(p).delete(p, true); () }
+    if (staticallyEmpty)
+      writeEmptyParquetFile(df.sparkSession, canonical, p)
     else df.write.mode("overwrite").parquet(path)
+  }
+
+  /** One valid parquet file with the given schema and zero row groups,
+    * written on the driver with parquet-hadoop directly — no Spark job, no
+    * commit protocol. The footer carries Spark's row-metadata key so a
+    * read-back resolves to exactly the canonical StructType (same as a
+    * distributed Spark write of the empty frame would).
+    */
+  private def writeEmptyParquetFile(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.parquet.hadoop.ParquetFileWriter
+    val conf = spark.sparkContext.hadoopConfiguration
+    fsFor(p).delete(p, true) // prior write may have left a DIRECTORY here
+    val msgType = org.apache.spark.sql.GraftSqlBridge.parquetMessageType(spark, schema)
+    val w = new ParquetFileWriter(conf, msgType, p,
+      ParquetFileWriter.Mode.OVERWRITE)
+    w.start()
+    w.end(java.util.Collections.singletonMap(
+      "org.apache.spark.sql.parquet.row.metadata", schema.json))
   }
 
   /** Resharded data layout: one `data/<split>/<shardIdx>.parquet` file per

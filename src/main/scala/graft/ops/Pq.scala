@@ -98,7 +98,8 @@ object Pq {
     * seeding/update/tie-break rules (and so the identical SQL replay).
     */
   private def trainBase(base0: DataFrame, dim: Int, m: Int,
-      ksub: Int, iters: Int, seed: Long, trainFraction: Double): PqModel = {
+      ksub: Int, iters: Int, seed: Long, trainFraction: Double,
+      seedXe: Option[IndexedSeq[Vector[Long]]] = None): PqModel = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     require(ksub > 0 && iters >= 0, "ksub must be positive and iters non-negative")
     val dsub = dim / m
@@ -106,15 +107,21 @@ object Pq {
       base0.filter(Sampling.unitHash(col("__id"), seed) < trainFraction)
     else base0
 
-    // seed centroids: k rows in (hash, id) order — a k-row TakeOrdered
-    val seedRows = base
-      .orderBy(Sampling.unitHash(col("__id"), seed), col("__id"))
-      .limit(ksub).select("__xe").collect()
-    require(seedRows.length == ksub,
-      s"need >= $ksub rows to seed $ksub codes, got ${seedRows.length}")
+    // seed centroids: k rows in (hash, id) order — a k-row TakeOrdered,
+    // unless the caller already holds the seed vectors (the OPQ path: the
+    // (hash, id) ranking is permutation-independent, so alternation B's
+    // seeds are alternation A's raw seed rows re-rotated driver-side —
+    // one fewer full-pass barrier per alternation)
+    val seedVecs: IndexedSeq[Vector[Long]] = seedXe.getOrElse {
+      base.orderBy(Sampling.unitHash(col("__id"), seed), col("__id"))
+        .limit(ksub).select("__xe").collect()
+        .toIndexedSeq.map(_.getSeq[Long](0).toVector)
+    }
+    require(seedVecs.length == ksub,
+      s"need >= $ksub rows to seed $ksub codes, got ${seedVecs.length}")
     var books: Vector[Vector[Vector[Long]]] = Vector.tabulate(m) { j =>
       Vector.tabulate(ksub) { c =>
-        seedRows(c).getSeq[Long](0).slice(j * dsub, (j + 1) * dsub).toVector
+        seedVecs(c).slice(j * dsub, (j + 1) * dsub)
       }
     }
 
@@ -220,13 +227,26 @@ object Pq {
     val dsub = dim / m
     val signs = opqSigns(dim, seed)
     val xeBase = embs.select(col(idCol).as("__id"), xeCol(col(vecCol)).as("__xe0"))
+    // seed rows once, in RAW space: the (hash, id) seed ranking never looks
+    // at the vector, so every alternation seeds from the SAME rows — collect
+    // them once and re-rotate driver-side per alternation (HdRotate.rotate
+    // is the exact shared integer rotation), saving one full-pass
+    // TakeOrdered barrier per alternation after the first
+    val sampled = if (trainFraction < 1.0)
+      xeBase.filter(Sampling.unitHash(col("__id"), seed) < trainFraction)
+    else xeBase
+    val rawSeeds = sampled
+      .orderBy(Sampling.unitHash(col("__id"), seed), col("__id"))
+      .limit(ksub).select("__xe0").collect()
+      .toIndexedSeq.map(_.getSeq[Long](0).toVector)
     var perm = Vector.range(0, dim)
     var model: PqModel = null
     var a = 0
     while (a < alternations) {
       val rot = OpqRotation(dim, signs, perm)
       val base = xeBase.select(col("__id"), rot.rotateCol(col("__xe0")).as("__xe"))
-      model = trainBase(base, dim, m, ksub, iters, seed, trainFraction)
+      model = trainBase(base, dim, m, ksub, iters, seed, trainFraction,
+        seedXe = Some(rawSeeds.map(v => rot.rotateXe(v))))
       if (a < alternations - 1) {
         val books = model.codebooks
         val sample = if (trainFraction < 1.0)

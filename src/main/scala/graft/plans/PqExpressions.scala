@@ -120,11 +120,16 @@ case class PqAdcScore(left: Expression, right: Expression)
   override def nullSafeEval(codes: Any, tables: Any): Any =
     PqAdcScore.score(codes.asInstanceOf[ArrayData], tables.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ctx.freshName: a fixed local name would collide (duplicate declaration
+    // → Janino failure → silent interpreted fallback) when two instances of
+    // the expression land in the same generated method
+    val r = ctx.freshName("adcScore")
     nullSafeCodeGen(ctx, ev, (c, t) => s"""
-      java.lang.Long r = graft.plans.PqAdcScore.score($c, $t);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+      java.lang.Long $r = graft.plans.PqAdcScore.score($c, $t);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
     """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -167,10 +172,12 @@ case class PqAdcTable(child: Expression, books: Array[Array[Array[Long]]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("books", books, "long[][][]")
+    // ctx.freshName: see PqAdcScore — fixed names break under two instances
+    val r = ctx.freshName("adcTable")
     nullSafeCodeGen(ctx, ev, arr => s"""
-      org.apache.spark.sql.catalyst.util.GenericArrayData r =
+      org.apache.spark.sql.catalyst.util.GenericArrayData $r =
         graft.plans.PqAdcTable.table($arr, $ref);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
     """)
   }
 
@@ -258,11 +265,14 @@ case class SqDist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     SqDist.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ctx.freshName: see PqAdcScore — fixed names break under two instances
+    val r = ctx.freshName("sqDist")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long r = graft.plans.SqDist.dist($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+      java.lang.Long $r = graft.plans.SqDist.dist($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
     """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

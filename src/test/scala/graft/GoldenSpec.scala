@@ -172,17 +172,26 @@ class GoldenSpec extends SparkSpec {
     // first write: REAL metadata lands on disk
     MedsIO.write(graft.meds.MedsData(meds.data, meds.codes, meds.splits), tmp)
     assert(new java.io.File(s"$tmp/metadata/codes.parquet").exists())
-    // second write to the SAME root with statically-empty metadata: the
-    // write job is skipped AND the stale files are removed — read() must
-    // fall back to the canonical empty frames, not resurrect the old ones
+    // second write to the SAME root with statically-empty metadata: no
+    // Spark write job, but the canonical file SET stays on disk (ADVICE r17
+    // medium: MEDS consumers read metadata/codes.parquet unguarded) — a
+    // driver-written footer-only FILE replaces the stale non-empty one,
+    // and read() must see the canonical empty frames, not the old rows
     MedsIO.write(graft.meds.MedsData(meds.data,
       empty(MedsSchema.codesSchema), empty(MedsSchema.splitsSchema)), tmp)
-    assert(!new java.io.File(s"$tmp/metadata/codes.parquet").exists(),
-      "stale codes.parquet must be deleted when the empty write is skipped")
-    assert(!new java.io.File(s"$tmp/metadata/subject_splits.parquet").exists())
+    val codesFile = new java.io.File(s"$tmp/metadata/codes.parquet")
+    assert(codesFile.isFile,
+      "empty metadata must land as a single driver-written parquet FILE")
+    assert(new java.io.File(s"$tmp/metadata/subject_splits.parquet").isFile)
     val back = MedsIO.read(spark, tmp)
-    assert(back.codes.schema == MedsSchema.codesSchema && back.codes.count() == 0)
-    assert(back.splits.schema == MedsSchema.splitsSchema && back.splits.count() == 0)
+    assert(back.codes.schema.fieldNames.toSeq ==
+      MedsSchema.codesSchema.fieldNames.toSeq && back.codes.count() == 0)
+    assert(back.codes.schema.map(_.dataType) == MedsSchema.codesSchema.map(_.dataType))
+    assert(back.splits.schema.fieldNames.toSeq ==
+      MedsSchema.splitsSchema.fieldNames.toSeq && back.splits.count() == 0)
+    // the empty file must also be readable WITHOUT the Spark footer key
+    // (reference/polars convention: schema from the parquet footer itself)
+    assert(spark.read.parquet(codesFile.toString).count() == 0)
     // an empty frame at a NON-canonical schema is NOT skippable — its
     // schema must survive the round-trip exactly
     val odd = empty(org.apache.spark.sql.types.StructType(Seq(
