@@ -817,6 +817,8 @@ object Queries {
     * — no data scan — clamped to [2, defaultParallelism].
     */
   private def streamStatePartitions(ss: SparkSession, dir: String): Int = {
+    // r18 re-sweep at sf0.1 (min-of-4, trio total): 2 → 4.6 s, 4 → 6.9 s,
+    // 8 → 5.7 s — the r8 divisor still holds
     val rows = graft.plans.ParquetStats
       .rowCount(ss, s"$dir/events.parquet").getOrElse(100000L)
     math.max(2L, math.min(ss.sparkContext.defaultParallelism.toLong,
@@ -3288,6 +3290,21 @@ object Queries {
       // reads it), so the checkpointed run is the like-for-like shape.
       // (filter_rows / js_divergence opt OUT via `checkpoint: false` — a
       // narrow filter and the final stage don't need their own roots.)
+      // snapshot-scoped engine settings (keyed on DATA SIZE via the same
+      // footer row count, NOT the core count — a replicated scale run keeps
+      // the production behavior): under 100k docs the 5-stage checkpointed
+      // run is job-floor-bound, and (a) AQE's per-exchange stage
+      // materialization adds ~45 barrier futures for shuffles of a few KB
+      // (A/B min-of-4 at sf0.1: 8.08 -> 7.32 s), (b) each checkpoint
+      // read-back's >32-path file listing runs as a distributed job where a
+      // driver-side listing is microseconds (12 listing jobs/run; with both:
+      // 8.08 -> 6.36 s). Large corpora keep AQE's coalescing/skew handling
+      // and the parallel listing — there the shuffles and file counts are
+      // real.
+      if (docRows < 100000L) {
+        ss.conf.set("spark.sql.adaptive.enabled", "false")
+        ss.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "256")
+      }
       Main.run(Array(AnalysisYaml, s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
         ++ overrides, ss)
       graft.meds.MedsIO.read(s, s"$tmp/out").data
@@ -3442,7 +3459,11 @@ object Queries {
       // sf0.1): unlike analysisPipeline, these stages are cheap row
       // transforms whose heavy members (MinHash CC, decontaminate grams)
       // already persist internally, so nine per-stage root writes only add
-      // job floor
+      // job floor. (r18 A/B: a DEDICATED session here — shuffle width 4,
+      // AQE off, driver-side listing, the analysis gate's treatment — reads
+      // 3.59-3.65 s vs 2.48 s on the shared session: these stages' internal
+      // persists already amortize the width, and the session's own floor
+      // costs more than it saves. Left on the shared session deliberately.)
       Main.run(Array(CurationYaml, s"$tmp/in", s"$tmp/out") ++ overrides, s)
       graft.meds.MedsIO.read(s, s"$tmp/out").data
         .select(col("doc_id"), col("pack_shard").cast(LongType).as("shard"),

@@ -36,22 +36,43 @@ object MedsIO {
     // a streaming sink writes data/ before any metadata exists — a missing
     // codes table falls back to empty (same contract as splits below), so
     // batch operators can run over a root a stream is still appending to
-    val codesPath = new org.apache.hadoop.fs.Path(s"$root/metadata/codes.parquet")
-    val codesFs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val codes =
-      if (codesFs.exists(codesPath)) spark.read.parquet(codesPath.toString)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codesSchema)
-    val splitsPath = new org.apache.hadoop.fs.Path(s"$root/metadata/subject_splits.parquet")
-    val fs = splitsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = readMetadataTable(spark, s"$root/metadata/codes.parquet", codesSchema)
     // Only a *missing* splits table falls back to empty; a corrupt or
     // unreadable one must propagate (ADVICE r1: silently-empty splits made
     // trainOnly drop every row with no error surfaced).
-    val splits =
-      if (fs.exists(splitsPath)) spark.read.parquet(splitsPath.toString)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], splitsSchema)
+    val splits = readMetadataTable(spark,
+      s"$root/metadata/subject_splits.parquet", splitsSchema)
     MedsData(data, codes, splits)
+  }
+
+  /** Read one metadata side table. A missing table falls back to the
+    * canonical empty frame (a streaming sink writes data/ before any
+    * metadata exists). A PRESENT table whose footer proves 0 rows at the
+    * canonical column set ALSO resolves to that frame — the footer check
+    * is driver-side (no job), and restoring the statically-empty
+    * LocalRelation is what lets the NEXT checkpoint's writeMetadataTable
+    * skip its write job again (a scan of the empty file would defeat the
+    * plan-only emptiness check on every downstream stage). Non-canonical
+    * or non-empty tables read normally.
+    */
+  private def readMetadataTable(spark: SparkSession, path: String,
+      canonical: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def emptyCanonical = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], canonical)
+    if (!fs.exists(p)) emptyCanonical
+    else if (fs.getFileStatus(p).isFile &&
+        graft.plans.ParquetStats.rowCount(spark, path).contains(0L)) {
+      // name/type equality modulo nullability: an empty frame carries no
+      // rows for nullability to matter, but a different column SET must
+      // keep the file's own schema
+      val df = spark.read.parquet(path)
+      val same = df.schema.length == canonical.length &&
+        df.schema.zip(canonical).forall { case (a, b) =>
+          a.name == b.name && a.dataType == b.dataType }
+      if (same) emptyCanonical else df
+    } else spark.read.parquet(path)
   }
 
   /** The data-table half of read(): sharded parquet under `root/data` with
