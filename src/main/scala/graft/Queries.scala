@@ -87,7 +87,14 @@ object Queries {
     // the synthetic testdata stores timestamps as TIMESTAMP(NANOS), which
     // Spark only reads under this legacy conf (as raw nanos longs)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/$name.parquet"
+    tableAt(s, s"$dir/$name.parquet")
+  }
+
+  /** The memoized-relation read for an arbitrary parquet path — shared by
+    * [[table]] and the gates that stage their own mtime-marked artifacts
+    * (the incremental-metadata partials).
+    */
+  private def tableAt(s: SparkSession, path: String): DataFrame = {
     // bound the memo (a long test run creates many sessions/dirs; entries
     // pin their session via the key) — clearing just re-pays one listing
     if (tableMemo.size > 512) tableMemo.clear()
@@ -380,9 +387,12 @@ object Queries {
           .write(s"$tmp/odd")
         writeMarker(pMarker, s"$dir/events.parquet")
       }
-      val parts = Seq(
-        AggregateCodeMetadata.MetadataPartials.read(s, s"$tmp/even"),
-        AggregateCodeMetadata.MetadataPartials.read(s, s"$tmp/odd"))
+      // memoized reads (the staged partials are mtime-marked like the
+      // source tables): 4 fewer listing/schema jobs per invocation
+      val parts = Seq(s"$tmp/even", s"$tmp/odd").map(d =>
+        AggregateCodeMetadata.MetadataPartials(
+          tableAt(s, s"$d/value_hist.parquet"),
+          tableAt(s, s"$d/subjects.parquet")))
       val merged = AggregateCodeMetadata.mergePartials(parts)
       val m = AggregateCodeMetadata.fromPartials(merged,
         Seq(CodeNSubjects, CodeNOccurrences, ValuesNSubjects, ValuesNOccurrences,
