@@ -3282,15 +3282,18 @@ object Queries {
       // corpus size (parquet-footer row count, no scan) — the same
       // mechanism the streaming gates use: 32 default partitions across a
       // 5-stage checkpointed pipeline is pure per-task scheduling floor at
-      // snapshot scale (15.8 → 8.5 s min-of-5 at sf0.1's 5k docs with 4),
-      // while a replicated scale run grows back to full parallelism
-      // (~1.25k docs/partition, clamped to defaultParallelism)
+      // snapshot scale (15.8 → 8.5 s min-of-5 at sf0.1's 5k docs with 4;
+      // the r18 re-sweep moved the divisor 1250 → 2500: 6.17 → 5.70 s
+      // min-of-4 at sf0.1's width 2, and x10 ALSO improved 12.0 → 8.0 s at
+      // width 20 vs the 32 clamp), while a replicated scale run grows back
+      // to full parallelism (~2.5k docs/partition, clamped to
+      // defaultParallelism)
       val ss = s.newSession()
       val docRows = graft.plans.ParquetStats
         .rowCount(ss, s"$dir/documents.parquet").getOrElse(5000L)
       ss.conf.set("spark.sql.shuffle.partitions",
         math.max(2L, math.min(ss.sparkContext.defaultParallelism.toLong,
-          docRows / 1250L)).toString)
+          docRows / 2500L)).toString)
       // checkpointRoot: each stage materializes ONCE. Without it the lazy
       // five-stage lineage re-executes shared subtrees per consumer — the
       // LM-train aggregate and the CSV parse appear many times in the final
